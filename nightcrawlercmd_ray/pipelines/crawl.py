@@ -1,0 +1,548 @@
+"""Distributed BSP crawl — the engine realization of the north-star pipeline.
+
+Reference lifecycle reproduced (``/root/reference/mainCrawler.go``: seed
+ingestion :100-140, fetch-parse-enqueue loop :142-198, politeness :45,81,
+max-pages :149-155) under the pinned §3.1 ordering contract, so the output is
+bit-equal to ``oracle/crawl_oracle.py`` at ANY parallelism.
+
+Architecture (SURVEY §3.1/§4.3) — each crawl round is a bounded pipeline:
+
+1. **Page store** (one-time prep): the Common-Crawl-style ``pages`` Parquet
+   (+ ``fetch_meta`` sidecar) is hash-partitioned into B buckets by
+   ``url_hash % B`` via a Ray Data ``groupby(bucket).map_groups`` shuffle —
+   the fetch join's partitioning key, fixed once and reused every wave.
+2. **Frontier shards**: P long-lived actors (``state/frontier.py``) own hosts
+   by ``host_hash % P`` — cuckoo URL-seen filter, per-host FIFO lanes,
+   politeness budgets, robots gate. Candidates are *pushed* to shards by the
+   fetch tasks (task→actor through the object store; the driver never carries
+   row data), then the wave barrier ``seal_wave`` applies them in canonical
+   ``(src_seq, link_pos)`` order.
+3. **Wave emit**: every shard emits its politeness quota; the driver merges
+   and sorts by the total order ``(tick, host_hash, host)``, truncates for
+   max-pages, assigns global ``seq``.
+4. **Fetch+extract**: the wave is split by page-store bucket; one Ray task per
+   touched bucket reads ONLY its bucket (Parquet ``isin`` pushdown — the
+   sandbox's hash-join stand-in for HTTP, SURVEY J5/T3), runs the shared
+   per-page extraction (``functions/crawlcore.py``), pushes next-wave
+   candidates to their shard actors, and returns the fetch/link Arrow blocks
+   as object refs. The driver only ever sees refs + tiny acks.
+5. **Checkpoint** (optional): per-wave Parquet of fetches/links + per-shard
+   state blobs + a JSON manifest with lineage counters; ``resume_crawl``
+   continues bit-equal from the last completed wave.
+
+The per-wave outputs become ``ray.data`` Datasets via ``from_arrow_refs`` —
+report pipelines consume them without any driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.crawlcore import process_fetched_page
+from ..functions.urlnorm import (
+    canonicalize,
+    host_hash,
+    host_of,
+    shard_of,
+    to_abs_url,
+    url_hash,
+)
+from ..oracle.crawl_oracle import CrawlParams
+from ..state.frontier import FrontierConfig, FrontierShard
+from ..state.robots import parse_robots
+
+FETCH_SCHEMA = pa.schema(
+    [
+        ("wave", pa.int32()),
+        ("seq", pa.int64()),
+        ("tick", pa.int32()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("status", pa.int16()),
+        ("location", pa.string()),
+        ("content_type", pa.string()),
+        ("error", pa.string()),
+        ("n_links", pa.int32()),
+        ("text", pa.string()),
+        ("title", pa.string()),
+    ]
+)
+
+LINKS_SCHEMA = pa.schema(
+    [
+        ("src_url", pa.string()),
+        ("src_seq", pa.int64()),
+        ("href", pa.string()),
+        ("abs_url", pa.string()),
+        ("same_host", pa.bool_()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------- #
+# page store prep
+# --------------------------------------------------------------------------- #
+def prepare_pagestore(
+    pages_path: str,
+    fetch_meta_path: str | None,
+    out_dir: str,
+    num_buckets: int = 32,
+) -> dict:
+    """One-time hash-partition of the page universe by ``url_hash % B``.
+
+    Ray Data shuffle: add the bucket column vectorized, then one
+    ``groupby(bucket).map_groups`` writes each bucket as its own Parquet dir —
+    the resumable, prunable layout every later fetch join relies on.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_source(path: str, sub: str, columns: list[str] | None) -> int:
+        ds = ray.data.read_parquet(path, columns=columns)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = np.fromiter(
+                (url_hash(u) % num_buckets for u in t.column("url").to_pylist()),
+                dtype=np.int32,
+                count=t.num_rows,
+            )
+            return t.append_column("bucket", pa.array(b, pa.int32()))
+
+        def write_group(t: pa.Table) -> pa.Table:
+            bucket = int(t.column("bucket")[0].as_py())
+            d = f"{out_dir}/{sub}/bucket={bucket}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t.drop_columns(["bucket"]).sort_by("url"), f"{d}/part.parquet")
+            return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                             "rows": pa.array([t.num_rows], pa.int64())})
+
+        out = (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(write_group, batch_format="pyarrow")
+        )
+        return int(sum(r["rows"] for r in out.take_all()))
+
+    n_pages = write_source(pages_path, "pages", None)
+    n_meta = 0
+    if fetch_meta_path and os.path.exists(fetch_meta_path):
+        n_meta = write_source(fetch_meta_path, "meta", None)
+    manifest = {"num_buckets": num_buckets, "n_pages": n_pages, "n_meta": n_meta}
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
+    """Pre-scan the universe for per-host /robots.txt bodies (tiny fraction of
+    rows — pruned at the read to two columns) and parse them driver-side.
+    Returns one {host: RobotsRules} dict per frontier shard."""
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+
+    def only_robots(t: pa.Table) -> pa.Table:
+        mask = pc.ends_with(t.column("url"), pattern="/robots.txt")
+        return t.filter(mask)
+
+    rows = ds.map_batches(only_robots, batch_format="pyarrow").take_all()
+    per_shard: list[dict] = [{} for _ in range(num_shards)]
+    for r in rows:
+        host = host_of(r["url"])
+        if not host:
+            continue
+        per_shard[shard_of(host, num_shards)][host] = parse_robots(r["html"])
+    return per_shard
+
+
+# --------------------------------------------------------------------------- #
+# fetch + extract task
+# --------------------------------------------------------------------------- #
+def _read_bucket(store_dir: str, sub: str, bucket: int, urls: list[str]) -> pa.Table | None:
+    path = f"{store_dir}/{sub}/bucket={bucket}"
+    if not os.path.isdir(path):
+        return None
+    dset = pads.dataset(path, format="parquet")
+    return dset.to_table(filter=pc.field("url").isin(urls))
+
+
+@ray.remote
+def fetch_extract_bucket(
+    store_dir: str,
+    bucket: int,
+    wave_slice: pa.Table,
+    params: CrawlParams,
+    scope_host: str | None,
+    num_shards: int,
+    shard_handles: list,
+):
+    """Fetch one page-store bucket's share of the wave and extract.
+
+    Returns (fetch_table, links_table, candidate_ack_refs, n_scope_dropped)
+    via num_returns=4 so the driver can keep the big tables as refs.
+    """
+    urls = wave_slice.column("url").to_pylist()
+    hosts = wave_slice.column("host").to_pylist()
+    seqs = wave_slice.column("seq").to_pylist()
+    waves = wave_slice.column("wave").to_pylist()
+    ticks = wave_slice.column("tick").to_pylist()
+    depths = wave_slice.column("depth").to_pylist()
+
+    pages_t = _read_bucket(store_dir, "pages", bucket, urls)
+    meta_t = _read_bucket(store_dir, "meta", bucket, urls)
+    rowmap: dict[str, dict] = {}
+    if pages_t is not None:
+        for u, h in zip(pages_t.column("url").to_pylist(), pages_t.column("html").to_pylist()):
+            rowmap[u] = {"html": h, "status": 200, "location": "", "content_type": "text/html"}
+    if meta_t is not None:
+        for u, s, loc, ct in zip(
+            meta_t.column("url").to_pylist(),
+            meta_t.column("status").to_pylist(),
+            meta_t.column("location").to_pylist(),
+            meta_t.column("content_type").to_pylist(),
+        ):
+            if u in rowmap:
+                rowmap[u].update(status=int(s), location=loc or "", content_type=ct or "")
+
+    f_cols: dict[str, list] = {k.name: [] for k in FETCH_SCHEMA}
+    l_cols: dict[str, list] = {k.name: [] for k in LINKS_SCHEMA}
+    cand_cols = {"url": [], "host": [], "src_seq": [], "link_pos": [], "depth": [], "shard": []}
+    scope_dropped = 0
+
+    for url, host, seq, wave, tick, depth in zip(urls, hosts, seqs, waves, ticks, depths):
+        o = process_fetched_page(
+            url, host, rowmap.get(url),
+            no_new_links=params.no_new_links,
+            follow=params.follow, dont_follow=params.dont_follow,
+            load_resources=params.load_resources,
+        )
+        f_cols["wave"].append(wave)
+        f_cols["seq"].append(seq)
+        f_cols["tick"].append(tick)
+        f_cols["url"].append(url)
+        f_cols["host"].append(host)
+        f_cols["depth"].append(depth)
+        f_cols["status"].append(o.status)
+        f_cols["location"].append(o.abs_location)
+        f_cols["content_type"].append(o.content_type)
+        f_cols["error"].append(o.error)
+        f_cols["n_links"].append(o.n_links)
+        f_cols["text"].append(o.text)
+        f_cols["title"].append(o.title)
+        for raw, abs_url, same in o.links:
+            l_cols["src_url"].append(url)
+            l_cols["src_seq"].append(seq)
+            l_cols["href"].append(raw)
+            l_cols["abs_url"].append(abs_url)
+            l_cols["same_host"].append(same)
+        for pos, c in enumerate(o.candidates):
+            c_host = host_of(c)
+            if scope_host is not None and c_host != scope_host:
+                scope_dropped += 1
+                continue
+            cand_cols["url"].append(c)
+            cand_cols["host"].append(c_host)
+            cand_cols["src_seq"].append(seq)
+            cand_cols["link_pos"].append(pos)
+            cand_cols["depth"].append(depth + 1)
+            cand_cols["shard"].append(shard_of(c_host, num_shards))
+
+    fetch_t = pa.table({n: pa.array(f_cols[n], FETCH_SCHEMA.field(n).type) for n in f_cols},
+                       schema=FETCH_SCHEMA)
+    links_t = pa.table({n: pa.array(l_cols[n], LINKS_SCHEMA.field(n).type) for n in l_cols},
+                       schema=LINKS_SCHEMA)
+
+    acks = []
+    if cand_cols["url"]:
+        cand_t = pa.table(
+            {
+                "url": pa.array(cand_cols["url"], pa.string()),
+                "host": pa.array(cand_cols["host"], pa.string()),
+                "src_seq": pa.array(cand_cols["src_seq"], pa.int64()),
+                "link_pos": pa.array(cand_cols["link_pos"], pa.int32()),
+                "depth": pa.array(cand_cols["depth"], pa.int32()),
+                "shard": pa.array(cand_cols["shard"], pa.int32()),
+            }
+        )
+        shard_arr = cand_t.column("shard")
+        for p in pc.unique(shard_arr).to_pylist():
+            sub = cand_t.filter(pc.equal(shard_arr, p)).drop_columns(["shard"])
+            acks.append(shard_handles[p].add_candidates.remote(sub))
+    return fetch_t, links_t, acks, scope_dropped
+
+
+# --------------------------------------------------------------------------- #
+# the BSP driver
+# --------------------------------------------------------------------------- #
+FrontierShardActor = ray.remote(num_cpus=0.25)(FrontierShard)
+
+
+class CrawlRun:
+    """Holds handles + accumulated per-wave block refs of one crawl."""
+
+    def __init__(self, store_dir: str, params: CrawlParams, *,
+                 num_shards: int = 8, seen_filter: str = "cuckoo",
+                 seen_capacity: int = 1 << 20, keep_seen_log: bool = False,
+                 checkpoint_dir: str | None = None, checkpoint_every: int = 8):
+        self.store_dir = store_dir
+        self.params = params
+        self.num_shards = num_shards
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        with open(f"{store_dir}/manifest.json") as f:
+            self.num_buckets = json.load(f)["num_buckets"]
+        fc = FrontierConfig(
+            num_shards=num_shards,
+            default_delay_ms=params.default_delay_ms,
+            per_host_delay_ms=params.per_host_delay_ms,
+            window_ms=params.window_ms,
+            seen_filter=seen_filter,
+            seen_capacity=seen_capacity,
+            keep_seen_log=keep_seen_log,
+            respect_robots=params.respect_robots,
+        )
+        self.shards = [FrontierShardActor.remote(i, fc) for i in range(num_shards)]
+        self.fetch_refs: list = []
+        self.links_refs: list = []
+        self.fetched_total = 0
+        self.wave = 0
+        self.scope_dropped = 0
+        self.base_host = (
+            host_of(canonicalize(params.base_url)) if params.base_url else None
+        )
+        self.scope_host = (
+            self.base_host if (params.base_url and params.scope_to_domain) else None
+        )
+
+    # -- setup --------------------------------------------------------------
+    def install_robots(self, per_shard_rules: list[dict]) -> None:
+        ray.get([s.set_robots.remote(r) for s, r in zip(self.shards, per_shard_rules)])
+
+    def seed(self) -> None:
+        cand = {"url": [], "host": [], "src_seq": [], "link_pos": [], "depth": []}
+        for i, s in enumerate(self.params.seeds):
+            u = to_abs_url(self.params.base_url, s) if self.params.base_url else to_abs_url(None, s)
+            if u is None:
+                continue
+            h = host_of(u)
+            if self.scope_host is not None and h != self.scope_host:
+                self.scope_dropped += 1
+                continue
+            cand["url"].append(u)
+            cand["host"].append(h)
+            cand["src_seq"].append(i)
+            cand["link_pos"].append(0)
+            cand["depth"].append(0)
+        t = pa.table(
+            {
+                "url": pa.array(cand["url"], pa.string()),
+                "host": pa.array(cand["host"], pa.string()),
+                "src_seq": pa.array(cand["src_seq"], pa.int64()),
+                "link_pos": pa.array(cand["link_pos"], pa.int32()),
+                "depth": pa.array(cand["depth"], pa.int32()),
+            }
+        )
+        acks = []
+        shards_idx = [shard_of(h, self.num_shards) for h in cand["host"]]
+        sh_arr = pa.array(shards_idx, pa.int32())
+        for p in set(shards_idx):
+            acks.append(self.shards[p].add_candidates.remote(t.filter(pc.equal(sh_arr, p))))
+        ray.get(acks)
+        ray.get([s.seal_wave.remote() for s in self.shards])
+
+    # -- one wave -----------------------------------------------------------
+    def run_wave(self) -> int:
+        """Emit + fetch + extract + enqueue one wave. Returns #fetched."""
+        emitted = ray.get([s.emit_wave.remote() for s in self.shards])
+        nonempty = [t for t in emitted if t.num_rows]
+        if not nonempty:
+            return 0
+        wave_t = pa.concat_tables(nonempty)
+        wave_t = wave_t.sort_by(
+            [("tick", "ascending"), ("host_hash", "ascending"), ("host", "ascending")]
+        )
+        if self.params.max_pages >= 0:
+            remaining = self.params.max_pages - self.fetched_total
+            if remaining <= 0:
+                return 0
+            wave_t = wave_t.slice(0, remaining)
+        n = wave_t.num_rows
+        seq = pa.array(
+            np.arange(self.fetched_total, self.fetched_total + n, dtype=np.int64)
+        )
+        wave_col = pa.array(np.full(n, self.wave, dtype=np.int32))
+        wave_t = (
+            wave_t.append_column("seq", seq)
+            .append_column("wave", wave_col)
+            .drop_columns(["host_hash"])
+        )
+        # split by page-store bucket and dispatch
+        buckets = np.fromiter(
+            (url_hash(u) % self.num_buckets for u in wave_t.column("url").to_pylist()),
+            dtype=np.int32, count=n,
+        )
+        b_arr = pa.array(buckets)
+        results = []
+        for b in sorted(set(buckets.tolist())):
+            sl = wave_t.filter(pc.equal(b_arr, b))
+            results.append(
+                fetch_extract_bucket.options(num_returns=4).remote(
+                    self.store_dir, int(b), sl, self.params,
+                    self.scope_host, self.num_shards, self.shards,
+                )
+            )
+        ack_lists = ray.get([r[2] for r in results])
+        scope_drops = ray.get([r[3] for r in results])
+        ray.get([a for acks in ack_lists for a in acks])  # all candidates landed
+        ray.get([s.seal_wave.remote() for s in self.shards])
+        wave_fetch_refs = [r[0] for r in results]
+        wave_links_refs = [r[1] for r in results]
+        self.fetch_refs.extend(wave_fetch_refs)
+        self.links_refs.extend(wave_links_refs)
+        self.scope_dropped += sum(scope_drops)
+        self.fetched_total += n
+        if self.checkpoint_dir:
+            self._write_wave_ckpt(wave_fetch_refs, wave_links_refs)
+        self.wave += 1
+        if self.checkpoint_dir and (
+            self.wave % self.checkpoint_every == 0
+        ):
+            self.checkpoint()
+        return n
+
+    def run(self, max_waves: int = 100_000) -> "CrawlRun":
+        for _ in range(max_waves):
+            if self.params.max_pages >= 0 and self.fetched_total >= self.params.max_pages:
+                break
+            sizes = ray.get([s.frontier_size.remote() for s in self.shards])
+            if sum(sizes) == 0:
+                break
+            self.run_wave()
+        if self.checkpoint_dir:
+            self.checkpoint()
+        return self
+
+    # -- outputs ------------------------------------------------------------
+    def fetches_dataset(self):
+        if not self.fetch_refs:
+            return ray.data.from_arrow(FETCH_SCHEMA.empty_table())
+        return ray.data.from_arrow_refs(list(self.fetch_refs))
+
+    def links_dataset(self):
+        if not self.links_refs:
+            return ray.data.from_arrow(LINKS_SCHEMA.empty_table())
+        return ray.data.from_arrow_refs(list(self.links_refs))
+
+    def stats(self) -> dict:
+        per_shard = ray.get([s.stats.remote() for s in self.shards])
+        agg = {
+            k: sum(s[k] for s in per_shard)
+            for k in ("candidates_in", "dup_dropped", "robots_blocked", "enqueued",
+                      "emitted", "frontier", "seen")
+        }
+        agg.update(fetched=self.fetched_total, waves=self.wave,
+                   scope_dropped=self.scope_dropped)
+        return agg
+
+    def seen_urls(self) -> set[str]:
+        """Exact engine seen-set (requires keep_seen_log=True)."""
+        logs = ray.get([s.get_seen_log.remote() for s in self.shards])
+        return set().union(*[set(x) for x in logs]) if logs else set()
+
+    # -- checkpoint / resume -------------------------------------------------
+    def _write_wave_ckpt(self, fetch_refs, links_refs) -> None:
+        d = f"{self.checkpoint_dir}/waves/wave={self.wave:06d}"
+        os.makedirs(d, exist_ok=True)
+        ft = pa.concat_tables(ray.get(fetch_refs))
+        lt = pa.concat_tables(ray.get(links_refs))
+        pq.write_table(ft, f"{d}/fetches.parquet")
+        pq.write_table(lt, f"{d}/links.parquet")
+
+    def checkpoint(self) -> None:
+        """Durable cut at a wave boundary: per-shard state + lineage manifest."""
+        d = f"{self.checkpoint_dir}/shards"
+        os.makedirs(d, exist_ok=True)
+        blobs = ray.get([s.checkpoint_bytes.remote() for s in self.shards])
+        for i, b in enumerate(blobs):
+            with open(f"{d}/shard-{i:04d}.bin.tmp", "wb") as f:
+                f.write(b)
+            os.replace(f"{d}/shard-{i:04d}.bin.tmp", f"{d}/shard-{i:04d}.bin")
+        manifest = {
+            "wave": self.wave,
+            "fetched_total": self.fetched_total,
+            "scope_dropped": self.scope_dropped,
+            "num_shards": self.num_shards,
+            "stats": self.stats(),
+            "params": pickle.dumps(self.params).hex(),
+        }
+        with open(f"{self.checkpoint_dir}/MANIFEST.json.tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(f"{self.checkpoint_dir}/MANIFEST.json.tmp",
+                   f"{self.checkpoint_dir}/MANIFEST.json")
+
+    @classmethod
+    def resume(cls, store_dir: str, checkpoint_dir: str, *,
+               num_shards: int | None = None, seen_filter: str = "cuckoo",
+               keep_seen_log: bool = False, **kw) -> "CrawlRun":
+        with open(f"{checkpoint_dir}/MANIFEST.json") as f:
+            m = json.load(f)
+        params = pickle.loads(bytes.fromhex(m["params"]))
+        run = cls(store_dir, params, num_shards=m["num_shards"],
+                  seen_filter=seen_filter, keep_seen_log=keep_seen_log,
+                  checkpoint_dir=checkpoint_dir, **kw)
+        run.wave = m["wave"]
+        run.fetched_total = m["fetched_total"]
+        run.scope_dropped = m["scope_dropped"]
+        blobs = []
+        for i in range(m["num_shards"]):
+            with open(f"{checkpoint_dir}/shards/shard-{i:04d}.bin", "rb") as f:
+                blobs.append(f.read())
+        ray.get([s.restore_bytes.remote(b) for s, b in zip(run.shards, blobs)])
+        # prior waves' outputs live in the checkpoint parquet; re-expose as refs
+        import glob
+
+        for d in sorted(glob.glob(f"{checkpoint_dir}/waves/wave=*")):
+            wave_idx = int(d.rsplit("=", 1)[1])
+            if wave_idx >= run.wave:
+                continue  # wave written but not covered by the shard snapshot
+            run.fetch_refs.append(ray.put(pq.read_table(f"{d}/fetches.parquet")))
+            run.links_refs.append(ray.put(pq.read_table(f"{d}/links.parquet")))
+        return run
+
+
+def run_crawl(
+    corpus_dir: str,
+    params: CrawlParams,
+    *,
+    store_dir: str | None = None,
+    num_shards: int = 8,
+    num_buckets: int = 32,
+    seen_filter: str = "cuckoo",
+    keep_seen_log: bool = False,
+    checkpoint_dir: str | None = None,
+    max_waves: int = 100_000,
+) -> CrawlRun:
+    """Convenience entry: prep page store (if needed) + robots + seed + run."""
+    store = store_dir or f"{corpus_dir}/_pagestore"
+    if not os.path.exists(f"{store}/manifest.json"):
+        prepare_pagestore(
+            f"{corpus_dir}/pages.parquet",
+            f"{corpus_dir}/fetch_meta.parquet",
+            store,
+            num_buckets=num_buckets,
+        )
+    run = CrawlRun(
+        store, params, num_shards=num_shards, seen_filter=seen_filter,
+        keep_seen_log=keep_seen_log, checkpoint_dir=checkpoint_dir,
+    )
+    if params.respect_robots:
+        run.install_robots(collect_robots(f"{corpus_dir}/pages.parquet", num_shards))
+    run.seed()
+    return run.run(max_waves=max_waves)

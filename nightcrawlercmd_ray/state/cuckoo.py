@@ -1,0 +1,204 @@
+"""Cuckoo URL-seen filter — the approximate membership sketch of the north rule.
+
+Replaces the reference's exact in-process ``cw.Links map[string]bool`` seen-set
+(``/root/reference/mainCrawler.go:110-136``) with a sharded, serializable
+approximate filter (standard cuckoo-filter construction, Fan et al. 2014):
+
+- guarantees **no false negatives** (a seen URL is never refetched — the
+  reference's dedup invariant, SURVEY J2);
+- false positives at rate ε ≈ 2·slots/2^fp_bits per bucket pair (an unseen URL
+  may wrongly be dropped) — the documented trade for 10^10-URL scale: with
+  16-bit fingerprints and 4 slots, ε ≈ 2^-13 at ~2.1 bytes/key, so a 10^10-URL
+  frontier costs ~21 GB total across shards (SURVEY §4.3 sizing: P=256 shards
+  → ~82 MB/shard);
+- items that cannot be placed after max kicks go to an exact overflow set, so
+  the no-false-negative guarantee survives overload;
+- ``to_bytes``/``from_bytes`` round-trips bit-exactly for checkpoint/resume.
+
+``ExactSeenFilter`` (a plain hash set) is the conformance mode used by tests to
+compare the engine's seen-set against the serial oracle exactly.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+_MAX_KICKS = 500
+_SLOTS = 4
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int = 1 << 16, seed: int = 7):
+        nb = 1
+        while nb * _SLOTS * 0.95 < capacity:
+            nb <<= 1
+        self.num_buckets = nb
+        self.table = np.zeros((nb, _SLOTS), dtype=np.uint16)
+        self.count = 0
+        self.seed = seed
+        # homeless (canonical_bucket, fp) pairs after a failed eviction chain —
+        # keeps the no-false-negative guarantee under overload
+        self.overflow: set[tuple[int, int]] = set()
+        self._rng_state = np.uint64(seed * 2654435761 + 1)
+
+    # -- hashing ------------------------------------------------------------
+    @staticmethod
+    def _mix(h: int) -> int:
+        # splitmix64 finalizer: decorrelates fingerprint and bucket bits even
+        # for adversarially-regular keys (sequential ints, low-entropy hashes)
+        h = (h + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return h ^ (h >> 31)
+
+    def _fp(self, h: int) -> int:
+        fp = (self._mix(h) >> 48) & 0xFFFF
+        return fp if fp != 0 else 1  # 0 marks an empty slot
+
+    def _i1(self, h: int) -> int:
+        return self._mix(h) & (self.num_buckets - 1)
+
+    def _alt(self, i: int, fp: int) -> int:
+        # partial-key cuckoo: alternate bucket = i XOR hash(fp)
+        return (i ^ (fp * 0x5BD1E995)) & (self.num_buckets - 1)
+
+    def _next_rand(self) -> int:
+        # xorshift64 — deterministic eviction choices (resume-stable)
+        x = int(self._rng_state)
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        self._rng_state = np.uint64(x)
+        return x
+
+    def _canon(self, i: int, fp: int) -> tuple[int, int]:
+        return (min(i, self._alt(i, fp)), fp)
+
+    # -- ops ----------------------------------------------------------------
+    def contains(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        if fp in self.table[i1]:
+            return True
+        i2 = self._alt(i1, fp)
+        if fp in self.table[i2]:
+            return True
+        return self._canon(i1, fp) in self.overflow
+
+    def insert(self, h: int) -> None:
+        """Insert (caller has already checked ``contains``)."""
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict: the inserted fp takes a slot immediately; the displaced victim
+        # fingerprint ("cur") walks the chain looking for a home
+        i = i1 if (self._next_rand() & 1) else i2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = self._next_rand() % _SLOTS
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return
+        # table overloaded: the still-homeless victim goes to the exact
+        # overflow set (NOT the original item — it was placed in the chain)
+        self.overflow.add(self._canon(i, cur))
+        self.count += 1
+
+    def add_if_new(self, h: int) -> bool:
+        """True iff ``h`` was not seen (and is now marked seen)."""
+        if self.contains(h):
+            return False
+        self.insert(h)
+        return True
+
+    def add_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vector form: bool mask of newly-added items, in input order
+        (duplicates within the batch: first occurrence wins)."""
+        out = np.zeros(len(hashes), dtype=bool)
+        for j, h in enumerate(hashes):
+            out[j] = self.add_if_new(int(h))
+        return out
+
+    def __len__(self) -> int:
+        return self.count
+
+    # -- checkpoint ---------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {
+                "table": self.table,
+                "count": self.count,
+                "seed": self.seed,
+                "overflow": self.overflow,
+                "rng": int(self._rng_state),
+            },
+            protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        d = pickle.loads(data)
+        f = cls.__new__(cls)
+        f.table = d["table"]
+        f.num_buckets = f.table.shape[0]
+        f.count = d["count"]
+        f.seed = d["seed"]
+        f.overflow = d["overflow"]
+        f._rng_state = np.uint64(d["rng"])
+        return f
+
+
+class ExactSeenFilter:
+    """Exact seen-set (conformance mode; API-compatible with CuckooFilter)."""
+
+    def __init__(self, capacity: int = 0, seed: int = 0):
+        self.items: set[int] = set()
+
+    def contains(self, h: int) -> bool:
+        return h in self.items
+
+    def add_if_new(self, h: int) -> bool:
+        if h in self.items:
+            return False
+        self.items.add(h)
+        return True
+
+    def add_batch(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for j, h in enumerate(hashes):
+            out[j] = self.add_if_new(int(h))
+        return out
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(sorted(self.items), protocol=4)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ExactSeenFilter":
+        f = cls()
+        f.items = set(pickle.loads(data))
+        return f
+
+
+def make_seen_filter(kind: str, capacity: int, seed: int = 7):
+    if kind == "cuckoo":
+        return CuckooFilter(capacity, seed)
+    if kind == "exact":
+        return ExactSeenFilter()
+    raise ValueError(f"unknown seen-filter kind {kind!r}")

@@ -1,0 +1,231 @@
+"""Frontier shard — per-host FIFO lanes + politeness budgets + URL-seen filter.
+
+This re-homes the reference crawler's central mutable state
+(``cw.Links map[string]bool`` + ``PageCount``, ``/root/reference/mainCrawler.go:110-155``,
+and the serial politeness wait ``mainCrawler.go:45,81``) into P independent
+shards, each owning the hosts with ``host_hash % P == shard_id``. The crawl
+driver (pipelines/crawl.py) runs shards as long-lived Ray actors; this class
+itself is plain Python so the serial oracle and unit tests drive it directly.
+
+Pinned ordering contract (SURVEY §3.1 — the engine's deterministic
+specification of the reference's map-iteration-order crawl loop):
+
+- BFS waves; wave 0 = seeds in list order; wave k+1 = links discovered in
+  wave k. Within a wave, candidates are processed in discovery order
+  ``(src_seq, link_pos)``; first discovery wins the dedup.
+- Each wave, every host may emit up to ``max(1, window_ms // delay_ms(host))``
+  URLs from the front of its FIFO lane — the politeness budget
+  (reference default delay 500 ms, ``mainCrawler.go:45``; robots Crawl-delay
+  raises it). Leftover lane entries wait for the next wave.
+- Emission order: politeness ticks t = 0,1,…; at tick t every host (sorted by
+  ``(host_hash, host)``) with remaining budget and a non-empty lane emits one
+  URL. ``(tick, host_hash, host)`` is therefore a total order over the wave,
+  across all shards — the driver sorts the merged wave by it.
+
+Determinism: given the same candidate batches (any arrival order — they are
+sorted on entry) and the same config, every method is a pure function of prior
+state; checkpoints restore bit-equal behavior.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.urlnorm import host_hash as _host_hash
+from ..functions.urlnorm import url_hash as _url_hash
+from .cuckoo import make_seen_filter
+from .robots import RobotsRules, url_path
+
+WAVE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("depth", pa.int32()),
+        ("tick", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class FrontierConfig:
+    num_shards: int = 8
+    default_delay_ms: int = 500  # reference default, mainCrawler.go:45
+    per_host_delay_ms: dict[str, int] = field(default_factory=dict)
+    window_ms: int = 2000  # politeness window a wave represents
+    seen_filter: str = "cuckoo"  # or "exact" (conformance mode)
+    seen_capacity: int = 1 << 20  # per shard
+    keep_seen_log: bool = False  # record url strings (test scale only)
+    respect_robots: bool = True
+
+
+class FrontierShard:
+    def __init__(self, shard_id: int, config: FrontierConfig):
+        self.shard_id = shard_id
+        self.cfg = config
+        self.seen = make_seen_filter(config.seen_filter, config.seen_capacity)
+        self._pending: list[pa.Table] = []  # candidate buffer for current wave
+        self.seen_log: list[str] = []  # url strings, only when cfg.keep_seen_log
+        self.lanes: dict[str, deque[tuple[str, int]]] = {}  # host -> (url, depth)
+        self.robots: dict[str, RobotsRules] = {}
+        self.counters = {
+            "candidates_in": 0,
+            "dup_dropped": 0,
+            "robots_blocked": 0,
+            "enqueued": 0,
+            "emitted": 0,
+        }
+
+    # ------------------------------------------------------------------ config
+    def set_robots(self, rules: dict[str, RobotsRules]) -> None:
+        self.robots.update(rules)
+
+    def _delay_ms(self, host: str) -> int:
+        d = self.cfg.per_host_delay_ms.get(host, self.cfg.default_delay_ms)
+        r = self.robots.get(host)
+        if r is not None and r.crawl_delay_ms is not None:
+            d = max(d, r.crawl_delay_ms)
+        return max(1, d)
+
+    def _budget(self, host: str) -> int:
+        return max(1, self.cfg.window_ms // self._delay_ms(host))
+
+    # -------------------------------------------------------------- candidates
+    def add_candidates(self, batch: pa.Table) -> int:
+        """Buffer candidates pushed by (any number of, in any order) fetch
+        tasks during the current wave. Columns: url (canonical), host,
+        src_seq:int64, link_pos:int32, depth:int32. Nothing is enqueued until
+        ``seal_wave`` — the wave barrier — so upstream parallelism cannot
+        influence dedup or lane order."""
+        if batch.num_rows:
+            self._pending.append(batch)
+        return batch.num_rows
+
+    def seal_wave(self) -> dict:
+        """Process all buffered candidates in canonical discovery order
+        ``(src_seq, link_pos)``: robots gate → seen-filter dedup (first
+        discovery wins) → FIFO lane append."""
+        if self._pending:
+            batch = pa.concat_tables(self._pending)
+            self._pending = []
+            batch = batch.sort_by([("src_seq", "ascending"), ("link_pos", "ascending")])
+            urls = batch.column("url").to_pylist()
+            hosts = batch.column("host").to_pylist()
+            depths = (
+                batch.column("depth").to_pylist()
+                if "depth" in batch.column_names
+                else [0] * len(urls)
+            )
+            self.counters["candidates_in"] += len(urls)
+            for url, host, depth in zip(urls, hosts, depths):
+                if self.cfg.respect_robots:
+                    r = self.robots.get(host)
+                    if r is not None and not r.allowed(url_path(url)):
+                        self.counters["robots_blocked"] += 1
+                        continue
+                if not self.seen.add_if_new(_url_hash(url)):
+                    self.counters["dup_dropped"] += 1
+                    continue
+                self.lanes.setdefault(host, deque()).append((url, depth))
+                if self.cfg.keep_seen_log:
+                    self.seen_log.append(url)
+                self.counters["enqueued"] += 1
+        return {"frontier": self.frontier_size()}
+
+    def mark_seen(self, urls: list[str]) -> int:
+        """Pre-mark URLs seen without enqueuing (``no-new-links`` pre-marking,
+        ``mainCrawler.go:110-115``, and resume restore)."""
+        n = 0
+        for u in urls:
+            if self.seen.add_if_new(_url_hash(u)):
+                if self.cfg.keep_seen_log:
+                    self.seen_log.append(u)
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------- waves
+    def emit_wave(self) -> pa.Table:
+        """Pop this wave's fetch quota from every lane, in the pinned order."""
+        hosts = sorted(self.lanes, key=lambda h: (_host_hash(h), h))
+        out_url: list[str] = []
+        out_host: list[str] = []
+        out_hh: list[int] = []
+        out_depth: list[int] = []
+        out_tick: list[int] = []
+        budgets = {h: self._budget(h) for h in hosts}
+        tick = 0
+        active = [h for h in hosts if self.lanes[h]]
+        while active:
+            next_active = []
+            for h in active:
+                lane = self.lanes[h]
+                url, depth = lane.popleft()
+                out_url.append(url)
+                out_host.append(h)
+                out_hh.append(_host_hash(h))
+                out_depth.append(depth)
+                out_tick.append(tick)
+                if lane and tick + 1 < budgets[h]:
+                    next_active.append(h)
+            tick += 1
+            active = next_active
+        for h in [h for h, lane in self.lanes.items() if not lane]:
+            del self.lanes[h]
+        self.counters["emitted"] += len(out_url)
+        return pa.table(
+            {
+                "url": pa.array(out_url, pa.string()),
+                "host": pa.array(out_host, pa.string()),
+                "host_hash": pa.array(np.array(out_hh, dtype=np.uint64)),
+                "depth": pa.array(out_depth, pa.int32()),
+                "tick": pa.array(out_tick, pa.int32()),
+            },
+            schema=WAVE_SCHEMA,
+        )
+
+    def frontier_size(self) -> int:
+        return sum(len(v) for v in self.lanes.values())
+
+    def get_seen_log(self) -> list[str]:
+        return self.seen_log
+
+    def stats(self) -> dict:
+        return {
+            **self.counters,
+            "frontier": self.frontier_size(),
+            "seen": len(self.seen),
+            "shard_id": self.shard_id,
+        }
+
+    # -------------------------------------------------------------- checkpoint
+    def checkpoint_bytes(self) -> bytes:
+        """Checkpoints are taken at wave boundaries only (after seal_wave +
+        emit), so the candidate buffer must be empty."""
+        assert not self._pending, "checkpoint mid-wave: seal_wave first"
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "seen_kind": self.cfg.seen_filter,
+                "seen": self.seen.to_bytes(),
+                "lanes": {h: list(v) for h, v in self.lanes.items()},
+                "robots": self.robots,
+                "counters": self.counters,
+                "seen_log": self.seen_log,
+            },
+            protocol=4,
+        )
+
+    def restore_bytes(self, data: bytes) -> None:
+        d = pickle.loads(data)
+        assert d["shard_id"] == self.shard_id, "checkpoint/shard mismatch"
+        self.seen = type(self.seen).from_bytes(d["seen"])
+        self.lanes = {h: deque(v) for h, v in d["lanes"].items()}
+        self.robots = d["robots"]
+        self.counters = d["counters"]
+        self.seen_log = d.get("seen_log", [])
+        self._pending = []

@@ -1,0 +1,146 @@
+"""Golden conformance: the distributed crawl must equal the serial oracle
+bit-for-bit — ordering, seen-set, extracted text — at any parallelism
+(SURVEY §5.2-5.3; the north-rule invariant)."""
+
+import pandas as pd
+import pytest
+
+from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams, crawl_oracle
+from nightcrawlercmd_ray.pipelines.crawl import run_crawl
+
+ORDER_COLS = [
+    "wave", "seq", "tick", "url", "host", "depth",
+    "status", "location", "content_type", "error", "n_links",
+]
+
+
+def _engine_frame(run):
+    return (
+        run.fetches_dataset()
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+
+
+def _oracle_frame(res):
+    return pd.DataFrame(res.fetches)
+
+
+def _assert_match(run, res):
+    ef, of = _engine_frame(run), _oracle_frame(res)
+    assert len(ef) == len(of)
+    pd.testing.assert_frame_equal(
+        ef[ORDER_COLS], of[ORDER_COLS].astype(ef[ORDER_COLS].dtypes.to_dict())
+    )
+
+
+@pytest.mark.parametrize("num_shards,num_buckets", [(2, 4), (5, 8)])
+def test_crawl_matches_oracle_any_parallelism(
+    tiny_corpus, tiny_oracle, tmp_path, num_shards, num_buckets
+):
+    params, res = tiny_oracle
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"),
+        num_shards=num_shards, num_buckets=num_buckets,
+        seen_filter="exact", keep_seen_log=True,
+    )
+    _assert_match(run, res)
+    # seen-set equality (cw.Links semantics)
+    assert run.seen_urls() == res.seen
+    # byte-identical extracted text per url — the north-rule invariant
+    ef = _engine_frame(run)
+    engine_text = dict(zip(ef["url"], ef["text"]))
+    for url, golden in res.text_by_url.items():
+        assert engine_text[url] == golden, url
+
+
+def test_crawl_text_matches_golden_column(tiny_corpus, tiny_oracle, tmp_path):
+    """Engine text must equal the pages table's golden ``text`` column."""
+    import pyarrow.parquet as pq
+
+    params, _ = tiny_oracle
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
+    )
+    ef = _engine_frame(run)
+    golden = pq.read_table(f"{tiny_corpus['dir']}/pages.parquet", columns=["url", "text"])
+    gmap = dict(zip(golden.column("url").to_pylist(), golden.column("text").to_pylist()))
+    checked = 0
+    for url, status, mime, text in zip(ef["url"], ef["status"], ef["content_type"], ef["text"]):
+        if status == 200 and mime == "text/html":
+            assert text == gmap[url]
+            checked += 1
+    assert checked > 50
+
+
+def test_crawl_links_match(tiny_corpus, tiny_oracle, tmp_path):
+    params, res = tiny_oracle
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=4, num_buckets=4,
+    )
+    el = (
+        run.links_dataset().to_pandas()
+        .sort_values(["src_seq", "href", "abs_url"]).reset_index(drop=True)
+    )
+    seq_of = {f["url"]: f["seq"] for f in res.fetches}
+    ol = pd.DataFrame(res.links)
+    ol["src_seq"] = ol["src_url"].map(seq_of)
+    ol = ol.sort_values(["src_seq", "href", "abs_url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        el[["src_url", "src_seq", "href", "abs_url", "same_host"]],
+        ol[["src_url", "src_seq", "href", "abs_url", "same_host"]].astype(
+            el[["src_url", "src_seq", "href", "abs_url", "same_host"]].dtypes.to_dict()
+        ),
+    )
+
+
+def test_crawl_max_pages(tiny_corpus, tiny_universe, tmp_path):
+    params = CrawlParams(seeds=tiny_corpus["seeds"], max_pages=37)
+    res = crawl_oracle(tiny_universe, params)
+    assert len(res.fetches) == 37
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
+    )
+    _assert_match(run, res)
+
+
+def test_crawl_no_new_links(tiny_corpus, tiny_universe, tmp_path):
+    params = CrawlParams(seeds=tiny_corpus["seeds"], no_new_links=True)
+    res = crawl_oracle(tiny_universe, params)
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=2, num_buckets=4,
+    )
+    _assert_match(run, res)
+    # only seeds (plus redirect chains) are fetched
+    assert len(res.fetches) <= len(tiny_corpus["seeds"]) * 3
+
+
+def test_crawl_follow_filters(tiny_corpus, tiny_universe, tmp_path):
+    params = CrawlParams(
+        seeds=tiny_corpus["seeds"], follow=["/p/"], dont_follow=["/p/0/"]
+    )
+    res = crawl_oracle(tiny_universe, params)
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
+    )
+    _assert_match(run, res)
+
+
+def test_crawl_scoped_to_domain(tiny_corpus, tiny_universe, tmp_path):
+    base = tiny_corpus["seeds"][0]
+    params = CrawlParams(seeds=[base], base_url=base, scope_to_domain=True)
+    res = crawl_oracle(tiny_universe, params)
+    hosts = {f["host"] for f in res.fetches}
+    assert len(hosts) == 1  # never leaves the seed host
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
+    )
+    _assert_match(run, res)

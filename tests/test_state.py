@@ -1,0 +1,113 @@
+import numpy as np
+import pyarrow as pa
+
+from nightcrawlercmd_ray.state.cuckoo import CuckooFilter, ExactSeenFilter
+from nightcrawlercmd_ray.state.frontier import FrontierConfig, FrontierShard
+from nightcrawlercmd_ray.state.robots import parse_robots, url_path
+
+
+def test_cuckoo_no_false_negatives_and_low_fpr():
+    cf = CuckooFilter(50_000)
+    new = sum(cf.add_if_new(i) for i in range(50_000))
+    assert all(cf.contains(i) for i in range(50_000))
+    assert new >= 50_000 * 0.999  # in-set FP < 0.1%
+    fresh_fp = sum(cf.contains(i) for i in range(10**6, 10**6 + 50_000))
+    assert fresh_fp < 50_000 * 0.005
+
+
+def test_cuckoo_serialize_roundtrip():
+    cf = CuckooFilter(1000)
+    for i in range(900):
+        cf.add_if_new(i)
+    rt = CuckooFilter.from_bytes(cf.to_bytes())
+    assert len(rt) == len(cf)
+    assert all(rt.contains(i) for i in range(900))
+    # resume-determinism: same inserts after restore behave identically
+    a, b = cf.add_batch(np.arange(900, 1000)), rt.add_batch(np.arange(900, 1000))
+    assert (a == b).all()
+
+
+def test_cuckoo_overflow_keeps_correctness():
+    cf = CuckooFilter(64)  # deliberately tiny
+    for i in range(1000):
+        cf.add_if_new(i)
+    assert all(cf.contains(i) for i in range(1000))
+
+
+def test_exact_filter():
+    f = ExactSeenFilter()
+    assert f.add_if_new(1) and not f.add_if_new(1)
+    rt = ExactSeenFilter.from_bytes(f.to_bytes())
+    assert rt.contains(1) and len(rt) == 1
+
+
+def test_robots_rules():
+    r = parse_robots(
+        b"# c\nUser-agent: google\nDisallow: /\n"
+        b"User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nCrawl-delay: 1.5\n"
+    )
+    assert not r.allowed("/private/x")
+    assert r.allowed("/private/pub/x")  # longest match wins
+    assert r.allowed("/")  # the google group does not apply
+    assert r.crawl_delay_ms == 1500
+    assert parse_robots(b"").allowed("/anything")
+    assert url_path("http://h/a/b?q=1") == "/a/b?q=1"
+
+
+def _cand(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "src_seq": pa.array([r[2] for r in rows], pa.int64()),
+            "link_pos": pa.array([r[3] for r in rows], pa.int32()),
+            "depth": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+
+
+def test_frontier_order_insensitive_to_arrival():
+    cfg = FrontierConfig(seen_filter="exact", respect_robots=False)
+    rows = [
+        (f"http://h{i % 3}.test/p/{i}", f"h{i % 3}.test", i, 0, 0) for i in range(30)
+    ]
+    s1 = FrontierShard(0, cfg)
+    s1.add_candidates(_cand(rows))
+    s1.seal_wave()
+    s2 = FrontierShard(0, cfg)
+    s2.add_candidates(_cand(rows[17:]))  # arrival split + reordered
+    s2.add_candidates(_cand(rows[:17]))
+    s2.seal_wave()
+    w1, w2 = s1.emit_wave(), s2.emit_wave()
+    assert w1.equals(w2)
+
+
+def test_frontier_dedup_and_politeness_budget():
+    cfg = FrontierConfig(
+        seen_filter="exact", respect_robots=False, window_ms=2000, default_delay_ms=500
+    )
+    sh = FrontierShard(0, cfg)
+    rows = [(f"http://a.test/{i}", "a.test", i, 0, 0) for i in range(10)]
+    rows += rows[:3]  # duplicates
+    sh.add_candidates(_cand(rows))
+    sh.seal_wave()
+    assert sh.stats()["dup_dropped"] == 3
+    w = sh.emit_wave()
+    assert w.num_rows == 4  # 2000/500 budget per wave
+    assert w.column("url").to_pylist() == [f"http://a.test/{i}" for i in range(4)]
+    w2 = sh.emit_wave()
+    assert w2.column("url").to_pylist() == [f"http://a.test/{i}" for i in range(4, 8)]
+
+
+def test_frontier_checkpoint_roundtrip():
+    cfg = FrontierConfig(seen_filter="cuckoo", respect_robots=False, keep_seen_log=True)
+    sh = FrontierShard(3, cfg)
+    rows = [(f"http://h{i % 4}.test/p/{i}", f"h{i % 4}.test", i, 0, 1) for i in range(40)]
+    sh.add_candidates(_cand(rows))
+    sh.seal_wave()
+    sh.emit_wave()
+    blob = sh.checkpoint_bytes()
+    sh2 = FrontierShard(3, cfg)
+    sh2.restore_bytes(blob)
+    assert sh2.stats() == sh.stats()
+    assert sh2.emit_wave().equals(sh.emit_wave())
