@@ -77,8 +77,11 @@ def page_host_index(spec: CorpusSpec, i: int) -> int:
 def page_url(spec: CorpusSpec, i: int) -> str:
     host = _host_name(page_host_index(spec, i))
     r = random.Random(hash64(f"{spec.seed}:path:{i}"))
-    if r.random() < spec.private_frac:
+    x = r.random()
+    if x < spec.private_frac:
         return f"http://{host}/private/p/{i}"
+    if x < spec.private_frac + 0.1:  # query-string pages (querykeys report)
+        return f"http://{host}/q?id={i}&page={i // 100}"
     return f"http://{host}/p/{i // 100}/{i}"
 
 
@@ -144,6 +147,11 @@ def build_page_html(spec: CorpusSpec, i: int) -> bytes:
         parts.append(f'<img src="/img/{i % 50}.png">')
     if r.random() < 0.3:
         parts.append('<script src="/js/app.js"></script>')
+    # sprinkle whitelist violations to exercise the validator (M13)
+    if r.random() < 0.25:
+        parts.append(f"<blink>deprecated {r.choice(words)}</blink>")
+    if r.random() < 0.25:
+        parts.append(f'<p custom-attr="x{i}">{r.choice(words)}</p>')
     # querystring link to exercise query-key report
     if r.random() < 0.3:
         parts.append(f'<a href="{page_url(spec, r.randrange(spec.n_pages))}?q={i}&lang={host_lang(host)}">q</a>')

@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Engine addition for training-data pipelines (no counterpart in the reference):
+
+- ``knn_brute_force`` — exact cosine top-k: the query matrix is broadcast once
+  (``ray.put``), every batch does one numpy matmul, per-batch top-k partials
+  are reduced driver-side (k × n_queries is tiny). The scale baseline.
+- ``knn_ivf`` — IVF-style scale path: k-means coarse centroids (trained on a
+  sample), vectors bucketed by nearest centroid via ONE groupby shuffle;
+  queries probe only ``nprobe`` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+
+
+def knn_brute_force(
+    ds,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pa.Table:
+    """Exact cosine top-k for each query row. → Table(query_id, rank, vec_id,
+    score), deterministic ties broken by (−score, vec_id)."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _normalize(np.array(t.column(vec_col).to_pylist(), dtype=np.float32))
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        sims = qm @ vecs.T  # (n_q, n_batch)
+        n_take = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        # per-query batch-local top-k (argpartition → exact order later)
+        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+        for qi in range(sims.shape[0]):
+            for j in part[qi]:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float32()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(r["query_id"], []),
+            (r["score"], -r["vec_id"], r["vec_id"]),
+        )
+        if len(heaps[r["query_id"]]) > k:
+            heapq.heappop(heaps[r["query_id"]])
+    out_q, out_rank, out_id, out_s = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda x: (-x[0], x[2]))
+        for rank, (s, _, vid) in enumerate(best):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(vid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )
+
+
+def train_centroids(ds, *, vec_col: str = "embedding", n_centroids: int = 16,
+                    sample_frac: float = 0.2, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """k-means on a sample (driver-side Lloyd's — centroid count is small)."""
+    sample = ds.random_sample(sample_frac, seed=seed).take_all()
+    x = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> pa.Table:
+    """IVF top-k: bucket by nearest centroid (one shuffle, reusable), then
+    search only the ``nprobe`` closest buckets per query."""
+    cents = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        vecs = _normalize(np.array(t.column(vec_col).to_pylist(), dtype=np.float32))
+        bucket = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    # invert: bucket -> queries probing it
+    by_bucket: dict[int, list[int]] = {}
+    for qi, bs in enumerate(probe):
+        for b in bs:
+            by_bucket.setdefault(int(b), []).append(qi)
+    by_bucket_ref = ray.put(by_bucket)
+    q_ref = ray.put(q)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        probers = ray.get(by_bucket_ref).get(b, [])
+        if not probers:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        qm = ray.get(q_ref)[probers]
+        vecs = _normalize(np.array(g[vec_col].tolist(), dtype=np.float32))
+        ids = g[id_col].to_numpy()
+        sims = qm @ vecs.T
+        n_take = min(k, sims.shape[1])
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+        for qi_local, qi in enumerate(probers):
+            for j in part[qi_local]:
+                rows["query_id"].append(qi)
+                rows["vec_id"].append(int(ids[j]))
+                rows["score"].append(float(sims[qi_local, j]))
+        return pd.DataFrame(rows)
+
+    partials = bucketed.groupby("_bucket").map_groups(
+        bucket_topk, batch_format="pandas"
+    ).take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(int(r["query_id"]), []),
+            (r["score"], -int(r["vec_id"]), int(r["vec_id"])),
+        )
+        if len(heaps[int(r["query_id"])]) > k:
+            heapq.heappop(heaps[int(r["query_id"])])
+    out_q, out_rank, out_id, out_s = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda x: (-x[0], x[2]))
+        for rank, (s, _, vid) in enumerate(best):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(vid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )

@@ -1,0 +1,183 @@
+"""Training-data operators: dedup family, ANN search, text analysis,
+multimodal plumbing — over the driver testdata tables plus synthetic cases."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.dedup import (
+    embedding_duplicates,
+    exact_dedup,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from nightcrawlercmd_ray.stages.similarity import knn_brute_force, knn_ivf
+from nightcrawlercmd_ray.stages.textops import annotate_documents
+
+SF = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs away into the "
+    "deep green forest while the hunter watches quietly from a distance"
+)
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")]
+    out = exact_dedup(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 4]
+
+
+def test_exact_dedup_matches_duckdb_on_documents():
+    import duckdb
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = exact_dedup(ds).to_pandas()
+    expect = duckdb.sql(
+        f"SELECT min(doc_id) FROM '{SF}/documents.parquet' GROUP BY text"
+    ).df()
+    assert sorted(got["doc_id"]) == sorted(expect.iloc[:, 0])
+
+
+def test_minhash_lsh_finds_near_dups():
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("quick", "swift")),  # near-dup of 1
+        (3, "completely different content about ray data pipelines and arrow"),
+        (4, BASE),  # exact dup of 1
+    ]
+    dups = minhash_lsh_duplicates(_docs_ds(rows), threshold=0.6).to_pandas()
+    got = dict(zip(dups["doc_id"], dups["dup_of"]))
+    assert got.get(4) == 1 and got.get(2) == 1
+    assert 3 not in got and 1 not in got
+
+
+def test_minhash_partition_invariant():
+    rows = [(i, BASE if i % 3 == 0 else f"unique text number {i} " + BASE[: i % 40])
+            for i in range(30)]
+    a = minhash_lsh_duplicates(_docs_ds(rows), threshold=0.8).to_pandas()
+    b = minhash_lsh_duplicates(
+        _docs_ds(rows).repartition(7), threshold=0.8
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "dup_of"]].values.tolist()))
+    assert key(a) == key(b)
+
+
+def test_simhash_duplicates():
+    rows = [(1, BASE), (2, BASE.replace("dog", "cat")), (3, "total other words entirely unrelated")]
+    dups = simhash_duplicates(_docs_ds(rows), max_hamming=10).to_pandas()
+    got = dict(zip(dups["doc_id"], dups["dup_of"]))
+    assert got.get(2) == 1 and 3 not in got
+
+
+def test_ngram_jaccard_verification():
+    rows = [(1, BASE), (2, BASE), (3, "other words")]
+    ds = _docs_ds(rows)
+    pairs = minhash_lsh_duplicates(ds, threshold=0.5)
+    out = ngram_jaccard_pairs(ds, pairs).to_pandas()
+    row = out[out["doc_id"] == 2].iloc[0]
+    assert row["dup_of"] == 1 and row["jaccard"] == 1.0
+
+
+def test_embedding_duplicates_and_knn():
+    rng = np.random.RandomState(0)
+    base = rng.randn(8).astype(np.float32)
+    # near-dup is clearly similar but NOT a float-precision tie with base
+    vecs = [base, base + 0.05 * rng.randn(8).astype(np.float32), rng.randn(8).astype(np.float32)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    dups = embedding_duplicates(ds, threshold=0.99, num_buckets=2).to_pandas()
+    got = dict(zip(dups["doc_id"], dups["dup_of"]))
+    assert got.get(11) == 10 and 12 not in got
+
+    out = knn_brute_force(ds, np.stack([base]), k=2)
+    d = out.to_pydict()
+    assert d["vec_id"][0] == 10 and d["rank"] == [0, 1]
+
+
+def test_knn_on_embeddings_table_brute_vs_ivf():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    qrows = ds.take(3)
+    q = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    bf = knn_brute_force(ds, q, k=5).to_pydict()
+    # self-match: each query is row 0 of its own result
+    for qi, r in enumerate(qrows):
+        idx = bf["query_id"].index(qi)
+        assert bf["vec_id"][idx] == r["vec_id"]
+        assert bf["score"][idx] == pytest.approx(1.0, abs=1e-5)
+    ivf = knn_ivf(ds, q, k=5, n_centroids=8, nprobe=8).to_pydict()
+    # probing ALL buckets → IVF must equal brute force exactly
+    assert ivf["vec_id"] == bf["vec_id"]
+
+
+def test_annotate_documents():
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet").limit(120)
+    out = annotate_documents(ds).to_pandas()
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    assert (out["n_tokens_ws"] > 0).any()
+    assert out["fingerprint"].nunique() > 100  # distinct docs → distinct prints
+    # NOTE: the driver table's `lang` label does not reflect the actual text
+    # language (synthetic English-ish vocab throughout) — langid accuracy is
+    # asserted on real-language samples below instead.
+
+
+def test_langid_on_real_language_samples():
+    samples = [
+        ("the cat sat on the mat and it was happy with the sun", "en"),
+        ("der hund ist nicht mit der katze auf dem sofa und das ist gut", "de"),
+        ("le chat est sur la table avec une tasse pour le café du matin", "fr"),
+        ("", "und"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(samples)), pa.int64()),
+            "text": pa.array([s for s, _ in samples], pa.string()),
+        }
+    )
+    out = annotate_documents(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["detected_lang"].tolist() == [lang for _, lang in samples]
+
+
+def test_multimodal_plumbing():
+    from nightcrawlercmd_ray.stages.multimodal import (
+        MediaFeatureStage,
+        extract_media_features,
+    )
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image", "audio"], pa.string()),
+            "mime": pa.array(["image/png", "audio/wav"], pa.string()),
+            "payload": pa.array([b"\x89PNG...", b"RIFF...."], pa.binary()),
+            "width": pa.array([None, None], pa.int32()),
+            "height": pa.array([None, None], pa.int32()),
+            "duration_ms": pa.array([None, None], pa.int32()),
+        }
+    )
+    out = extract_media_features(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 2 and all(len(f) == 8 for f in out["features"])
+    # deterministic fake features (hash-derived)
+    out2 = MediaFeatureStage()(t).to_pydict()
+    assert out2["features"][0] == list(out.sort_values("media_id")["features"].iloc[0])
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage(fake=False)
