@@ -1,44 +1,636 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine (see README/SURVEY.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl at sf0.001. ``queries()`` exposes one
+callable per implemented operator family (SURVEY §2); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for everything SQL-expressible (same column names —
+the driver hash-compares values). Crawl/sketch/ANN-IVF/fuzzer entries are
+rows-only by design (stateful / approximate / non-SQL semantics); their exact
+conformance is enforced by ``tests/`` against the serial oracle instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module — nothing here
+calls ``ray.init``/``ray.shutdown``.
+
+Cross-engine float policy: every SUM over parquet doubles is computed on
+integer cents/e4 units (``round(x * 10^k)`` is exact — the tables carry ≤2
+decimals), so Ray and DuckDB aggregate identical int64 values in any order.
+Raw doubles are only passed through untouched (min/max/sort keys), never
+re-accumulated.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+def _cents(arr: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """Exact integer units from a ≤2-decimal double column."""
+    x = pc.multiply(pc.cast(arr, pa.float64()), pa.scalar(float(scale)))
+    return pc.cast(pc.round(x), pa.int64())
+
+
+def _corpus_for(sf_dir: str) -> dict:
+    """Deterministic synthetic web corpus sized to the sf tier (cached)."""
+    from nightcrawlercmd_ray.sources.synth import CorpusSpec, generate_corpus
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    n_pages = max(200, int(20000 * sf / 0.1))
+    n_hosts = max(8, n_pages // 250)
+    out = f"/tmp/ncrawler_corpus/{sf_name}"
+    manifest_file = f"{out}/done.flag"
+    spec = CorpusSpec(n_pages=n_pages, n_hosts=n_hosts)
+    if not os.path.exists(manifest_file):
+        generate_corpus(out, spec)
+        with open(manifest_file, "w") as f:
+            f.write("ok")
+    seeds = [s for s in open(f"{out}/seeds.txt").read().split("\n") if s]
+    return {"dir": out, "seeds": seeds, "spec": spec}
+
+
+def _run_crawl(sf_dir: str, **param_kw):
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+    from nightcrawlercmd_ray.pipelines.crawl import run_crawl
+
+    c = _corpus_for(sf_dir)
+    params = CrawlParams(seeds=c["seeds"], window_ms=20_000, **param_kw)
+    return run_crawl(
+        c["dir"], params, num_shards=8, num_buckets=16, seen_filter="cuckoo"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------------- #
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full BFS crawl (frontier + politeness + robots + cuckoo
+    dedup + extraction) of the sf0.001-tier corpus. Returns the fetches
+    Dataset (one row per fetched URL, crawl order, extracted text)."""
+    run = _run_crawl("/root/testdata/sf0.001")
+    return run.fetches_dataset()
+
+
+# --------------------------------------------------------------------------- #
+# SQL-oracled relational queries
+# --------------------------------------------------------------------------- #
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregation (SURVEY A1/A5 machinery)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        base = _cents(t.column("l_extendedprice"))
+        disc = pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
+        )
+        disc_e4 = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "base_cents": base,
+                "disc_e4": disc_e4,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_market_segment_totals(sf_dir: str):
+    """orders ⋈ customer via broadcast small side (SURVEY J5 pattern)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    seg_ref = ray.put(seg_of)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        seg = _ray.get(seg_ref)
+        segs = [seg.get(k, "") for k in t.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(annotate, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"),
+        )
+    )
+
+
+def q_region_customer_counts(sf_dir: str):
+    """customer ⋈ nation ⋈ region — two broadcast dimension joins."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in ray.data.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in ray.data.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    }
+    dims_ref = ray.put((nation, region))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        n, r = _ray.get(dims_ref)
+        names = [r.get(n.get(k, -1), "") for k in t.column("c_nationkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    return (
+        cust.map_batches(annotate, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (SURVEY O-family); deterministic tie-break."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_event_types(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.util import distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return distinct(ds, "event_type")
+
+
+def q_events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op on the
+    ordered log — SURVEY §2.9 engine mapping)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), 3.6e9)), pa.int64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour_bucket": hour,
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def q_events_user_stats(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def q_part_brand_stats(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"]
+    )
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_retailprice", alias_name="min_price"),
+    )
+
+
+def q_wordcount_documents(sf_dir: str):
+    """The report tool's word→(count, exemplar) aggregation (A1) over the
+    documents table, exemplar pinned min(doc_id)."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    import pandas as pd
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows_w, rows_d = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            for w in RE_WORD.findall(text or ""):
+                rows_w.append(w.lower())
+                rows_d.append(did)
+        if not rows_w:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "first_doc": pa.array([], pa.int64())})
+        df = pd.DataFrame({"word": rows_w, "doc": rows_d})
+        g = df.groupby("word").agg(n=("doc", "size"), first_doc=("doc", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"), Min("first_doc", alias_name="first_doc"))
+    )
+
+
+def q_wordlist_documents(sf_dir: str):
+    """Sorted distinct lowercased words (wordlist tool semantics, O1/A4)."""
+    import ray
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+    from nightcrawlercmd_ray.util import distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t.column("text").to_pylist():
+            out.extend(w.lower() for w in RE_WORD.findall(text or ""))
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
+
+
+def q_text_stats_documents(sf_dir: str):
+    """Per-doc n_chars / whitespace-token counts (token-counting operator)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                "n_tokens_ws": pa.array([len(x.split()) for x in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_dedup_exact_documents(sf_dir: str):
+    """Exact dedup winners (hash-partition + per-group min id)."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def q_lang_distribution(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-5 for the first 3 vectors as queries; returns
+    the (query_id, vec_id) neighbor SET (order-insensitive, float-safe)."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.similarity import knn_brute_force
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
+    q = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    out = knn_brute_force(ds, q, k=5)
+    qids = [qrows[i]["vec_id"] for i in out.column("query_id").to_pylist()]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "vec_id": out.column("vec_id"),
+        }
+    )
+
+
+# --------------------------------------------------------------------------- #
+# rows-only queries (non-SQL-expressible: stateful / approximate / generative)
+# --------------------------------------------------------------------------- #
+def q_crawl_bfs(sf_dir: str):
+    """Full crawl of the sf-tier synthetic corpus: the north-star pipeline.
+    Exact conformance vs the serial oracle is enforced in tests/."""
+    run = _run_crawl(sf_dir)
+    return run.fetches_dataset().drop_columns(["text", "title"])
+
+
+def q_crawl_extract_text(sf_dir: str):
+    """Stateless extraction slice: pages → (url, text, n_hrefs). The text
+    column is byte-identical to the corpus golden by construction tests."""
+    import ray
+
+    from nightcrawlercmd_ray.functions.htmlparse import parse_html
+
+    c = _corpus_for(sf_dir)
+    ds = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        parsed = [parse_html(h) for h in t.column("html").to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array([p.text for p in parsed], pa.string()),
+                "n_hrefs": pa.array([len(p.hrefs) for p in parsed], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(ext, batch_format="pyarrow", batch_size=128)
+
+
+def q_minhash_near_dups(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.dedup import minhash_lsh_duplicates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_duplicates(ds, threshold=0.8)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.dedup import simhash_duplicates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_duplicates(ds, max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.dedup import embedding_duplicates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_duplicates(ds, threshold=0.98, num_buckets=8)
+
+
+def q_knn_ivf_embeddings(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.similarity import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = [r for r in ds.take(50) if r["vec_id"] < 3]
+    q = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    return knn_ivf(ds, q, k=5, n_centroids=8, nprobe=3)
+
+
+def q_annotate_documents(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.textops import annotate_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return annotate_documents(ds).drop_columns(["text"])
+
+
+def q_fuzz_payloads(sf_dir: str):
+    from nightcrawlercmd_ray.pipelines.scans import fuzz_payloads_dataset
+
+    cfg = {
+        "Vectors": {
+            "b": [":", "#", "~", "<", ">", "[", "]", "{", "}", "%3c", "zq"],
+            "3": list("abcdefghij"),
+        },
+        "BuildLogic": "{3.b}",
+        "Seed": 40039,
+        "Iterations": 500,
+    }
+    return fuzz_payloads_dataset(cfg)
+
+
+def q_media_features(sf_dir: str):
+    import ray
+
+    from nightcrawlercmd_ray.stages.multimodal import (
+        extract_media_features,
+        media_table_from_pages,
+    )
+
+    c = _corpus_for(sf_dir)
+    pages = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    return extract_media_features(media_table_from_pages(pages))
+
+
+def q_wordlist_pages(sf_dir: str):
+    """The wordlist tool's report-mode over crawled page text (M10/A2/O1)."""
+    import ray
+
+    from nightcrawlercmd_ray.functions.extractors import words_from_text
+    from nightcrawlercmd_ray.functions.htmlparse import html_to_text
+    from nightcrawlercmd_ray.util import distinct
+
+    c = _corpus_for(sf_dir)
+    ds = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["html"])
+
+    def words(t: pa.Table) -> pa.Table:
+        out = []
+        for h in t.column("html").to_pylist():
+            out.extend(w.lower() for w in words_from_text(html_to_text(h), 2000))
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled
+        "pricing_summary": q_pricing_summary,
+        "market_segment_totals": q_market_segment_totals,
+        "region_customer_counts": q_region_customer_counts,
+        "top_orders": q_top_orders,
+        "distinct_event_types": q_distinct_event_types,
+        "events_hourly_window": q_events_hourly_window,
+        "events_user_stats": q_events_user_stats,
+        "part_brand_stats": q_part_brand_stats,
+        "wordcount_documents": q_wordcount_documents,
+        "wordlist_documents": q_wordlist_documents,
+        "text_stats_documents": q_text_stats_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "lang_distribution": q_lang_distribution,
+        "knn_embeddings": q_knn_embeddings,
+        # rows-only (non-SQL-expressible; exactness enforced in tests/)
+        "crawl_bfs": q_crawl_bfs,
+        "crawl_extract_text": q_crawl_extract_text,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "annotate_documents": q_annotate_documents,
+        "fuzz_payloads": q_fuzz_payloads,
+        "media_features": q_media_features,
+        "wordlist_pages": q_wordlist_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "market_segment_totals": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "events_hourly_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY event_type, hour_bucket
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY user_id
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price
+            FROM part GROUP BY p_brand
+        """,
+        "wordcount_documents": """
+            SELECT lower(w) AS word, count(*) AS n, min(doc_id) AS first_doc
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                FROM documents
+            )
+            GROUP BY lower(w)
+        """,
+        "wordlist_documents": """
+            SELECT DISTINCT lower(w) AS word
+            FROM (
+                SELECT unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                FROM documents
+            )
+            ORDER BY word
+        """,
+        "text_stats_documents": """
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws
+            FROM documents
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "knn_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id
+            FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                    e.vec_id ASC
+                       ) AS rk
+                FROM q CROSS JOIN embeddings e
+            )
+            WHERE rk <= 5
+        """,
+    }

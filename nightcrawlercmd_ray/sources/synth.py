@@ -61,6 +61,7 @@ class CorpusSpec:
     error_frac: float = 0.03
     private_frac: float = 0.1  # pages under /private/ (robots-gated)
     max_links: int = 12
+    rich_text: int = 1  # paragraph multiplier (heavier pages for bench)
 
 
 def _host_name(k: int) -> str:
@@ -110,7 +111,7 @@ def build_page_html(spec: CorpusSpec, i: int) -> bytes:
         f"<h1>{_sentence(r, words, 3)} &#x41;</h1>",
     ]
     # paragraphs with nested inline tags + entities + whitespace variation
-    for p in range(r.randint(1, 4)):
+    for p in range(r.randint(1, 4) * spec.rich_text):
         parts.append(
             f"<p>{_sentence(r, words, r.randint(5, 18))} "
             f"<b>{r.choice(words)}</b>\n\t {_sentence(r, words, 3)} &amp; "
@@ -269,6 +270,120 @@ def generate_corpus(
         f.write("\n".join(seed_urls) + "\n")
     return {
         "n_pages": pages.num_rows,
+        "n_hosts": spec.n_hosts,
+        "seeds": seed_urls,
+        "dir": out_dir,
+    }
+
+
+def _build_rows(spec: CorpusSpec, indices: list[int]) -> tuple[pa.Table, pa.Table]:
+    """pages + fetch_meta rows for page indices (pure function of spec+index)."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    m_status, m_loc, m_ct, m_ms = [], [], [], []
+    for i in indices:
+        url = page_url(spec, i)
+        status, location = page_status(spec, i)
+        ctype = page_content_type(spec, i)
+        html = build_page_html(spec, i) if status == 200 else b""
+        host = url.split("/")[2]
+        mime_html = ctype.split(";")[0].strip() == "text/html"
+        urls.append(url)
+        tss.append(_BASE_TS_US + i * 1_000_000)
+        htmls.append(html)
+        texts.append(html_to_text(html) if (status == 200 and mime_html) else "")
+        langs.append(host_lang(host))
+        m_status.append(status)
+        m_loc.append(location)
+        m_ct.append(ctype)
+        m_ms.append(1 + (hash64(f"ms:{i}") % 500))
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.array(tss, dtype=np.int64), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    meta = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(m_status, pa.int16()),
+            "location": pa.array(m_loc, pa.string()),
+            "content_type": pa.array(m_ct, pa.string()),
+            "fetch_ms": pa.array(m_ms, pa.int32()),
+        }
+    )
+    return pages, meta
+
+
+def generate_corpus_ray(out_dir: str, spec: CorpusSpec, num_blocks: int = 64) -> dict:
+    """Ray-parallel corpus generation for bench-scale corpora: page building +
+    golden text extraction fan out over the cluster; ``pages.parquet`` /
+    ``fetch_meta.parquet`` become DIRECTORIES of part files (every reader here
+    and in pyarrow accepts a dataset directory path). Content is a pure
+    function of (seed, page index) — partitioning cannot change it."""
+    import os
+
+    import ray
+
+    os.makedirs(f"{out_dir}/pages.parquet", exist_ok=True)
+    os.makedirs(f"{out_dir}/fetch_meta.parquet", exist_ok=True)
+    chunk = (spec.n_pages + num_blocks - 1) // num_blocks
+
+    @ray.remote
+    def build_chunk(b: int) -> int:
+        lo, hi = b * chunk, min((b + 1) * chunk, spec.n_pages)
+        if lo >= hi:
+            return 0
+        pages, meta = _build_rows(spec, list(range(lo, hi)))
+        pq.write_table(pages, f"{out_dir}/pages.parquet/part-{b:05d}.parquet")
+        pq.write_table(meta, f"{out_dir}/fetch_meta.parquet/part-{b:05d}.parquet")
+        return pages.num_rows
+
+    n = sum(ray.get([build_chunk.remote(b) for b in range(num_blocks)]))
+    # robots rows: one tiny extra part (serial)
+    r_urls, r_html = [], []
+    for k in range(spec.n_hosts):
+        host = _host_name(k)
+        r_urls.append(f"http://{host}/robots.txt")
+        r_html.append(robots_body(spec, k))
+    robots = pa.table(
+        {
+            "url": pa.array(r_urls, pa.string()),
+            "warc_ts": pa.array(
+                np.full(len(r_urls), _BASE_TS_US, dtype=np.int64), pa.timestamp("us")
+            ),
+            "html": pa.array(r_html, pa.binary()),
+            "text": pa.array([""] * len(r_urls), pa.string()),
+            "lang": pa.array([host_lang(h.split("/")[2]) for h in r_urls], pa.string()),
+        }
+    )
+    pq.write_table(robots, f"{out_dir}/pages.parquet/part-robots.parquet")
+    robots_meta = pa.table(
+        {
+            "url": pa.array(r_urls, pa.string()),
+            "status": pa.array([200] * len(r_urls), pa.int16()),
+            "location": pa.array([""] * len(r_urls), pa.string()),
+            "content_type": pa.array(["text/plain"] * len(r_urls), pa.string()),
+            "fetch_ms": pa.array([1] * len(r_urls), pa.int32()),
+        }
+    )
+    pq.write_table(robots_meta, f"{out_dir}/fetch_meta.parquet/part-robots.parquet")
+
+    seed_urls = []
+    seen_hosts: set[str] = set()
+    for i in range(spec.n_pages):
+        h = page_url(spec, i).split("/")[2]
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seed_urls.append(page_url(spec, i))
+        if len(seed_urls) >= spec.n_hosts:
+            break
+    with open(f"{out_dir}/seeds.txt", "w") as f:
+        f.write("\n".join(seed_urls) + "\n")
+    return {
+        "n_pages": n + len(r_urls),
         "n_hosts": spec.n_hosts,
         "seeds": seed_urls,
         "dir": out_dir,

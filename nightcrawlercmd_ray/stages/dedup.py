@@ -24,6 +24,21 @@ from ..functions.sketches import MinHasher, simhash_batch
 from ..functions.textstats import jaccard, shingles
 from ..functions.urlnorm import hash64
 
+DUP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+
+def _typed_dup_result(pairs_ds):
+    """Aggregate candidate pairs to per-doc min(dup_of); guarantee the
+    (doc_id, dup_of) schema survives an EMPTY result (a no-duplicates corpus
+    is a legal outcome and downstream consumers still need the schema)."""
+    from ray.data.aggregate import Min
+
+    out = pairs_ds.groupby("doc_id").aggregate(Min("dup_of", alias_name="dup_of"))
+    out = out.materialize()  # dup sets are small; makes the count free
+    if out.count() == 0:
+        return ray.data.from_arrow(DUP_SCHEMA.empty_table())
+    return out
+
 
 # --------------------------------------------------------------------------- #
 # exact dedup: hash-partition + per-group first (pinned min id)
@@ -130,9 +145,7 @@ def minhash_lsh_duplicates(
         bucket_pairs, batch_format="pandas"
     )
     # a doc may match in several bands → keep the smallest dup_of
-    from ray.data.aggregate import Min
-
-    return pairs.groupby("doc_id").aggregate(Min("dup_of", alias_name="dup_of"))
+    return _typed_dup_result(pairs)
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
@@ -196,14 +209,12 @@ def simhash_duplicates(
                 out_of.append(rep_id)
         return pd.DataFrame({"doc_id": out_id, "dup_of": out_of})
 
-    from ray.data.aggregate import Min
-
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
         .groupby(["chunk_id", "chunk"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby("doc_id").aggregate(Min("dup_of", alias_name="dup_of"))
+    return _typed_dup_result(pairs)
 
 
 # --------------------------------------------------------------------------- #
@@ -293,11 +304,9 @@ def embedding_duplicates(
                 out_of.append(ids[int(earlier[0])])
         return pd.DataFrame({"doc_id": out_id, "dup_of": out_of})
 
-    from ray.data.aggregate import Min
-
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby("doc_id").aggregate(Min("dup_of", alias_name="dup_of"))
+    return _typed_dup_result(pairs)
