@@ -1,0 +1,67 @@
+"""Checkpoint/resume equivalence: a crawl interrupted at any wave boundary and
+resumed must produce EXACTLY the uninterrupted run's outputs (SURVEY §5.3 /
+north-rule resumability)."""
+
+import pandas as pd
+
+from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+from nightcrawlercmd_ray.pipelines.crawl import CrawlRun, collect_robots, run_crawl
+
+ORDER_COLS = [
+    "wave", "seq", "tick", "url", "host", "depth",
+    "status", "location", "content_type", "error", "n_links",
+]
+
+
+def _frame(run):
+    return (
+        run.fetches_dataset().to_pandas()[ORDER_COLS]
+        .sort_values("seq").reset_index(drop=True)
+    )
+
+
+def test_resume_equals_uninterrupted(tiny_corpus, tmp_path):
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    store = str(tmp_path / "store")
+    full = run_crawl(
+        tiny_corpus["dir"], params, store_dir=store,
+        num_shards=3, num_buckets=4, seen_filter="exact",
+    )
+    full_df = _frame(full)
+    total_waves = full.wave
+    assert total_waves > 6
+
+    # interrupted run: stop after 4 waves, checkpoint, fresh actors, resume
+    ckpt = str(tmp_path / "ckpt")
+    part = CrawlRun(
+        store, params, num_shards=3, seen_filter="exact", checkpoint_dir=ckpt,
+    )
+    part.install_robots(collect_robots(f"{tiny_corpus['dir']}/pages.parquet", 3))
+    part.seed()
+    part.run(max_waves=4)
+    assert 0 < part.fetched_total < full.fetched_total
+
+    resumed = CrawlRun.resume(store, ckpt, seen_filter="exact")
+    assert resumed.wave == part.wave and resumed.fetched_total == part.fetched_total
+    resumed.run()
+    pd.testing.assert_frame_equal(_frame(resumed), full_df)
+
+
+def test_resume_after_partial_second_leg(tiny_corpus, tmp_path):
+    """Resume twice (two interruptions) — still bit-equal."""
+    params = CrawlParams(seeds=tiny_corpus["seeds"], max_pages=60)
+    store = str(tmp_path / "store")
+    full = run_crawl(
+        tiny_corpus["dir"], params, store_dir=store,
+        num_shards=2, num_buckets=4, seen_filter="exact",
+    )
+    ckpt = str(tmp_path / "ckpt2")
+    a = CrawlRun(store, params, num_shards=2, seen_filter="exact", checkpoint_dir=ckpt)
+    a.install_robots(collect_robots(f"{tiny_corpus['dir']}/pages.parquet", 2))
+    a.seed()
+    a.run(max_waves=2)
+    b = CrawlRun.resume(store, ckpt, seen_filter="exact")
+    b.run(max_waves=2)
+    c = CrawlRun.resume(store, ckpt, seen_filter="exact")
+    c.run()
+    pd.testing.assert_frame_equal(_frame(c), _frame(full))
