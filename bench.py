@@ -208,16 +208,22 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_CRAWL_ONLY="1")
-        best = None
+        runs = []
         for _ in range(2):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
+            runs.append(json.loads(p.stdout.strip().splitlines()[-1]))
+        # per-metric minima: crawl and ceiling measurements jitter
+        # independently (OS cache, scheduler), so pairing them from one run
+        # pollutes the normalization
+        best = min(runs, key=lambda r: r["value"])
+        best["queries"]["extract_text"] = min(
+            r["queries"]["extract_text"] for r in runs
+        )
+        best["value"] = min(r["value"] for r in runs)
         return best
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))

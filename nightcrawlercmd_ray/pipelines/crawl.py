@@ -222,6 +222,7 @@ def fetch_extract_bucket(
     scope_host: str | None,
     num_shards: int,
     shards_ref,
+    robots_ref=None,
 ):
     """Fetch a group of page-store buckets' share of the wave and extract.
 
@@ -260,10 +261,14 @@ def fetch_extract_bucket(
             if u in rowmap:
                 rowmap[u].update(status=int(s), location=loc or "", content_type=ct or "")
 
+    from ..state.robots import url_path
+
+    robots_rules = robots_ref or {}
     f_cols: dict[str, list] = {k.name: [] for k in FETCH_SCHEMA}
     l_cols: dict[str, list] = {k.name: [] for k in LINKS_SCHEMA}
-    cand_cols = {"url": [], "host": [], "src_seq": [], "link_pos": [], "depth": [], "shard": []}
-    scope_dropped = 0
+    cand_cols = {"url": [], "host": [], "src_seq": [], "link_pos": [],
+                 "depth": [], "shard": [], "url_hash": []}
+    counters = {"scope_dropped": 0, "robots_blocked": 0}
 
     for url, host, seq, wave, tick, depth in zip(urls, hosts, seqs, waves, ticks, depths):
         o = process_fetched_page(
@@ -294,7 +299,14 @@ def fetch_extract_bucket(
         for pos, c in enumerate(o.candidates):
             c_host = host_of(c)
             if scope_host is not None and c_host != scope_host:
-                scope_dropped += 1
+                counters["scope_dropped"] += 1
+                continue
+            # robots gate runs HERE, in the parallel tasks, so the shard's
+            # serial seal loop only dedups (gate order matches the oracle:
+            # blocked candidates never reach the seen filter)
+            r = robots_rules.get(c_host)
+            if r is not None and not r.allowed(url_path(c)):
+                counters["robots_blocked"] += 1
                 continue
             cand_cols["url"].append(c)
             cand_cols["host"].append(c_host)
@@ -302,6 +314,7 @@ def fetch_extract_bucket(
             cand_cols["link_pos"].append(pos)
             cand_cols["depth"].append(depth + 1)
             cand_cols["shard"].append(shard_of(c_host, num_shards))
+            cand_cols["url_hash"].append(url_hash(c))
 
     fetch_t = pa.table({n: pa.array(f_cols[n], FETCH_SCHEMA.field(n).type) for n in f_cols},
                        schema=FETCH_SCHEMA)
@@ -318,13 +331,16 @@ def fetch_extract_bucket(
                 "link_pos": pa.array(cand_cols["link_pos"], pa.int32()),
                 "depth": pa.array(cand_cols["depth"], pa.int32()),
                 "shard": pa.array(cand_cols["shard"], pa.int32()),
+                "url_hash": pa.array(
+                    np.array(cand_cols["url_hash"], dtype=np.uint64)
+                ),
             }
         )
         shard_arr = cand_t.column("shard")
         for p in pc.unique(shard_arr).to_pylist():
             sub = cand_t.filter(pc.equal(shard_arr, p)).drop_columns(["shard"])
             acks.append(shard_handles[p].add_candidates.remote(sub))
-    return fetch_t, links_t, acks, scope_dropped
+    return fetch_t, links_t, acks, counters
 
 
 # --------------------------------------------------------------------------- #
@@ -359,6 +375,9 @@ class CrawlRun:
             seen_capacity=seen_capacity,
             keep_seen_log=keep_seen_log,
             respect_robots=params.respect_robots,
+            # gating happens in the parallel fetch tasks (robots rules are
+            # broadcast); shards keep rules only for Crawl-delay politeness
+            robots_gate_in_seal=False,
         )
         self.shards = [FrontierShardActor.remote(i, fc) for i in range(num_shards)]
         # broadcast once: per-task args stay O(1) no matter the shard count
@@ -369,6 +388,9 @@ class CrawlRun:
         self.fetched_total = 0
         self.wave = 0
         self.scope_dropped = 0
+        self.robots_blocked = 0
+        self._robots_rules: dict = {}
+        self._robots_ref = ray.put({})
         self.base_host = (
             host_of(canonicalize(params.base_url)) if params.base_url else None
         )
@@ -378,10 +400,20 @@ class CrawlRun:
 
     # -- setup --------------------------------------------------------------
     def install_robots(self, per_shard_rules: list[dict]) -> None:
+        # shards need rules for Crawl-delay; fetch tasks get the merged dict
+        # broadcast once for the (parallel) allow/deny gate
         ray.get([s.set_robots.remote(r) for s, r in zip(self.shards, per_shard_rules)])
+        merged: dict = {}
+        for r in per_shard_rules:
+            merged.update(r)
+        self._robots_rules = merged
+        self._robots_ref = ray.put(merged)
 
     def seed(self) -> None:
-        cand = {"url": [], "host": [], "src_seq": [], "link_pos": [], "depth": []}
+        from ..state.robots import url_path
+
+        cand = {"url": [], "host": [], "src_seq": [], "link_pos": [],
+                "depth": [], "url_hash": []}
         for i, s in enumerate(self.params.seeds):
             u = to_abs_url(self.params.base_url, s) if self.params.base_url else to_abs_url(None, s)
             if u is None:
@@ -390,11 +422,17 @@ class CrawlRun:
             if self.scope_host is not None and h != self.scope_host:
                 self.scope_dropped += 1
                 continue
+            if self.params.respect_robots:
+                r = self._robots_rules.get(h)
+                if r is not None and not r.allowed(url_path(u)):
+                    self.robots_blocked += 1
+                    continue
             cand["url"].append(u)
             cand["host"].append(h)
             cand["src_seq"].append(i)
             cand["link_pos"].append(0)
             cand["depth"].append(0)
+            cand["url_hash"].append(url_hash(u))
         t = pa.table(
             {
                 "url": pa.array(cand["url"], pa.string()),
@@ -402,6 +440,7 @@ class CrawlRun:
                 "src_seq": pa.array(cand["src_seq"], pa.int64()),
                 "link_pos": pa.array(cand["link_pos"], pa.int32()),
                 "depth": pa.array(cand["depth"], pa.int32()),
+                "url_hash": pa.array(np.array(cand["url_hash"], dtype=np.uint64)),
             }
         )
         acks = []
@@ -440,11 +479,12 @@ class CrawlRun:
         )
         # split by page-store bucket, then PACK buckets into ~2×CPU tasks,
         # LPT-balanced by actual row counts (equal-bucket-count groups leave
-        # straggler tasks that set the wave's wall time)
-        buckets = np.fromiter(
-            (url_hash(u) % self.num_buckets for u in wave_t.column("url").to_pylist()),
-            dtype=np.int32, count=n,
-        )
+        # straggler tasks that set the wave's wall time). url_hash is carried
+        # in the wave table — one vectorized modulo, no driver-side hashing.
+        buckets = (
+            wave_t.column("url_hash").to_numpy(zero_copy_only=False)
+            % self.num_buckets
+        ).astype(np.int32)
         counts = np.bincount(buckets, minlength=self.num_buckets)
         touched = [int(b) for b in np.nonzero(counts)[0]]
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -466,18 +506,20 @@ class CrawlRun:
             fetch_extract_bucket.options(num_returns=4).remote(
                 self.store_dir, grp, wave_ref, self._params_ref,
                 self.scope_host, self.num_shards, self._shards_ref,
+                self._robots_ref if self.params.respect_robots else None,
             )
             for grp in groups
         ]
         ack_lists = ray.get([r[2] for r in results])
-        scope_drops = ray.get([r[3] for r in results])
+        task_counters = ray.get([r[3] for r in results])
         ray.get([a for acks in ack_lists for a in acks])  # all candidates landed
         ray.get([s.seal_wave.remote() for s in self.shards])
         wave_fetch_refs = [r[0] for r in results]
         wave_links_refs = [r[1] for r in results]
         self.fetch_refs.extend(wave_fetch_refs)
         self.links_refs.extend(wave_links_refs)
-        self.scope_dropped += sum(scope_drops)
+        self.scope_dropped += sum(c["scope_dropped"] for c in task_counters)
+        self.robots_blocked += sum(c["robots_blocked"] for c in task_counters)
         self.fetched_total += n
         if self.checkpoint_dir:
             self._write_wave_ckpt(wave_fetch_refs, wave_links_refs)
@@ -518,6 +560,9 @@ class CrawlRun:
             for k in ("candidates_in", "dup_dropped", "robots_blocked", "enqueued",
                       "emitted", "frontier", "seen")
         }
+        # robots gating runs in the fetch tasks (and at seed time), not in the
+        # shard seal — fold those counts into the aggregate
+        agg["robots_blocked"] += self.robots_blocked
         agg.update(fetched=self.fetched_total, waves=self.wave,
                    scope_dropped=self.scope_dropped)
         return agg
@@ -549,6 +594,7 @@ class CrawlRun:
             "wave": self.wave,
             "fetched_total": self.fetched_total,
             "scope_dropped": self.scope_dropped,
+            "robots_blocked": self.robots_blocked,
             "num_shards": self.num_shards,
             "stats": self.stats(),
             "params": pickle.dumps(self.params).hex(),
@@ -571,11 +617,19 @@ class CrawlRun:
         run.wave = m["wave"]
         run.fetched_total = m["fetched_total"]
         run.scope_dropped = m["scope_dropped"]
+        run.robots_blocked = m.get("robots_blocked", 0)
         blobs = []
         for i in range(m["num_shards"]):
             with open(f"{checkpoint_dir}/shards/shard-{i:04d}.bin", "rb") as f:
                 blobs.append(f.read())
         ray.get([s.restore_bytes.remote(b) for s, b in zip(run.shards, blobs)])
+        # rebroadcast robots rules to the fetch tasks (shard snapshots carry
+        # them for politeness; the task-side gate needs the merged dict)
+        merged: dict = {}
+        for r in ray.get([s.get_robots.remote() for s in run.shards]):
+            merged.update(r)
+        run._robots_rules = merged
+        run._robots_ref = ray.put(merged)
         # prior waves' outputs live in the checkpoint parquet; re-expose as refs
         import glob
 

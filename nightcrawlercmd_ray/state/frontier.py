@@ -46,6 +46,7 @@ WAVE_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("host", pa.string()),
         ("host_hash", pa.uint64()),
+        ("url_hash", pa.uint64()),  # carried so downstream never re-hashes
         ("depth", pa.int32()),
         ("tick", pa.int32()),
     ]
@@ -62,6 +63,11 @@ class FrontierConfig:
     seen_capacity: int = 1 << 20  # per shard
     keep_seen_log: bool = False  # record url strings (test scale only)
     respect_robots: bool = True
+    # False when the fetch tasks already robots-gate candidates in parallel
+    # (the distributed driver's mode); robots rules are still installed on the
+    # shard for Crawl-delay politeness. True = gate here (serial oracle parity
+    # mode for unit tests).
+    robots_gate_in_seal: bool = True
 
 
 class FrontierShard:
@@ -71,7 +77,7 @@ class FrontierShard:
         self.seen = make_seen_filter(config.seen_filter, config.seen_capacity)
         self._pending: list[pa.Table] = []  # candidate buffer for current wave
         self.seen_log: list[str] = []  # url strings, only when cfg.keep_seen_log
-        self.lanes: dict[str, deque[tuple[str, int]]] = {}  # host -> (url, depth)
+        self.lanes: dict[str, deque[tuple[str, int, int]]] = {}  # host -> (url, depth, url_hash)
         self.robots: dict[str, RobotsRules] = {}
         self.counters = {
             "candidates_in": 0,
@@ -108,8 +114,12 @@ class FrontierShard:
 
     def seal_wave(self) -> dict:
         """Process all buffered candidates in canonical discovery order
-        ``(src_seq, link_pos)``: robots gate → seen-filter dedup (first
-        discovery wins) → FIFO lane append."""
+        ``(src_seq, link_pos)``: robots gate (unless pre-gated upstream) →
+        seen-filter dedup (first discovery wins) → FIFO lane append.
+
+        A precomputed ``url_hash`` column (added by the fetch tasks, in
+        parallel) is used when present — hashing dominates this serial loop
+        otherwise."""
         if self._pending:
             batch = pa.concat_tables(self._pending)
             self._pending = []
@@ -121,17 +131,23 @@ class FrontierShard:
                 if "depth" in batch.column_names
                 else [0] * len(urls)
             )
+            hashes = (
+                batch.column("url_hash").to_pylist()
+                if "url_hash" in batch.column_names
+                else [_url_hash(u) for u in urls]
+            )
+            gate = self.cfg.respect_robots and self.cfg.robots_gate_in_seal
             self.counters["candidates_in"] += len(urls)
-            for url, host, depth in zip(urls, hosts, depths):
-                if self.cfg.respect_robots:
+            for url, host, depth, h in zip(urls, hosts, depths, hashes):
+                if gate:
                     r = self.robots.get(host)
                     if r is not None and not r.allowed(url_path(url)):
                         self.counters["robots_blocked"] += 1
                         continue
-                if not self.seen.add_if_new(_url_hash(url)):
+                if not self.seen.add_if_new(h):
                     self.counters["dup_dropped"] += 1
                     continue
-                self.lanes.setdefault(host, deque()).append((url, depth))
+                self.lanes.setdefault(host, deque()).append((url, depth, h))
                 if self.cfg.keep_seen_log:
                     self.seen_log.append(url)
                 self.counters["enqueued"] += 1
@@ -155,19 +171,22 @@ class FrontierShard:
         out_url: list[str] = []
         out_host: list[str] = []
         out_hh: list[int] = []
+        out_uh: list[int] = []
         out_depth: list[int] = []
         out_tick: list[int] = []
         budgets = {h: self._budget(h) for h in hosts}
+        hh_cache = {h: _host_hash(h) for h in hosts}
         tick = 0
         active = [h for h in hosts if self.lanes[h]]
         while active:
             next_active = []
             for h in active:
                 lane = self.lanes[h]
-                url, depth = lane.popleft()
+                url, depth, uh = lane.popleft()
                 out_url.append(url)
                 out_host.append(h)
-                out_hh.append(_host_hash(h))
+                out_hh.append(hh_cache[h])
+                out_uh.append(uh)
                 out_depth.append(depth)
                 out_tick.append(tick)
                 if lane and tick + 1 < budgets[h]:
@@ -182,6 +201,7 @@ class FrontierShard:
                 "url": pa.array(out_url, pa.string()),
                 "host": pa.array(out_host, pa.string()),
                 "host_hash": pa.array(np.array(out_hh, dtype=np.uint64)),
+                "url_hash": pa.array(np.array(out_uh, dtype=np.uint64)),
                 "depth": pa.array(out_depth, pa.int32()),
                 "tick": pa.array(out_tick, pa.int32()),
             },
@@ -193,6 +213,9 @@ class FrontierShard:
 
     def get_seen_log(self) -> list[str]:
         return self.seen_log
+
+    def get_robots(self) -> dict[str, RobotsRules]:
+        return self.robots
 
     def stats(self) -> dict:
         return {
