@@ -223,6 +223,7 @@ def fetch_extract_bucket(
     num_shards: int,
     shards_ref,
     robots_ref=None,
+    dedup_url_sharding: bool = True,
 ):
     """Fetch a group of page-store buckets' share of the wave and extract.
 
@@ -308,13 +309,18 @@ def fetch_extract_bucket(
             if r is not None and not r.allowed(url_path(c)):
                 counters["robots_blocked"] += 1
                 continue
+            uh = url_hash(c)
             cand_cols["url"].append(c)
             cand_cols["host"].append(c_host)
             cand_cols["src_seq"].append(seq)
             cand_cols["link_pos"].append(pos)
             cand_cols["depth"].append(depth + 1)
-            cand_cols["shard"].append(shard_of(c_host, num_shards))
-            cand_cols["url_hash"].append(url_hash(c))
+            # url-sharded dedup: route by url hash (uniform under host skew);
+            # host mode: straight to the host's lane shard
+            cand_cols["shard"].append(
+                uh % num_shards if dedup_url_sharding else shard_of(c_host, num_shards)
+            )
+            cand_cols["url_hash"].append(uh)
 
     fetch_t = pa.table({n: pa.array(f_cols[n], FETCH_SCHEMA.field(n).type) for n in f_cols},
                        schema=FETCH_SCHEMA)
@@ -358,7 +364,8 @@ class CrawlRun:
     def __init__(self, store_dir: str, params: CrawlParams, *,
                  num_shards: int = 8, seen_filter: str = "cuckoo",
                  seen_capacity: int = 1 << 20, keep_seen_log: bool = False,
-                 checkpoint_dir: str | None = None, checkpoint_every: int = 8):
+                 checkpoint_dir: str | None = None, checkpoint_every: int = 8,
+                 dedup_sharding: str = "url"):
         self.store_dir = store_dir
         self.params = params
         self.num_shards = num_shards
@@ -378,8 +385,12 @@ class CrawlRun:
             # gating happens in the parallel fetch tasks (robots rules are
             # broadcast); shards keep rules only for Crawl-delay politeness
             robots_gate_in_seal=False,
+            dedup_sharding=dedup_sharding,
         )
+        self.dedup_sharding = dedup_sharding
         self.shards = [FrontierShardActor.remote(i, fc) for i in range(num_shards)]
+        if dedup_sharding == "url":
+            ray.get([s.set_peers.remote(self.shards) for s in self.shards])
         # broadcast once: per-task args stay O(1) no matter the shard count
         self._params_ref = ray.put(params)
         self._shards_ref = ray.put(self.shards)
@@ -444,11 +455,22 @@ class CrawlRun:
             }
         )
         acks = []
-        shards_idx = [shard_of(h, self.num_shards) for h in cand["host"]]
+        if self.dedup_sharding == "url":
+            shards_idx = [h % self.num_shards for h in cand["url_hash"]]
+        else:
+            shards_idx = [shard_of(h, self.num_shards) for h in cand["host"]]
         sh_arr = pa.array(shards_idx, pa.int32())
         for p in set(shards_idx):
             acks.append(self.shards[p].add_candidates.remote(t.filter(pc.equal(sh_arr, p))))
         ray.get(acks)
+        self._seal_barrier()
+
+    def _seal_barrier(self) -> None:
+        """End-of-wave state commit. url mode: dedup phase (uniform across
+        shards) → survivor forwards land → lane append. host mode: one seal."""
+        if self.dedup_sharding == "url":
+            ack_lists = ray.get([s.flush_dedup.remote() for s in self.shards])
+            ray.get([a for al in ack_lists for a in al])
         ray.get([s.seal_wave.remote() for s in self.shards])
 
     # -- one wave -----------------------------------------------------------
@@ -507,13 +529,14 @@ class CrawlRun:
                 self.store_dir, grp, wave_ref, self._params_ref,
                 self.scope_host, self.num_shards, self._shards_ref,
                 self._robots_ref if self.params.respect_robots else None,
+                self.dedup_sharding == "url",
             )
             for grp in groups
         ]
         ack_lists = ray.get([r[2] for r in results])
         task_counters = ray.get([r[3] for r in results])
         ray.get([a for acks in ack_lists for a in acks])  # all candidates landed
-        ray.get([s.seal_wave.remote() for s in self.shards])
+        self._seal_barrier()
         wave_fetch_refs = [r[0] for r in results]
         wave_links_refs = [r[1] for r in results]
         self.fetch_refs.extend(wave_fetch_refs)
@@ -596,6 +619,7 @@ class CrawlRun:
             "scope_dropped": self.scope_dropped,
             "robots_blocked": self.robots_blocked,
             "num_shards": self.num_shards,
+            "dedup_sharding": self.dedup_sharding,
             "stats": self.stats(),
             "params": pickle.dumps(self.params).hex(),
         }
@@ -613,7 +637,8 @@ class CrawlRun:
         params = pickle.loads(bytes.fromhex(m["params"]))
         run = cls(store_dir, params, num_shards=m["num_shards"],
                   seen_filter=seen_filter, keep_seen_log=keep_seen_log,
-                  checkpoint_dir=checkpoint_dir, **kw)
+                  checkpoint_dir=checkpoint_dir,
+                  dedup_sharding=m.get("dedup_sharding", "url"), **kw)
         run.wave = m["wave"]
         run.fetched_total = m["fetched_total"]
         run.scope_dropped = m["scope_dropped"]
@@ -653,6 +678,7 @@ def run_crawl(
     keep_seen_log: bool = False,
     checkpoint_dir: str | None = None,
     max_waves: int = 100_000,
+    dedup_sharding: str = "url",
 ) -> CrawlRun:
     """Convenience entry: prep page store (if needed) + robots + seed + run."""
     store = store_dir or f"{corpus_dir}/_pagestore"
@@ -666,6 +692,7 @@ def run_crawl(
     run = CrawlRun(
         store, params, num_shards=num_shards, seen_filter=seen_filter,
         keep_seen_log=keep_seen_log, checkpoint_dir=checkpoint_dir,
+        dedup_sharding=dedup_sharding,
     )
     if params.respect_robots:
         run.install_robots(collect_robots(f"{corpus_dir}/pages.parquet", num_shards))

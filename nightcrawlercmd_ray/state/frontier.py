@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.urlnorm import host_hash as _host_hash
 from ..functions.urlnorm import url_hash as _url_hash
@@ -68,6 +69,16 @@ class FrontierConfig:
     # shard for Crawl-delay politeness. True = gate here (serial oracle parity
     # mode for unit tests).
     robots_gate_in_seal: bool = True
+    # "host": candidates route by host_hash%P and dedup + lanes live together
+    #         (simple mode; a hot host concentrates its seen-filter state and
+    #         seal work on one shard).
+    # "url":  the skew-handling mode of the north rule — candidates route by
+    #         url_hash%P, so URL-seen state and dedup WORK are uniform across
+    #         shards by construction regardless of host skew (the "salted
+    #         split": a hot host's URLs spread over all P shards). Survivors
+    #         are then forwarded shard→shard to their host's politeness lane,
+    #         which stays the single per-host budget owner. Needs set_peers().
+    dedup_sharding: str = "host"
 
 
 class FrontierShard:
@@ -76,6 +87,8 @@ class FrontierShard:
         self.cfg = config
         self.seen = make_seen_filter(config.seen_filter, config.seen_capacity)
         self._pending: list[pa.Table] = []  # candidate buffer for current wave
+        self._forwarded: list[pa.Table] = []  # dedup survivors (url mode)
+        self.peers: list | None = None  # actor handles, url mode only
         self.seen_log: list[str] = []  # url strings, only when cfg.keep_seen_log
         self.lanes: dict[str, deque[tuple[str, int, int]]] = {}  # host -> (url, depth, url_hash)
         self.robots: dict[str, RobotsRules] = {}
@@ -90,6 +103,10 @@ class FrontierShard:
     # ------------------------------------------------------------------ config
     def set_robots(self, rules: dict[str, RobotsRules]) -> None:
         self.robots.update(rules)
+
+    def set_peers(self, handles: list) -> None:
+        """All shard actor handles (url-sharded dedup forwards through them)."""
+        self.peers = handles
 
     def _delay_ms(self, host: str) -> int:
         d = self.cfg.per_host_delay_ms.get(host, self.cfg.default_delay_ms)
@@ -112,30 +129,91 @@ class FrontierShard:
             self._pending.append(batch)
         return batch.num_rows
 
-    def seal_wave(self) -> dict:
-        """Process all buffered candidates in canonical discovery order
-        ``(src_seq, link_pos)``: robots gate (unless pre-gated upstream) →
-        seen-filter dedup (first discovery wins) → FIFO lane append.
+    @staticmethod
+    def _drain_sorted(buf: list[pa.Table]) -> pa.Table | None:
+        """Concat a buffer and sort by the canonical discovery key — arrival
+        order (and thus upstream parallelism) cannot influence outcomes."""
+        if not buf:
+            return None
+        batch = pa.concat_tables(buf)
+        buf.clear()
+        return batch.sort_by([("src_seq", "ascending"), ("link_pos", "ascending")])
 
-        A precomputed ``url_hash`` column (added by the fetch tasks, in
-        parallel) is used when present — hashing dominates this serial loop
-        otherwise."""
-        if self._pending:
-            batch = pa.concat_tables(self._pending)
-            self._pending = []
-            batch = batch.sort_by([("src_seq", "ascending"), ("link_pos", "ascending")])
-            urls = batch.column("url").to_pylist()
-            hosts = batch.column("host").to_pylist()
-            depths = (
-                batch.column("depth").to_pylist()
-                if "depth" in batch.column_names
-                else [0] * len(urls)
-            )
-            hashes = (
-                batch.column("url_hash").to_pylist()
-                if "url_hash" in batch.column_names
-                else [_url_hash(u) for u in urls]
-            )
+    def _batch_cols(self, batch: pa.Table):
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        depths = (
+            batch.column("depth").to_pylist()
+            if "depth" in batch.column_names else [0] * len(urls)
+        )
+        hashes = (
+            batch.column("url_hash").to_pylist()
+            if "url_hash" in batch.column_names
+            else [_url_hash(u) for u in urls]
+        )
+        return urls, hosts, depths, hashes
+
+    def flush_dedup(self) -> list:
+        """url-sharded mode, phase 1 (between the fetch barrier and
+        seal_wave): gate+dedup THIS shard's url-partition of the wave's
+        candidates — uniform work across shards regardless of host skew —
+        then forward survivors to their host's lane shard. Returns the
+        forward ack refs (the driver awaits them before sealing)."""
+        batch = self._drain_sorted(self._pending)
+        if batch is None:
+            return []
+        urls, hosts, depths, hashes = self._batch_cols(batch)
+        gate = self.cfg.respect_robots and self.cfg.robots_gate_in_seal
+        self.counters["candidates_in"] += len(urls)
+        keep: list[int] = []
+        for i, (url, host, h) in enumerate(zip(urls, hosts, hashes)):
+            if gate:
+                r = self.robots.get(host)
+                if r is not None and not r.allowed(url_path(url)):
+                    self.counters["robots_blocked"] += 1
+                    continue
+            if not self.seen.add_if_new(h):
+                self.counters["dup_dropped"] += 1
+                continue
+            if self.cfg.keep_seen_log:
+                self.seen_log.append(url)
+            keep.append(i)
+        if not keep:
+            return []
+        survivors = batch.take(pa.array(keep, pa.int64()))
+        assert self.peers is not None, "url-sharded dedup requires set_peers()"
+        lane_shard = [
+            _host_hash(h) % self.cfg.num_shards
+            for h in survivors.column("host").to_pylist()
+        ]
+        ls_arr = pa.array(lane_shard, pa.int32())
+        acks = []
+        for p in sorted(set(lane_shard)):
+            sub = survivors.filter(pc.equal(ls_arr, p))
+            acks.append(self.peers[p].add_forwarded.remote(sub))
+        return acks
+
+    def add_forwarded(self, batch: pa.Table) -> int:
+        """Receive dedup survivors destined for this shard's host lanes."""
+        if batch.num_rows:
+            self._forwarded.append(batch)
+        return batch.num_rows
+
+    def seal_wave(self) -> dict:
+        """Wave barrier. host-sharded mode: robots gate (unless pre-gated) →
+        dedup → lane append, all here. url-sharded mode: lane-append the
+        already-deduped survivors forwarded by flush_dedup."""
+        if self.cfg.dedup_sharding == "url":
+            batch = self._drain_sorted(self._forwarded)
+            if batch is not None:
+                urls, hosts, depths, hashes = self._batch_cols(batch)
+                for url, host, depth, h in zip(urls, hosts, depths, hashes):
+                    self.lanes.setdefault(host, deque()).append((url, depth, h))
+                self.counters["enqueued"] += len(urls)
+            return {"frontier": self.frontier_size()}
+        batch = self._drain_sorted(self._pending)
+        if batch is not None:
+            urls, hosts, depths, hashes = self._batch_cols(batch)
             gate = self.cfg.respect_robots and self.cfg.robots_gate_in_seal
             self.counters["candidates_in"] += len(urls)
             for url, host, depth, h in zip(urls, hosts, depths, hashes):
@@ -229,7 +307,9 @@ class FrontierShard:
     def checkpoint_bytes(self) -> bytes:
         """Checkpoints are taken at wave boundaries only (after seal_wave +
         emit), so the candidate buffer must be empty."""
-        assert not self._pending, "checkpoint mid-wave: seal_wave first"
+        assert not self._pending and not self._forwarded, (
+            "checkpoint mid-wave: flush_dedup + seal_wave first"
+        )
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
@@ -252,3 +332,4 @@ class FrontierShard:
         self.counters = d["counters"]
         self.seen_log = d.get("seen_log", [])
         self._pending = []
+        self._forwarded = []

@@ -144,3 +144,41 @@ def test_crawl_scoped_to_domain(tiny_corpus, tiny_universe, tmp_path):
         store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
     )
     _assert_match(run, res)
+
+
+def test_dedup_sharding_modes_equal(tiny_corpus, tiny_oracle, tmp_path):
+    """url-sharded dedup (the skew-handling mode) and host-sharded dedup must
+    produce identical crawls — and both must equal the oracle."""
+    params, res = tiny_oracle
+    runs = {}
+    for mode in ("url", "host"):
+        runs[mode] = run_crawl(
+            tiny_corpus["dir"], params,
+            store_dir=str(tmp_path / f"store_{mode}"),
+            num_shards=4, num_buckets=4,
+            seen_filter="exact", dedup_sharding=mode,
+        )
+        _assert_match(runs[mode], res)
+    assert runs["url"].stats()["dup_dropped"] == runs["host"].stats()["dup_dropped"]
+
+
+def test_url_sharded_dedup_balances_hot_host(tmp_path):
+    """With one host owning most pages, url-sharded dedup spreads seen-filter
+    state ~uniformly across shards (host mode concentrates it)."""
+    from nightcrawlercmd_ray.sources.synth import CorpusSpec, generate_corpus
+    import ray
+
+    d = str(tmp_path / "hotcorpus")
+    generate_corpus(d, CorpusSpec(n_pages=200, n_hosts=6, hot_frac=0.7))
+    seeds = [s for s in open(f"{d}/seeds.txt").read().split() if s]
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+
+    run = run_crawl(
+        d, CrawlParams(seeds=seeds), num_shards=4, num_buckets=4,
+        seen_filter="exact", dedup_sharding="url",
+    )
+    per_shard = ray.get([s.stats.remote() for s in run.shards])
+    seen = [s["seen"] for s in per_shard]
+    assert sum(seen) > 100
+    # uniform-ish: no shard holds more than ~2x the mean
+    assert max(seen) <= 2 * (sum(seen) / len(seen))
