@@ -255,8 +255,42 @@ def cmd_httpscan(argv: list[str]) -> int:
     if a.responses:
         lookup = {u: tuple(v) for u, v in json.load(open(a.responses)).items()}
     out = httpscan_pipeline(base, vectors, lookup, scan_headers=a.scanheader).to_pandas()
-    out.drop(columns=["body"]).to_csv(a.report, sep=";", index=False)
+    if a.report.endswith(".html"):
+        from .pipelines.scans import render_scan_report_html
+
+        out["body_len"] = out["body"].str.len()
+        with open(a.report, "w") as f:
+            f.write(render_scan_report_html(out.to_dict("records")))
+    else:
+        out.drop(columns=["body"]).to_csv(a.report, sep=";", index=False)
     print(json.dumps({"probes": len(out), "found": int(out["found"].sum())}))
+    return 0
+
+
+def cmd_httppipe(argv: list[str]) -> int:
+    """Raw request in → (simulated) response out — mainHttpPipe.go."""
+    p = argparse.ArgumentParser(prog="httppipe")
+    p.add_argument("--input", required=True, help="raw HTTP request file")
+    p.add_argument("--host", default="")
+    p.add_argument("--scheme", default="")
+    p.add_argument("-H", dest="headers", action="append", default=[])
+    p.add_argument("--output", default="", help="response file ('' = stdout)")
+    p.add_argument("--responses", default="", help="json {url: [status, body]}")
+    a = p.parse_args(argv)
+    from .pipelines.scans import format_raw_response, parse_raw_request
+
+    req = parse_raw_request(
+        open(a.input).read(), host=a.host or None, scheme=a.scheme or None,
+        extra_headers=a.headers,
+    )
+    lookup = {u: tuple(v) for u, v in json.load(open(a.responses)).items()} if a.responses else {}
+    status, body = lookup.get(req.url, (0, ""))
+    raw = format_raw_response(int(status), body)
+    if a.output:
+        with open(a.output, "w") as f:
+            f.write(raw)
+    else:
+        sys.stdout.write(raw)
     return 0
 
 
@@ -293,6 +327,7 @@ COMMANDS = {
     "dns": cmd_dns,
     "bucketscan": cmd_bucketscan,
     "httpscan": cmd_httpscan,
+    "httppipe": cmd_httppipe,
     "portscan": cmd_portscan,
 }
 

@@ -171,6 +171,62 @@ def httpscan_pipeline(base: HttpRequest, vectors: list[AttackVector],
     return ray.data.from_arrow(reqs).map_batches(probe, batch_format="pyarrow")
 
 
+_SCAN_REPORT_COLUMNS = (
+    # the reference template's table columns — template/httpscanresult.tmpl
+    ("vector", "Vector"),
+    ("param_target", "ParamTarget"),
+    ("url", "Url"),
+    ("status", "StatusCode"),
+    ("body_len", "ResponseBodyLength"),
+    ("found", "Found"),
+    ("error", "Error"),
+)
+
+
+def render_scan_report_html(results: "pa.Table | list[dict]", title: str = "httpscan") -> str:
+    """HTML report sink (S10): the engine's equivalent of rendering scan
+    results through ``template/httpscanresult.tmpl``
+    (``mainHttpScan.go:74,105-112``) — same columns, stdlib-only render."""
+    import html as _html
+
+    if hasattr(results, "to_pylist"):
+        rows = results.to_pylist()
+    else:
+        rows = list(results)
+    out = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(title)}</title>",
+        "<style>table{border-collapse:collapse}td,th{border:1px solid #999;"
+        "padding:2px 6px;font:12px monospace}</style></head><body>",
+        f"<h1>{_html.escape(title)}</h1><table><tr>",
+    ]
+    out += [f"<th>{h}</th>" for _, h in _SCAN_REPORT_COLUMNS]
+    out.append("</tr>")
+    for r in rows:
+        r = dict(r)
+        r.setdefault("body_len", len(r.get("body", "") or ""))
+        r.setdefault("error", "")
+        out.append("<tr>")
+        for key, _ in _SCAN_REPORT_COLUMNS:
+            out.append(f"<td>{_html.escape(str(r.get(key, '')))}</td>")
+        out.append("</tr>")
+    out.append("</table></body></html>")
+    return "".join(out)
+
+
+def format_raw_response(status: int, body: str, *, proto: str = "HTTP/1.1") -> str:
+    """Raw HTTP response writer (S11 output side — ``resp.Write`` in
+    mainHttpPipe.go:66-79): status line + minimal headers + body."""
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found", 307: "Temporary Redirect",
+              403: "Forbidden", 404: "Not Found", 500: "Internal Server Error"}.get(status, "")
+    return (
+        f"{proto} {status} {reason}\r\n"
+        f"Content-Length: {len(body.encode('utf-8'))}\r\n"
+        "\r\n"
+        f"{body}"
+    )
+
+
 # --------------------------------------------------------------------------- #
 # bucketscan (mainBucketScan.go) — template expansion + status classifier
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,124 @@
+"""Property / metamorphic tests (SURVEY §5.3): politeness bounds, input-
+sharding invariance, idempotence/robustness of the pure core (hypothesis)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nightcrawlercmd_ray.functions.extractors import EXTRACTORS, extract
+from nightcrawlercmd_ray.functions.htmlparse import html_to_text, parse_html
+from nightcrawlercmd_ray.functions.urlnorm import canonicalize, to_abs_url
+from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+from nightcrawlercmd_ray.pipelines.crawl import run_crawl
+from nightcrawlercmd_ray.state.cuckoo import CuckooFilter
+from nightcrawlercmd_ray.state.robots import parse_robots
+
+
+# --------------------------------------------------------------------------- #
+# crawl-level invariants
+# --------------------------------------------------------------------------- #
+def test_politeness_budget_never_exceeded(tiny_corpus, tmp_path):
+    """In every wave, no host is fetched more than its politeness budget
+    (window_ms // delay_ms, robots Crawl-delay included) — T2 semantics."""
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams as CP
+
+    params = CP(seeds=tiny_corpus["seeds"], window_ms=2000, default_delay_ms=500)
+    run = run_crawl(
+        tiny_corpus["dir"], params,
+        store_dir=str(tmp_path / "store"), num_shards=3, num_buckets=4,
+    )
+    df = run.fetches_dataset().to_pandas()
+    # budgets: default 2000/500 = 4; robots Crawl-delay can only reduce
+    pages = pq.read_table(f"{tiny_corpus['dir']}/pages.parquet", columns=["url", "html"])
+    delays = {}
+    for u, h in zip(pages.column("url").to_pylist(), pages.column("html").to_pylist()):
+        if u.endswith("/robots.txt"):
+            host = u.split("/")[2]
+            r = parse_robots(h)
+            d = max(500, r.crawl_delay_ms or 0)
+            delays[host] = max(1, 2000 // d)
+    per = df.groupby(["wave", "host"]).size()
+    for (wave, host), n in per.items():
+        budget = delays.get(host, 4)
+        assert n <= budget, (wave, host, n, budget)
+    # seen-set monotone ⊇ fetched set
+    stats = run.stats()
+    assert stats["seen"] >= stats["fetched"]
+
+
+def test_input_sharding_invariance(tiny_corpus, tmp_path):
+    """Splitting pages.parquet into many part files must not change the crawl
+    (results keyed by url/seq, never by file layout)."""
+    src = tiny_corpus["dir"]
+    sharded = str(tmp_path / "sharded_corpus")
+    os.makedirs(f"{sharded}/pages.parquet", exist_ok=True)
+    t = pq.read_table(f"{src}/pages.parquet")
+    step = max(1, t.num_rows // 7)
+    for i in range(0, t.num_rows, step):
+        pq.write_table(
+            t.slice(i, step), f"{sharded}/pages.parquet/part-{i:05d}.parquet"
+        )
+    import shutil
+
+    shutil.copy(f"{src}/fetch_meta.parquet", f"{sharded}/fetch_meta.parquet")
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    a = run_crawl(src, params, store_dir=str(tmp_path / "sa"), num_shards=3)
+    b = run_crawl(sharded, params, store_dir=str(tmp_path / "sb"), num_shards=3)
+    fa = a.fetches_dataset().to_pandas().sort_values("seq").reset_index(drop=True)
+    fb = b.fetches_dataset().to_pandas().sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, fb)
+
+
+# --------------------------------------------------------------------------- #
+# pure-core properties (hypothesis)
+# --------------------------------------------------------------------------- #
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_canonicalize_total_and_idempotent(s):
+    c = canonicalize(s)  # never raises
+    if c is not None:
+        assert canonicalize(c) == c  # idempotent
+        assert c.startswith(("http://", "https://"))
+        assert "#" not in c
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100), st.text(max_size=100))
+def test_to_abs_url_total(base, link):
+    u = to_abs_url(f"http://h.test/{base}", link)
+    if u is not None:
+        assert canonicalize(u) == u
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2000))
+def test_html_parse_never_raises(data):
+    p = parse_html(data)
+    assert isinstance(p.text, str)
+    assert html_to_text(data) == p.text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500), st.sampled_from(EXTRACTORS))
+def test_extractors_total(text, extractor):
+    out = extract(text, extractor)
+    assert isinstance(out, list)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300, unique=True))
+def test_cuckoo_never_false_negative(items):
+    cf = CuckooFilter(max(64, len(items)))
+    for x in items:
+        cf.add_if_new(x)
+    assert all(cf.contains(x) for x in items)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_parse_robots_total(s):
+    r = parse_robots(s)
+    assert isinstance(r.allowed("/any/path"), bool)

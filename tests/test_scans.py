@@ -137,3 +137,19 @@ def test_vector_and_bucket_config_loaders(tmp_path):
     bf.write_text('[{"Name":"p","Urls":["u.test"],"NoSuchBucket":404,"AccessDenied":403}]')
     provs = BucketProvider.load_file(str(bf))
     assert provs[0].name == "p" and provs[0].urls == ["u.test"]
+
+
+def test_render_scan_report_html_and_raw_response():
+    from nightcrawlercmd_ray.pipelines.scans import (
+        format_raw_response,
+        render_scan_report_html,
+    )
+
+    rows = [{"vector": "<zq>", "param_target": "urlquery q", "url": "http://s/x",
+             "status": 200, "body": "bb", "found": True, "error": ""}]
+    html = render_scan_report_html(rows)
+    assert "&lt;zq&gt;" in html and "<table>" in html  # escaped, tabular (S10)
+    assert "ResponseBodyLength" in html
+    raw = format_raw_response(200, "hello")
+    assert raw.startswith("HTTP/1.1 200 OK\r\n") and raw.endswith("hello")
+    assert "Content-Length: 5" in raw
