@@ -152,11 +152,10 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
     """Remove near-duplicates: anti-join ds against the duplicate id set
     (broadcast — the dup set is small relative to the corpus)."""
     dups = minhash_lsh_duplicates(ds, text_col, id_col, **kw)
-    dup_ids = {r["doc_id"] for r in dups.take_all()}
-    dup_ref = ray.put(dup_ids)
+    dup_ref = ray.put({r["doc_id"] for r in dups.take_all()})
 
     def drop_dups(t: pa.Table) -> pa.Table:
-        ids = dup_ids if ray is None else ray.get(dup_ref)
+        ids = ray.get(dup_ref)
         mask = [i not in ids for i in t.column(id_col).to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
