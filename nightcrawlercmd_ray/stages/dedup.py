@@ -127,22 +127,40 @@ def minhash_lsh_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []})
-        g = g.sort_values("doc_id")
-        rep = g.iloc[0]
-        rep_sig = np.frombuffer(rep["sig"], dtype=np.uint64)
-        out_id, out_of = [], []
-        for _, row in g.iloc[1:].iterrows():
-            sig = np.frombuffer(row["sig"], dtype=np.uint64)
-            if float(np.mean(sig == rep_sig)) >= threshold:
-                out_id.append(row["doc_id"])
-                out_of.append(rep["doc_id"])
-        return pd.DataFrame({"doc_id": out_id, "dup_of": out_of})
+    # Coarse-partition the bucket space: a groupby on the raw (band_id,
+    # band_hash) key makes ~num_bands×n_docs nearly-singleton groups and
+    # map_groups pays Python overhead PER GROUP (measured 11 s wall for <1 s
+    # of compute at 5k docs). One shuffle on a 64-way coarse key + a
+    # vectorized duplicated() pre-filter inside each partition leaves the
+    # Python loop only the true collision buckets.
+    def add_coarse(t: pa.Table) -> pa.Table:
+        coarse = pc.cast(
+            pc.bit_wise_and(t.column("band_hash"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("_coarse", coarse)
 
-    pairs = sig_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup_mask = g.duplicated(subset=["band_id", "band_hash"], keep=False)
+        g = g[dup_mask]
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
+        out_id, out_of = [], []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            grp = grp.sort_values("doc_id")
+            rep = grp.iloc[0]
+            rep_sig = np.frombuffer(rep["sig"], dtype=np.uint64)
+            for _, row in grp.iloc[1:].iterrows():
+                sig = np.frombuffer(row["sig"], dtype=np.uint64)
+                if float(np.mean(sig == rep_sig)) >= threshold:
+                    out_id.append(row["doc_id"])
+                    out_of.append(rep["doc_id"])
+        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
+
+    pairs = (
+        sig_rows.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(coarse_bucket_pairs, batch_format="pandas")
     )
     # a doc may match in several bands → keep the smallest dup_of
     return _typed_dup_result(pairs)
@@ -195,23 +213,34 @@ def simhash_duplicates(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []})
-        g = g.sort_values("doc_id")
-        rep = int(g.iloc[0]["simhash"])
-        rep_id = g.iloc[0]["doc_id"]
+    # same coarse-partition trick as MinHash: avoid per-singleton-group cost
+    def add_coarse(t: pa.Table) -> pa.Table:
+        coarse = pc.cast(
+            pc.bit_wise_and(t.column("chunk"), pa.scalar(63, pa.int32())),
+            pa.int32(),
+        )
+        return t.append_column("_coarse", coarse)
+
+    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["chunk_id", "chunk"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
         out_id, out_of = [], []
-        for _, row in g.iloc[1:].iterrows():
-            if bin(int(row["simhash"]) ^ rep).count("1") <= max_hamming:
-                out_id.append(row["doc_id"])
-                out_of.append(rep_id)
-        return pd.DataFrame({"doc_id": out_id, "dup_of": out_of})
+        for _, grp in g.groupby(["chunk_id", "chunk"], sort=False):
+            grp = grp.sort_values("doc_id")
+            rep = int(grp.iloc[0]["simhash"])
+            rep_id = grp.iloc[0]["doc_id"]
+            for _, row in grp.iloc[1:].iterrows():
+                if bin(int(row["simhash"]) ^ rep).count("1") <= max_hamming:
+                    out_id.append(row["doc_id"])
+                    out_of.append(rep_id)
+        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(coarse_bucket_pairs, batch_format="pandas")
     )
     return _typed_dup_result(pairs)
 
@@ -289,7 +318,7 @@ def embedding_duplicates(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []})
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
         g = g.sort_values("doc_id").reset_index(drop=True)
         m = np.array(g["vec"].tolist(), dtype=np.float32)
         m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
@@ -301,7 +330,7 @@ def embedding_duplicates(
             if len(earlier):
                 out_id.append(ids[j])
                 out_of.append(ids[int(earlier[0])])
-        return pd.DataFrame({"doc_id": out_id, "dup_of": out_of})
+        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
