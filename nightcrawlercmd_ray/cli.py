@@ -173,13 +173,22 @@ def cmd_dns(argv: list[str]) -> int:
     if a.resume and os.path.exists(a.log):
         hist = parse_dns_history(open(a.log).read())
     resolver = json.load(open(a.resolver_table)) if a.resolver_table else {}
+    import pandas as pd
+
     out = dns_scan_pipeline(words, a.domain, resolver, hist).to_pandas()
+    if out.empty:  # 0-row Datasets lose column names through to_pandas
+        out = pd.DataFrame({"word": [], "name": [], "found": [], "records": []})
     if a.report:
         out.to_csv(a.report, sep=";", index=False)
     else:
         with open(a.log, "a") as f:  # append-only resume log, mainDNS.go:140-160
             for _, r in out.iterrows():
-                f.write((r["records"] + "\n") if r["found"] else (r["name"] + "\n"))
+                # found entries mirror DNS record lines (name first token —
+                # what the resume parser keys on); misses log the bare name
+                if r["found"]:
+                    f.write(f"{r['name']}\t{r['records']}\n")
+                else:
+                    f.write(r["name"] + "\n")
     print(json.dumps({"scanned": len(out), "found": int(out["found"].sum())}))
     return 0
 

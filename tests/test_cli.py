@@ -1,0 +1,120 @@
+"""CLI subcommand surface (python -m nightcrawlercmd_ray ...), driven
+in-process against the shared Ray session."""
+
+import json
+
+from nightcrawlercmd_ray.cli import main
+
+
+def test_usage_banner(capsys):
+    assert main([]) == 2
+    assert "crawler|report|wordlist" in capsys.readouterr().out
+    assert main(["--help"]) == 0
+    assert main(["nosuchtool"]) == 2
+
+
+def test_wordlist_cli(tmp_path, capsys):
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.txt").write_text("Alpha beta beta delta\n")
+    out = tmp_path / "wl.txt"
+    rc = main(["wordlist", "--input", str(tmp_path / "in"), "--output", str(out)])
+    assert rc == 0
+    assert out.read_text().splitlines() == ["alpha", "beta", "delta"]
+    assert json.loads(capsys.readouterr().out)["words"] == 3
+
+
+def test_crawler_cli_and_report_cli(tiny_corpus, tmp_path, capsys):
+    rc = main([
+        "crawler", "--corpus", tiny_corpus["dir"],
+        "--url-list", f"{tiny_corpus['dir']}/seeds.txt",
+        "--storage-path", str(tmp_path / "out"),
+        "--shards", "3", "--buckets", "4", "--window-ms", "60000",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["fetched"] > 100 and stats["frontier"] == 0
+    assert (tmp_path / "out" / "fetches").exists()
+
+    rc = main([
+        "report", "--storage-path", tiny_corpus["dir"],
+        "--reportsfolder", str(tmp_path / "reports"), "--wordlist",
+    ])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["crawledurls"] > 100 and counts["formtags"] > 0
+
+
+def test_crawler_cli_requires_seeds(capsys):
+    assert main(["crawler", "--corpus", "/nonexistent"]) == 2
+
+
+def test_fuzzer_dns_bucket_port_cli(tmp_path, capsys):
+    cfg = tmp_path / "fuzz.json"
+    cfg.write_text(json.dumps({
+        "Vectors": {"3": ["a", "b"], "b": [":", "#"]},
+        "BuildLogic": "{3.b}", "Seed": 1, "Iterations": 4,
+    }))
+    out = tmp_path / "payloads"
+    assert main(["fuzzer", "--input", str(cfg), "--output", str(out)]) == 0
+    assert out.exists()
+
+    words = tmp_path / "subs.txt"
+    words.write_text("a\nc\n")
+    resolver = tmp_path / "res.json"
+    resolver.write_text(json.dumps({"c.dom.test.": ["1.1.1.1"]}))
+    log = tmp_path / "dns.log"
+    assert main([
+        "dns", "--domain", "dom.test", "--wordlist", str(words),
+        "--resolver-table", str(resolver), "--log", str(log),
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["found"] == 1
+    # resume: second run skips everything already logged
+    assert main([
+        "dns", "--domain", "dom.test", "--wordlist", str(words),
+        "--resolver-table", str(resolver), "--log", str(log), "--resume",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["scanned"] == 0
+
+    bwords = tmp_path / "buckets.txt"
+    bwords.write_text("alpha\n")
+    status = tmp_path / "status.json"
+    status.write_text(json.dumps({"https://alpha.s3.amazonaws.com": 403}))
+    assert main([
+        "bucketscan", "--wordlist", str(bwords), "--status-table", str(status),
+    ]) == 0
+    assert "access_denied" in capsys.readouterr().out
+
+    open_t = tmp_path / "open.json"
+    open_t.write_text("[80]")
+    assert main([
+        "portscan", "--start", "79", "--end", "81",
+        "--open-table", str(open_t), "--show-closed",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert ["79 False", "80 True", "81 False"] == lines
+
+
+def test_httpscan_and_httppipe_cli(tmp_path, capsys):
+    req = tmp_path / "req.txt"
+    req.write_text("GET /p?q=1 HTTP/1.1\nHost: site.test\n\n")
+    vec = tmp_path / "vec.json"
+    vec.write_text('[{"Vector": "<zq>", "Section": "urlquery"}]')
+    responses = tmp_path / "resp.json"
+    responses.write_text(json.dumps({"http://site.test/p?q=%3Czq%3E": [200, "echo <zq>"]}))
+    html_out = tmp_path / "scan.html"
+    rc = main([
+        "httpscan", "--input", str(req), "--vectors", str(vec),
+        "--responses", str(responses), "--report", str(html_out),
+    ])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["found"] == 1
+    assert "<table>" in html_out.read_text()
+
+    responses2 = tmp_path / "resp2.json"
+    responses2.write_text(json.dumps({"http://site.test/p?q=1": [200, "pipe body"]}))
+    rc = main([
+        "httppipe", "--input", str(req), "--responses", str(responses2),
+    ])
+    assert rc == 0
+    raw = capsys.readouterr().out
+    assert raw.startswith("HTTP/1.1 200 OK") and raw.endswith("pipe body")
