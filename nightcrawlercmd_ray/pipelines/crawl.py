@@ -463,15 +463,18 @@ class CrawlRun:
         for p in set(shards_idx):
             acks.append(self.shards[p].add_candidates.remote(t.filter(pc.equal(sh_arr, p))))
         ray.get(acks)
-        self._seal_barrier()
+        self._frontier_size = self._seal_barrier()
 
-    def _seal_barrier(self) -> None:
+    def _seal_barrier(self) -> int:
         """End-of-wave state commit. url mode: dedup phase (uniform across
-        shards) → survivor forwards land → lane append. host mode: one seal."""
+        shards) → survivor forwards land → lane append. host mode: one seal.
+        Returns the post-seal frontier total (seal already reports it — no
+        separate poll round trip needed)."""
         if self.dedup_sharding == "url":
             ack_lists = ray.get([s.flush_dedup.remote() for s in self.shards])
             ray.get([a for al in ack_lists for a in al])
-        ray.get([s.seal_wave.remote() for s in self.shards])
+        sizes = ray.get([s.seal_wave.remote() for s in self.shards])
+        return sum(s["frontier"] for s in sizes)
 
     # -- one wave -----------------------------------------------------------
     def run_wave(self) -> int:
@@ -536,7 +539,7 @@ class CrawlRun:
         ack_lists = ray.get([r[2] for r in results])
         task_counters = ray.get([r[3] for r in results])
         ray.get([a for acks in ack_lists for a in acks])  # all candidates landed
-        self._seal_barrier()
+        self._frontier_size = self._seal_barrier()
         wave_fetch_refs = [r[0] for r in results]
         wave_links_refs = [r[1] for r in results]
         self.fetch_refs.extend(wave_fetch_refs)
@@ -554,13 +557,18 @@ class CrawlRun:
         return n
 
     def run(self, max_waves: int = 100_000) -> "CrawlRun":
+        # the seal barrier reports the post-wave frontier size, so only the
+        # FIRST iteration (post-seed / post-resume) needs an explicit poll
+        frontier = getattr(self, "_frontier_size", None)
+        if frontier is None:
+            frontier = sum(ray.get([s.frontier_size.remote() for s in self.shards]))
         for _ in range(max_waves):
             if self.params.max_pages >= 0 and self.fetched_total >= self.params.max_pages:
                 break
-            sizes = ray.get([s.frontier_size.remote() for s in self.shards])
-            if sum(sizes) == 0:
+            if frontier == 0:
                 break
             self.run_wave()
+            frontier = self._frontier_size
         if self.checkpoint_dir:
             self.checkpoint()
         return self
