@@ -28,6 +28,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _read_pq(path, **kw):
+    """read_parquet with pandas schema-metadata stripped (util.read_parquet_clean)
+    so Ray Data's per-block schema dedup works (hash(schema) fails on the
+    b'pandas' metadata blob these files carry)."""
+    from nightcrawlercmd_ray.util import read_parquet_clean
+
+    return read_parquet_clean(path, **kw)
+
+
 # --------------------------------------------------------------------------- #
 # helpers
 # --------------------------------------------------------------------------- #
@@ -89,7 +98,7 @@ def q_pricing_summary(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -130,25 +139,31 @@ def q_market_segment_totals(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = ray.data.read_parquet(
+    # broadcast the dim as an Arrow table (zero-copy in the object store,
+    # shared across all probe tasks) and probe with pc.index_in — no pickled
+    # Python dict, no per-batch to_pylist on the probe side
+    import pyarrow.compute as pc
+
+    cust_refs = _read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).take_all()
-    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    seg_ref = ray.put(seg_of)
+    ).to_arrow_refs()
+    cust_t = pa.concat_tables(ray.get(cust_refs)).combine_chunks()
+    cust_ref = ray.put(cust_t)
 
     def annotate(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        seg = _ray.get(seg_ref)
-        segs = [seg.get(k, "") for k in t.column("o_custkey").to_pylist()]
+        cust = _ray.get(cust_ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=cust.column("c_custkey").combine_chunks())
+        segs = pc.fill_null(pc.take(cust.column("c_mktsegment"), idx), "")
         return pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_mktsegment": pc.cast(segs, pa.string()),
                 "price_cents": _cents(t.column("o_totalprice")),
             }
         )
 
-    orders = ray.data.read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     return (
@@ -168,11 +183,11 @@ def q_region_customer_counts(sf_dir: str):
 
     nation = {
         r["n_nationkey"]: r["n_regionkey"]
-        for r in ray.data.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+        for r in _read_pq(f"{sf_dir}/nation.parquet").take_all()
     }
     region = {
         r["r_regionkey"]: r["r_name"]
-        for r in ray.data.read_parquet(f"{sf_dir}/region.parquet").take_all()
+        for r in _read_pq(f"{sf_dir}/region.parquet").take_all()
     }
     dims_ref = ray.put((nation, region))
 
@@ -183,7 +198,7 @@ def q_region_customer_counts(sf_dir: str):
         names = [r.get(n.get(k, -1), "") for k in t.column("c_nationkey").to_pylist()]
         return pa.table({"r_name": pa.array(names, pa.string())})
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     return (
         cust.map_batches(annotate, batch_format="pyarrow")
         .groupby("r_name")
@@ -195,7 +210,7 @@ def q_top_orders(sf_dir: str):
     """Global sort + limit (SURVEY O-family); deterministic tie-break."""
     import ray
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -206,7 +221,7 @@ def q_distinct_event_types(sf_dir: str):
 
     from nightcrawlercmd_ray.util import distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type"])
     return distinct(ds, "event_type")
 
 
@@ -216,7 +231,7 @@ def q_events_hourly_window(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -245,7 +260,7 @@ def q_events_user_stats(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Max, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     return ds.groupby("user_id").aggregate(
         Count(alias_name="n_events"),
         Min("value", alias_name="min_value"),
@@ -257,7 +272,7 @@ def q_part_brand_stats(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"]
     )
     return ds.groupby("p_brand").aggregate(
@@ -276,7 +291,7 @@ def q_wordcount_documents(sf_dir: str):
 
     from nightcrawlercmd_ray.functions.extractors import RE_WORD
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         rows_w, rows_d = [], []
@@ -306,7 +321,7 @@ def q_wordlist_documents(sf_dir: str):
     from nightcrawlercmd_ray.functions.extractors import RE_WORD
     from nightcrawlercmd_ray.util import distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def words(t: pa.Table) -> pa.Table:
         out = []
@@ -321,7 +336,7 @@ def q_text_stats_documents(sf_dir: str):
     """Per-doc n_chars / whitespace-token counts (token-counting operator)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         texts = [x or "" for x in t.column("text").to_pylist()]
@@ -342,7 +357,7 @@ def q_dedup_exact_documents(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
@@ -350,7 +365,7 @@ def q_lang_distribution(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
     return ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )
@@ -363,7 +378,7 @@ def q_knn_embeddings(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.similarity import knn_brute_force
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
         (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
     )
@@ -396,7 +411,7 @@ def q_crawl_extract_text(sf_dir: str):
     from nightcrawlercmd_ray.functions.htmlparse import parse_html
 
     c = _corpus_for(sf_dir)
-    ds = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
 
     def ext(t: pa.Table) -> pa.Table:
         urls = t.column("url").to_pylist()
@@ -417,7 +432,7 @@ def q_minhash_near_dups(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import minhash_lsh_duplicates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_duplicates(ds, threshold=0.8)
 
 
@@ -426,7 +441,7 @@ def q_simhash_near_dups(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import simhash_duplicates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_duplicates(ds, max_hamming=3)
 
 
@@ -435,7 +450,7 @@ def q_embedding_near_dups(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import embedding_duplicates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     return embedding_duplicates(ds, threshold=0.98, num_buckets=8)
 
 
@@ -444,7 +459,7 @@ def q_knn_ivf_embeddings(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.similarity import knn_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     qrows = [r for r in ds.take(50) if r["vec_id"] < 3]
     q = np.array([r["embedding"] for r in qrows], dtype=np.float32)
     return knn_ivf(ds, q, k=5, n_centroids=8, nprobe=3)
@@ -455,7 +470,7 @@ def q_annotate_documents(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.textops import annotate_documents
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return annotate_documents(ds).drop_columns(["text"])
 
 
@@ -483,7 +498,7 @@ def q_media_features(sf_dir: str):
     )
 
     c = _corpus_for(sf_dir)
-    pages = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
     return extract_media_features(media_table_from_pages(pages))
 
 
@@ -496,7 +511,7 @@ def q_wordlist_pages(sf_dir: str):
     from nightcrawlercmd_ray.util import distinct
 
     c = _corpus_for(sf_dir)
-    ds = ray.data.read_parquet(f"{c['dir']}/pages.parquet", columns=["html"])
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["html"])
 
     def words(t: pa.Table) -> pa.Table:
         out = []

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def packaged_config(name: str) -> str:
+    """Path of a vendored reference config fixture (config/README.md)."""
+    return os.path.join(os.path.dirname(__file__), "config", name)
 
 
 def _ray_session():
@@ -136,7 +142,7 @@ def cmd_wordlist(argv: list[str]) -> int:
 
 def cmd_fuzzer(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="fuzzer")
-    p.add_argument("--input", default="config/fuzzinginput.json")
+    p.add_argument("--input", default=packaged_config("fuzzinginput.json"))
     p.add_argument("--output", default="", help="payload parquet dir ('' = stdout sample)")
     a = p.parse_args(argv)
     _ray_session()
@@ -200,7 +206,8 @@ def cmd_bucketscan(argv: list[str]) -> int:
     p.add_argument("--prefix", default="{w}")
     p.add_argument("--url", default="", help="override provider suffix")
     p.add_argument("--filter", default="")
-    p.add_argument("--config", default=None, help="bucketscan.json")
+    p.add_argument("--config", default=packaged_config("bucketscan.json"),
+                   help="bucketscan.json")
     p.add_argument("--status-table", default="", help="json {url: status} (simulated probes)")
     a = p.parse_args(argv)
     _ray_session()
@@ -240,7 +247,7 @@ def cmd_httpscan(argv: list[str]) -> int:
     p.add_argument("--url", default="")
     p.add_argument("--host", default="")
     p.add_argument("--scheme", default="")
-    p.add_argument("--vectors", default="vectors.json")
+    p.add_argument("--vectors", default=packaged_config("vectors.json"))
     p.add_argument("--report", default="report.csv")
     p.add_argument("--scanheader", action="store_true")
     p.add_argument("--responses", default="", help="json {url: [status, body]} (simulated)")

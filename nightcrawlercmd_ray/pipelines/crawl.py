@@ -107,7 +107,9 @@ def prepare_pagestore(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_source(path: str, sub: str, columns: list[str] | None) -> int:
-        ds = ray.data.read_parquet(path, columns=columns)
+        from ..util import read_parquet_clean
+
+        ds = read_parquet_clean(path, columns=columns)
 
         def add_bucket(t: pa.Table) -> pa.Table:
             b = np.fromiter(
@@ -152,7 +154,9 @@ def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
     """Pre-scan the universe for per-host /robots.txt bodies (tiny fraction of
     rows — pruned at the read to two columns) and parse them driver-side.
     Returns one {host: RobotsRules} dict per frontier shard."""
-    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    from ..util import read_parquet_clean
+
+    ds = read_parquet_clean(pages_path, columns=["url", "html"])
 
     def only_robots(t: pa.Table) -> pa.Table:
         mask = pc.ends_with(t.column("url"), pattern="/robots.txt")
@@ -160,9 +164,14 @@ def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
 
     rows = ds.map_batches(only_robots, batch_format="pyarrow").take_all()
     per_shard: list[dict] = [{} for _ in range(num_shards)]
+    from ..state.robots import robots_url
+
     for r in rows:
         host = host_of(r["url"])
-        if not host:
+        # exact match only (mirrors crawl_oracle.robots_for, which consults
+        # exactly http://{host}/robots.txt) — a deep path like /a/robots.txt
+        # or an https variant must not shadow the canonical rules
+        if not host or r["url"] != robots_url(host):
             continue
         per_shard[shard_of(host, num_shards)][host] = parse_robots(r["html"])
     return per_shard
@@ -224,6 +233,7 @@ def fetch_extract_bucket(
     shards_ref,
     robots_ref=None,
     dedup_url_sharding: bool = True,
+    push_candidates: bool = True,
 ):
     """Fetch a group of page-store buckets' share of the wave and extract.
 
@@ -297,6 +307,11 @@ def fetch_extract_bucket(
             l_cols["href"].append(raw)
             l_cols["abs_url"].append(abs_url)
             l_cols["same_host"].append(same)
+        if not push_candidates:
+            # max-pages-truncated wave: the oracle discards discoveries
+            # (done=True path) — skip scope/robots gating and the push so
+            # counters and seen/frontier state match it exactly
+            continue
         for pos, c in enumerate(o.candidates):
             c_host = host_of(c)
             if scope_host is not None and c_host != scope_host:
@@ -369,6 +384,7 @@ class CrawlRun:
         self.store_dir = store_dir
         self.params = params
         self.num_shards = num_shards
+        self.seen_filter = seen_filter
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         with open(f"{store_dir}/manifest.json") as f:
@@ -479,6 +495,12 @@ class CrawlRun:
     # -- one wave -----------------------------------------------------------
     def run_wave(self) -> int:
         """Emit + fetch + extract + enqueue one wave. Returns #fetched."""
+        # guard BEFORE emit_wave: emitting pops lane entries, so an exhausted
+        # budget must not silently discard frontier state
+        truncated = False
+        if self.params.max_pages >= 0:
+            if self.params.max_pages - self.fetched_total <= 0:
+                return 0
         emitted = ray.get([s.emit_wave.remote() for s in self.shards])
         nonempty = [t for t in emitted if t.num_rows]
         if not nonempty:
@@ -489,9 +511,12 @@ class CrawlRun:
         )
         if self.params.max_pages >= 0:
             remaining = self.params.max_pages - self.fetched_total
-            if remaining <= 0:
-                return 0
-            wave_t = wave_t.slice(0, remaining)
+            if wave_t.num_rows > remaining:
+                # oracle's done=True path (crawl_oracle.py:134-140): the
+                # truncated wave is fetched but its discovered candidates are
+                # NOT enqueued — seen filter and frontier stay untouched
+                truncated = True
+                wave_t = wave_t.slice(0, remaining)
         n = wave_t.num_rows
         seq = pa.array(
             np.arange(self.fetched_total, self.fetched_total + n, dtype=np.int64)
@@ -533,6 +558,7 @@ class CrawlRun:
                 self.scope_host, self.num_shards, self._shards_ref,
                 self._robots_ref if self.params.respect_robots else None,
                 self.dedup_sharding == "url",
+                not truncated,
             )
             for grp in groups
         ]
@@ -628,6 +654,7 @@ class CrawlRun:
             "robots_blocked": self.robots_blocked,
             "num_shards": self.num_shards,
             "dedup_sharding": self.dedup_sharding,
+            "seen_filter": self.seen_filter,
             "stats": self.stats(),
             "params": pickle.dumps(self.params).hex(),
         }
@@ -638,11 +665,14 @@ class CrawlRun:
 
     @classmethod
     def resume(cls, store_dir: str, checkpoint_dir: str, *,
-               num_shards: int | None = None, seen_filter: str = "cuckoo",
+               num_shards: int | None = None, seen_filter: str | None = None,
                keep_seen_log: bool = False, **kw) -> "CrawlRun":
         with open(f"{checkpoint_dir}/MANIFEST.json") as f:
             m = json.load(f)
         params = pickle.loads(bytes.fromhex(m["params"]))
+        # the checkpoint's filter kind wins unless explicitly overridden —
+        # restore_bytes also enforces the stored kind per shard blob
+        seen_filter = seen_filter or m.get("seen_filter", "cuckoo")
         run = cls(store_dir, params, num_shards=m["num_shards"],
                   seen_filter=seen_filter, keep_seen_log=keep_seen_log,
                   checkpoint_dir=checkpoint_dir,

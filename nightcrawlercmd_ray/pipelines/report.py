@@ -231,7 +231,9 @@ def page_reports_dataset(
 ):
     """pages ⋈ fetch_meta → PageReportStage. Returns the flattened per-page
     Dataset (list columns), lazily."""
-    pages = ray.data.read_parquet(
+    from ..util import read_parquet_clean
+
+    pages = read_parquet_clean(
         f"{corpus_dir}/pages.parquet", columns=["url", "warc_ts", "html"]
     )
     meta_path = f"{corpus_dir}/fetch_meta.parquet"

@@ -137,17 +137,25 @@ def expand_attack_requests(
 
 
 def body_match_stage(t: pa.Table, body_col: str = "body", test_col: str = "test") -> pa.Table:
-    """``Found = strings.Index(body, test) >= 0`` (mainHttpScan.go:183-202),
-    vectorized."""
+    """``Found = strings.Index(body, test) >= 0`` (mainHttpScan.go:183-202).
+
+    The distinct-pattern count is tiny (one per attack vector), so group rows
+    by pattern and run ONE vectorized ``match_substring`` kernel per pattern
+    over that pattern's rows."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    bodies = t.column(body_col)
+    bodies = pc.fill_null(t.column(body_col), "")
     tests = t.column(test_col).to_pylist()
-    found = [
-        (pc.match_substring(pa.array([b or ""]), pattern=x or "")[0].as_py())
-        for b, x in zip(bodies.to_pylist(), tests)
-    ]
-    return t.append_column("found", pa.array(found, pa.bool_()))
+    idx_by_pattern: dict[str, list[int]] = {}
+    for i, x in enumerate(tests):
+        idx_by_pattern.setdefault(x or "", []).append(i)
+    found = np.zeros(t.num_rows, dtype=bool)
+    for pat, idxs in idx_by_pattern.items():
+        sub = bodies.take(pa.array(idxs, pa.int64()))
+        m = pc.match_substring(sub, pattern=pat).to_numpy(zero_copy_only=False)
+        found[np.asarray(idxs)] = m
+    return t.append_column("found", pa.array(found))
 
 
 def httpscan_pipeline(base: HttpRequest, vectors: list[AttackVector],

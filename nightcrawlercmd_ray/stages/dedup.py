@@ -299,11 +299,14 @@ def embedding_duplicates(
     nbits = max(1, int(np.ceil(np.log2(num_buckets))))
 
     def bucketize(t: pa.Table) -> pa.Table:
+        # vec is always cast to list<float32> so empty and non-empty blocks
+        # agree on schema (parquet often delivers list<double>)
+        vec_type = pa.list_(pa.float32())
         vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float32)
         if vecs.ndim == 1:  # empty batch
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int32()),
-                             "vec": pa.array([], pa.list_(pa.float32()))})
+                             "vec": pa.array([], vec_type)})
         rng = np.random.RandomState(seed)
         planes = rng.randn(vecs.shape[1], nbits).astype(np.float32)
         bits = (vecs @ planes) > 0
@@ -312,7 +315,7 @@ def embedding_duplicates(
             {
                 "doc_id": pc.cast(t.column(id_col), pa.int64()),
                 "bucket": pa.array(bucket.astype(np.int32)),
-                "vec": t.column(vec_col),
+                "vec": pc.cast(t.column(vec_col), vec_type),
             }
         )
 

@@ -196,9 +196,15 @@ class ExactSeenFilter:
         return f
 
 
+def seen_filter_class(kind: str):
+    if kind == "cuckoo":
+        return CuckooFilter
+    if kind == "exact":
+        return ExactSeenFilter
+    raise ValueError(f"unknown seen-filter kind {kind!r}")
+
+
 def make_seen_filter(kind: str, capacity: int, seed: int = 7):
     if kind == "cuckoo":
         return CuckooFilter(capacity, seed)
-    if kind == "exact":
-        return ExactSeenFilter()
-    raise ValueError(f"unknown seen-filter kind {kind!r}")
+    return seen_filter_class(kind)()

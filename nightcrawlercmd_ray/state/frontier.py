@@ -326,7 +326,14 @@ class FrontierShard:
     def restore_bytes(self, data: bytes) -> None:
         d = pickle.loads(data)
         assert d["shard_id"] == self.shard_id, "checkpoint/shard mismatch"
-        self.seen = type(self.seen).from_bytes(d["seen"])
+        # The checkpoint's stored filter kind wins: restoring a cuckoo blob
+        # through ExactSeenFilter.from_bytes (or vice versa) would silently
+        # produce a garbage filter and break the no-refetch invariant.
+        kind = d.get("seen_kind", self.cfg.seen_filter)
+        from .cuckoo import seen_filter_class
+
+        self.seen = seen_filter_class(kind).from_bytes(d["seen"])
+        self.cfg.seen_filter = kind
         self.lanes = {h: deque(v) for h, v in d["lanes"].items()}
         self.robots = d["robots"]
         self.counters = d["counters"]

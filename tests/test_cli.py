@@ -118,3 +118,38 @@ def test_httpscan_and_httppipe_cli(tmp_path, capsys):
     assert rc == 0
     raw = capsys.readouterr().out
     assert raw.startswith("HTTP/1.1 200 OK") and raw.endswith("pipe body")
+
+
+def test_packaged_default_configs(capsys):
+    """The vendored reference config fixtures drive each tool with zero
+    config flags (VERDICT round-1 'What's missing' #1)."""
+    from nightcrawlercmd_ray.cli import packaged_config
+    from nightcrawlercmd_ray.pipelines.scans import AttackVector, BucketProvider
+
+    # fuzzer: the reference's reproducibility anchor (config/fuzzinginput.json,
+    # mainFuzzer.go:90) — Seed 40039 / Iterations 1000
+    cfg = json.load(open(packaged_config("fuzzinginput.json")))
+    assert cfg["Seed"] == 40039 and cfg["Iterations"] == 1000
+    assert main(["fuzzer"]) == 0  # default --input, stdout sample
+    first = capsys.readouterr().out.strip().splitlines()
+    assert len(first) == 10
+    assert main(["fuzzer"]) == 0  # deterministic under the pinned seeding
+    assert capsys.readouterr().out.strip().splitlines() == first
+
+    # httpscan: default --vectors fixture parses into attack vectors
+    vecs = AttackVector.load_file(packaged_config("vectors.json"))
+    assert len(vecs) >= 10
+    assert any(v.sql_injection for v in vecs)
+    assert any("alert(4)" in v.vector for v in vecs)
+
+    # bucketscan: default --config fixture carries all four providers
+    provs = BucketProvider.load_file(packaged_config("bucketscan.json"))
+    assert {p.name for p in provs} == {"aws", "azure", "google", "dc"}
+
+
+def test_bucketscan_cli_default_config(tmp_path, capsys):
+    wl = tmp_path / "wl.txt"
+    wl.write_text("acme\nexample\n")
+    # no --config: packaged bucketscan.json supplies the azure provider
+    rc = main(["bucketscan", "--provider", "azure", "--wordlist", str(wl)])
+    assert rc == 0

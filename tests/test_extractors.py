@@ -108,3 +108,16 @@ def test_fuzzer_deterministic():
     # literal chars for unknown classes; vector picks for known
     assert all(p[0] == "{" and p[2] == "." and p[-1] == "}" for p in p1)
     assert gen_payloads(vec, "{3.b}", seed=1, iterations=20) != p1
+
+
+def test_follow_link_dont_follow_only_deviation():
+    """Pins the documented intended-vs-literal deviation (SURVEY §5.5): with
+    ONLY dont_follow set, the reference's matchFollow stays false for every
+    link (mainCrawler.go:179-186) so it literally follows nothing; the engine
+    implements the intended semantics — follow links NOT matching any
+    dont_follow needle."""
+    assert follow_link("http://x/page", None, ["logout"])
+    assert follow_link("http://x/page", [], ["logout"])
+    assert not follow_link("http://x/logout", None, ["logout"])
+    assert not follow_link("http://x/a/logout/b", None, ["logout", "admin"])
+    assert follow_link("http://x/safe", None, ["logout", "admin"])
