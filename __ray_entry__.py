@@ -427,13 +427,23 @@ def q_crawl_extract_text(sf_dir: str):
     return ds.map_batches(ext, batch_format="pyarrow", batch_size=128)
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet metadata (free — no data scan); passed to the
+    LSH operators so their coarse-partition count scales with the input
+    without an extra counting pass."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def q_minhash_near_dups(sf_dir: str):
     import ray
 
     from nightcrawlercmd_ray.stages.dedup import minhash_lsh_duplicates
 
-    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_duplicates(ds, threshold=0.8)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    return minhash_lsh_duplicates(ds, threshold=0.8, n_docs=_parquet_rows(path))
 
 
 def q_simhash_near_dups(sf_dir: str):
@@ -441,8 +451,9 @@ def q_simhash_near_dups(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import simhash_duplicates
 
-    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_duplicates(ds, max_hamming=3)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    return simhash_duplicates(ds, max_hamming=3, n_docs=_parquet_rows(path))
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -450,8 +461,26 @@ def q_embedding_near_dups(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.dedup import embedding_duplicates
 
-    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
-    return embedding_duplicates(ds, threshold=0.98, num_buckets=8)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _read_pq(path)
+    return embedding_duplicates(ds, threshold=0.98, n_docs=_parquet_rows(path))
+
+
+def q_ngram_jaccard_verify(sf_dir: str):
+    """LSH candidates verified by exact n-gram Jaccard — the distributed
+    double-join scorer (stages/dedup.py:ngram_jaccard_pairs)."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.dedup import (
+        minhash_lsh_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    pairs = minhash_lsh_duplicates(ds, threshold=0.8, n_docs=_parquet_rows(path))
+    ds2 = _read_pq(path, columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds2, pairs)
 
 
 def q_knn_ivf_embeddings(sf_dir: str):
@@ -545,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "annotate_documents": q_annotate_documents,
         "fuzz_payloads": q_fuzz_payloads,

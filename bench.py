@@ -131,6 +131,11 @@ def run_bench() -> dict:
     t0 = time.time()
     run.run()
     crawl_pages = run.fetched_total
+    if os.environ.get("GRAFT_WAVE_TIMING"):
+        for i, tmg in enumerate(run.wave_timings):
+            print(f"wave {i}: " + " ".join(
+                f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in tmg.items()), file=sys.stderr)
     # consume the outputs where they live (no driver materialization)
     n_links = sum(ray.get([_nrows.remote(r) for r in run.links_refs]))
     crawl_sec = time.time() - t0

@@ -78,6 +78,11 @@ FETCH_SCHEMA = pa.schema(
     ]
 )
 
+# point-read granularity of the page store: smaller groups decode less html
+# per wanted row (the sidecar index makes per-group METADATA cost ~zero, so
+# the old reason to keep groups big is gone)
+ROW_GROUP_SIZE = int(os.environ.get("NCRAWLER_ROW_GROUP", "64"))
+
 LINKS_SCHEMA = pa.schema(
     [
         ("src_url", pa.string()),
@@ -123,13 +128,21 @@ def prepare_pagestore(
             bucket = int(t.column("bucket")[0].as_py())
             d = f"{out_dir}/{sub}/bucket={bucket}"
             os.makedirs(d, exist_ok=True)
-            # url-sorted with SMALL row groups: the fetch join reads the url
-            # column first, then decodes only the row groups its wave touches
-            pq.write_table(
-                t.drop_columns(["bucket"]).sort_by("url"),
-                f"{d}/part.parquet",
-                row_group_size=256,
+            # url-sorted with SMALL row groups: the fetch join decodes only
+            # the row groups its wave touches
+            sorted_t = t.drop_columns(["bucket"]).sort_by("url")
+            pq.write_table(sorted_t, f"{d}/part.parquet", row_group_size=ROW_GROUP_SIZE)
+            # sidecar row-group index: sorted url-hash → row group. Fetch
+            # tasks np.searchsorted this instead of decoding the url column
+            # of the whole bucket per wave (measured ~15% of task CPU).
+            n = sorted_t.num_rows
+            h = np.fromiter(
+                (url_hash(u) for u in sorted_t.column("url").to_pylist()),
+                dtype=np.uint64, count=n,
             )
+            rg = (np.arange(n, dtype=np.int64) // ROW_GROUP_SIZE).astype(np.int32)
+            order = np.argsort(h, kind="stable")
+            np.savez(f"{d}/index.npz", h=h[order], rg=rg[order])
             return pa.table({"bucket": pa.array([bucket], pa.int32()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
@@ -186,35 +199,62 @@ def _read_buckets(
     buckets: list[int],
     urls: list[str],
     columns: list[str] | None = None,
+    url_hashes: np.ndarray | None = None,
 ) -> pa.Table | None:
     """Point-read the wave's rows from bucket files.
 
-    Two-pass per file: decode the cheap ``url`` column, find which row groups
-    hold wanted urls, decode ONLY those groups (+ final exact filter). With
-    256-row groups this turns the per-wave fetch join from a full pagestore
-    decode into a near-O(wave) read — the difference between 3.5 s and tens of
-    ms per wave on a 40k-page store."""
+    Fast path: the ``index.npz`` sidecar written at pagestore prep maps
+    sorted url-hash → row group; ``np.searchsorted`` of the wave's hashes
+    finds the row groups to decode — O(wave·log bucket) with zero per-wave
+    url-column decoding. Hash collisions only ever ADD row groups (equal-hash
+    runs are expanded); the exact url ``is_in`` filter after the read keeps
+    correctness independent of the index. Fallback (no sidecar): decode the
+    cheap ``url`` column and scan. Either way only hit row groups (+ final
+    exact filter) are decoded — a near-O(wave) read per wave."""
     want = set(urls)
     want_arr = pa.array(list(want), pa.string())
+    if url_hashes is None:
+        want_h = np.fromiter((url_hash(u) for u in want), dtype=np.uint64,
+                             count=len(want))
+    else:
+        want_h = np.asarray(url_hashes, dtype=np.uint64)
     tables = []
     for b in buckets:
         d = f"{store_dir}/{sub}/bucket={b}"
         if not os.path.isdir(d):
             continue
+        idx_path = os.path.join(d, "index.npz")
+        idx = None
+        if os.path.exists(idx_path):
+            with np.load(idx_path) as z:
+                idx = (z["h"], z["rg"])
         for fname in sorted(os.listdir(d)):
             if not fname.endswith(".parquet"):
                 continue
             pf = pq.ParquetFile(os.path.join(d, fname))
-            ucol = pf.read(columns=["url"]).column("url").to_pylist()
-            md = pf.metadata
-            hit_groups, off = [], 0
-            for g in range(md.num_row_groups):
-                rows = md.row_group(g).num_rows
-                if any(u in want for u in ucol[off : off + rows]):
-                    hit_groups.append(g)
-                off += rows
-            if not hit_groups:
-                continue
+            if idx is not None:
+                hidx, rgidx = idx
+                lo = np.searchsorted(hidx, want_h, side="left")
+                hi = np.searchsorted(hidx, want_h, side="right")
+                run = hi - lo
+                hit = run > 0
+                if not hit.any():
+                    continue
+                rgs = rgidx[lo[hit]]
+                for j in np.nonzero(run > 1)[0]:  # rare equal-hash runs
+                    rgs = np.concatenate([rgs, rgidx[lo[j]:hi[j]]])
+                hit_groups = [int(g) for g in np.unique(rgs)]
+            else:
+                ucol = pf.read(columns=["url"]).column("url").to_pylist()
+                md = pf.metadata
+                hit_groups, off = [], 0
+                for g in range(md.num_row_groups):
+                    rows = md.row_group(g).num_rows
+                    if any(u in want for u in ucol[off : off + rows]):
+                        hit_groups.append(g)
+                    off += rows
+                if not hit_groups:
+                    continue
             t = pf.read_row_groups(hit_groups, columns=columns)
             tables.append(t.filter(pc.is_in(t.column("url"), value_set=want_arr)))
     if not tables:
@@ -223,8 +263,75 @@ def _read_buckets(
 
 
 @ray.remote
+def plan_wave(
+    fetched_total: int,
+    wave_idx: int,
+    max_pages: int,
+    num_buckets: int,
+    cpus: int,
+    *emitted: pa.Table,
+):
+    """Merge + order + split one wave — OFF the driver (the emitted shard
+    tables flow actor→task through the object store; the driver only ever
+    sees the small plan dict).
+
+    Ordering: concat the per-shard emits (each already (tick, host_hash,
+    host)-sorted) and sort by the pinned total order; truncate for max-pages
+    (oracle's done path); assign the dense global ``seq``. Splitting: rows
+    are bucket-sorted and cut into ~equal row-count chunks — task count is
+    NOT limited by bucket count (a bucket's rows may span two tasks; each
+    decodes only its own hit row groups via the sidecar index, so the only
+    duplicated work is one boundary row group per cut). Returns
+    (plan, wave_table) via num_returns=2.
+    """
+    nonempty = [t for t in emitted if t.num_rows]
+    if not nonempty:
+        return {"n": 0, "truncated": False, "groups": []}, None
+    wave_t = pa.concat_tables(nonempty).sort_by(
+        [("tick", "ascending"), ("host_hash", "ascending"), ("host", "ascending")]
+    )
+    truncated = False
+    if max_pages >= 0:
+        remaining = max_pages - fetched_total
+        if remaining <= 0:
+            return {"n": 0, "truncated": True, "groups": []}, None
+        if wave_t.num_rows > remaining:
+            # oracle's done=True path (crawl_oracle.py:134-140): the truncated
+            # wave is fetched but its discoveries are NOT enqueued
+            truncated = True
+            wave_t = wave_t.slice(0, remaining)
+    n = wave_t.num_rows
+    seq = pa.array(np.arange(fetched_total, fetched_total + n, dtype=np.int64))
+    wave_col = pa.array(np.full(n, wave_idx, dtype=np.int32))
+    wave_t = (
+        wave_t.append_column("seq", seq)
+        .append_column("wave", wave_col)
+        .drop_columns(["host_hash"])
+    )
+    buckets = (
+        wave_t.column("url_hash").to_numpy(zero_copy_only=False) % num_buckets
+    ).astype(np.int32)
+    order = np.argsort(buckets, kind="stable")
+    wave_t = wave_t.take(pa.array(order))
+    bsorted = buckets[order]
+    # ~3 tasks/CPU with a 16-row floor: fine enough that end-of-wave straggler
+    # slack is one small chunk, coarse enough that per-task fixed costs
+    # (dispatch + index lookup + candidate-push fan-out) stay amortized
+    target_tasks = max(1, min(3 * cpus, (n + 15) // 16))
+    edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
+    groups = []
+    for i in range(target_tasks):
+        s, e = int(edges[i]), int(edges[i + 1])
+        if s == e:
+            continue
+        groups.append((s, e - s, [int(b) for b in np.unique(bsorted[s:e])]))
+    return {"n": n, "truncated": truncated, "groups": groups}, wave_t
+
+
+@ray.remote
 def fetch_extract_bucket(
     store_dir: str,
+    row_range: tuple[int, int],
     buckets: list[int],
     wave_slice: pa.Table,
     params_ref,
@@ -240,15 +347,18 @@ def fetch_extract_bucket(
     ``params_ref``/``shards_ref`` are ``ray.put`` refs created ONCE per crawl
     (Ray auto-resolves top-level ObjectRef args, so they arrive as values but
     are serialized into the object store only once, not per task).
-    Returns (fetch_table, links_table, candidate_ack_refs, n_scope_dropped)
-    via num_returns=4 so the driver keeps the big tables as refs.
+    Returns (fetch_table, links_table, counters) via num_returns=3 so the
+    driver keeps the big tables as refs; candidate-push acks are awaited
+    HERE, so a completed task means its candidates have landed on their
+    shards — the driver needs one ray.get round per wave, not three.
     """
+    import time as _time
+
+    _tstart = _time.perf_counter()
     params: CrawlParams = params_ref
     shard_handles = shards_ref
-    if "_bucket" in wave_slice.column_names:  # whole-wave table: take my share
-        wave_slice = wave_slice.filter(
-            pc.is_in(wave_slice.column("_bucket"), value_set=pa.array(buckets, pa.int32()))
-        ).drop_columns(["_bucket"])
+    if row_range is not None:  # whole-wave table shipped once: zero-copy slice
+        wave_slice = wave_slice.slice(row_range[0], row_range[1])
     urls = wave_slice.column("url").to_pylist()
     hosts = wave_slice.column("host").to_pylist()
     seqs = wave_slice.column("seq").to_pylist()
@@ -256,8 +366,12 @@ def fetch_extract_bucket(
     ticks = wave_slice.column("tick").to_pylist()
     depths = wave_slice.column("depth").to_pylist()
 
-    pages_t = _read_buckets(store_dir, "pages", buckets, urls, columns=["url", "html"])
-    meta_t = _read_buckets(store_dir, "meta", buckets, urls)
+    _t0 = _time.perf_counter()
+    uh_arr = wave_slice.column("url_hash").to_numpy(zero_copy_only=False)
+    pages_t = _read_buckets(store_dir, "pages", buckets, urls,
+                            columns=["url", "html"], url_hashes=uh_arr)
+    meta_t = _read_buckets(store_dir, "meta", buckets, urls, url_hashes=uh_arr)
+    _t_read = _time.perf_counter() - _t0
     rowmap: dict[str, dict] = {}
     if pages_t is not None:
         for u, h in zip(pages_t.column("url").to_pylist(), pages_t.column("html").to_pylist()):
@@ -281,6 +395,7 @@ def fetch_extract_bucket(
                  "depth": [], "shard": [], "url_hash": []}
     counters = {"scope_dropped": 0, "robots_blocked": 0}
 
+    _t0 = _time.perf_counter()
     for url, host, seq, wave, tick, depth in zip(urls, hosts, seqs, waves, ticks, depths):
         o = process_fetched_page(
             url, host, rowmap.get(url),
@@ -337,10 +452,13 @@ def fetch_extract_bucket(
             )
             cand_cols["url_hash"].append(uh)
 
+    _t_parse = _time.perf_counter() - _t0
     fetch_t = pa.table({n: pa.array(f_cols[n], FETCH_SCHEMA.field(n).type) for n in f_cols},
                        schema=FETCH_SCHEMA)
     links_t = pa.table({n: pa.array(l_cols[n], LINKS_SCHEMA.field(n).type) for n in l_cols},
                        schema=LINKS_SCHEMA)
+    counters.update(t_read=_t_read, t_parse=_t_parse,
+                    t_total=_time.perf_counter() - _tstart, n_rows=len(urls))
 
     acks = []
     if cand_cols["url"]:
@@ -361,7 +479,22 @@ def fetch_extract_bucket(
         for p in pc.unique(shard_arr).to_pylist():
             sub = cand_t.filter(pc.equal(shard_arr, p)).drop_columns(["shard"])
             acks.append(shard_handles[p].add_candidates.remote(sub))
-    return fetch_t, links_t, acks, counters
+    if acks:
+        ray.get(acks)  # all of this task's candidates buffered at their shards
+    return fetch_t, links_t, counters
+
+
+@ray.remote
+def _write_wave_ckpt_task(d: str, n_fetch: int, *tables: pa.Table) -> int:
+    """Write one wave's fetches/links checkpoint parquet from a task — the
+    blocks flow worker→worker; the driver never materializes them. Args are
+    the wave's fetch blocks (first ``n_fetch``) then link blocks."""
+    os.makedirs(d, exist_ok=True)
+    ft = pa.concat_tables(tables[:n_fetch])
+    lt = pa.concat_tables(tables[n_fetch:])
+    pq.write_table(ft, f"{d}/fetches.parquet")
+    pq.write_table(lt, f"{d}/links.parquet")
+    return ft.num_rows
 
 
 # --------------------------------------------------------------------------- #
@@ -412,6 +545,8 @@ class CrawlRun:
         self._shards_ref = ray.put(self.shards)
         self.fetch_refs: list = []
         self.links_refs: list = []
+        self.wave_timings: list[dict] = []  # per-wave phase breakdown (sec)
+        self._ckpt_write_refs: list = []  # in-flight wave-parquet write tasks
         self.fetched_total = 0
         self.wave = 0
         self.scope_dropped = 0
@@ -497,75 +632,52 @@ class CrawlRun:
         """Emit + fetch + extract + enqueue one wave. Returns #fetched."""
         # guard BEFORE emit_wave: emitting pops lane entries, so an exhausted
         # budget must not silently discard frontier state
-        truncated = False
+        import time as _time
+
+        tm = {}
+        _t0 = _time.perf_counter()
         if self.params.max_pages >= 0:
             if self.params.max_pages - self.fetched_total <= 0:
                 return 0
-        emitted = ray.get([s.emit_wave.remote() for s in self.shards])
-        nonempty = [t for t in emitted if t.num_rows]
-        if not nonempty:
-            return 0
-        wave_t = pa.concat_tables(nonempty)
-        wave_t = wave_t.sort_by(
-            [("tick", "ascending"), ("host_hash", "ascending"), ("host", "ascending")]
-        )
-        if self.params.max_pages >= 0:
-            remaining = self.params.max_pages - self.fetched_total
-            if wave_t.num_rows > remaining:
-                # oracle's done=True path (crawl_oracle.py:134-140): the
-                # truncated wave is fetched but its discovered candidates are
-                # NOT enqueued — seen filter and frontier stay untouched
-                truncated = True
-                wave_t = wave_t.slice(0, remaining)
-        n = wave_t.num_rows
-        seq = pa.array(
-            np.arange(self.fetched_total, self.fetched_total + n, dtype=np.int64)
-        )
-        wave_col = pa.array(np.full(n, self.wave, dtype=np.int32))
-        wave_t = (
-            wave_t.append_column("seq", seq)
-            .append_column("wave", wave_col)
-            .drop_columns(["host_hash"])
-        )
-        # split by page-store bucket, then PACK buckets into ~2×CPU tasks,
-        # LPT-balanced by actual row counts (equal-bucket-count groups leave
-        # straggler tasks that set the wave's wall time). url_hash is carried
-        # in the wave table — one vectorized modulo, no driver-side hashing.
-        buckets = (
-            wave_t.column("url_hash").to_numpy(zero_copy_only=False)
-            % self.num_buckets
-        ).astype(np.int32)
-        counts = np.bincount(buckets, minlength=self.num_buckets)
-        touched = [int(b) for b in np.nonzero(counts)[0]]
+        # emit + merge + order + split run OFF-driver: shard emits stream
+        # actor→plan-task through the object store; the driver sees only the
+        # small plan dict and ships the wave table by REFERENCE to the fetch
+        # tasks (zero driver materialization at any wave size).
+        emit_refs = [s.emit_wave.remote() for s in self.shards]
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # scale tasks with CPUs, but keep a ~64-row floor per task: below it,
-        # scheduling + candidate-push fan-out (tasks × shards actor calls)
-        # outweighs the extra parallelism
-        target_tasks = max(1, min(len(touched), 2 * cpus, (n + 63) // 64))
-        bins: list[list[int]] = [[] for _ in range(target_tasks)]
-        loads = np.zeros(target_tasks, dtype=np.int64)
-        for b in sorted(touched, key=lambda x: -counts[x]):
-            i = int(np.argmin(loads))
-            bins[i].append(b)
-            loads[i] += counts[b]
-        groups = [g for g in bins if g]
-        # ship the wave ONCE; tasks slice their own buckets (the driver would
-        # otherwise serialize a table slice per task, serially)
-        wave_ref = ray.put(wave_t.append_column("_bucket", pa.array(buckets)))
+        plan_ref, wave_ref = plan_wave.options(num_returns=2).remote(
+            self.fetched_total, self.wave, self.params.max_pages,
+            self.num_buckets, cpus, *emit_refs,
+        )
+        plan = ray.get(plan_ref)
+        tm["plan"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        n = plan["n"]
+        if n == 0:
+            return 0
+        truncated = plan["truncated"]
         results = [
-            fetch_extract_bucket.options(num_returns=4).remote(
-                self.store_dir, grp, wave_ref, self._params_ref,
-                self.scope_host, self.num_shards, self._shards_ref,
+            fetch_extract_bucket.options(num_returns=3).remote(
+                self.store_dir, (start, length), bks, wave_ref,
+                self._params_ref, self.scope_host, self.num_shards,
+                self._shards_ref,
                 self._robots_ref if self.params.respect_robots else None,
                 self.dedup_sharding == "url",
                 not truncated,
             )
-            for grp in groups
+            for start, length, bks in plan["groups"]
         ]
-        ack_lists = ray.get([r[2] for r in results])
-        task_counters = ray.get([r[3] for r in results])
-        ray.get([a for acks in ack_lists for a in acks])  # all candidates landed
+        # one round: a completed task has already pushed + ack'd its candidates
+        task_counters = ray.get([r[2] for r in results])
+        tm["fetch"] = _time.perf_counter() - _t0
+        tm["t_read"] = round(sum(c.get("t_read", 0) for c in task_counters), 3)
+        tm["t_parse"] = round(sum(c.get("t_parse", 0) for c in task_counters), 3)
+        tm["t_task_max"] = round(max(c.get("t_total", 0) for c in task_counters), 3)
+        tm["t_task_sum"] = round(sum(c.get("t_total", 0) for c in task_counters), 3)
+        _t0 = _time.perf_counter()
         self._frontier_size = self._seal_barrier()
+        tm["seal"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         wave_fetch_refs = [r[0] for r in results]
         wave_links_refs = [r[1] for r in results]
         self.fetch_refs.extend(wave_fetch_refs)
@@ -580,6 +692,10 @@ class CrawlRun:
             self.wave % self.checkpoint_every == 0
         ):
             self.checkpoint()
+        tm["tail"] = _time.perf_counter() - _t0
+        tm["rows"] = n
+        tm["tasks"] = len(plan["groups"])
+        self.wave_timings.append(tm)
         return n
 
     def run(self, max_waves: int = 100_000) -> "CrawlRun":
@@ -631,15 +747,20 @@ class CrawlRun:
 
     # -- checkpoint / resume -------------------------------------------------
     def _write_wave_ckpt(self, fetch_refs, links_refs) -> None:
+        """Wave parquet written by a TASK (the blocks never touch the driver);
+        the write ref is awaited at the next durable checkpoint() cut, so
+        writes overlap subsequent waves."""
         d = f"{self.checkpoint_dir}/waves/wave={self.wave:06d}"
-        os.makedirs(d, exist_ok=True)
-        ft = pa.concat_tables(ray.get(fetch_refs))
-        lt = pa.concat_tables(ray.get(links_refs))
-        pq.write_table(ft, f"{d}/fetches.parquet")
-        pq.write_table(lt, f"{d}/links.parquet")
+        self._ckpt_write_refs.append(
+            _write_wave_ckpt_task.remote(d, len(fetch_refs),
+                                         *fetch_refs, *links_refs)
+        )
 
     def checkpoint(self) -> None:
         """Durable cut at a wave boundary: per-shard state + lineage manifest."""
+        if self._ckpt_write_refs:  # all wave parquet durable before MANIFEST
+            ray.get(self._ckpt_write_refs)
+            self._ckpt_write_refs.clear()
         d = f"{self.checkpoint_dir}/shards"
         os.makedirs(d, exist_ok=True)
         blobs = ray.get([s.checkpoint_bytes.remote() for s in self.shards])

@@ -97,6 +97,48 @@ def minhash_band_rows(t: pa.Table, *, text_col: str, id_col: str, num_perm: int,
     )
 
 
+def _num_coarse_partitions(ds, num_partitions: int | None, n_rows: int | None,
+                           rows_per_partition: int = 2000) -> int:
+    """Coarse-partition count for the LSH bucket shuffle — scales with input
+    so per-partition memory is BOUNDED at any corpus size (~rows_per_partition
+    docs × bands rows each), while groups stay big enough that the per-group
+    Python dispatch amortizes (round-1 lesson: per-singleton-group map_groups
+    overhead was 10× the compute). Callers that know the row count (parquet
+    metadata) pass ``n_rows``; the fallback counts the dataset (one extra
+    pass on a lazy pipeline — acceptable for the default path, avoid at
+    scale by passing the count)."""
+    if num_partitions is not None:
+        return max(1, int(num_partitions))
+    if n_rows is None:
+        n_rows = ds.count()
+    return int(min(1 << 20, max(64, n_rows // rows_per_partition)))
+
+
+def _rep_and_groups(sort_keys: list[np.ndarray]):
+    """Vectorized bucket machinery over key-sorted rows: returns
+    (is_first_of_bucket, rep_row_index) where rep is the bucket's first row
+    (min doc_id — the deterministic winner)."""
+    m = len(sort_keys[0])
+    new_grp = np.zeros(m, dtype=bool)
+    new_grp[0] = True
+    for key in sort_keys:
+        new_grp[1:] |= key[1:] != key[:-1]
+    pos = np.arange(m, dtype=np.int64)
+    rep = np.maximum.accumulate(np.where(new_grp, pos, 0))
+    return new_grp, rep
+
+
+def _keep_collision_buckets(new_grp: np.ndarray) -> np.ndarray:
+    """Mask of rows in buckets of size ≥ 2 (rows are key-sorted)."""
+    grp_id = np.cumsum(new_grp) - 1
+    sizes = np.bincount(grp_id)
+    return sizes[grp_id] > 1
+
+
+_EMPTY_PAIRS = pa.table({"doc_id": pa.array([], pa.int64()),
+                         "dup_of": pa.array([], pa.int64())})
+
+
 def minhash_lsh_duplicates(
     ds,
     text_col: str = "text",
@@ -107,15 +149,21 @@ def minhash_lsh_duplicates(
     num_bands: int = 16,
     threshold: float = 0.8,
     seed: int = 1,
+    num_partitions: int | None = None,
+    n_docs: int | None = None,
 ):
     """→ Dataset(doc_id, dup_of) — docs whose estimated Jaccard vs an earlier
-    doc ≥ threshold. Pipeline: shingle→minhash→band rows → groupby(band) →
-    in-group signature verify → per-doc min(dup_of) merge.
+    doc ≥ threshold. Pipeline: shingle→minhash→band rows → groupby(coarse
+    bucket partition) → vectorized in-partition signature verify → per-doc
+    min(dup_of) merge.
 
-    Scale: the only all-to-all is the (band_id, band_hash) groupby of compact
-    signature rows (num_bands × ~(8B keys + num_perm×8B sig) per doc) — raw
-    text never shuffles. Hot buckets (boilerplate) are bounded by in-group
-    pairwise verify against the min-id representative only: O(n) per bucket.
+    Scale: the only all-to-all is the coarse-key groupby of compact signature
+    rows (num_bands × ~(8B keys + num_perm×8B sig) per doc) — raw text never
+    shuffles. The coarse partition count scales with the corpus
+    (``_num_coarse_partitions``), so per-partition memory is bounded; inside
+    a partition everything is numpy (no per-row Python), and hot buckets
+    (boilerplate) cost O(n) per bucket — each row is verified against the
+    bucket's min-id representative only.
     """
     import functools
 
@@ -126,41 +174,38 @@ def minhash_lsh_duplicates(
         ),
         batch_format="pyarrow",
     )
+    P = _num_coarse_partitions(ds, num_partitions, n_docs)
 
-    # Coarse-partition the bucket space: a groupby on the raw (band_id,
-    # band_hash) key makes ~num_bands×n_docs nearly-singleton groups and
-    # map_groups pays Python overhead PER GROUP (measured 11 s wall for <1 s
-    # of compute at 5k docs). One shuffle on a 64-way coarse key + a
-    # vectorized duplicated() pre-filter inside each partition leaves the
-    # Python loop only the true collision buckets.
     def add_coarse(t: pa.Table) -> pa.Table:
-        coarse = pc.cast(
-            pc.bit_wise_and(t.column("band_hash"), pa.scalar(63, pa.int64())),
-            pa.int32(),
-        )
-        return t.append_column("_coarse", coarse)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        return t.append_column("_coarse", pa.array((bh % P).astype(np.int64)))
 
-    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        dup_mask = g.duplicated(subset=["band_id", "band_hash"], keep=False)
-        g = g[dup_mask]
-        if g.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
-        out_id, out_of = [], []
-        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-            grp = grp.sort_values("doc_id")
-            rep = grp.iloc[0]
-            rep_sig = np.frombuffer(rep["sig"], dtype=np.uint64)
-            for _, row in grp.iloc[1:].iterrows():
-                sig = np.frombuffer(row["sig"], dtype=np.uint64)
-                if float(np.mean(sig == rep_sig)) >= threshold:
-                    out_id.append(row["doc_id"])
-                    out_of.append(rep["doc_id"])
-        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
+    def coarse_bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("band_id", "ascending"), ("band_hash", "ascending"),
+                       ("doc_id", "ascending")])
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        new_grp, _ = _rep_and_groups([bid, bh])
+        keep = _keep_collision_buckets(new_grp)
+        if not keep.any():
+            return _EMPTY_PAIRS
+        idx = np.nonzero(keep)[0]
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        sub_sigs = g.column("sig").take(pa.array(idx)).to_pylist()
+        M = np.frombuffer(b"".join(sub_sigs), dtype=np.uint64).reshape(
+            len(idx), -1
+        )
+        # bucket boundaries survive the subset (whole buckets kept)
+        new2, rep = _rep_and_groups([bid[idx], bh[idx]])
+        sims = (M == M[rep]).mean(axis=1)
+        dup = (~new2) & (sims >= threshold)
+        return pa.table({"doc_id": pa.array(did[dup], pa.int64()),
+                         "dup_of": pa.array(did[rep[dup]], pa.int64())})
 
     pairs = (
         sig_rows.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("_coarse")
-        .map_groups(coarse_bucket_pairs, batch_format="pandas")
+        .map_groups(coarse_bucket_pairs, batch_format="pyarrow")
     )
     # a doc may match in several bands → keep the smallest dup_of
     return _typed_dup_result(pairs)
@@ -184,13 +229,15 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
 # SimHash near-dedup (Hamming radius over 64-bit sketches)
 # --------------------------------------------------------------------------- #
 def simhash_duplicates(
-    ds, text_col: str = "text", id_col: str = "doc_id", *, max_hamming: int = 3
+    ds, text_col: str = "text", id_col: str = "doc_id", *, max_hamming: int = 3,
+    num_partitions: int | None = None, n_docs: int | None = None,
 ):
     """→ Dataset(doc_id, dup_of) under Hamming ≤ max_hamming.
 
     Block by 4 × 16-bit SimHash chunks (pigeonhole: any pair within Hamming≤3
-    shares at least one exact chunk) → groupby(chunk) → in-bucket verify
-    against the min-id representative.
+    shares at least one exact chunk) → groupby(scaled coarse partition) →
+    vectorized in-partition verify against each bucket's min-id
+    representative (XOR + popcount over the whole partition at once).
     """
 
     def sig_rows(t: pa.Table) -> pa.Table:
@@ -213,34 +260,38 @@ def simhash_duplicates(
             }
         )
 
-    # same coarse-partition trick as MinHash: avoid per-singleton-group cost
-    def add_coarse(t: pa.Table) -> pa.Table:
-        coarse = pc.cast(
-            pc.bit_wise_and(t.column("chunk"), pa.scalar(63, pa.int32())),
-            pa.int32(),
-        )
-        return t.append_column("_coarse", coarse)
+    # same scaled coarse-partition scheme as MinHash (chunk space is 16-bit,
+    # so the partition count is naturally capped at 65536)
+    P = min(1 << 16, _num_coarse_partitions(ds, num_partitions, n_docs))
 
-    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated(subset=["chunk_id", "chunk"], keep=False)]
-        if g.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
-        out_id, out_of = [], []
-        for _, grp in g.groupby(["chunk_id", "chunk"], sort=False):
-            grp = grp.sort_values("doc_id")
-            rep = int(grp.iloc[0]["simhash"])
-            rep_id = grp.iloc[0]["doc_id"]
-            for _, row in grp.iloc[1:].iterrows():
-                if bin(int(row["simhash"]) ^ rep).count("1") <= max_hamming:
-                    out_id.append(row["doc_id"])
-                    out_of.append(rep_id)
-        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
+    def add_coarse(t: pa.Table) -> pa.Table:
+        ch = t.column("chunk").to_numpy(zero_copy_only=False)
+        return t.append_column("_coarse", pa.array((ch % P).astype(np.int64)))
+
+    def coarse_bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("chunk_id", "ascending"), ("chunk", "ascending"),
+                       ("doc_id", "ascending")])
+        cid = g.column("chunk_id").to_numpy(zero_copy_only=False)
+        ch = g.column("chunk").to_numpy(zero_copy_only=False)
+        new_grp, _ = _rep_and_groups([cid, ch])
+        keep = _keep_collision_buckets(new_grp)
+        if not keep.any():
+            return _EMPTY_PAIRS
+        idx = np.nonzero(keep)[0]
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        sim = g.column("simhash").to_numpy(zero_copy_only=False)[idx].astype(np.uint64)
+        new2, rep = _rep_and_groups([cid[idx], ch[idx]])
+        x = np.bitwise_xor(sim, sim[rep])
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        dup = (~new2) & (ham <= max_hamming)
+        return pa.table({"doc_id": pa.array(did[dup], pa.int64()),
+                         "dup_of": pa.array(did[rep[dup]], pa.int64())})
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
         .map_batches(add_coarse, batch_format="pyarrow")
         .groupby("_coarse")
-        .map_groups(coarse_bucket_pairs, batch_format="pandas")
+        .map_groups(coarse_bucket_pairs, batch_format="pyarrow")
     )
     return _typed_dup_result(pairs)
 
@@ -249,41 +300,52 @@ def simhash_duplicates(
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------- #
 def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                        *, k: int = 5):
+                        *, k: int = 5, num_partitions: int = 16):
     """Exact word-k-shingle Jaccard for candidate (doc_id, dup_of) pairs.
 
-    The candidate pair set is small (output of an LSH stage) → broadcast the
-    needed texts: one pass collects texts of ids in the pair set, then the
-    pair list is scored driver-side. → pyarrow Table(doc_id, dup_of, jaccard).
+    Fully distributed: two keyed hash joins attach each side's text to the
+    pair rows (``Dataset.join`` — texts shuffle by id, never collect on the
+    driver), then a per-batch map scores the pairs.
+    → Dataset(doc_id, dup_of, jaccard).
     """
-    pair_rows = pairs.take_all()
-    need = {r["doc_id"] for r in pair_rows} | {r["dup_of"] for r in pair_rows}
-    need_ref = ray.put(need)
 
-    def collect(t: pa.Table) -> pa.Table:
-        ids = ray.get(need_ref)
-        mask = [i in ids for i in t.column(id_col).to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_())).select([id_col, text_col])
+    def prep_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "_text_a": pc.cast(t.column(text_col), pa.string()),
+        })
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(collect, batch_format="pyarrow").take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for r in pair_rows:
-        a, b = r["doc_id"], r["dup_of"]
-        out_a.append(a)
-        out_b.append(b)
-        out_j.append(
-            jaccard(shingles(texts.get(a, ""), k), shingles(texts.get(b, ""), k))
-        )
-    return pa.table(
-        {
-            "doc_id": pa.array(out_a, pa.int64()),
-            "dup_of": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
+    def prep_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dup_of": pc.cast(t.column(id_col), pa.int64()),
+            "_text_b": pc.cast(t.column(text_col), pa.string()),
+        })
+
+    texts_a = ds.map_batches(prep_left, batch_format="pyarrow")
+    texts_b = ds.map_batches(prep_right, batch_format="pyarrow")
+    # the hash join spawns num_partitions aggregator actors that each
+    # RESERVE a CPU — more aggregators than free CPUs deadlocks a small
+    # session (they starve the upstream map tasks), so cap by cluster size
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = max(1, min(num_partitions, cpus // 2))
+    j = pairs.join(texts_a, join_type="inner", num_partitions=P,
+                   on=("doc_id",), right_on=(id_col,))
+    j = j.join(texts_b, join_type="inner", num_partitions=P,
+               on=("dup_of",))
+
+    def score(t: pa.Table) -> pa.Table:
+        js = [
+            jaccard(shingles(a or "", k), shingles(b or "", k))
+            for a, b in zip(t.column("_text_a").to_pylist(),
+                            t.column("_text_b").to_pylist())
+        ]
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "dup_of": pc.cast(t.column("dup_of"), pa.int64()),
+            "jaccard": pa.array(js, pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #
@@ -291,53 +353,103 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
 # --------------------------------------------------------------------------- #
 def embedding_duplicates(
     ds, vec_col: str = "embedding", id_col: str = "vec_id",
-    *, threshold: float = 0.95, num_buckets: int = 16, seed: int = 7,
+    *, threshold: float = 0.95, nbits: int = 16, num_tables: int = 4,
+    seed: int = 7, bucket_cap: int = 1024, n_docs: int | None = None,
 ):
-    """Near-dup by cosine ≥ threshold, LSH-bucketed by random-hyperplane sign
-    bits (Charikar) so only same-bucket pairs are compared; winner = min id.
-    → Dataset(doc_id, dup_of)."""
-    nbits = max(1, int(np.ceil(np.log2(num_buckets))))
+    """Near-dup by cosine ≥ threshold — Charikar random-hyperplane LSH with
+    the FULL ``nbits``-bit sign signature as the bucket key (2^16 buckets per
+    table by default) and ``num_tables`` independent hyperplane tables for
+    recall. → Dataset(doc_id, dup_of).
+
+    Scale shape: one groupby on the (table, signature) key; a bucket holds
+    ~n/2^nbits vectors, so in-bucket verify is tiny all-pairs matmuls —
+    never the O((n/B)²) global-bucket scan of the round-1 design. Buckets
+    larger than ``bucket_cap`` (degenerate corpora: near-identical vectors)
+    fall back to verify-vs-min-id-representative, keeping per-bucket work
+    O(|bucket|) with a bounded matrix. A pair found in several tables is
+    collapsed by the min(dup_of) merge; results are deterministic at any
+    parallelism (min-id winners throughout).
+    """
+    vec_type = pa.list_(pa.float32())
 
     def bucketize(t: pa.Table) -> pa.Table:
         # vec is always cast to list<float32> so empty and non-empty blocks
         # agree on schema (parquet often delivers list<double>)
-        vec_type = pa.list_(pa.float32())
-        vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float32)
-        if vecs.ndim == 1:  # empty batch
+        if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
                              "vec": pa.array([], vec_type)})
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], nbits).astype(np.float32)
-        bits = (vecs @ planes) > 0
-        bucket = bits @ (1 << np.arange(nbits))
-        return pa.table(
-            {
-                "doc_id": pc.cast(t.column(id_col), pa.int64()),
-                "bucket": pa.array(bucket.astype(np.int32)),
+        vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float32)
+        ids = pc.cast(t.column(id_col), pa.int64())
+        weights = (1 << np.arange(nbits)).astype(np.int64)
+        out = []
+        for table_id in range(num_tables):
+            rng = np.random.RandomState(seed + 1009 * table_id)
+            planes = rng.randn(vecs.shape[1], nbits).astype(np.float32)
+            sig = (((vecs @ planes) > 0) @ weights).astype(np.int64)
+            # key = (table, signature) packed into one int64
+            bucket = (np.int64(table_id) << np.int64(nbits)) | sig
+            out.append(pa.table({
+                "doc_id": ids,
+                "bucket": pa.array(bucket),
                 "vec": pc.cast(t.column(vec_col), vec_type),
-            }
-        )
+            }))
+        return pa.concat_tables(out)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        m = np.array(g["vec"].tolist(), dtype=np.float32)
+    # coarse-partition the (table, signature) bucket space like MinHash:
+    # shuffling on the raw key would make ~n×L nearly-singleton groups (the
+    # round-1 per-group-dispatch trap); one scaled-P shuffle + an in-partition
+    # collision pre-filter leaves Python iteration only on true collisions
+    P = _num_coarse_partitions(ds, None, n_docs, rows_per_partition=2000)
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column("_coarse", pa.array((b % P).astype(np.int64)))
+
+    def coarse_bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        bkt = g.column("bucket").to_numpy(zero_copy_only=False)
+        new_grp, _ = _rep_and_groups([bkt])
+        keep = _keep_collision_buckets(new_grp)
+        if not keep.any():
+            return _EMPTY_PAIRS
+        idx = np.nonzero(keep)[0]
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        m = np.array(g.column("vec").take(pa.array(idx)).to_pylist(),
+                     dtype=np.float32)
         m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
-        sims = m @ m.T
+        new2, _ = _rep_and_groups([bkt[idx]])
+        starts = np.nonzero(new2)[0]
+        ends = np.r_[starts[1:], len(idx)]
         out_id, out_of = [], []
-        ids = g["doc_id"].tolist()
-        for j in range(1, len(ids)):
-            earlier = np.nonzero(sims[j, :j] >= threshold)[0]
-            if len(earlier):
-                out_id.append(ids[j])
-                out_of.append(ids[int(earlier[0])])
-        return pd.DataFrame({"doc_id": pd.array(out_id, dtype="int64"), "dup_of": pd.array(out_of, dtype="int64")})
+        for s, e in zip(starts, ends):  # true collision buckets only
+            size = e - s
+            sub = m[s:e]
+            if size <= bucket_cap:
+                sims = sub @ sub.T
+                hit = np.triu(sims >= threshold, k=1)  # [i, j]: i earlier
+                first_earlier = np.where(hit.any(axis=0), hit.argmax(axis=0), -1)
+                dup = first_earlier >= 0
+                out_id.append(ids[s:e][dup])
+                out_of.append(ids[s:e][first_earlier[dup]])
+            else:
+                # degenerate hot bucket: O(|bucket|) rep-only verify
+                sims = sub @ sub[0]
+                dup = np.zeros(size, dtype=bool)
+                dup[1:] = sims[1:] >= threshold
+                out_id.append(ids[s:e][dup])
+                out_of.append(np.full(int(dup.sum()), ids[s]))
+        if not out_id:
+            return _EMPTY_PAIRS
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "dup_of": pa.array(np.concatenate(out_of), pa.int64()),
+        })
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(coarse_bucket_pairs, batch_format="pyarrow")
     )
     return _typed_dup_result(pairs)

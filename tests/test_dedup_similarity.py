@@ -105,7 +105,7 @@ def test_embedding_duplicates_and_knn():
             }
         )
     )
-    dups = embedding_duplicates(ds, threshold=0.99, num_buckets=2).to_pandas()
+    dups = embedding_duplicates(ds, threshold=0.99).to_pandas()
     got = dict(zip(dups["doc_id"], dups["dup_of"]))
     assert got.get(11) == 10 and 12 not in got
 
@@ -181,3 +181,55 @@ def test_multimodal_plumbing():
     assert out2["features"][0] == list(out.sort_values("media_id")["features"].iloc[0])
     with pytest.raises(NotImplementedError):
         MediaFeatureStage(fake=False)
+
+
+def test_embedding_duplicates_planted_recall():
+    """Positive recall assertion (round-1 verdict item 4): plant near-dup
+    embeddings in a random corpus and require the operator to find EVERY
+    planted pair — a broken operator returning 0 rows must fail here."""
+    rng = np.random.RandomState(42)
+    n, dim, planted = 400, 32, 25
+    base = rng.randn(n, dim).astype(np.float32)
+    ids = list(range(1000, 1000 + n))
+    dup_vecs, dup_ids = [], []
+    for i in range(planted):
+        src = i * 7  # spread across the corpus
+        dup_vecs.append(base[src] + 0.01 * rng.randn(dim).astype(np.float32))
+        dup_ids.append(5000 + i)
+    all_vecs = np.vstack([base, np.array(dup_vecs)])
+    all_ids = ids + dup_ids
+    ds = ray.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in all_vecs], pa.list_(pa.float32())),
+        })
+    )
+    dups = embedding_duplicates(ds, threshold=0.98).to_pandas()
+    got = dict(zip(dups["doc_id"], dups["dup_of"]))
+    for i in range(planted):
+        assert got.get(5000 + i) == 1000 + i * 7, f"planted dup {i} missed"
+    # no false positives among the random vectors
+    false_pos = [d for d in dups["doc_id"] if d < 5000]
+    assert not false_pos
+
+
+def test_minhash_simhash_dup_set_regression():
+    """The scaled-partition vectorized LSH grouping must produce the SAME dup
+    sets as the pinned fixture. Minhash fixture = round-1 implementation
+    output (unchanged semantics). Simhash fixture = the exact-uint64 serial
+    oracle: the round-1 pandas kernel silently upcast the uint64 simhash to
+    float64 through mixed-dtype row Series (``grp.iloc[0]["simhash"]``),
+    corrupting hamming distances — its output contained pairs with true
+    hamming > max_hamming. The vectorized kernel is exact."""
+    import json, os
+
+    fx = json.load(open(os.path.join(os.path.dirname(__file__), "fixtures_dup_sets.json")))
+    for sf in ["sf0.001", "sf0.01"]:
+        ds = ray.data.read_parquet(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"])
+        mh = sorted((r["doc_id"], r["dup_of"]) for r in minhash_lsh_duplicates(ds).take_all())
+        assert mh == [tuple(x) for x in fx[sf]["minhash"]], sf
+        ds2 = ray.data.read_parquet(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"])
+        sh = sorted((r["doc_id"], r["dup_of"]) for r in simhash_duplicates(ds2).take_all())
+        assert sh == [tuple(x) for x in fx[sf]["simhash"]], sf
