@@ -50,6 +50,9 @@ def _bench_spec():
         rich_text=48,  # ~18 KB pages (Common-Crawl-ish): extraction compute
         # must dominate the per-wave fixed costs for honest scaling numbers
         max_links=10,
+        # wide seed list (matches the 10^10-URL design point, where seed
+        # lists are millions of URLs): BFS reaches full width in ~1 wave
+        seeds_per_host=4,
     )
 
 
@@ -57,7 +60,7 @@ def bench_corpus_dir() -> str:
     spec = _bench_spec()
     tag = (
         f"{os.path.basename(os.path.normpath(SF_DIR))}"
-        f"-p{spec.n_pages}-h{spec.n_hosts}-r{spec.rich_text}"
+        f"-p{spec.n_pages}-h{spec.n_hosts}-r{spec.rich_text}-s{spec.seeds_per_host}"
     )
     return f"/tmp/ncrawler_bench/{tag}"
 

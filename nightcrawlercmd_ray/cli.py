@@ -184,7 +184,12 @@ def cmd_dns(argv: list[str]) -> int:
     out = dns_scan_pipeline(words, a.domain, resolver, hist).to_pandas()
     if out.empty:  # 0-row Datasets lose column names through to_pandas
         out = pd.DataFrame({"word": [], "name": [], "found": [], "records": []})
-    if a.report:
+    if a.report.endswith(".xlsx"):
+        # the reference's dnsReportExcel sheet shape (mainDNS.go:120-137)
+        from .sources.xlsx import dns_report_rows, write_xlsx
+
+        write_xlsx(dns_report_rows(out.to_dict("records")), a.report)
+    elif a.report:
         out.to_csv(a.report, sep=";", index=False)
     else:
         with open(a.log, "a") as f:  # append-only resume log, mainDNS.go:140-160

@@ -131,7 +131,12 @@ def prepare_pagestore(
             # url-sorted with SMALL row groups: the fetch join decodes only
             # the row groups its wave touches
             sorted_t = t.drop_columns(["bucket"]).sort_by("url")
-            pq.write_table(sorted_t, f"{d}/part.parquet", row_group_size=ROW_GROUP_SIZE)
+            # uncompressed: wave point-reads become near-memcpy row-group
+            # decodes instead of snappy streams — the fetch join competes
+            # with the parse stage for memory bandwidth, so cheaper decode
+            # buys parse throughput (disk is the cheap resource here)
+            pq.write_table(sorted_t, f"{d}/part.parquet",
+                           row_group_size=ROW_GROUP_SIZE, compression="none")
             # sidecar row-group index: sorted url-hash → row group. Fetch
             # tasks np.searchsorted this instead of decoding the url column
             # of the whole bucket per wave (measured ~15% of task CPU).
@@ -314,13 +319,22 @@ def plan_wave(
     order = np.argsort(buckets, kind="stable")
     wave_t = wave_t.take(pa.array(order))
     bsorted = buckets[order]
-    # ~3 tasks/CPU with a 16-row floor: fine enough that end-of-wave straggler
-    # slack is one small chunk, coarse enough that per-task fixed costs
-    # (dispatch + index lookup + candidate-push fan-out) stay amortized
-    target_tasks = max(1, min(3 * cpus, (n + 15) // 16))
-    edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
+    # two-tier chunking: ~70% of rows in 2×CPU big chunks, the rest in 4×CPU
+    # small chunks. Workers pull chunks as they free up, so the wave's tail
+    # runs on the small chunks and the end-of-wave straggler is bounded by
+    # ONE small chunk's parse time (equal chunks measured ~15% wall slack
+    # from task-duration variance; 16-row floor keeps dispatch amortized)
+    if n <= 32 * cpus:
+        target_tasks = max(1, min(3 * cpus, (n + 15) // 16))
+        edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
+    else:
+        head = int(n * 0.7)
+        edges = np.concatenate([
+            np.linspace(0, head, 2 * cpus + 1).astype(np.int64),
+            np.linspace(head, n, 4 * cpus + 1).astype(np.int64)[1:],
+        ])
     groups = []
-    for i in range(target_tasks):
+    for i in range(len(edges) - 1):
         s, e = int(edges[i]), int(edges[i + 1])
         if s == e:
             continue
@@ -479,9 +493,10 @@ def fetch_extract_bucket(
         for p in pc.unique(shard_arr).to_pylist():
             sub = cand_t.filter(pc.equal(shard_arr, p)).drop_columns(["shard"])
             acks.append(shard_handles[p].add_candidates.remote(sub))
-    if acks:
-        ray.get(acks)  # all of this task's candidates buffered at their shards
-    return fetch_t, links_t, counters
+    # acks are returned (NOT awaited here): blocking in ray.get inside a task
+    # releases its CPU slot and makes the raylet spawn extra worker processes
+    # (each paying package-import cost) — the driver awaits them instead
+    return fetch_t, links_t, (counters, acks)
 
 
 @ray.remote
@@ -667,8 +682,11 @@ class CrawlRun:
             )
             for start, length, bks in plan["groups"]
         ]
-        # one round: a completed task has already pushed + ack'd its candidates
-        task_counters = ray.get([r[2] for r in results])
+        # round 1: task completions (counters + candidate-push ack refs);
+        # round 2: the acks themselves — all candidates buffered at shards
+        tails = ray.get([r[2] for r in results])
+        task_counters = [t[0] for t in tails]
+        ray.get([a for t in tails for a in t[1]])
         tm["fetch"] = _time.perf_counter() - _t0
         tm["t_read"] = round(sum(c.get("t_read", 0) for c in task_counters), 3)
         tm["t_parse"] = round(sum(c.get("t_parse", 0) for c in task_counters), 3)

@@ -62,6 +62,10 @@ class CorpusSpec:
     private_frac: float = 0.1  # pages under /private/ (robots-gated)
     max_links: int = 12
     rich_text: int = 1  # paragraph multiplier (heavier pages for bench)
+    # seed-list width: N seed URLs per host. The 10^10-URL design point runs
+    # with millions of seeds, so BFS reaches full machine width in ~1 wave;
+    # >1 here makes bench corpora ramp the same way.
+    seeds_per_host: int = 1
 
 
 def _host_name(k: int) -> str:
@@ -372,13 +376,16 @@ def generate_corpus_ray(out_dir: str, spec: CorpusSpec, num_blocks: int = 64) ->
     pq.write_table(robots_meta, f"{out_dir}/fetch_meta.parquet/part-robots.parquet")
 
     seed_urls = []
-    seen_hosts: set[str] = set()
+    per_host: dict[str, int] = {}
+    target = spec.n_hosts * max(1, spec.seeds_per_host)
     for i in range(spec.n_pages):
-        h = page_url(spec, i).split("/")[2]
-        if h not in seen_hosts:
-            seen_hosts.add(h)
-            seed_urls.append(page_url(spec, i))
-        if len(seed_urls) >= spec.n_hosts:
+        u = page_url(spec, i)
+        h = u.split("/")[2]
+        c = per_host.get(h, 0)
+        if c < max(1, spec.seeds_per_host):
+            per_host[h] = c + 1
+            seed_urls.append(u)
+        if len(seed_urls) >= target:
             break
     with open(f"{out_dir}/seeds.txt", "w") as f:
         f.write("\n".join(seed_urls) + "\n")

@@ -91,7 +91,9 @@ class CuckooFilter:
         """Insert (caller has already checked ``contains``)."""
         fp = self._fp(h)
         i1 = self._i1(h)
-        i2 = self._alt(i1, fp)
+        self._insert_at(i1, self._alt(i1, fp), fp)
+
+    def _insert_at(self, i1: int, i2: int, fp: int) -> None:
         for i in (i1, i2):
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
@@ -125,12 +127,52 @@ class CuckooFilter:
         self.insert(h)
         return True
 
+    @staticmethod
+    def _mix_vec(h: np.ndarray) -> np.ndarray:
+        """Vector splitmix64 (wrap-around uint64 arithmetic) — bit-identical
+        to the scalar ``_mix``."""
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
     def add_batch(self, hashes: np.ndarray) -> np.ndarray:
-        """Vector form: bool mask of newly-added items, in input order
-        (duplicates within the batch: first occurrence wins)."""
-        out = np.zeros(len(hashes), dtype=bool)
-        for j, h in enumerate(hashes):
-            out[j] = self.add_if_new(int(h))
+        """Vector form: bool mask of newly-added items, in input order —
+        EXACTLY the per-item ``add_if_new`` sequence's result (duplicates and
+        fingerprint collisions within the batch: first occurrence wins; later
+        occurrences are rechecked against the updated table before insert).
+        The membership test (the hot path at crawl scale — most candidates
+        are already-seen) is fully vectorized; only genuinely-new items take
+        the Python insert path."""
+        h = np.ascontiguousarray(np.asarray(hashes, dtype=np.uint64))
+        n = len(h)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        m = self._mix_vec(h)
+        fp = ((m >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask = self.num_buckets - 1
+        i1 = (m & np.uint64(mask)).astype(np.int64)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1E995)) & mask
+        present = (self.table[i1] == fp[:, None]).any(axis=1)
+        need = np.nonzero(~present)[0]
+        present[need] |= (self.table[i2[need]] == fp[need, None]).any(axis=1)
+        if self.overflow:
+            for j in np.nonzero(~present)[0]:
+                if (min(int(i1[j]), int(i2[j])), int(fp[j])) in self.overflow:
+                    present[j] = True
+        for j in np.nonzero(~present)[0]:
+            fpj, a, b = int(fp[j]), int(i1[j]), int(i2[j])
+            # recheck: an earlier in-batch insert may have placed this fp
+            if (
+                fpj in self.table[a]
+                or fpj in self.table[b]
+                or (self.overflow and (min(a, b), fpj) in self.overflow)
+            ):
+                continue
+            self._insert_at(a, b, fpj)
+            out[j] = True
         return out
 
     def __len__(self) -> int:

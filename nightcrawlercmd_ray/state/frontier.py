@@ -162,25 +162,40 @@ class FrontierShard:
         batch = self._drain_sorted(self._pending)
         if batch is None:
             return []
-        urls, hosts, depths, hashes = self._batch_cols(batch)
         gate = self.cfg.respect_robots and self.cfg.robots_gate_in_seal
-        self.counters["candidates_in"] += len(urls)
-        keep: list[int] = []
-        for i, (url, host, h) in enumerate(zip(urls, hosts, hashes)):
-            if gate:
-                r = self.robots.get(host)
-                if r is not None and not r.allowed(url_path(url)):
-                    self.counters["robots_blocked"] += 1
-                    continue
-            if not self.seen.add_if_new(h):
-                self.counters["dup_dropped"] += 1
-                continue
+        self.counters["candidates_in"] += batch.num_rows
+        if not gate and "url_hash" in batch.column_names:
+            # distributed fast path (robots pre-gated in the fetch tasks):
+            # one vectorized seen-filter pass over the whole candidate batch —
+            # in-(src_seq,link_pos)-order first-wins exactly like the loop
+            hashes_arr = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            new_mask = self.seen.add_batch(hashes_arr)
+            keep = np.nonzero(new_mask)[0]
+            self.counters["dup_dropped"] += int(batch.num_rows - keep.size)
             if self.cfg.keep_seen_log:
-                self.seen_log.append(url)
-            keep.append(i)
-        if not keep:
-            return []
-        survivors = batch.take(pa.array(keep, pa.int64()))
+                kept_urls = batch.column("url").take(pa.array(keep)).to_pylist()
+                self.seen_log.extend(kept_urls)
+            if keep.size == 0:
+                return []
+            survivors = batch.take(pa.array(keep))
+        else:
+            urls, hosts, depths, hashes = self._batch_cols(batch)
+            keep_l: list[int] = []
+            for i, (url, host, h) in enumerate(zip(urls, hosts, hashes)):
+                if gate:
+                    r = self.robots.get(host)
+                    if r is not None and not r.allowed(url_path(url)):
+                        self.counters["robots_blocked"] += 1
+                        continue
+                if not self.seen.add_if_new(h):
+                    self.counters["dup_dropped"] += 1
+                    continue
+                if self.cfg.keep_seen_log:
+                    self.seen_log.append(url)
+                keep_l.append(i)
+            if not keep_l:
+                return []
+            survivors = batch.take(pa.array(keep_l, pa.int64()))
         assert self.peers is not None, "url-sharded dedup requires set_peers()"
         lane_shard = [
             _host_hash(h) % self.cfg.num_shards

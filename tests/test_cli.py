@@ -153,3 +153,31 @@ def test_bucketscan_cli_default_config(tmp_path, capsys):
     # no --config: packaged bucketscan.json supplies the azure provider
     rc = main(["bucketscan", "--provider", "azure", "--wordlist", str(wl)])
     assert rc == 0
+
+
+def test_dns_xlsx_report(tmp_path):
+    """S8: --report foo.xlsx writes a real single-sheet XLSX package in the
+    reference's dnsReportExcel row shape (mainDNS.go:120-137)."""
+    from nightcrawlercmd_ray.sources.xlsx import read_xlsx_rows
+
+    wl = tmp_path / "wl.txt"
+    wl.write_text("www\nmail\ngone\n")
+    resolver = tmp_path / "res.json"
+    resolver.write_text(json.dumps({
+        "www.example.com.": ["1.2.3.4", "1.2.3.5"],
+        "mail.example.com.": ["5.6.7.8"],
+    }))
+    report = tmp_path / "dns.xlsx"
+    rc = main([
+        "dns", "--domain", "example.com", "--wordlist", str(wl),
+        "--resolver-table", str(resolver), "--report", str(report),
+        "--log", str(tmp_path / "dns.log"),
+    ])
+    assert rc == 0
+    rows = read_xlsx_rows(str(report))
+    by_first_cell = {tuple(r[:2]) for r in rows}
+    assert ("found", "1.2.3.4") in by_first_cell
+    assert ("found", "5.6.7.8") in by_first_cell
+    assert ("not found", "gone.example.com.\n") in by_first_cell
+    www_row = next(r for r in rows if "1.2.3.4" in r)
+    assert www_row == ["found", "1.2.3.4", "found", "1.2.3.5"]

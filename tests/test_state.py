@@ -111,3 +111,23 @@ def test_frontier_checkpoint_roundtrip():
     sh2.restore_bytes(blob)
     assert sh2.stats() == sh.stats()
     assert sh2.emit_wave().equals(sh.emit_wave())
+
+
+def test_cuckoo_add_batch_equals_scalar_sequence():
+    """Vectorized add_batch must reproduce the per-item add_if_new sequence
+    exactly — including in-batch duplicates and fingerprint collisions."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.RandomState(3)
+    # small capacity forces evictions + overflow paths
+    a = CuckooFilter(capacity=2000, seed=5)
+    b = CuckooFilter(capacity=2000, seed=5)
+    for _ in range(4):
+        batch = rng.randint(0, 1 << 20, size=3000).astype(np.uint64)
+        got = a.add_batch(batch)
+        want = np.array([b.add_if_new(int(h)) for h in batch])
+        assert (got == want).all()
+        assert len(a) == len(b)
+    assert a.to_bytes() == b.to_bytes()
