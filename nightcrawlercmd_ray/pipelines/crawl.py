@@ -17,18 +17,22 @@ Architecture (SURVEY §3.1/§4.3) — each crawl round is a bounded pipeline:
    fetch tasks (task→actor through the object store; the driver never carries
    row data), then the wave barrier ``seal_wave`` applies them in canonical
    ``(src_seq, link_pos)`` order.
-3. **Wave emit**: every shard emits its politeness quota; the driver merges
-   and sorts by the total order ``(tick, host_hash, host)``, truncates for
-   max-pages, assigns global ``seq``.
-4. **Fetch+extract**: the wave is split by page-store bucket; one Ray task per
-   touched bucket reads ONLY its bucket (Parquet ``isin`` pushdown — the
-   sandbox's hash-join stand-in for HTTP, SURVEY J5/T3), runs the shared
-   per-page extraction (``functions/crawlcore.py``), pushes next-wave
-   candidates to their shard actors, and returns the fetch/link Arrow blocks
-   as object refs. The driver only ever sees refs + tiny acks.
-5. **Checkpoint** (optional): per-wave Parquet of fetches/links + per-shard
-   state blobs + a JSON manifest with lineage counters; ``resume_crawl``
-   continues bit-equal from the last completed wave.
+3. **Wave plan** (off-driver): every shard emits its politeness quota; a
+   ``plan_wave`` task merges the emits (actor→task through the object
+   store), sorts by the total order ``(tick, host_hash, host)``, truncates
+   for max-pages, assigns global ``seq``, and splits the bucket-sorted wave
+   into two-tier row chunks. The driver sees only the small plan dict.
+4. **Fetch+extract**: one Ray task per chunk slices the wave table
+   (shipped once, by reference), point-reads its rows from the touched
+   buckets via the sidecar url-hash→row-group index (the sandbox's
+   hash-join stand-in for HTTP, SURVEY J5/T3), runs the shared per-page
+   extraction (``functions/crawlcore.py``), pushes next-wave candidates to
+   their shard actors, and returns the fetch/link Arrow blocks as object
+   refs. The driver only ever sees refs + tiny acks/counters.
+5. **Checkpoint** (optional): per-wave Parquet of fetches/links written by
+   tasks (awaited at durable cuts) + per-shard state blobs + a JSON
+   manifest with lineage counters; ``CrawlRun.resume`` continues bit-equal
+   from the last completed wave.
 
 The per-wave outputs become ``ray.data`` Datasets via ``from_arrow_refs`` —
 report pipelines consume them without any driver-side materialization.
@@ -43,7 +47,6 @@ import pickle
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 
@@ -198,6 +201,30 @@ def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
 # --------------------------------------------------------------------------- #
 # fetch + extract task
 # --------------------------------------------------------------------------- #
+# Worker-process-local cache for small immutable pagestore artifacts (the
+# sidecar indexes and the tiny meta sidecar tables). Workers are reused
+# across waves, so each artifact is decoded once per worker instead of once
+# per task per wave. Keyed by (path, mtime); stores are immutable after
+# prep, and the bound caps memory at design scale.
+_STORE_CACHE: dict[str, tuple[float, object]] = {}
+_STORE_CACHE_MAX = 512
+
+
+def _cached_artifact(path: str, loader):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    hit = _STORE_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    obj = loader(path)
+    if len(_STORE_CACHE) >= _STORE_CACHE_MAX:
+        _STORE_CACHE.clear()
+    _STORE_CACHE[path] = (mtime, obj)
+    return obj
+
+
 def _read_buckets(
     store_dir: str,
     sub: str,
@@ -228,11 +255,11 @@ def _read_buckets(
         d = f"{store_dir}/{sub}/bucket={b}"
         if not os.path.isdir(d):
             continue
-        idx_path = os.path.join(d, "index.npz")
-        idx = None
-        if os.path.exists(idx_path):
-            with np.load(idx_path) as z:
-                idx = (z["h"], z["rg"])
+        def _load_idx(p: str):
+            with np.load(p) as z:
+                return (z["h"], z["rg"])
+
+        idx = _cached_artifact(os.path.join(d, "index.npz"), _load_idx)
         for fname in sorted(os.listdir(d)):
             if not fname.endswith(".parquet"):
                 continue
@@ -384,7 +411,17 @@ def fetch_extract_bucket(
     uh_arr = wave_slice.column("url_hash").to_numpy(zero_copy_only=False)
     pages_t = _read_buckets(store_dir, "pages", buckets, urls,
                             columns=["url", "html"], url_hashes=uh_arr)
-    meta_t = _read_buckets(store_dir, "meta", buckets, urls, url_hashes=uh_arr)
+    # meta sidecar buckets are tiny — worker-cached whole, filtered per wave
+    want_arr = pa.array(urls, pa.string())
+    meta_parts = []
+    for b in buckets:
+        mt = _cached_artifact(f"{store_dir}/meta/bucket={b}/part.parquet",
+                              pq.read_table)
+        if mt is not None:
+            meta_parts.append(
+                mt.filter(pc.is_in(mt.column("url"), value_set=want_arr))
+            )
+    meta_t = pa.concat_tables(meta_parts) if meta_parts else None
     _t_read = _time.perf_counter() - _t0
     rowmap: dict[str, dict] = {}
     if pages_t is not None:
