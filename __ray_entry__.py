@@ -466,6 +466,29 @@ def q_embedding_near_dups(sf_dir: str):
     return embedding_duplicates(ds, threshold=0.98, n_docs=_parquet_rows(path))
 
 
+def q_cleanroom_documents(sf_dir: str):
+    """Composed training-data prep: exact dedup → MinHash near-dedup →
+    annotate → quality filter → resumable partitioned parquet
+    (pipelines/cleanroom.py). Returns the cleaned Dataset read back from
+    the partitioned sink."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.pipelines.cleanroom import cleanroom
+
+    path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_cleanroom/{tag}"
+    # fresh run each call (resume/skip-done semantics are covered by
+    # tests/test_cleanroom.py; a driver correctness check must not be able
+    # to observe a stale cached result across code changes)
+    shutil.rmtree(out, ignore_errors=True)
+    ds, _ = cleanroom(
+        path, out, min_quality=0.2, min_tokens=3, n_docs=_parquet_rows(path)
+    )
+    return ds
+
+
 def q_ngram_jaccard_verify(sf_dir: str):
     """LSH candidates verified by exact n-gram Jaccard — the distributed
     double-join scorer (stages/dedup.py:ngram_jaccard_pairs)."""
@@ -575,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "cleanroom_documents": q_cleanroom_documents,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "annotate_documents": q_annotate_documents,
         "fuzz_payloads": q_fuzz_payloads,

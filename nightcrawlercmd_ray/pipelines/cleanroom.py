@@ -1,0 +1,204 @@
+"""Cleanroom — the composed training-data preparation pipeline.
+
+The end-to-end corpus-cleaning flow a 100 TB web-text training pipeline
+runs (an engine addition beyond the reference, composing the mandated
+training-data operators — SURVEY §8 "Engine additions"):
+
+    documents ──▶ exact dedup ──▶ MinHash-LSH near-dedup ──▶ quality
+    annotate (lang-id, quality score, token counts, fingerprint) ──▶
+    quality filter ──▶ resumable partitioned Parquet
+
+Scale shape:
+- each stage is a Ray Data transform (map_batches / one keyed groupby per
+  dedup family) — raw text shuffles ZERO times; only 8-byte hashes and
+  compact signatures move between nodes;
+- dup-id sets are only ever as large as the duplicate count (losers are
+  emitted directly; no full-id materialization), checkpointed once to small
+  Parquet sidecars (skipped on resume), and broadcast as an Arrow array for
+  a vectorized ``is_in`` drop filter;
+- output is hash-partitioned Parquet, ONE DIRECTORY PER PARTITION with an
+  atomic done-marker: a failed run re-executes only the unfinished
+  partitions' writes (and none of the dedup decisions, which reload from
+  the sidecars). Never one giant file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..stages.dedup import exact_duplicate_ids, minhash_lsh_duplicates
+from ..stages.textops import annotate_text_batch
+
+
+def _dup_sidecar(path: str, compute) -> pa.Int64Array:
+    """Stage checkpoint: the (small) duplicate-id set as a Parquet sidecar —
+    computed once, reloaded on resume (atomic tmp+rename write)."""
+    if not os.path.exists(path):
+        ids = sorted(compute())
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return pq.read_table(path).column("doc_id").combine_chunks()
+
+
+def _drop_ids_stage(ds, id_col: str, ids_arr):
+    """Vectorized anti-join against a broadcast id array (no-op when empty)."""
+    if len(ids_arr) == 0:
+        return ds
+    ref = ray.put(ids_arr)
+
+    def drop(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        return t.filter(
+            pc.invert(pc.is_in(pc.cast(t.column(id_col), pa.int64()), value_set=arr))
+        )
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def write_partitioned(ds, out_dir: str, *, key_col: str, num_partitions: int,
+                      skip_done: bool = True) -> dict:
+    """Resumable hash-partitioned Parquet sink.
+
+    One ``groupby(partition).map_groups`` task per partition writes
+    ``part-K/data.parquet`` then an atomic ``_DONE`` marker (json with the
+    row count). With ``skip_done``, rows of already-marked partitions are
+    FILTERED OUT before the shuffle, so a resumed run moves and writes only
+    the missing partitions. Returns {written: [...], skipped: [...], rows}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        int(d.split("-", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/_DONE")
+    } if skip_done else set()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        part = (keys.astype(np.uint64) % num_partitions).astype(np.int32)
+        t = t.append_column("_part", pa.array(part))
+        if done:
+            mask = ~np.isin(part, np.fromiter(done, dtype=np.int32, count=len(done)))
+            t = t.filter(pa.array(mask))
+        return t
+
+    def write_part(t: pa.Table) -> pa.Table:
+        part = int(t.column("_part")[0].as_py())
+        d = f"{out_dir}/part-{part:05d}"
+        os.makedirs(d, exist_ok=True)
+        body = t.drop_columns(["_part"]).sort_by(key_col)
+        tmp = f"{d}/data.parquet.tmp-{os.getpid()}"
+        pq.write_table(body, tmp)
+        os.replace(tmp, f"{d}/data.parquet")
+        with open(f"{d}/_DONE.tmp", "w") as f:
+            json.dump({"rows": body.num_rows}, f)
+        os.replace(f"{d}/_DONE.tmp", f"{d}/_DONE")
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([body.num_rows], pa.int64())})
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+    )
+    written = {r["part"]: r["rows"] for r in out.take_all()}
+    return {
+        "written": sorted(written),
+        "skipped": sorted(done),
+        "rows": int(sum(written.values())),
+    }
+
+
+def read_partitioned(out_dir: str):
+    """Read back a ``write_partitioned`` output directory as a Dataset."""
+    from ..util import read_parquet_clean
+
+    paths = sorted(
+        f"{out_dir}/{d}/data.parquet"
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/data.parquet")
+    )
+    return read_parquet_clean(paths)
+
+
+def cleanroom(
+    documents_path: str,
+    out_dir: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    minhash_threshold: float = 0.8,
+    num_partitions: int = 16,
+    n_docs: int | None = None,
+):
+    """Run the cleanroom flow over a documents Parquet table.
+
+    Returns ``(dataset, info)`` — the cleaned, annotated Dataset (lazy; the
+    caller consumes or writes it) and an info dict with stage counts. When
+    ``out_dir`` is given, the result is written through the resumable
+    partitioned sink, ``info`` carries the write manifest, and the returned
+    Dataset reads back from the written partitions.
+    """
+    from ..util import read_parquet_clean
+
+    if n_docs is None:
+        n_docs = pq.ParquetFile(documents_path).metadata.num_rows
+
+    side_dir = out_dir or "/tmp/ncrawler_cleanroom"
+    os.makedirs(side_dir, exist_ok=True)
+
+    # stage 1: exact duplicate ids (winner = min id, kept; losers dropped)
+    def exact_dups() -> list[int]:
+        ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
+        return [
+            r["doc_id"] for r in exact_duplicate_ids(ds, text_col, id_col).take_all()
+        ]
+
+    exact_arr = _dup_sidecar(f"{side_dir}/_exact_dups.parquet", exact_dups)
+
+    # stage 2: near-duplicate ids (MinHash-LSH over the exact survivors)
+    def near_dups() -> list[int]:
+        ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
+        ds = _drop_ids_stage(ds, id_col, exact_arr)
+        dups = minhash_lsh_duplicates(
+            ds, text_col, id_col, threshold=minhash_threshold, n_docs=n_docs
+        )
+        return [r["doc_id"] for r in dups.take_all()]
+
+    near_arr = _dup_sidecar(f"{side_dir}/_near_dups.parquet", near_dups)
+
+    # stage 3: drop dups + annotate + quality-filter — one streaming pass
+    all_dups = pa.concat_arrays([exact_arr, near_arr])
+    ds = _drop_ids_stage(read_parquet_clean(documents_path), id_col, all_dups)
+
+    def annotate_filter(t: pa.Table) -> pa.Table:
+        t = annotate_text_batch(t, text_col=text_col)
+        keep = pc.and_(
+            pc.greater_equal(t.column("quality"), pa.scalar(float(min_quality))),
+            pc.greater_equal(t.column("n_tokens_ws"), pa.scalar(min_tokens, pa.int64())),
+        )
+        return t.filter(keep)
+
+    ds = ds.map_batches(annotate_filter, batch_format="pyarrow")
+
+    info = {
+        "n_docs": n_docs,
+        "exact_dups": len(exact_arr),
+        "near_dups": len(near_arr),
+    }
+    if out_dir:
+        info["write"] = write_partitioned(
+            ds, f"{out_dir}/clean", key_col=id_col, num_partitions=num_partitions
+        )
+        ds = read_partitioned(f"{out_dir}/clean")
+    return ds, info

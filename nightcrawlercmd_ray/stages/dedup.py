@@ -72,6 +72,33 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------------- #
 # MinHash + LSH near-dedup
 # --------------------------------------------------------------------------- #
+def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(doc_id) of the NON-winners of exact dedup (every row except
+    the min-id holder of each content-hash group). The result is only as big
+    as the duplicate count — no full-id materialization anywhere."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (hash64(x or "") & 0x7FFFFFFFFFFFFFFF for x in t.column(text_col).to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return pa.table({
+            "doc_id": pc.cast(t.column(id_col), pa.int64()),
+            "_content_hash": pa.array(h, pa.int64()),
+        })
+
+    def losers(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return g.sort_by("doc_id").slice(1).select(["doc_id"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_content_hash")
+        .map_groups(losers, batch_format="pyarrow")
+    )
+
+
 def minhash_band_rows(t: pa.Table, *, text_col: str, id_col: str, num_perm: int,
                       k: int, num_bands: int, seed: int) -> pa.Table:
     """text → (doc_id, band_id, band_hash, sig bytes). Stateless task (the

@@ -54,3 +54,16 @@ def tiny_oracle(tiny_corpus, tiny_universe):
 
     params = CrawlParams(seeds=tiny_corpus["seeds"])
     return params, crawl_oracle(tiny_universe, params)
+
+
+@pytest.fixture
+def ray_docs_ds():
+    import pyarrow as pa
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "text": pa.array([f"doc {i} body" for i in range(30)], pa.string()),
+        })
+    )

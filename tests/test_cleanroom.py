@@ -1,0 +1,95 @@
+"""Composed training-data cleanroom pipeline: dedup → annotate → filter →
+resumable partitioned sink."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nightcrawlercmd_ray.pipelines.cleanroom import (
+    cleanroom,
+    read_partitioned,
+    write_partitioned,
+)
+
+LONG = (
+    "the quick brown fox jumps over the lazy dog and then runs far away into "
+    "the deep green forest while the patient hunter watches quietly from a "
+    "distance near the old stone bridge by the river"
+)
+
+
+def _doc_text(i):
+    # every 4th word replaced by a doc-specific token: any 5-word shingle of
+    # two different docs differs, so distinct docs are NOT near-dups at 0.8.
+    # Long enough (~160 words) that the planted one-word-changed copy has
+    # true Jaccard ≈ 0.97 — LSH miss probability ~1e-6 (not flake-prone).
+    words = ((LONG + " ") * 4).split()
+    ws = [f"tag{i}x{j}" if j % 4 == 0 else w for j, w in enumerate(words)]
+    return f"document number {i} " + " ".join(ws)
+
+
+def _corpus(path):
+    rows = []
+    for i in range(20):
+        rows.append((i, _doc_text(i)))
+    rows.append((100, rows[3][1]))  # exact dup of 3 (loser: 100)
+    rows.append((101, rows[5][1]))  # exact dup of 5 (loser: 101)
+    rows.append((102, rows[7][1].replace("quick", "swift", 1)))  # near dup of 7
+    rows.append((103, "x"))  # too short: dropped by min_tokens
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(t, path)
+    return rows
+
+
+def test_cleanroom_end_to_end_and_resume(tmp_path):
+    doc_path = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out")
+    _corpus(doc_path)
+
+    ds, info = cleanroom(doc_path, out, min_tokens=3, num_partitions=4)
+    ids = sorted(r["doc_id"] for r in ds.take_all())
+    assert info["exact_dups"] == 2 and info["near_dups"] >= 1
+    assert 100 not in ids and 101 not in ids and 102 not in ids  # dups dropped
+    assert 103 not in ids  # junk filtered
+    assert set(range(20)) <= set(ids)  # all originals survive
+    # annotated columns present in the written output
+    cols = set(ds.schema().names)
+    assert {"quality", "n_tokens_ws", "detected_lang", "fingerprint"} <= cols
+    written = info["write"]
+    assert written["skipped"] == [] and written["rows"] == len(ids)
+
+    # resume: drop ONE partition's marker+data; a re-run must rewrite only it
+    parts = sorted(d for d in os.listdir(f"{out}/clean") if d.startswith("part-"))
+    victim = parts[1]
+    victim_id = int(victim.split("-", 1)[1])
+    os.remove(f"{out}/clean/{victim}/_DONE")
+    os.remove(f"{out}/clean/{victim}/data.parquet")
+    mtimes = {
+        d: os.path.getmtime(f"{out}/clean/{d}/data.parquet")
+        for d in parts if d != victim
+    }
+    ds2, info2 = cleanroom(doc_path, out, min_tokens=3, num_partitions=4)
+    w2 = info2["write"]
+    assert w2["written"] == [victim_id]
+    assert sorted(w2["skipped"] + w2["written"]) == [int(p.split("-", 1)[1]) for p in parts]
+    for d, m in mtimes.items():  # untouched partitions were not rewritten
+        assert os.path.getmtime(f"{out}/clean/{d}/data.parquet") == m
+    assert sorted(r["doc_id"] for r in ds2.take_all()) == ids
+
+
+def test_write_partitioned_atomic_markers(tmp_path, ray_docs_ds):
+    out = str(tmp_path / "p")
+    m = write_partitioned(ray_docs_ds, out, key_col="doc_id", num_partitions=3)
+    assert m["rows"] == ray_docs_ds.count()
+    for part in m["written"]:
+        d = f"{out}/part-{part:05d}"
+        assert json.load(open(f"{d}/_DONE"))["rows"] == pq.read_table(
+            f"{d}/data.parquet"
+        ).num_rows
+    back = read_partitioned(out)
+    assert back.count() == m["rows"]
