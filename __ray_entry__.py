@@ -490,8 +490,8 @@ def q_cleanroom_documents(sf_dir: str):
 
 
 def q_ngram_jaccard_verify(sf_dir: str):
-    """LSH candidates verified by exact n-gram Jaccard — the distributed
-    double-join scorer (stages/dedup.py:ngram_jaccard_pairs)."""
+    """LSH candidates verified by exact n-gram Jaccard — broadcast pair-id
+    semi-join + two keyed-shuffle stages (stages/dedup.py:ngram_jaccard_pairs)."""
     import ray
 
     from nightcrawlercmd_ray.stages.dedup import (

@@ -155,7 +155,9 @@ def cmd_fuzzer(argv: list[str]) -> int:
         ds.write_parquet(a.output)
         print(json.dumps({"payloads": cfg.get("Iterations", 0), "output": a.output}))
     else:
-        for r in ds.take(10):
+        # sort: `take` on an unordered Dataset returns whichever blocks land
+        # first — the stdout sample must be deterministic run-to-run
+        for r in ds.sort("index").take(10):
             print(r["index"], r["payload"])
     return 0
 

@@ -327,52 +327,126 @@ def simhash_duplicates(
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------- #
 def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                        *, k: int = 5, num_partitions: int = 16):
+                        *, k: int = 5, num_partitions: int | None = None):
     """Exact word-k-shingle Jaccard for candidate (doc_id, dup_of) pairs.
-
-    Fully distributed: two keyed hash joins attach each side's text to the
-    pair rows (``Dataset.join`` — texts shuffle by id, never collect on the
-    driver), then a per-batch map scores the pairs.
     → Dataset(doc_id, dup_of, jaccard).
+
+    Distributed shape: only the pair ID SET is collected (O(candidate pairs),
+    the LSH output — small relative to the corpus) and broadcast once to
+    semi-join-filter the corpus; the surviving texts then flow through two
+    coarse-partitioned ``groupby().map_groups`` keyed shuffles — (1) attach
+    each id's text to its pair-side rows via an in-partition vectorized
+    pandas merge, (2) co-locate both sides of each pair and score. Full
+    texts never land on the driver, per-partition memory is bounded by the
+    coarse partition count (∝ pair count), and no per-key Python dispatch
+    happens (partitions hold ~2000 pairs each).
     """
+    # pair ids: small by construction (dup candidates) — broadcast the set
+    pair_rows = pairs.select_columns(["doc_id", "dup_of"]).take_all()
+    if not pair_rows:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dup_of": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    n_pairs = len(pair_rows)
+    want_ids = pa.array(
+        list({r["doc_id"] for r in pair_rows} | {r["dup_of"] for r in pair_rows}),
+        pa.int64(),
+    )
+    want_ref = ray.put(want_ids)
+    P = int(max(1, min(1 << 18, n_pairs // 2000 + 1)))
 
-    def prep_left(t: pa.Table) -> pa.Table:
+    UNION_FIELDS = {
+        "_key": pa.int64(), "_side": pa.int8(),
+        "_p_doc": pa.int64(), "_p_dup": pa.int64(), "_text": pa.string(),
+    }
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64())
+        u = pc.cast(t.column("dup_of"), pa.int64())
+        n = t.num_rows
+        nulls = pa.nulls(2 * n, pa.string())
         return pa.table({
-            id_col: pc.cast(t.column(id_col), pa.int64()),
-            "_text_a": pc.cast(t.column(text_col), pa.string()),
+            "_key": pa.concat_arrays([d.combine_chunks(), u.combine_chunks()]),
+            "_side": pa.array([0] * n + [1] * n, pa.int8()),
+            "_p_doc": pa.concat_arrays([d.combine_chunks()] * 2),
+            "_p_dup": pa.concat_arrays([u.combine_chunks()] * 2),
+            "_text": nulls,
         })
 
-    def prep_right(t: pa.Table) -> pa.Table:
+    def text_rows(t: pa.Table, want) -> pa.Table:
+        if isinstance(want, ray.ObjectRef):  # broadcast once; local-store read
+            want = ray.get(want)
+        ids = pc.cast(t.column(id_col), pa.int64())
+        mask = pc.is_in(ids, value_set=want)
+        t = t.filter(mask)
+        ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks()
+        n = t.num_rows
         return pa.table({
-            "dup_of": pc.cast(t.column(id_col), pa.int64()),
-            "_text_b": pc.cast(t.column(text_col), pa.string()),
+            "_key": ids,
+            "_side": pa.array(np.full(n, 2, dtype=np.int8)),
+            "_p_doc": pa.nulls(n, pa.int64()),
+            "_p_dup": pa.nulls(n, pa.int64()),
+            "_text": pc.cast(t.column(text_col), pa.string()),
         })
 
-    texts_a = ds.map_batches(prep_left, batch_format="pyarrow")
-    texts_b = ds.map_batches(prep_right, batch_format="pyarrow")
-    # the hash join spawns num_partitions aggregator actors that each
-    # RESERVE a CPU — more aggregators than free CPUs deadlocks a small
-    # session (they starve the upstream map tasks), so cap by cluster size
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = max(1, min(num_partitions, cpus // 2))
-    j = pairs.join(texts_a, join_type="inner", num_partitions=P,
-                   on=("doc_id",), right_on=(id_col,))
-    j = j.join(texts_b, join_type="inner", num_partitions=P,
-               on=("dup_of",))
+    import functools
 
-    def score(t: pa.Table) -> pa.Table:
+    union_schema = pa.schema(UNION_FIELDS)
+    stream = pairs.map_batches(side_rows, batch_format="pyarrow").union(
+        ds.map_batches(functools.partial(text_rows, want=want_ref),
+                       batch_format="pyarrow")
+    )
+
+    def add_coarse1(t: pa.Table) -> pa.Table:
+        t = t.cast(union_schema)
+        key = t.column("_key").to_numpy(zero_copy_only=False)
+        return t.append_column("_c", pa.array((key % P).astype(np.int64)))
+
+    def attach_text(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        texts = df[df["_side"] == 2][["_key", "_text"]]
+        sides = df[df["_side"] != 2][["_key", "_p_doc", "_p_dup", "_side"]]
+        m = sides.merge(texts, on="_key", how="inner")
+        return pa.table({
+            "_p_doc": pa.array(m["_p_doc"].astype("int64"), pa.int64()),
+            "_p_dup": pa.array(m["_p_dup"].astype("int64"), pa.int64()),
+            "_side": pa.array(m["_side"].astype("int8"), pa.int8()),
+            "_text": pa.array(m["_text"].tolist(), pa.string()),
+        })
+
+    def add_coarse2(t: pa.Table) -> pa.Table:
+        d = t.column("_p_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = t.column("_p_dup").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (d * np.uint64(0x9E3779B97F4A7C15)) ^ u
+        return t.append_column("_c2", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def score_partition(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        a = df[df["_side"] == 0][["_p_doc", "_p_dup", "_text"]].rename(
+            columns={"_text": "_ta"})
+        b = df[df["_side"] == 1][["_p_doc", "_p_dup", "_text"]].rename(
+            columns={"_text": "_tb"})
+        m = a.merge(b, on=["_p_doc", "_p_dup"], how="inner")
         js = [
-            jaccard(shingles(a or "", k), shingles(b or "", k))
-            for a, b in zip(t.column("_text_a").to_pylist(),
-                            t.column("_text_b").to_pylist())
+            jaccard(shingles(x or "", k), shingles(y or "", k))
+            for x, y in zip(m["_ta"], m["_tb"])
         ]
         return pa.table({
-            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-            "dup_of": pc.cast(t.column("dup_of"), pa.int64()),
-            "jaccard": pa.array(js, pa.float64()),
+            "doc_id": pa.array(m["_p_doc"].astype("int64"), pa.int64()),
+            "dup_of": pa.array(m["_p_dup"].astype("int64"), pa.int64()),
+            "jaccard": pa.array(np.asarray(js, dtype=np.float64)),
         })
 
-    return j.map_batches(score, batch_format="pyarrow")
+    return (
+        stream.map_batches(add_coarse1, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(attach_text, batch_format="pyarrow")
+        .map_batches(add_coarse2, batch_format="pyarrow")
+        .groupby("_c2")
+        .map_groups(score_partition, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------- #
