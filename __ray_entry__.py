@@ -268,6 +268,72 @@ def q_events_user_stats(sf_dir: str):
     )
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join (stages/joins.py): each event matched to the user's latest
+    order as of the event time — union + ONE coarse keyed shuffle +
+    in-partition vectorized ``merge_asof``; inner; ties on equal orderdate
+    resolve to max(o_orderkey) (same rule as the SQL oracle's QUALIFY)."""
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ord_path = f"{sf_dir}/orders.parquet"
+    ev = _read_pq(ev_path, columns=["event_id", "ts", "user_id"])
+    orders = _read_pq(ord_path, columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate", "o_totalprice"])
+
+    def prep_ev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "_on_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                              pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+        })
+
+    def prep_ord(t: pa.Table) -> pa.Table:
+        on_us = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                        pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("o_custkey"), pa.int64()),
+            "_on_us": on_us,
+            "asof_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "asof_total_cents": _cents(t.column("o_totalprice")),
+            "asof_orderdate_us": on_us,
+        })
+
+    j = asof_join(
+        ev.map_batches(prep_ev, batch_format="pyarrow"),
+        orders.map_batches(prep_ord, batch_format="pyarrow"),
+        by="user_id", on="_on_us",
+        n_rows=_parquet_rows(ev_path) + _parquet_rows(ord_path),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "event_ts_s": pc.cast(pc.floor(pc.divide(
+                pc.cast(t.column("_on_us"), pa.float64()), 1e6)), pa.int64()),
+            "asof_orderkey": t.column("asof_orderkey"),
+            "asof_total_cents": t.column("asof_total_cents"),
+            "asof_orderdate_s": pc.cast(pc.floor(pc.divide(
+                pc.cast(t.column("asof_orderdate_us"), pa.float64()), 1e6)),
+                pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (stages/sessions.py): per-user 30-min-gap
+    sessions over the events stream — one keyed shuffle, vectorized
+    in-partition split + aggregate."""
+    from nightcrawlercmd_ray.stages.sessions import sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev, gap_s=1800, n_rows=_parquet_rows(path))
+
+
 def q_part_brand_stats(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min
@@ -584,6 +650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q_distinct_event_types,
         "events_hourly_window": q_events_hourly_window,
         "events_user_stats": q_events_user_stats,
+        "events_asof_orders": q_events_asof_orders,
+        "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
@@ -657,6 +725,42 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price
             FROM part GROUP BY p_brand
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id,
+                   e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS event_ts_s,
+                   o.o_orderkey AS asof_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS asof_total_cents,
+                   CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS asof_orderdate_s
+            FROM events e JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "user_sessions": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess
+                FROM x
+            )
+            SELECT user_id,
+                   CAST(sess AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM y GROUP BY user_id, sess
         """,
         "wordcount_documents": """
             SELECT lower(w) AS word, count(*) AS n, min(doc_id) AS first_doc

@@ -1,0 +1,138 @@
+"""Distributed temporal joins — engine additions beyond the reference (which
+has no join operators at all; SURVEY §2.6 covers only the crawl's URL⟕page
+lookup). These are the join shapes a large-scale event/training-data pipeline
+needs and Ray Data lacks natively: the **as-of join** (for each left row, the
+latest right row with the same key and timestamp ≤ the left's).
+
+Scale shape (the §2.6 custom-operator recipe, option (a)): both sides are
+tagged and unioned into ONE stream, ONE coarse keyed shuffle
+(``groupby(key_hash % P)``) co-locates each key's rows, and the per-partition
+work is a single vectorized ``pandas.merge_asof`` over the partition's
+key-sorted frame — no per-key Python dispatch, per-partition memory bounded
+by the partition count (∝ row count). Raw payload columns ride the one
+shuffle; nothing is ever materialized on the driver.
+
+Partitioning assumption: a single join key's rows fit in one partition (keys
+are hash-spread, so only a pathologically hot key violates this — salt such
+keys upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _coarse_partitions(n_rows: int | None, rows_per_partition: int = 65536) -> int:
+    if n_rows is None:
+        n_rows = rows_per_partition  # unknown: single-partition fallback
+    return int(min(1 << 16, max(1, n_rows // rows_per_partition + 1)))
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    on: str,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """As-of join: for each left row, attach the LAST right row with the same
+    ``by`` key and ``on`` value ≤ the left's (backward as-of; inner — left
+    rows with no match are dropped). Ties on the right (equal ``(by, on)``)
+    resolve to the right frame's sort order, i.e. the row that sorts LAST by
+    its remaining payload columns — deterministic at any parallelism.
+
+    ``by`` must be an integer key column and ``on`` an ordered numeric column
+    (cast timestamps to int64 epoch units upstream) present in BOTH inputs.
+    Right payload columns that clash with left names get ``suffix``.
+    → Dataset(by, on, *left_payload, *right_payload[suffixed]).
+    """
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = [n for n in l_schema.names if n not in (by, on)]
+    r_names = [n for n in r_schema.names if n not in (by, on)]
+    l_types = {n: l_schema.types[l_schema.names.index(n)] for n in l_names}
+    r_types = {n: r_schema.types[r_schema.names.index(n)] for n in r_names}
+    r_out = {n: (n + suffix if (n in l_names or n in (by, on)) else n) for n in r_names}
+
+    union_fields = (
+        [("_side", pa.int8()), (by, pa.int64()), (on, pa.int64())]
+        + [(n, l_types[n]) for n in l_names]
+        + [(r_out[n], r_types[n]) for n in r_names]
+    )
+    union_schema = pa.schema(union_fields)
+    P = num_partitions or _coarse_partitions(n_rows)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                by: pc.cast(t.column(by), pa.int64()),
+                on: pc.cast(t.column(on), pa.int64()),
+            }
+            for name in l_names:
+                cols[name] = (
+                    pc.cast(t.column(name), l_types[name])
+                    if side == 0 else pa.nulls(n, l_types[name])
+                )
+            for name in r_names:
+                cols[r_out[name]] = (
+                    pc.cast(t.column(name), r_types[name])
+                    if side == 1 else pa.nulls(n, r_types[name])
+                )
+            out = pa.table(cols)
+            key = out.column(by).to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+            return out.append_column("_c", pa.array(part.astype(np.int64)))
+
+        return fn
+
+    stream = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    out_fields = (
+        [(by, pa.int64()), (on, pa.int64())]
+        + [(n, l_types[n]) for n in l_names]
+        + [(r_out[n], r_types[n]) for n in r_names]
+    )
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_c"]).to_pandas()
+        lf = df[df["_side"] == 0][[by, on] + l_names]
+        rf = df[df["_side"] == 1][[by, on] + [r_out[n] for n in r_names]]
+        empty = pa.table(
+            {name: pa.array([], typ) for name, typ in out_fields}
+        )
+        if lf.empty or rf.empty:
+            return empty
+        # merge_asof needs both frames globally sorted by `on`; right-side
+        # ties (same by+on) resolve to the last row in sort order, so sorting
+        # the right frame by its payload columns pins the winner
+        lf = lf.sort_values([on, by], kind="stable")
+        rf = rf.sort_values([on, by] + [r_out[n] for n in r_names], kind="stable")
+        m = pd.merge_asof(lf, rf, on=on, by=by, direction="backward")
+        first_r = r_out[r_names[0]] if r_names else None
+        if first_r is not None:  # inner semantics: drop left rows w/o a match
+            m = m[m[first_r].notna()]
+        cols = {}
+        for name, typ in out_fields:
+            s = m[name]
+            if pa.types.is_integer(typ) and s.dtype.kind == "f":
+                s = s.astype("int64")  # NaNs are gone post-drop
+            cols[name] = pa.array(s, typ)
+        return pa.table(cols)
+
+    return (
+        stream.map_batches(lambda t: t.cast(pa.schema(
+            list(union_schema) + [pa.field("_c", pa.int64())])),
+            batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(merge_partition, batch_format="pyarrow")
+    )

@@ -1,0 +1,108 @@
+"""Gap-based sessionization — the windowed-aggregate shape the reference
+lacks entirely (its closest analog is the crawl's per-host politeness ticks)
+but every large-scale event/behavior pipeline needs: split each user's event
+stream into sessions wherever the inter-event gap exceeds a threshold, then
+aggregate per session.
+
+Scale shape: one coarse keyed shuffle (``groupby(user_hash % P)``) co-locates
+each user's events; in-partition work is fully vectorized pandas (sort +
+shift/cumsum + groupby-agg) — no per-user Python dispatch. Only the columns
+the aggregate needs ride the shuffle. Partitioning assumption: one user's
+events fit in a partition (hash-spread; salt pathological users upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("start_s", pa.int64()),
+        ("end_s", pa.int64()),
+        ("sum_value_cents", pa.int64()),
+    ]
+)
+
+
+def sessionize(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """→ Dataset(user_id, session_id, n_events, start_s, end_s,
+    sum_value_cents). ``session_id`` is the user's 1-based session ordinal in
+    ``(ts, event_id)`` order; a session breaks when the gap to the previous
+    event exceeds ``gap_s`` seconds. ``sum_value_cents`` sums per-event
+    ``round(value*100)`` as int64 (the engine's documented cents policy).
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+    gap_us = int(gap_s) * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column(user_col), pa.int64())
+        ts_us = pc.cast(t.column(ts_col), pa.timestamp("us"))
+        ts_us = pc.cast(ts_us, pa.int64())
+        val = t.column(value_col)
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(val, pa.float64()),
+                                             pa.scalar(100.0))), pa.int64())
+        key = user.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "user_id": user,
+            "_ts_us": ts_us,
+            "_cents": cents,
+            "_eid": pc.cast(t.column(id_col), pa.int64()),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def sessions_partition(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_c"]).to_pandas()
+        df = df.sort_values(["user_id", "_ts_us", "_eid"], kind="stable")
+        u = df["user_id"].to_numpy()
+        ts = df["_ts_us"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            same_user = u[1:] == u[:-1]
+            brk[1:] = np.where(same_user & (ts[1:] - ts[:-1] <= gap_us), 0, 1)
+        # 1-based per-user session ordinal: global cumsum re-based per user
+        g_sess = np.cumsum(brk)
+        df["_sess"] = g_sess
+        first_sess = df.groupby("user_id")["_sess"].transform("min")
+        df["session_id"] = df["_sess"] - first_sess + 1
+        agg = df.groupby(["user_id", "session_id"], sort=True).agg(
+            n_events=("_eid", "size"),
+            start_us=("_ts_us", "min"),
+            end_us=("_ts_us", "max"),
+            sum_value_cents=("_cents", "sum"),
+        ).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].astype("int64"), pa.int64()),
+            "session_id": pa.array(agg["session_id"].astype("int64"), pa.int64()),
+            "n_events": pa.array(agg["n_events"].astype("int64"), pa.int64()),
+            "start_s": pa.array(agg["start_us"] // 1_000_000, pa.int64()),
+            "end_s": pa.array(agg["end_us"] // 1_000_000, pa.int64()),
+            "sum_value_cents": pa.array(
+                agg["sum_value_cents"].astype("int64"), pa.int64()),
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(sessions_partition, batch_format="pyarrow")
+    )

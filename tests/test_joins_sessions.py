@@ -1,0 +1,124 @@
+"""as-of join + sessionization: semantics (ties, inner, gap edges),
+partition-count invariance, and a driver-style DuckDB oracle compare at
+sf0.001 for the two new SQL-oracled queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ds(rows: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(rows))
+
+
+@pytest.mark.parametrize("P", [1, 7])
+def test_asof_join_semantics(P):
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    left = _ds({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 20, 5, 15, 50], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    right = _ds({
+        "k": pa.array([1, 1, 1, 2, 9], pa.int64()),
+        "t": pa.array([10, 10, 18, 99, 1], pa.int64()),
+        "rv": pa.array([100, 200, 300, 400, 500], pa.int64()),
+    })
+    out = (
+        asof_join(left, right, by="k", on="t", num_partitions=P)
+        .to_pandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    # k=1,t=5: no right row ≤ 5 → dropped (inner)
+    # k=1,t=10: ties at t=10 → max payload wins (rv=200)
+    # k=1,t=20: latest ≤ 20 is t=18 → rv=300
+    # k=2,t=15: right t=99 > 15 → dropped;  k=3: no right key → dropped
+    assert out["k"].tolist() == [1, 1]
+    assert out["t"].tolist() == [10, 20]
+    assert out["lv"].tolist() == ["a", "b"]
+    assert out["rv"].tolist() == [200, 300]
+
+
+def test_asof_join_name_clash_suffix():
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    left = _ds({"k": pa.array([1], pa.int64()), "t": pa.array([9], pa.int64()),
+                "v": pa.array([7], pa.int64())})
+    right = _ds({"k": pa.array([1], pa.int64()), "t": pa.array([3], pa.int64()),
+                 "v": pa.array([8], pa.int64())})
+    out = asof_join(left, right, by="k", on="t", num_partitions=2).to_pandas()
+    assert sorted(out.columns) == ["k", "t", "v", "v_r"]
+    assert out.iloc[0]["v"] == 7 and out.iloc[0]["v_r"] == 8
+
+
+@pytest.mark.parametrize("P", [1, 5])
+def test_sessionize_semantics(P):
+    from nightcrawlercmd_ray.stages.sessions import sessionize
+
+    base = 1_700_000_000_000_000  # µs
+    m = 60_000_000  # one minute in µs
+    ev = _ds({
+        "event_id": pa.array(list(range(7)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        # u1: t=0, 30m (gap == 1800s: SAME session), 61m (break), 62m
+        # u2: t=0, 31m (break)   u3: single event
+        "ts": pa.array(
+            [base, base + 30 * m, base + 61 * m, base + 62 * m,
+             base, base + 31 * m, base],
+            pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]),
+    })
+    out = (
+        sessionize(ev, gap_s=1800, num_partitions=P)
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    got = out[["user_id", "session_id", "n_events", "sum_value_cents"]].values.tolist()
+    assert got == [
+        [1, 1, 2, 300],   # 1.0+2.0
+        [1, 2, 2, 1200],  # 4.0+8.0
+        [2, 1, 1, 1600],
+        [2, 2, 1, 3200],
+        [3, 1, 1, 6400],
+    ]
+    u1s1 = out[(out.user_id == 1) & (out.session_id == 1)].iloc[0]
+    assert u1s1["end_s"] - u1s1["start_s"] == 1800
+
+
+def _duckdb_oracle(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{tbl}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["events_asof_orders", "user_sessions"])
+def test_query_matches_duckdb_oracle(name):
+    """Driver-style compare at sf0.001: same rows, columns, values."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    got = _normalize(entrymod.queries()[name](SF_DIR).to_pandas())
+    want = _normalize(_duckdb_oracle(entrymod.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
