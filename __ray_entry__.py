@@ -620,6 +620,38 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media_table_from_pages(pages))
 
 
+def q_media_frame_samples(sf_dir: str):
+    """Video frame-sampling plan (stages/multimodal.py:sample_frames) over a
+    synthetic media table with typed duration metadata — the decode that
+    consumes these rows is the stubbed codec; the expansion is real."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.multimodal import MEDIA_SCHEMA, sample_frames
+
+    c = _corpus_for(sf_dir)
+    pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url"])
+
+    def as_video(t: pa.Table) -> pa.Table:
+        from nightcrawlercmd_ray.functions.urlnorm import hash64
+
+        ids = [hash64(u) & 0x7FFFFFFFFFFFFFFF for u in t.column("url").to_pylist()]
+        n = t.num_rows
+        # deterministic per-item duration (1s..120s) derived from the id
+        dur = [1000 + (i % 120) * 1000 for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "mime": pa.array(["video/mp4"] * n, pa.string()),
+            "payload": pa.array([b""] * n, pa.binary()),
+            "width": pa.array([None] * n, pa.int32()),
+            "height": pa.array([None] * n, pa.int32()),
+            "duration_ms": pa.array(dur, pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+
+    return sample_frames(pages.map_batches(as_video, batch_format="pyarrow"),
+                         fps=0.5, max_frames=16)
+
+
 def q_wordlist_pages(sf_dir: str):
     """The wordlist tool's report-mode over crawled page text (M10/A2/O1)."""
     import ray
@@ -671,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_documents": q_annotate_documents,
         "fuzz_payloads": q_fuzz_payloads,
         "media_features": q_media_features,
+        "media_frame_samples": q_media_frame_samples,
         "wordlist_pages": q_wordlist_pages,
     }
 

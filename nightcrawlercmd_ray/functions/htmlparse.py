@@ -184,8 +184,142 @@ class _Extractor(HTMLParser):
         )
 
 
+# --------------------------------------------------------------------------- #
+# fast tokenizer — replicates the stdlib HTMLParser event stream EXACTLY for
+# the well-formed subset (plain start/end tags with simple attributes,
+# entities, comments, PIs, script/style CDATA content) and returns False on
+# ANYTHING else, in which case parse_html re-runs the stdlib path on a fresh
+# extractor. Hot-path motivation: ~80% of crawl task CPU was stdlib parser
+# machinery (goahead/parse_starttag/updatepos); this tokenizer produces the
+# identical handle_* call sequence with ~2 regex matches per tag.
+# Exactness is enforced by tests/test_htmlparse.py's differential check
+# (fast vs stdlib over corpus pages + quirk strings) — the byte-identical
+# text contract is against the stdlib-defined spec, so any divergence is a
+# bug in THIS path, never a spec change.
+# --------------------------------------------------------------------------- #
+from html import unescape as _unescape
+
+_START_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9.:_-]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)"
+    r"\s*(/)?>"
+)
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?"
+)
+# identical to stdlib html.parser.endtagfind
+_END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
+}
+
+
+def _attr_val(raw: str | None) -> str | None:
+    if raw is None:
+        return None  # valueless attribute — stdlib yields None
+    if raw[:1] in "\"'" and raw[:1] == raw[-1:] and len(raw) >= 2:
+        raw = raw[1:-1]
+    return _unescape(raw) if "&" in raw else raw
+
+
+def _fast_parse(html: str, ex: _Extractor) -> bool:
+    """Emit the stdlib-identical event stream, or return False to bail."""
+    i, n = 0, len(html)
+    find = html.find
+    hd = ex.handle_data
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            seg = html[i:]
+            hd(_unescape(seg) if "&" in seg else seg)
+            return True
+        if lt > i:
+            seg = html[i:lt]
+            hd(_unescape(seg) if "&" in seg else seg)
+        c = html[lt + 1] if lt + 1 < n else ""
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            m = _START_RE.match(html, lt)
+            if m is None:
+                return False
+            tag = m.group(1).lower()
+            rawattrs = m.group(2)
+            attrs = (
+                [(a.group(1).lower(), _attr_val(a.group(2)))
+                 for a in _ATTR_RE.finditer(rawattrs)]
+                if rawattrs else []
+            )
+            i = m.end()
+            if m.group(3):
+                ex.handle_startendtag(tag, attrs)
+                continue
+            ex.handle_starttag(tag, attrs)
+            if tag in _CDATA_CLOSE:  # stdlib CDATA mode: raw until </tag>
+                cm = _CDATA_CLOSE[tag].search(html, i)
+                if cm is None:  # unterminated: rest is (skipped) raw data
+                    hd(html[i:])
+                    return True
+                em = _END_RE.match(html, cm.start())
+                if em is None or em.group(1).lower() != tag:
+                    return False  # '</script foo>' / '</scriptx>' oddities
+                hd(html[i:cm.start()])  # raw — stdlib never unescapes CDATA
+                ex.handle_endtag(tag)
+                i = em.end()
+        elif c == "/":
+            m = _END_RE.match(html, lt)
+            if m is None:
+                return False
+            ex.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif c == "!":
+            if html.startswith("<!--", lt):
+                e = find("-->", lt + 4)
+                if e < 0:
+                    return False  # EOF inside comment: stdlib salvage differs
+                i = e + 3  # handle_comment is a no-op in the extractor
+            else:
+                # simple declaration (<!DOCTYPE html>): ends at the first '>'
+                # provided nothing quote/bracket-ish intervenes (stdlib's
+                # parse_declaration tracks quotes and marked sections — bail
+                # for those); handle_decl is a no-op in the extractor
+                e = find(">", lt + 2)
+                if e < 0:
+                    return False
+                seg = html[lt + 2 : e]
+                if '"' in seg or "'" in seg or "[" in seg or "<" in seg:
+                    return False
+                i = e + 1
+        elif c == "?":
+            e = find(">", lt + 2)
+            if e < 0:
+                return False
+            i = e + 1  # handle_pi is a no-op in the extractor
+        else:
+            hd("<")  # bare '<' before non-tag char: stdlib emits it as data
+            i = lt + 1
+    return True
+
+
 def parse_html(html: bytes | str) -> ParsedPage:
     """Parse one HTML document; never raises on malformed input."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _Extractor()
+    try:
+        if _fast_parse(html, p):
+            return p.result()
+    except Exception:
+        pass  # fall through to the stdlib reference path
+    p = _Extractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # salvage whatever was extracted before the failure
+    return p.result()
+
+
+def _parse_html_stdlib(html: bytes | str) -> ParsedPage:
+    """Reference path only (for the differential test): always stdlib."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
     p = _Extractor()
@@ -193,7 +327,7 @@ def parse_html(html: bytes | str) -> ParsedPage:
         p.feed(html)
         p.close()
     except Exception:
-        pass  # salvage whatever was extracted before the failure
+        pass
     return p.result()
 
 

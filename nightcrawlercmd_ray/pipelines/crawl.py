@@ -85,6 +85,10 @@ FETCH_SCHEMA = pa.schema(
 # per wanted row (the sidecar index makes per-group METADATA cost ~zero, so
 # the old reason to keep groups big is gone)
 ROW_GROUP_SIZE = int(os.environ.get("NCRAWLER_ROW_GROUP", "64"))
+# codec for the (tiny, worker-cached) meta sidecar buckets and any legacy
+# parquet page buckets; pages themselves use the blob-v2 layout (no codec).
+# snappy was measured WORSE than none at both 4 and 16 CPUs on this box.
+STORE_COMPRESSION = os.environ.get("NCRAWLER_STORE_COMPRESSION", "none")
 
 LINKS_SCHEMA = pa.schema(
     [
@@ -127,33 +131,54 @@ def prepare_pagestore(
             )
             return t.append_column("bucket", pa.array(b, pa.int32()))
 
-        def write_group(t: pa.Table) -> pa.Table:
+        def write_group_blob(t: pa.Table) -> pa.Table:
+            """Pages bucket as raw hash-ordered blobs + offset index: a wave
+            point-read is searchsorted + two page-cache slices per row —
+            no parquet decode, no row-group overshoot (read amplification
+            1.0; the parquet variant decoded whole 64-row groups, ~3× the
+            wanted bytes, and its decode CPU inflated 2.5× under 16-way
+            occupancy — the round-2 scaling limiter)."""
             bucket = int(t.column("bucket")[0].as_py())
             d = f"{out_dir}/{sub}/bucket={bucket}"
             os.makedirs(d, exist_ok=True)
-            # url-sorted with SMALL row groups: the fetch join decodes only
-            # the row groups its wave touches
-            sorted_t = t.drop_columns(["bucket"]).sort_by("url")
-            # uncompressed: wave point-reads become near-memcpy row-group
-            # decodes instead of snappy streams — the fetch join competes
-            # with the parse stage for memory bandwidth, so cheaper decode
-            # buys parse throughput (disk is the cheap resource here)
-            pq.write_table(sorted_t, f"{d}/part.parquet",
-                           row_group_size=ROW_GROUP_SIZE, compression="none")
-            # sidecar row-group index: sorted url-hash → row group. Fetch
-            # tasks np.searchsorted this instead of decoding the url column
-            # of the whole bucket per wave (measured ~15% of task CPU).
-            n = sorted_t.num_rows
-            h = np.fromiter(
-                (url_hash(u) for u in sorted_t.column("url").to_pylist()),
-                dtype=np.uint64, count=n,
-            )
-            rg = (np.arange(n, dtype=np.int64) // ROW_GROUP_SIZE).astype(np.int32)
+            urls = t.column("url").to_pylist()
+            htmls = [
+                bytes(x) if x is not None else b""
+                for x in t.column("html").to_pylist()
+            ]
+            n = len(urls)
+            h = np.fromiter((url_hash(u) for u in urls), np.uint64, count=n)
             order = np.argsort(h, kind="stable")
-            np.savez(f"{d}/index.npz", h=h[order], rg=rg[order])
+            ub = [urls[i].encode("utf-8") for i in order]
+            hb = [htmls[i] for i in order]
+            ln = np.fromiter((len(x) for x in hb), np.int64, count=n)
+            uln = np.fromiter((len(x) for x in ub), np.int32, count=n)
+            off = np.zeros(n, np.int64)
+            uoff = np.zeros(n, np.int64)
+            if n:
+                np.cumsum(ln[:-1], out=off[1:])
+                np.cumsum(uln[:-1].astype(np.int64), out=uoff[1:])
+            with open(f"{d}/pages.blob", "wb") as f:
+                f.write(b"".join(hb))
+            with open(f"{d}/urls.blob", "wb") as f:
+                f.write(b"".join(ub))
+            np.savez(f"{d}/index2.npz", h=h[order], off=off, ln=ln,
+                     uoff=uoff, uln=uln)
+            return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                             "rows": pa.array([n], pa.int64())})
+
+        def write_group_parquet(t: pa.Table) -> pa.Table:
+            bucket = int(t.column("bucket")[0].as_py())
+            d = f"{out_dir}/{sub}/bucket={bucket}"
+            os.makedirs(d, exist_ok=True)
+            sorted_t = t.drop_columns(["bucket"]).sort_by("url")
+            pq.write_table(sorted_t, f"{d}/part.parquet",
+                           row_group_size=ROW_GROUP_SIZE,
+                           compression=STORE_COMPRESSION)
             return pa.table({"bucket": pa.array([bucket], pa.int32()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
+        write_group = write_group_blob if sub == "pages" else write_group_parquet
         out = (
             ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
@@ -161,7 +186,7 @@ def prepare_pagestore(
         )
         return int(sum(r["rows"] for r in out.take_all()))
 
-    n_pages = write_source(pages_path, "pages", None)
+    n_pages = write_source(pages_path, "pages", ["url", "html"])
     n_meta = 0
     if fetch_meta_path and os.path.exists(fetch_meta_path):
         n_meta = write_source(fetch_meta_path, "meta", None)
@@ -255,6 +280,57 @@ def _read_buckets(
         d = f"{store_dir}/{sub}/bucket={b}"
         if not os.path.isdir(d):
             continue
+
+        # blob-v2 fast path: hash-sorted offset index over a raw byte blob —
+        # searchsorted + one os.pread per wanted row (page-cache direct; NOT
+        # mmap, whose per-4K-page fault cost on this VM is ~6-15× a pread
+        # and re-paid per worker process). The (small) url strings are
+        # decoded once per worker and cached with the index.
+        def _load_idx2(p: str):
+            with np.load(p) as z:
+                idx = {k: z[k] for k in z.files}
+            bdir = os.path.dirname(p)
+            with open(os.path.join(bdir, "urls.blob"), "rb") as f:
+                ublob = f.read()
+            uoff, uln = idx["uoff"], idx["uln"]
+            idx["urls"] = [
+                ublob[int(uoff[r]) : int(uoff[r]) + int(uln[r])].decode("utf-8")
+                for r in range(len(uoff))
+            ]
+            return idx
+
+        idx2 = _cached_artifact(os.path.join(d, "index2.npz"), _load_idx2)
+        if idx2 is not None:
+            fobj = _cached_artifact(
+                os.path.join(d, "pages.blob"), lambda p: open(p, "rb")
+            )
+            fd = fobj.fileno()
+            hidx = idx2["h"]
+            lo = np.searchsorted(hidx, want_h, side="left")
+            hi = np.searchsorted(hidx, want_h, side="right")
+            run = hi - lo
+            nz = np.nonzero(run > 0)[0]
+            if nz.size == 0:
+                continue
+            out_urls: list[str] = []
+            out_html: list[bytes] = []
+            off, ln = idx2["off"], idx2["ln"]
+            urls_idx = idx2["urls"]
+            pread = os.pread
+            for j in nz:
+                for r in range(int(lo[j]), int(hi[j])):  # equal-hash runs
+                    u = urls_idx[r]
+                    if u not in want:  # hash collision: exact check wins
+                        continue
+                    out_urls.append(u)
+                    out_html.append(pread(fd, int(ln[r]), int(off[r])))
+            if out_urls:
+                tables.append(pa.table({
+                    "url": pa.array(out_urls, pa.string()),
+                    "html": pa.array(out_html, pa.binary()),
+                }))
+            continue
+
         def _load_idx(p: str):
             with np.load(p) as z:
                 return (z["h"], z["rg"])

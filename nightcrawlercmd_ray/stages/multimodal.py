@@ -81,6 +81,81 @@ def extract_media_features(ds, *, feature_dim: int = 8, concurrency: int = 2,
     )
 
 
+def decode_video_frame(payload: bytes, ts_ms: int) -> "object":
+    """STUB: no video codec in this environment. A real deployment plugs
+    PyAV/ffmpeg here; the frame-sampling plumbing below is real."""
+    raise NotImplementedError("video decode requires a codec library (not in sandbox)")
+
+
+def sample_frames(ds, *, fps: float = 1.0, max_frames: int = 64):
+    """Frame-sample plan: one row per frame to decode — (media_id, frame_idx,
+    ts_ms) expanded from each video row's ``duration_ms`` metadata at ``fps``,
+    capped at ``max_frames`` evenly spread frames per item. The expansion is
+    REAL (vectorized np.repeat flat-map); the per-frame decode that would
+    consume these rows is the stubbed ``decode_video_frame``.
+
+    Scale shape: rows/item is bounded, so downstream decode batches stay
+    memory-sized; the plan carries no payload bytes — a decode stage joins
+    payloads back by reading its own shard of the media store."""
+    import numpy as np
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        dur = t.column("duration_ms").to_numpy(zero_copy_only=False)
+        dur = np.where(np.isnan(dur.astype(np.float64)), 0, dur).astype(np.int64)
+        want = np.minimum(
+            np.maximum(dur * fps / 1000.0, 1).astype(np.int64), max_frames
+        )
+        rep_ids = np.repeat(ids, want)
+        idx = np.concatenate([np.arange(w) for w in want]) if len(want) else np.array([], np.int64)
+        # frames spread evenly over the duration (ts of frame k = k/want * dur)
+        rep_dur = np.repeat(dur, want)
+        rep_want = np.repeat(want, want)
+        ts_ms = (idx * rep_dur // np.maximum(rep_want, 1)).astype(np.int64)
+        return pa.table({
+            "media_id": pa.array(rep_ids, pa.int64()),
+            "frame_idx": pa.array(idx.astype(np.int32)),
+            "ts_ms": pa.array(ts_ms, pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage (decode/encode stubbed; plumbing real).
+
+    ``fake=True`` emits the target dims + a deterministic payload digest so
+    the pipeline shape (small batches, per-actor codec init, typed output)
+    is testable in-sandbox."""
+
+    def __init__(self, width: int = 224, height: int = 224, fake: bool = True):
+        self.width, self.height, self.fake = width, height, fake
+        if not fake:
+            decode_image(b"")  # raises: no codec in sandbox
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        digests = [hash64(bytes(p or b"")) & 0x7FFFFFFFFFFFFFFF for p in payloads]
+        n = t.num_rows
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "width": pa.array([self.width] * n, pa.int32()),
+            "height": pa.array([self.height] * n, pa.int32()),
+            "resized_digest": pa.array(digests, pa.int64()),
+        })
+
+
+def resize_images(ds, *, width: int = 224, height: int = 224,
+                  concurrency: int = 2, batch_size: int = 16):
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def media_table_from_pages(pages_ds, *, kind: str = "image"):
     """Adapter: treat the crawl's ``html`` binary column as an opaque payload
     table (the sandbox has no real media bytes)."""

@@ -57,3 +57,105 @@ def test_self_closing_script_resource():
     p = parse_html(b'<script src="/s.js"/><p>after</p>')
     assert "/s.js" in p.resources
     assert "after" in p.text
+
+
+# --------------------------------------------------------------------------- #
+# fast-tokenizer differential: the fast path must produce the EXACT stdlib
+# event-stream result or bail (parse_html then re-runs stdlib), so for any
+# input parse_html ≡ _parse_html_stdlib. Quirk strings cover the bail edges.
+# --------------------------------------------------------------------------- #
+_QUIRKS = [
+    "",
+    "plain text no markup &amp; entity",
+    "a < b and c > d",
+    "<",
+    "tail<",
+    "<a href=x>unterminated",
+    "<a href='q' DISABLED>T</a>",
+    '<A HREF="UP">case</A>',
+    "<a href=\"a&amp;b\">e</a>",
+    "<!DOCTYPE html><p>x</p>",
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0//EN">deep',
+    "<!-- c --><p>y</p>",
+    "<!-- unterminated comment <p>z</p>",
+    "<?php echo ?><p>pi</p>",
+    "<script>var a = '<p>not text</p>';</script>after",
+    "<script>unterminated cdata <a href=x>",
+    "<script>x</scriptx></script>done",
+    "<script >x</script >done",
+    "<style>p{}</style>ok",
+    "<br/><hr />self<img src=i/>",
+    "<a href=x/>slashval</a>",
+    "<form action='/f' method=post><input name=n type=t value=v></form>",
+    "<title>T1</title><title>T2</title>",
+    "<template><a href=tpl>inside</a></template>",
+    "<div\nclass='x'>nl attrs</div>",
+    "<a href=''>empty</a>",
+    "<p>&#x41;&#66;&nbsp;</p>",
+    "<a href='mixed\"quote'>q</a>",
+    "<em‐dash>unicode tagname</em‐dash>",
+    "</ >",
+    "</>",
+    "<a b=c d e=\"f\" g>multi</a>",
+    "< notag>",
+    "<![CDATA[raw]]>text",
+    "<div><p>a<p>b</div>",
+]
+
+
+def test_fast_parse_differential_quirks():
+    from nightcrawlercmd_ray.functions.htmlparse import (
+        _parse_html_stdlib,
+        parse_html,
+    )
+
+    for s in _QUIRKS:
+        a, b = parse_html(s), _parse_html_stdlib(s)
+        assert (a.hrefs, a.resources, a.title, a.text) == (
+            b.hrefs, b.resources, b.title, b.text), repr(s)
+        fa = [(f.url, f.method, [(i.name, i.type, i.value) for i in f.inputs])
+              for f in a.forms]
+        fb = [(f.url, f.method, [(i.name, i.type, i.value) for i in f.inputs])
+              for f in b.forms]
+        assert fa == fb, repr(s)
+
+
+def test_fast_parse_differential_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nightcrawlercmd_ray.functions.htmlparse import (
+        _parse_html_stdlib,
+        parse_html,
+    )
+
+    frag = st.sampled_from([
+        "<a href=", "x", ">", "</a>", "<div>", "</div>", "'", '"', "&amp;",
+        "&", ";", " ", "\n", "<script>", "</script>", "<!--", "-->", "<!",
+        "<?", "<br/>", "=", "/", "<img src=i>", "q<p", "]]>", "<![",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=12))
+    def inner(parts):
+        s = "".join(parts)
+        a, b = parse_html(s), _parse_html_stdlib(s)
+        assert (a.hrefs, a.resources, a.title, a.text) == (
+            b.hrefs, b.resources, b.title, b.text), repr(s)
+
+    inner()
+
+
+def test_fast_parse_differential_corpus(tiny_corpus):
+    import pyarrow.parquet as pq
+
+    from nightcrawlercmd_ray.functions.htmlparse import (
+        _parse_html_stdlib,
+        parse_html,
+    )
+
+    t = pq.read_table(f"{tiny_corpus['dir']}/pages.parquet", columns=["html"])
+    for h in t.column("html").to_pylist():
+        a, b = parse_html(h), _parse_html_stdlib(h)
+        assert (a.hrefs, a.resources, a.title, a.text) == (
+            b.hrefs, b.resources, b.title, b.text)
