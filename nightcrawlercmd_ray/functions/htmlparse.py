@@ -199,14 +199,21 @@ class _Extractor(HTMLParser):
 # --------------------------------------------------------------------------- #
 from html import unescape as _unescape
 
-_START_RE = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9.:_-]*)"
-    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)"
-    r"\s*(/)?>"
+# Start tags are parsed with stdlib html.parser's OWN module-level regexes,
+# driven by a structural replica of HTMLParser.parse_starttag /
+# check_for_whole_start_tag. This is the only way to be byte-exact: stdlib
+# first matches locatestarttagend_tolerant (which has no `>` anchor, so
+# alternation order decides and nothing forces backtracking) and only THEN
+# looks at the next character — an anchored single-regex tag matcher
+# backtracks into parses stdlib never produces (e.g. `<a href= '-->'`,
+# where stdlib consumes the quoted value to EOF and declares the tag
+# incomplete). Incomplete-at-EOF salvage paths bail to the stdlib parser.
+from html.parser import (  # module-level globals, stable across CPython 3.x
+    attrfind_tolerant as _ATTRFIND,
+    locatestarttagend_tolerant as _LOCATE_START,
+    tagfind_tolerant as _TAGFIND,
 )
-_ATTR_RE = re.compile(
-    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?"
-)
+
 # identical to stdlib html.parser.endtagfind
 _END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _CDATA_CLOSE = {
@@ -214,12 +221,47 @@ _CDATA_CLOSE = {
 }
 
 
-def _attr_val(raw: str | None) -> str | None:
-    if raw is None:
-        return None  # valueless attribute — stdlib yields None
-    if raw[:1] in "\"'" and raw[:1] == raw[-1:] and len(raw) >= 2:
-        raw = raw[1:-1]
-    return _unescape(raw) if "&" in raw else raw
+def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
+    """Replica of HTMLParser.parse_starttag + check_for_whole_start_tag.
+
+    Returns (endpos, tag, attrs) for a complete well-formed start tag, or
+    None for every case where stdlib does something other than emit a plain
+    handle_starttag/handle_startendtag for ``html[lt:endpos]`` (incomplete
+    tag at buffer end, EOF salvage, broken-tag-as-data) — caller bails to
+    the stdlib parser for those.
+    """
+    m = _LOCATE_START.match(html, lt)
+    if m is None:
+        return None
+    j = m.end()
+    nxt = html[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and html.startswith("/>", j):
+        endpos = j + 2
+    else:
+        return None  # incomplete / bogus / data-salvage paths
+    tm = _TAGFIND.match(html, lt + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs: list[tuple[str, str | None]] = []
+    while k < endpos:
+        am = _ATTRFIND.match(html, k)
+        if am is None:
+            break
+        name, rest, val = am.group(1, 2, 3)
+        if not rest:
+            val = None
+        elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+            val = val[1:-1]
+        if val and "&" in val:
+            val = _unescape(val)
+        attrs.append((name.lower(), val))
+        k = am.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        return None  # stdlib emits the broken tag as data
+    return endpos, tag, attrs, end == "/>"
 
 
 def _fast_parse(html: str, ex: _Extractor) -> bool:
@@ -238,18 +280,11 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
             hd(_unescape(seg) if "&" in seg else seg)
         c = html[lt + 1] if lt + 1 < n else ""
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            m = _START_RE.match(html, lt)
-            if m is None:
+            st = _parse_starttag_fast(html, lt)
+            if st is None:
                 return False
-            tag = m.group(1).lower()
-            rawattrs = m.group(2)
-            attrs = (
-                [(a.group(1).lower(), _attr_val(a.group(2)))
-                 for a in _ATTR_RE.finditer(rawattrs)]
-                if rawattrs else []
-            )
-            i = m.end()
-            if m.group(3):
+            i, tag, attrs, selfclosing = st
+            if selfclosing:
                 ex.handle_startendtag(tag, attrs)
                 continue
             ex.handle_starttag(tag, attrs)
