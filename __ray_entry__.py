@@ -347,6 +347,108 @@ def q_part_brand_stats(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Big-big distributed hash join (stages/joins.hash_join): lineitem ⋈
+    orders on orderkey — tagged union, ONE coarse keyed shuffle,
+    per-partition vectorized merge — then customer/nation broadcast dims
+    (Arrow table + ``pc.index_in``, J5 pattern) and a grouped revenue sum.
+    The fact⋈fact join is deliberately NOT a broadcast: at 100 TB both
+    sides stream through the same keyed exchange."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    ord_path = f"{sf_dir}/orders.parquet"
+    li = _read_pq(li_path, columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read_pq(ord_path, columns=["o_orderkey", "o_custkey"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            pc.cast(t.column("l_extendedprice"), pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
+        )
+        return pa.table({
+            "_k": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "rev_e4": pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64()),
+        })
+
+    def prep_ord(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+        })
+
+    j = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_ord, batch_format="pyarrow"),
+        on="_k",
+        n_rows=_parquet_rows(li_path) + _parquet_rows(ord_path),
+    )
+
+    cust_t = pa.concat_tables(ray.get(_read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs())).combine_chunks()
+    nat_t = pa.concat_tables(ray.get(_read_pq(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_arrow_refs())).combine_chunks()
+    cust_ref = ray.put(cust_t)
+    nat_ref = ray.put(nat_t)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cust = _ray.get(cust_ref)
+        nat = _ray.get(nat_ref)
+        ci = pc.index_in(t.column("o_custkey"),
+                         value_set=cust.column("c_custkey").combine_chunks())
+        nk = pc.take(cust.column("c_nationkey"), ci)
+        ni = pc.index_in(nk, value_set=nat.column("n_nationkey").combine_chunks())
+        return pa.table({
+            "n_name": pc.cast(pc.take(nat.column("n_name"), ni), pa.string()),
+            "rev_e4": t.column("rev_e4"),
+        })
+
+    return (
+        j.map_batches(annotate, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("rev_e4", alias_name="revenue_e4"),
+            Count(alias_name="line_count"),
+        )
+        .sort("n_name")
+    )
+
+
+def q_top_parts_per_brand(sf_dir: str):
+    """Distributed top-k per group (rank/window family, SURVEY O-family):
+    ONE keyed shuffle co-locates each brand, per-group vectorized
+    sort_indices + head(k) inside map_groups — only k rows per group leave
+    the partition, so the pattern holds at any group cardinality."""
+    K = 3
+    ds = _read_pq(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_partkey", "p_name", "p_retailprice"],
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("p_retailprice", "descending"), ("p_partkey", "ascending")],
+        )
+        t = g.take(idx[:K])
+        return t.append_column(
+            "rk", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
+        )
+
+    return (
+        ds.groupby("p_brand")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["p_brand", "rk"])
+    )
+
+
 def q_wordcount_documents(sf_dir: str):
     """The report tool's word→(count, exemplar) aggregation (A1) over the
     documents table, exemplar pinned min(doc_id)."""
@@ -685,6 +787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_per_brand": q_top_parts_per_brand,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
         "text_stats_documents": q_text_stats_documents,
@@ -754,6 +858,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY user_id
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   count(*) AS line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_name, p_retailprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rk
+            FROM part
+            QUALIFY rk <= 3
+            ORDER BY p_brand, rk
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price

@@ -136,3 +136,104 @@ def asof_join(
         .groupby("_c")
         .map_groups(merge_partition, batch_format="pyarrow")
     )
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Distributed equi-join of two big Datasets on an integer key column.
+
+    Same scale shape as :func:`asof_join` (SURVEY §2.6 recipe (a)): tag both
+    sides, union into one stream, ONE coarse keyed shuffle
+    (``groupby(hash(on) % P)``) co-locates each key's rows, then one
+    vectorized ``pandas.merge`` per partition. Use this when BOTH sides are
+    large; for a small dim side prefer the broadcast-probe pattern
+    (``ray.put`` an Arrow table + ``pc.index_in`` — see
+    ``q_market_segment_totals``), which skips the shuffle entirely.
+
+    ``how`` is ``"inner"`` or ``"left"``. Right payload columns whose names
+    clash with left ones get ``suffix``. Partitioning assumption: one key's
+    rows fit in a partition (salt pathologically hot keys upstream).
+    → Dataset(on, *left_payload, *right_payload[suffixed]).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = [n for n in l_schema.names if n != on]
+    r_names = [n for n in r_schema.names if n != on]
+    l_types = {n: l_schema.types[l_schema.names.index(n)] for n in l_names}
+    r_types = {n: r_schema.types[r_schema.names.index(n)] for n in r_names}
+    r_out = {n: (n + suffix if (n in l_names or n == on) else n) for n in r_names}
+
+    union_fields = (
+        [("_side", pa.int8()), (on, pa.int64())]
+        + [(n, l_types[n]) for n in l_names]
+        + [(r_out[n], r_types[n]) for n in r_names]
+    )
+    union_schema = pa.schema(list(union_fields) + [("_c", pa.int64())])
+    P = num_partitions or _coarse_partitions(n_rows)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                on: pc.cast(t.column(on), pa.int64()),
+            }
+            for name in l_names:
+                cols[name] = (
+                    pc.cast(t.column(name), l_types[name])
+                    if side == 0 else pa.nulls(n, l_types[name])
+                )
+            for name in r_names:
+                cols[r_out[name]] = (
+                    pc.cast(t.column(name), r_types[name])
+                    if side == 1 else pa.nulls(n, r_types[name])
+                )
+            out = pa.table(cols)
+            key = out.column(on).to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+            return out.append_column("_c", pa.array(part.astype(np.int64)))
+
+        return fn
+
+    stream = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    out_fields = (
+        [(on, pa.int64())]
+        + [(n, l_types[n]) for n in l_names]
+        + [(r_out[n], r_types[n]) for n in r_names]
+    )
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_c"]).to_pandas()
+        lf = df[df["_side"] == 0][[on] + l_names]
+        rf = df[df["_side"] == 1][[on] + [r_out[n] for n in r_names]]
+        if lf.empty or (rf.empty and how == "inner"):
+            return pa.table({name: pa.array([], typ) for name, typ in out_fields})
+        m = lf.merge(rf, on=on, how=how)
+        cols = {}
+        for name, typ in out_fields:
+            cols[name] = pa.array(m[name], typ, from_pandas=True)
+        return pa.table(cols)
+
+    # NOTE: a fully-empty result Dataset reports schema() == None — Ray Data
+    # short-circuits 0-row blocks (map fns are never invoked on them) and
+    # drops their schema; callers needing the schema of an empty join result
+    # should consult the inputs. Harmless downstream: aggregates/sorts/sinks
+    # all accept the empty stream.
+    return (
+        stream.map_batches(lambda t: t.cast(union_schema), batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(merge_partition, batch_format="pyarrow")
+    )

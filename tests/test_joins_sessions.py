@@ -122,3 +122,59 @@ def test_query_matches_duckdb_oracle(name):
     pd.testing.assert_frame_equal(
         got, want.astype(got.dtypes.to_dict()), check_exact=True
     )
+
+
+# --------------------------------------------------------------------------- #
+# hash_join (distributed equi-join)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("P", [1, 7])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_vs_pandas(P, how):
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, 300)
+    rk = rng.integers(0, 40, 120)
+    left = _ds({"k": pa.array(lk, pa.int64()),
+                "lv": pa.array(rng.integers(0, 1000, 300), pa.int64()),
+                "ls": pa.array([f"L{i}" for i in range(300)], pa.string())})
+    right = _ds({"k": pa.array(rk, pa.int64()),
+                 "rv": pa.array(rng.integers(0, 1000, 120), pa.int64())})
+    out = (
+        hash_join(left, right, on="k", how=how, num_partitions=P)
+        .to_pandas().sort_values(["k", "lv", "ls", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.to_pandas().merge(right.to_pandas(), on="k", how=how)
+        .sort_values(["k", "lv", "ls", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(
+        out[["k", "lv", "ls"]], exp[["k", "lv", "ls"]], check_dtype=False)
+    # rv: nullable on left-join — compare as float with NaN alignment
+    assert np.allclose(out["rv"].astype(float), exp["rv"].astype(float),
+                       equal_nan=True)
+
+
+def test_hash_join_name_clash_and_empty_side():
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    left = _ds({"k": pa.array([1, 2], pa.int64()),
+                "v": pa.array([7, 8], pa.int64())})
+    right = _ds({"k": pa.array([1, 1], pa.int64()),
+                 "v": pa.array([10, 20], pa.int64())})
+    out = hash_join(left, right, on="k", num_partitions=3).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert sorted(out["v_r"].tolist()) == [10, 20]
+    # inner vs a key-disjoint right side → 0 rows, no crash (Ray Data
+    # short-circuits 0-row blocks and drops their schema, so an all-empty
+    # result reports schema()=None — documented in hash_join)
+    right2 = _ds({"k": pa.array([99], pa.int64()),
+                  "v": pa.array([0], pa.int64())})
+    assert hash_join(left, right2, on="k", num_partitions=3).count() == 0
+    # left join keeps unmatched left rows with null right payload
+    out3 = hash_join(left, right2, on="k", how="left",
+                     num_partitions=3).to_pandas()
+    assert len(out3) == 2 and out3["v_r"].isna().all()
