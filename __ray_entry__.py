@@ -449,6 +449,24 @@ def q_top_parts_per_brand(sf_dir: str):
     )
 
 
+def q_sample_documents_stratified(sf_dir: str):
+    """Deterministic per-stratum mixture sampling (stages/sampling.py):
+    keep 50% of en, 25% of de, 12.5% of everything else, decided purely by
+    ``(doc_id·2654435761) mod 2^32`` — reproducible at any parallelism and
+    expressible verbatim in the SQL oracle. Pure per-batch map, no
+    shuffle."""
+    from nightcrawlercmd_ray.stages.sampling import stratified_sample
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = stratified_sample(
+        ds, key="doc_id", stratum="lang",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.125,
+    )
+    return out.sort("doc_id")
+
+
 def q_wordcount_documents(sf_dir: str):
     """The report tool's word→(count, exemplar) aggregation (A1) over the
     documents table, exemplar pinned min(doc_id)."""
@@ -789,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": q_part_brand_stats,
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "sample_documents_stratified": q_sample_documents_stratified,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
         "text_stats_documents": q_text_stats_documents,
@@ -878,6 +897,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             QUALIFY rk <= 3
             ORDER BY p_brand, rk
+        """,
+        "sample_documents_stratified": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+                  CASE lang WHEN 'en' THEN 2147483648
+                            WHEN 'de' THEN 1073741824
+                            ELSE 536870912 END
+            ORDER BY doc_id
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price

@@ -176,6 +176,7 @@ def run_bench() -> dict:
     family = () if os.environ.get("GRAFT_CRAWL_ONLY") else (
         "pricing_summary", "wordcount_documents", "minhash_near_dups",
         "knn_embeddings", "events_hourly_window", "dedup_exact_documents",
+        "revenue_by_nation", "events_asof_orders",
     )
     for name in family:
         fn = entrymod.queries()[name]

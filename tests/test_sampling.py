@@ -1,0 +1,103 @@
+"""Deterministic sampling / mixture weighting (stages/sampling.py):
+rate accuracy, partition invariance, stable train/holdout partition, and
+the driver-style DuckDB oracle compare for the stratified query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "doc_id": pa.array(rng.permutation(np.arange(n)), pa.int64()),
+        "lang": pa.array(
+            rng.choice(["en", "de", "fr", "ja"], n, p=[0.4, 0.3, 0.2, 0.1])
+        ),
+    })
+
+
+@pytest.mark.parametrize("blocks", [1, 8])
+def test_deterministic_sample_rate_and_partition_invariance(blocks):
+    from nightcrawlercmd_ray.stages.sampling import deterministic_sample
+
+    t = _docs()
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    out = deterministic_sample(ds, key="doc_id", rate=0.25).to_pandas()
+    # membership is a pure function of the key → identical at any layout
+    expected_ids = sorted(out["doc_id"])
+    assert 0.20 < len(out) / t.num_rows < 0.30
+    out2 = deterministic_sample(
+        ray.data.from_arrow(t).repartition(3), key="doc_id", rate=0.25
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == expected_ids
+
+
+def test_stratified_rates_and_default():
+    from nightcrawlercmd_ray.stages.sampling import stratified_sample
+
+    t = _docs()
+    out = stratified_sample(
+        ray.data.from_arrow(t).repartition(4),
+        key="doc_id", stratum="lang",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.1,
+    ).to_pandas()
+    full = t.to_pandas()
+    for lang, lo, hi in [("en", 0.42, 0.58), ("de", 0.18, 0.32),
+                         ("fr", 0.05, 0.16), ("ja", 0.04, 0.17)]:
+        n_all = (full["lang"] == lang).sum()
+        n_kept = (out["lang"] == lang).sum()
+        assert lo < n_kept / n_all < hi, (lang, n_kept, n_all)
+    # rate-0 stratum drops everything
+    none = stratified_sample(
+        ray.data.from_arrow(t), key="doc_id", stratum="lang",
+        rates={"en": 0.0}, default_rate=0.0,
+    ).to_pandas()
+    assert len(none) == 0
+
+
+def test_train_holdout_partition_exact():
+    from nightcrawlercmd_ray.stages.sampling import train_holdout_split
+
+    t = _docs(2000)
+    train, hold = train_holdout_split(
+        ray.data.from_arrow(t).repartition(5), key="doc_id", holdout=0.125
+    )
+    tr = train.to_pandas()["doc_id"]
+    ho = hold.to_pandas()["doc_id"]
+    assert len(tr) + len(ho) == t.num_rows
+    assert not set(tr) & set(ho)
+    assert 0.08 < len(ho) / t.num_rows < 0.17
+    # assignment is stable: a subset of the data splits identically
+    sub = t.slice(0, 500)
+    _, ho2 = train_holdout_split(
+        ray.data.from_arrow(sub), key="doc_id", holdout=0.125
+    )
+    assert set(ho2.to_pandas()["doc_id"]) == set(ho) & set(
+        sub.column("doc_id").to_pylist()
+    )
+
+
+def test_stratified_query_matches_duckdb_oracle():
+    import duckdb
+
+    import __ray_entry__ as E
+
+    res = E.queries()["sample_documents_stratified"](SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    ora = con.execute(E.oracle_sql()["sample_documents_stratified"]).df()
+    assert len(res) == len(ora) > 0
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), ora.reset_index(drop=True),
+        check_dtype=False,
+    )
