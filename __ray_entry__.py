@@ -40,6 +40,20 @@ def _read_pq(path, **kw):
 # --------------------------------------------------------------------------- #
 # helpers
 # --------------------------------------------------------------------------- #
+def _dim_table(path: str, columns: list[str]) -> pa.Table:
+    """Small-side (dim) table for the broadcast-join pattern: ONE driver-side
+    column-pruned parquet read (a distributed read of a KB-size file would
+    split it into empty blocks for nothing), metadata stripped so the table
+    hashes cleanly once it's ``ray.put`` into the object store."""
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(path, columns=columns)
+        .replace_schema_metadata(None)
+        .combine_chunks()
+    )
+
+
 def _cents(arr: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
     """Exact integer units from a ≤2-decimal double column."""
     x = pc.multiply(pc.cast(arr, pa.float64()), pa.scalar(float(scale)))
@@ -144,10 +158,9 @@ def q_market_segment_totals(sf_dir: str):
     # Python dict, no per-batch to_pylist on the probe side
     import pyarrow.compute as pc
 
-    cust_refs = _read_pq(
+    cust_t = _dim_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_arrow_refs()
-    cust_t = pa.concat_tables(ray.get(cust_refs)).combine_chunks()
+    )
     cust_ref = ray.put(cust_t)
 
     def annotate(t: pa.Table) -> pa.Table:
@@ -387,12 +400,12 @@ def q_revenue_by_nation(sf_dir: str):
         n_rows=_parquet_rows(li_path) + _parquet_rows(ord_path),
     )
 
-    cust_t = pa.concat_tables(ray.get(_read_pq(
+    cust_t = _dim_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_arrow_refs())).combine_chunks()
-    nat_t = pa.concat_tables(ray.get(_read_pq(
+    )
+    nat_t = _dim_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_arrow_refs())).combine_chunks()
+    )
     cust_ref = ray.put(cust_t)
     nat_ref = ray.put(nat_t)
 

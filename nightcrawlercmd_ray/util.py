@@ -11,16 +11,30 @@ def read_parquet_clean(path, **kw):
     Parquet written through pandas carries a ``b'pandas'`` schema-metadata
     blob whose hash fails (``hash(schema)`` → "unhashable type: 'dict'" on
     this pyarrow), defeating Ray Data's per-block schema dedup in every
-    shuffle reduce and forcing schema re-unification per block. Stripping is
-    metadata-only (zero-copy) and fuses with the read."""
+    shuffle reduce and forcing schema re-unification per block. Overriding
+    the read schema with a metadata-stripped copy fixes it at the source —
+    the read tasks themselves then yield clean-schema blocks (a post-read
+    map_batches strip runs too late: the warning fires inside ReadParquet)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray
 
-    def strip(t):
-        return t.replace_schema_metadata(None)
+    if "schema" not in kw:
+        f = path
+        if os.path.isdir(f):  # directory of part files: schemas are uniform
+            parts = sorted(p for p in os.listdir(f) if p.endswith(".parquet"))
+            f = os.path.join(f, parts[0]) if parts else None
+        if f is not None and os.path.isfile(f):
+            schema = pq.read_schema(f)
+            if schema.metadata:
+                cols = kw.get("columns")
+                if cols:  # schema must match the pruned column set
+                    schema = pa.schema([schema.field(c) for c in cols])
+                kw["schema"] = schema.remove_metadata()
 
-    return ray.data.read_parquet(path, **kw).map_batches(
-        strip, batch_format="pyarrow"
-    )
+    return ray.data.read_parquet(path, **kw)
 
 
 def distinct(ds, col: str):
