@@ -347,6 +347,136 @@ def q_user_sessions(sf_dir: str):
     return sessionize(ev, gap_s=1800, n_rows=_parquet_rows(path))
 
 
+def q_user_event_deltas(sf_dir: str):
+    """Per-key LAG window (stages/windows.py): for each event, the gap to
+    the same user's previous event plus its rank — one keyed shuffle,
+    vectorized in-partition sort + shifted compare. SQL oracle: LAG /
+    ROW_NUMBER windows."""
+    from nightcrawlercmd_ray.stages.windows import lag_deltas
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["event_id", "ts", "user_id"])
+    return lag_deltas(ev, n_rows=_parquet_rows(path))
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (stages/joins.hash_join how='anti'): customers
+    with no order above $400k (the filter keeps the result non-vacuous on
+    this data — every customer has SOME order). Both sides stream through
+    ONE keyed shuffle; the right side ships only per-batch-deduped keys. At
+    100 TB this is the anti-join shape (no driver-side set, no broadcast of
+    the big side)."""
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    c_path = f"{sf_dir}/customer.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    cust = _read_pq(c_path, columns=["c_custkey", "c_acctbal"])
+
+    def key_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(t.column("o_totalprice"), pa.float64()),
+                          pa.scalar(400000.0))
+        kept = t.filter(keep)
+        return pa.table({"c_custkey": pc.cast(kept.column("o_custkey"), pa.int64())})
+
+    orders = _read_pq(o_path, columns=["o_custkey", "o_totalprice"]).map_batches(
+        key_only, batch_format="pyarrow"
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "acctbal_cents": _cents(t.column("c_acctbal")),
+        })
+
+    j = hash_join(
+        cust.map_batches(prep, batch_format="pyarrow"),
+        orders,
+        on="c_custkey",
+        how="anti",
+        n_rows=_parquet_rows(c_path) + _parquet_rows(o_path),
+    )
+    return j.sort("c_custkey")
+
+
+def q_order_price_quantiles(sf_dir: str):
+    """Distributed exact quantiles (stages/quantiles.py): order-price
+    percentiles via per-batch partial histograms + ONE small value shuffle —
+    no global sort. Matches DuckDB quantile_disc bit-for-bit."""
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(t.column("o_totalprice"))})
+
+    return exact_quantiles(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "cents",
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+        out_names=["p25", "p50", "p75", "p90", "p99"],
+    )
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Grouped exact quantiles (stages/quantiles.py): per-language document
+    length percentiles — the quality-cut statistic a training-data pipeline
+    derives before filtering."""
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    return exact_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "n_chars",
+        [0.25, 0.5, 0.9],
+        by_col="lang",
+        out_names=["p25", "p50", "p90"],
+    )
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) (stages/sketches.exact_distinct_by):
+    per-batch pair pre-dedup (combiner) → one pair shuffle → tiny group
+    count. The HLL sketch variant is ``hll_distinct_users``."""
+    from nightcrawlercmd_ray.stages.sketches import exact_distinct_by
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+        })
+
+    return (
+        exact_distinct_by(
+            ev.map_batches(prep, batch_format="pyarrow"), "user_id", "event_type"
+        )
+        .sort("event_type")
+    )
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (stages/sketches.hll_distinct) —
+    the 100-TB path where the exact pair shuffle is too expensive: 16 KB of
+    registers per block is all that moves. Accuracy vs the exact operator is
+    pinned in tests (~1% at p=14 away from the 2.5m crossover)."""
+    from nightcrawlercmd_ray.stages.sketches import hll_distinct
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    r = hll_distinct(ev, "user_id", p=14)
+    return pa.table({
+        "estimate": pa.array([int(round(r["estimate"]))], pa.int64()),
+        "p": pa.array([r["p"]], pa.int32()),
+    })
+
+
 def q_part_brand_stats(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min
@@ -821,6 +951,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_per_brand": q_top_parts_per_brand,
         "sample_documents_stratified": q_sample_documents_stratified,
+        "user_event_deltas": q_user_event_deltas,
+        "customers_without_orders": q_customers_without_orders,
+        "order_price_quantiles": q_order_price_quantiles,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
         "text_stats_documents": q_text_stats_documents,
@@ -828,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q_lang_distribution,
         "knn_embeddings": q_knn_embeddings,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
+        "hll_distinct_users": q_hll_distinct_users,
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,
         "minhash_near_dups": q_minhash_near_dups,
@@ -910,6 +1046,42 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             QUALIFY rk <= 3
             ORDER BY p_brand, rk
+        """,
+        "user_event_deltas": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+                   CAST(row_number() OVER w AS BIGINT) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "order_price_quantiles": """
+            SELECT quantile_disc(cents, 0.25) AS p25,
+                   quantile_disc(cents, 0.5)  AS p50,
+                   quantile_disc(cents, 0.75) AS p75,
+                   quantile_disc(cents, 0.9)  AS p90,
+                   quantile_disc(cents, 0.99) AS p99
+            FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   quantile_disc(CAST(n_chars AS BIGINT), 0.25) AS p25,
+                   quantile_disc(CAST(n_chars AS BIGINT), 0.5)  AS p50,
+                   quantile_disc(CAST(n_chars AS BIGINT), 0.9)  AS p90
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sample_documents_stratified": """
             SELECT doc_id, lang, n_chars

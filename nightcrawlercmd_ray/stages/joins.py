@@ -158,17 +158,23 @@ def hash_join(
     (``ray.put`` an Arrow table + ``pc.index_in`` — see
     ``q_market_segment_totals``), which skips the shuffle entirely.
 
-    ``how`` is ``"inner"`` or ``"left"``. Right payload columns whose names
+    ``how`` is ``"inner"``, ``"left"``, ``"semi"`` (left rows WITH ≥1 right
+    match; right payload dropped) or ``"anti"`` (left rows with NO right
+    match). For semi/anti the right side should be projected to just the key
+    column upstream (and per-batch deduped — see ``tag``'s semi/anti path)
+    so only distinct keys ride the shuffle. Right payload columns whose names
     clash with left ones get ``suffix``. Partitioning assumption: one key's
     rows fit in a partition (salt pathologically hot keys upstream).
-    → Dataset(on, *left_payload, *right_payload[suffixed]).
+    → Dataset(on, *left_payload, *right_payload[suffixed]) — left columns
+    only for semi/anti.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    filter_only = how in ("semi", "anti")
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = [n for n in l_schema.names if n != on]
-    r_names = [n for n in r_schema.names if n != on]
+    r_names = [] if filter_only else [n for n in r_schema.names if n != on]
     l_types = {n: l_schema.types[l_schema.names.index(n)] for n in l_names}
     r_types = {n: r_schema.types[r_schema.names.index(n)] for n in r_names}
     r_out = {n: (n + suffix if (n in l_names or n == on) else n) for n in r_names}
@@ -183,10 +189,15 @@ def hash_join(
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
+            keys = pc.cast(t.column(on), pa.int64())
+            if side == 1 and filter_only:
+                # semi/anti only needs DISTINCT right keys — dedup per batch
+                # before the shuffle so volume is bounded by key cardinality
+                keys = pc.unique(keys.combine_chunks())
+            n = len(keys)
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
-                on: pc.cast(t.column(on), pa.int64()),
+                on: keys,
             }
             for name in l_names:
                 cols[name] = (
@@ -219,9 +230,13 @@ def hash_join(
         df = g.drop_columns(["_c"]).to_pandas()
         lf = df[df["_side"] == 0][[on] + l_names]
         rf = df[df["_side"] == 1][[on] + [r_out[n] for n in r_names]]
-        if lf.empty or (rf.empty and how == "inner"):
+        if lf.empty or (rf.empty and how in ("inner", "semi")):
             return pa.table({name: pa.array([], typ) for name, typ in out_fields})
-        m = lf.merge(rf, on=on, how=how)
+        if filter_only:
+            mask = lf[on].isin(rf[on].unique())
+            m = lf[mask] if how == "semi" else lf[~mask]
+        else:
+            m = lf.merge(rf, on=on, how=how)
         cols = {}
         for name, typ in out_fields:
             cols[name] = pa.array(m[name], typ, from_pandas=True)

@@ -1,0 +1,98 @@
+"""Distributed exact quantiles — histogram method.
+
+The reference has no percentile/quantile operator anywhere (its only order
+statistics are the wordlist sort, ``mainWordlist.go:96``, and the report's
+full sorts); a large-scale training-data pipeline needs distribution stats
+(doc-length percentiles for quality cuts, price/value percentiles for
+outlier fences) without a global sort.
+
+Scale shape: quantiles over a column with BOUNDED DISTINCT CARDINALITY
+(integer cents, character counts, token counts — the usual cases) reduce to
+a distributed histogram: each batch emits partial ``(value, count)`` rows
+(``pyarrow.Table.group_by`` inside ``map_batches`` — a combiner, so the
+shuffle carries at most |distinct| rows per block, not the data), ONE small
+``groupby(value).sum`` shuffle merges them, and the driver does a cumsum
+over the |distinct|-row result to pick order statistics. No global sort, no
+full materialization; driver memory is O(|distinct values|) — document that
+assumption at call sites (for truly continuous doubles, bucket to fixed
+precision first, which is what the cents policy already does).
+
+Order-statistic rule matches DuckDB ``quantile_disc``: the k-th smallest
+element with ``k = max(1, ceil(q * n))`` (verified against DuckDB 1.x in
+tests) — so these results are SQL-oracle-able bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial_hist(value_col: str, by_col: str | None):
+    """Per-batch combiner: (by?, value) → partial count."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = [by_col, value_col] if by_col else [value_col]
+        g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["_cnt"])
+
+    return fn
+
+
+def _pick(values: np.ndarray, counts: np.ndarray, qs: list[float]) -> list:
+    """Order statistics from a sorted (value, count) histogram —
+    quantile_disc semantics: k-th smallest, k = max(1, ceil(q*n))."""
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        out.append(values[int(np.searchsorted(cum, k, side="left"))])
+    return out
+
+
+def exact_quantiles(
+    ds,
+    value_col: str,
+    qs: list[float],
+    *,
+    by_col: str | None = None,
+    out_names: list[str] | None = None,
+) -> pa.Table:
+    """Exact discrete quantiles of ``value_col`` (optionally per ``by_col``
+    group). Returns a SMALL driver-side Arrow table — one row (or one row
+    per group) with one column per quantile, named ``out_names`` (default
+    ``p25``-style from ``qs``).
+
+    Driver memory is O(distinct values × groups); see module docstring.
+    """
+    if out_names is None:
+        out_names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs]
+
+    hist = (
+        ds.map_batches(_partial_hist(value_col, by_col), batch_format="pyarrow")
+        .groupby([by_col, value_col] if by_col else value_col)
+        .sum("_cnt")
+    )
+    df = hist.to_pandas()  # |distinct values| rows — small by assumption
+    cnt_col = "sum(_cnt)"
+    if by_col is None:
+        picked = _pick(df[value_col].to_numpy(), df[cnt_col].to_numpy(), qs)
+        return pa.table({n: pa.array([v]) for n, v in zip(out_names, picked)})
+
+    rows: dict[str, list] = {by_col: []}
+    for n in out_names:
+        rows[n] = []
+    for key, grp in df.groupby(by_col, sort=True):
+        picked = _pick(
+            grp[value_col].to_numpy(), grp[cnt_col].to_numpy(), qs
+        )
+        rows[by_col].append(key)
+        for n, v in zip(out_names, picked):
+            rows[n].append(v)
+    return pa.table({k: pa.array(v) for k, v in rows.items()})

@@ -1,0 +1,121 @@
+"""Distinct-count operators: exact (shuffle) and HyperLogLog (sketch).
+
+The reference's only membership/distinct machinery is ``map[string]bool``
+sets (SURVEY §2.7) — exact, single-process. At 100 TB an exact global
+COUNT(DISTINCT) needs a full hash shuffle of the key column; the HLL sketch
+replaces it with a fixed 2^p-byte register array that merges by elementwise
+max — each batch folds its keys into a local register set, the tiny
+register rows tree-merge, and NOTHING key-sized ever crosses the network.
+This engine keeps both: the exact form (SQL-oracle-able, used as the
+sketch's ground truth in tests) and the sketch (the 100-TB path, with the
+standard ~1.04/sqrt(2^p) relative error).
+
+Hashing: splitmix64 finalizer over int64 keys (vectorized numpy uint64
+ops) — a public-domain mixer with full avalanche; string keys should be
+pre-hashed upstream (e.g. the urlnorm url_hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64[n] → uint64[n]."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _fold_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into a fresh 2^p uint8 register array."""
+    m = np.uint64(1 << p)
+    idx = (hashes & (m - np.uint64(1))).astype(np.int64)
+    rest = hashes >> np.uint64(p)
+    # rho = number of leading zeros in the remaining (64-p) bits, + 1 =
+    # (64-p) - bit_length(rest) + 1. bit_length via float64 log2 is only
+    # exact below 2^32 (64-bit values like 2^50-1 round UP across the power
+    # of two), so compute it on 32-bit halves.
+    def _blen32(v: np.ndarray) -> np.ndarray:  # exact for v < 2^32
+        w = np.zeros(len(v), dtype=np.int64)
+        nz = v != 0
+        w[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+        return w
+
+    hi = (rest >> np.uint64(32)).astype(np.uint64)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    width = np.where(hi != 0, 32 + _blen32(hi), _blen32(lo))
+    rho = ((64 - p) - width + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    """Classic HLL estimator with small-range (linear counting) correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, key_col: str, *, p: int = 14) -> dict:
+    """Approximate COUNT(DISTINCT key_col) over an integer key column.
+
+    Per-batch: hash keys (splitmix64) and fold into a 2^p register array;
+    each batch yields ONE row carrying its registers (2^p bytes). The
+    register rows merge by elementwise max on the driver — at most
+    #blocks × 2^p bytes ever reach it (16 KB/block at p=14), regardless of
+    input size. → {"estimate": float, "p": int, "registers": ndarray}.
+    """
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys = (
+            pc.cast(t.column(key_col), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        regs = _fold_registers(splitmix64(keys), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for batch in ds.map_batches(fold, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in batch.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return {"estimate": _estimate(merged), "p": p, "registers": merged}
+
+
+def exact_distinct_by(ds, key_col: str, by_col: str):
+    """Exact per-group distinct count: → Dataset(by_col, n_distinct).
+
+    Two-level: per-batch pre-dedup of (by, key) pairs (combiner — the
+    shuffle carries at most the pair cardinality per block), ONE
+    groupby(by, key) shuffle to global-dedup, then a tiny groupby(by)
+    count. SQL oracle: ``COUNT(DISTINCT key) GROUP BY by``.
+    """
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keys = [by_col, key_col]
+        return t.select(keys).group_by(keys).aggregate([])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([by_col, key_col])
+        .count()
+        .groupby(by_col)
+        .aggregate(Count(alias_name="n_distinct"))
+    )

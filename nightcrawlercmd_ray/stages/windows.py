@@ -1,0 +1,100 @@
+"""Per-key ordered window functions (LAG-family) — the row-wise windowed
+aggregate shape the reference lacks (its nearest analog is the crawl's
+per-host FIFO ordering, ``mainCrawler.go:110-115``) but event/behavior
+pipelines need constantly: for each row, a value computed from the PREVIOUS
+row of the same key in event-time order.
+
+Scale shape (same as stages/sessions.py): ONE coarse keyed shuffle
+(``groupby(key_hash % P)``) co-locates each key's rows; in-partition work is
+one vectorized sort + shifted-array compare with group-boundary masking —
+no per-key Python dispatch. Partitioning assumption: one key's rows fit in
+a partition (hash-spread; salt pathological keys upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DELTA_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("gap_us", pa.int64()),  # null on each user's first event
+        ("seq", pa.int64()),  # 1-based rank within the user's stream
+    ]
+)
+
+
+def lag_deltas(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """For each event: the microsecond gap to the same user's previous event
+    in ``(ts, event_id)`` order (null for the first), plus the 1-based rank.
+    Equivalent SQL: ``LAG(epoch_us(ts)) OVER (PARTITION BY user ORDER BY
+    ts, event_id)`` / ``ROW_NUMBER()`` — deterministic at any parallelism.
+    → Dataset(DELTA_SCHEMA).
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column(user_col), pa.int64())
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        key = user.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "user_id": user,
+            "ts_us": ts_us,
+            "event_id": pc.cast(t.column(id_col), pa.int64()),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def deltas_partition(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_c"]).combine_chunks()
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("ts_us", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        t = t.take(order)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        n = len(u)
+        gap = np.zeros(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            same = u[1:] == u[:-1]
+            first[1:] = ~same
+            gap[1:] = np.where(same, ts[1:] - ts[:-1], 0)
+        # 1-based per-user rank: global position minus the user's start
+        starts = np.flatnonzero(first)
+        seq = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        ) + 1
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts_us"),
+            "gap_us": pa.array(
+                np.ma.masked_array(gap, mask=first), pa.int64(), from_pandas=True
+            ),
+            "seq": pa.array(seq, pa.int64()),
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(deltas_partition, batch_format="pyarrow")
+    )

@@ -22,8 +22,9 @@ def read_parquet_clean(path, **kw):
     import ray
 
     if "schema" not in kw:
-        f = path
-        if os.path.isdir(f):  # directory of part files: schemas are uniform
+        f = path[0] if isinstance(path, (list, tuple)) and path else path
+        if isinstance(f, str) and os.path.isdir(f):
+            # directory of part files: schemas are uniform
             parts = sorted(p for p in os.listdir(f) if p.endswith(".parquet"))
             f = os.path.join(f, parts[0]) if parts else None
         if f is not None and os.path.isfile(f):

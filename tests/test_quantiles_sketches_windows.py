@@ -1,0 +1,278 @@
+"""Quantiles / distinct-count sketches / LAG windows / semi-anti joins:
+semantics, partition-count invariance, HLL-vs-exact accuracy, and a
+driver-style DuckDB oracle compare at sf0.001 for the new SQL-oracled
+queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ds(rows: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(rows))
+
+
+# --------------------------------------------------------------------------- #
+# quantiles
+# --------------------------------------------------------------------------- #
+def test_quantile_disc_rule_matches_duckdb():
+    """The k = max(1, ceil(q*n)) order-statistic rule, on the exact cases
+    used to pin DuckDB's semantics (n=10/4/3, q at both ends)."""
+    import duckdb
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(11)
+    for n in (3, 4, 10, 101):
+        vals = rng.integers(0, 50, size=n)
+        df = pd.DataFrame({"v": vals})
+        qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        o = con.sql(
+            "SELECT " + ", ".join(
+                f"quantile_disc(v, {q}) AS q{i}" for i, q in enumerate(qs)
+            ) + " FROM df"
+        ).df()
+        t = exact_quantiles(
+            ray.data.from_pandas(df).repartition(3), "v", qs,
+            out_names=[f"q{i}" for i in range(len(qs))],
+        ).to_pandas()
+        assert t.astype("int64").equals(o.astype("int64")), (n, t, o)
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 16])
+def test_quantiles_partition_invariant(nparts):
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1000, size=20_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(nparts)
+    t = exact_quantiles(ds, "v", [0.5, 0.9], out_names=["p50", "p90"]).to_pandas()
+    assert t["p50"].iloc[0] == np.sort(vals)[max(1, -(-len(vals) // 2)) - 1]
+
+
+def test_grouped_quantiles_vs_duckdb():
+    import duckdb
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], size=5_000),
+        "v": rng.integers(0, 200, size=5_000),
+    })
+    t = exact_quantiles(
+        ray.data.from_pandas(df).repartition(8), "v", [0.25, 0.9],
+        by_col="g", out_names=["p25", "p90"],
+    ).to_pandas()
+    con = duckdb.connect()
+    o = con.sql(
+        "SELECT g, quantile_disc(v, 0.25) p25, quantile_disc(v, 0.9) p90 "
+        "FROM df GROUP BY g ORDER BY g"
+    ).df()
+    assert t.reset_index(drop=True).astype(o.dtypes.to_dict()).equals(o)
+
+
+# --------------------------------------------------------------------------- #
+# sketches
+# --------------------------------------------------------------------------- #
+def test_hll_registers_merge_and_accuracy():
+    """Register fold is order/partition-free (max-merge), and the estimate
+    tracks exact cardinality within the expected band away from the 2.5m
+    crossover."""
+    from nightcrawlercmd_ray.stages.sketches import (
+        _estimate,
+        _fold_registers,
+        splitmix64,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 62, size=200_000).astype(np.uint64)
+    h = splitmix64(keys)
+    whole = _fold_registers(h, 12)
+    # split-fold-merge must equal whole-fold (associativity of max)
+    a = _fold_registers(h[:70_000], 12)
+    b = _fold_registers(h[70_000:], 12)
+    assert np.array_equal(np.maximum(a, b), whole)
+    exact = len(np.unique(keys))
+    est = _estimate(whole)
+    assert abs(est - exact) / exact < 0.08  # p=12 → ~1.6% σ; 5σ bound
+
+
+def test_hll_bit_length_exact_near_powers_of_two():
+    """float64 log2 mis-rounds 64-bit values just under a power of two —
+    the 32-bit-split path must not (rho off-by-one breaks determinism)."""
+    from nightcrawlercmd_ray.stages.sketches import _fold_registers
+
+    p = 14
+    # rest occupies 64-p = 50 bits, so testable widths cap at k=49
+    for k in (49, 40, 33, 32, 31, 20):
+        v = np.array([(1 << k) - 1, 1 << k], dtype=np.uint64)
+        # place the test value in the rho bits: hash = v << p | register 0
+        regs = _fold_registers(v << np.uint64(p), p)
+        width_lo, width_hi = k, k + 1  # bit_length of 2^k-1 and 2^k
+        exp_lo = (64 - p) - width_lo + 1
+        exp_hi = (64 - p) - width_hi + 1
+        # both landed in register 0; max of the two rhos survives — a float64
+        # log2 path would report width k+1 for 2^k-1 when k ≳ 47 and fail
+        assert regs[0] == max(exp_lo, exp_hi)
+
+
+def test_hll_vs_exact_on_dataset():
+    from nightcrawlercmd_ray.stages.sketches import hll_distinct
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 40, size=100_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    r = hll_distinct(ds, "k", p=14)
+    exact = len(np.unique(keys))
+    assert abs(r["estimate"] - exact) / exact < 0.05
+
+
+def test_exact_distinct_by_vs_duckdb():
+    import duckdb
+
+    from nightcrawlercmd_ray.stages.sketches import exact_distinct_by
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "t": rng.choice(["a", "b"], size=10_000),
+        "k": rng.integers(0, 500, size=10_000),
+    })
+    got = (
+        exact_distinct_by(ray.data.from_pandas(df).repartition(8), "k", "t")
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    o = con.sql(
+        "SELECT t, CAST(count(DISTINCT k) AS BIGINT) n_distinct "
+        "FROM df GROUP BY t ORDER BY t"
+    ).df()
+    assert got.astype(o.dtypes.to_dict()).equals(o)
+
+
+# --------------------------------------------------------------------------- #
+# windows
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("P", [1, 6])
+def test_lag_deltas_semantics(P):
+    from nightcrawlercmd_ray.stages.windows import lag_deltas
+
+    ts = pd.to_datetime(
+        [100, 200, 50, 400, 999], unit="s"
+    )  # user 1: 50,100,200 → gaps None,50s,100s; user 2: 400,999 wait
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": ts,
+        "event_id": [10, 11, 12, 13, 14],
+    })
+    out = (
+        lag_deltas(ray.data.from_pandas(df), num_partitions=P)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["seq"].tolist() == [2, 3, 1, 1, 2]
+    gaps = out["gap_us"].tolist()
+    assert np.isnan(gaps[2]) and np.isnan(gaps[3])  # first per user
+    assert gaps[0] == 50_000_000 and gaps[1] == 100_000_000
+    assert gaps[4] == 599_000_000
+
+
+def test_lag_deltas_tie_break_on_event_id():
+    from nightcrawlercmd_ray.stages.windows import lag_deltas
+
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([100, 100], unit="s"),
+        "event_id": [7, 3],
+    })
+    out = (
+        lag_deltas(ray.data.from_pandas(df), num_partitions=2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # equal ts → event_id orders: 3 first (gap null), 7 second (gap 0)
+    assert out.loc[out["event_id"] == 3, "seq"].iloc[0] == 1
+    assert out.loc[out["event_id"] == 7, "seq"].iloc[0] == 2
+    assert out.loc[out["event_id"] == 7, "gap_us"].iloc[0] == 0
+
+
+# --------------------------------------------------------------------------- #
+# semi / anti joins
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("how,expect_keys", [
+    ("semi", [1, 1, 3]),
+    ("anti", [2, 9]),
+])
+def test_hash_join_semi_anti(how, expect_keys):
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    left = _ds({
+        "key": pa.array([1, 1, 2, 3, 9], pa.int64()),
+        "x": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    right = _ds({
+        "key": pa.array([1, 3, 3, 5], pa.int64()),
+        "y": pa.array([0, 0, 0, 0], pa.int64()),
+    })
+    out = (
+        hash_join(left, right, on="key", how=how, num_partitions=3)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    assert out["key"].tolist() == expect_keys
+    assert list(out.columns) == ["key", "x"]  # right payload never emitted
+
+
+def test_hash_join_anti_empty_right_keeps_all_left():
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    left = _ds({"key": pa.array([4, 5], pa.int64()),
+                "x": pa.array([1, 2], pa.int64())})
+    right = _ds({"key": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64())})
+    out = hash_join(left, right, on="key", how="anti", num_partitions=2)
+    assert sorted(out.to_pandas()["key"].tolist()) == [4, 5]
+
+
+# --------------------------------------------------------------------------- #
+# driver-style oracle compares at sf0.001
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("name", [
+    "order_price_quantiles",
+    "doc_length_quantiles",
+    "distinct_users_by_type",
+    "user_event_deltas",
+    "customers_without_orders",
+])
+def test_new_queries_vs_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    res = entrymod.queries()[name](SF_DIR)
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        df = res.to_pandas()
+    else:
+        df = res
+    con = duckdb.connect()
+    for t in ("customer", "orders", "events", "documents"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    o = con.sql(entrymod.oracle_sql()[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(o.columns), (cols, sorted(o.columns))
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    o = o[cols].sort_values(cols).reset_index(drop=True)
+    assert df.shape == o.shape
+    for c in cols:
+        a, b = df[c], o[c]
+        both_na = a.isna().values & b.isna().values
+        assert ((a.values == b.values) | both_na).all(), c
