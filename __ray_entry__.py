@@ -661,6 +661,18 @@ def q_wordlist_documents(sf_dir: str):
     return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
 
 
+def q_bigram_counts(sf_dir: str):
+    """Corpus-wide word-bigram counts (stages/textops.bigram_counts): the
+    n-gram frequency statistic a training-data pipeline computes for
+    contamination / boilerplate analysis. Per-batch Counter combiner →
+    one (w1, w2) groupby-sum shuffle; the exchange carries distinct
+    bigrams only."""
+    from nightcrawlercmd_ray.stages.textops import bigram_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_counts(ds)
+
+
 def q_text_stats_documents(sf_dir: str):
     """Per-doc n_chars / whitespace-token counts (token-counting operator)."""
     import ray
@@ -958,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
+        "bigram_counts": q_bigram_counts,
         "text_stats_documents": q_text_stats_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "lang_distribution": q_lang_distribution,
@@ -1148,6 +1161,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             ORDER BY word
+        """,
+        "bigram_counts": """
+            WITH toks AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> ''
+                       ) AS ws
+                FROM documents
+            ),
+            pairs AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM toks, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+            )
+            SELECT w1, w2, count(*) AS n
+            FROM pairs GROUP BY w1, w2
         """,
         "text_stats_documents": """
             SELECT doc_id, length(text) AS n_chars,

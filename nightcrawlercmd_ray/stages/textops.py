@@ -49,3 +49,47 @@ def annotate_documents(ds, text_col: str = "text"):
         functools.partial(annotate_text_batch, text_col=text_col),
         batch_format="pyarrow",
     )
+
+
+def bigram_counts(ds, text_col: str = "text", top_k: int | None = None):
+    """Corpus-wide word-bigram counts — the n-gram statistic a training-data
+    pipeline derives for contamination checks and boilerplate detection.
+
+    Tokenization: ``[a-z]+`` runs of the lowercased text (identical to
+    ``list_filter(regexp_split_to_array(lower(text),'[^a-z]+'), x<>'')`` in
+    the SQL oracle — ``re.findall`` IS split-then-drop-empties).
+
+    Scale shape: per-batch combiner (a Counter over the batch's bigrams →
+    partial ``(w1, w2, n)`` rows, so the shuffle carries the batch's
+    DISTINCT bigrams, not one row per occurrence) → ONE
+    ``groupby(w1, w2).sum`` shuffle → optional top-k via sort+limit (the
+    grouped result is |distinct bigrams|, far smaller than the corpus).
+    → Dataset(w1, w2, n) — sorted (n desc, w1, w2) when ``top_k`` is set.
+    """
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[a-z]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            toks = word_re.findall((text or "").lower())
+            c.update(zip(toks, toks[1:]))
+        w1 = pa.array([k[0] for k in c], pa.string())
+        w2 = pa.array([k[1] for k in c], pa.string())
+        n = pa.array(list(c.values()), pa.int64())
+        return pa.table({"w1": w1, "w2": w2, "n": n})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["w1", "w2", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    if top_k is not None:
+        out = out.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(top_k)
+    return out
