@@ -359,6 +359,63 @@ def q_user_event_deltas(sf_dir: str):
     return lag_deltas(ev, n_rows=_parquet_rows(path))
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Per-key moving-window sum (stages/windows.rolling_sum): 3-row rolling
+    value total per user in (ts, event_id) order — one keyed shuffle,
+    in-partition prefix-sum with group-boundary masking. SQL oracle: SUM
+    OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    from nightcrawlercmd_ray.stages.windows import rolling_sum
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["event_id", "ts", "user_id", "value"])
+    return rolling_sum(ev, window=3, n_rows=_parquet_rows(path))
+
+
+def q_order_price_histogram(sf_dir: str):
+    """Fixed-width price histogram (stages/quantiles.fixed_width_histogram):
+    $50k buckets over o_totalprice on integer cents — per-batch bucket
+    combiner, one tiny bucket shuffle."""
+    from nightcrawlercmd_ray.stages.quantiles import fixed_width_histogram
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return fixed_width_histogram(ds, "o_totalprice", bucket_cents=5_000_000)
+
+
+def q_doc_frequency(sf_dir: str):
+    """Per-word document frequency (stages/textops.document_frequency): the
+    DF side of TF-IDF; per-doc distinct-word combiner → one word shuffle."""
+    from nightcrawlercmd_ray.stages.textops import document_frequency
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return document_frequency(ds)
+
+
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP subtotal pyramid (stages/rollup.rollup_sum_count): order count
+    + total cents by (o_orderpriority, order year), by priority, and grand
+    total — the finest grain pays the only data-sized shuffle; super-levels
+    derive from its bounded result."""
+    from nightcrawlercmd_ray.stages.rollup import rollup_sum_count
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": pc.cast(t.column("o_orderpriority"), pa.string()),
+            "yr": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    return rollup_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_orderpriority", "yr"],
+        value_col="cents",
+    )
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed ANTI join (stages/joins.hash_join how='anti'): customers
     with no order above $400k (the filter keeps the result non-vacuous on
@@ -964,6 +1021,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "sample_documents_stratified": q_sample_documents_stratified,
         "user_event_deltas": q_user_event_deltas,
+        "events_rolling_sum": q_events_rolling_sum,
+        "order_price_histogram": q_order_price_histogram,
+        "doc_frequency": q_doc_frequency,
+        "orders_rollup": q_orders_rollup,
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1067,6 +1128,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER w AS BIGINT) AS seq
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_rolling_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_cents
+            FROM events
+        """,
+        "order_price_histogram": """
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY bucket
+        """,
+        "doc_frequency": """
+            SELECT word, count(*) AS df
+            FROM (
+                SELECT DISTINCT doc_id, lower(w) AS word
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                    FROM documents
+                )
+            )
+            GROUP BY word
+        """,
+        "orders_rollup": """
+            SELECT o_orderpriority, yr,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total,
+                   count(*) AS n
+            FROM (SELECT o_orderpriority,
+                         CAST(year(o_orderdate) AS BIGINT) AS yr,
+                         o_totalprice
+                  FROM orders)
+            GROUP BY ROLLUP(o_orderpriority, yr)
         """,
         "customers_without_orders": """
             SELECT c_custkey,

@@ -96,3 +96,46 @@ def exact_quantiles(
         for n, v in zip(out_names, picked):
             rows[n].append(v)
     return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+def fixed_width_histogram(
+    ds,
+    value_col: str,
+    *,
+    bucket_cents: int,
+    scale: float = 100.0,
+):
+    """Fixed-width histogram over a price-like double column: bucket id =
+    ``round(value·scale) // bucket_cents`` on integer cents (float policy per
+    SURVEY §3.4, so the result is SQL-oracle-able bit-for-bit:
+    ``CAST(round(v*100) AS BIGINT) // bucket_cents``).
+
+    Scale shape: the same combiner as the quantile histogram — each batch
+    pre-buckets locally and emits at most |occupied buckets| partial rows,
+    then ONE tiny ``groupby(bucket).sum`` shuffle. The exchange volume is
+    bounded by bucket count × blocks, independent of row count.
+    → Dataset(bucket, n).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column(value_col), pa.float64()), scale)),
+            pa.int64(),
+        )
+        b = np.floor_divide(
+            cents.combine_chunks().to_numpy(zero_copy_only=False), bucket_cents
+        )
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(vals, pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["bucket", "n"]), batch_format="pyarrow"
+        )
+    )

@@ -1,0 +1,80 @@
+"""ROLLUP / grouping-sets aggregation.
+
+The reference's report tool only ever aggregates at one grain per pass
+(``mainReport.go:365-371``); OLAP-style subtotal pyramids (by (a,b), by
+(a), grand total) are a standard warehouse ask the engine should cover.
+
+Scale shape: the data-sized work happens ONCE — a per-batch partial
+aggregate at the FINEST grain followed by one ``groupby`` shuffle. Every
+super-aggregate (the rolled-up levels) is derived from that finest-grain
+result, which is bounded by the key-combination cardinality (thousands,
+not data-sized), inside a single ``map_groups`` over a constant key — the
+raw table is never re-scanned or re-shuffled per level. Partitioning
+assumption: |finest-grain groups| fits in one partition; if a rollup's
+finest grain were data-sized it would not be a useful rollup.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def rollup_sum_count(
+    ds,
+    keys: list[str],
+    value_col: str,
+):
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)`` with ``sum(value) AS total`` and
+    ``count(*) AS n``: emits one row per finest-grain group plus each
+    prefix level with the rolled-out keys NULL, down to the grand total.
+    ``value_col`` must already be integer (cents policy) so sums are exact.
+    → Dataset(*keys, total, n).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(keys + ["total", "n"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_all"]).combine_chunks()
+        out = [t]
+        for level in range(len(keys) - 1, -1, -1):
+            kept = keys[:level]
+            g = (
+                t.select(kept + ["total", "n"])
+                .group_by(kept)
+                .aggregate([("total", "sum"), ("n", "sum")])
+                .rename_columns(kept + ["total", "n"])
+            )
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    cols[k] = g.column(k)
+                else:
+                    cols[k] = pa.nulls(len(g), t.schema.field(k).type)
+            cols["total"] = g.column("total")
+            cols["n"] = g.column("n")
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+    # constant-key map_groups = bring the (small) finest result together once
+    return (
+        finest.map_batches(
+            lambda t: t.append_column("_all", pa.array([0] * len(t), pa.int8())),
+            batch_format="pyarrow",
+        )
+        .groupby("_all")
+        .map_groups(expand, batch_format="pyarrow")
+    )

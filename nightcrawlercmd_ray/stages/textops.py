@@ -93,3 +93,37 @@ def bigram_counts(ds, text_col: str = "text", top_k: int | None = None):
     if top_k is not None:
         out = out.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(top_k)
     return out
+
+
+def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-word document frequency — the DF side of TF-IDF and the statistic
+    contamination/boilerplate filters threshold on ("appears in >x% of
+    docs"). Tokenization matches the wordcount/wordlist family
+    (``RE_WORD``, extractors.py: ``[a-zA-Z][a-z]{3,}`` lowercased).
+
+    Scale shape: per-batch combiner — for each doc take the DISTINCT word
+    set, then count docs per word within the batch, so the shuffle carries
+    at most |distinct words in batch| rows → ONE ``groupby(word).sum``.
+    → Dataset(word, df).
+    """
+    from collections import Counter
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update({w.lower() for w in RE_WORD.findall(text or "")})
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "df": pa.array(list(c.values()), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("df")
+        .map_batches(
+            lambda t: t.rename_columns(["word", "df"]), batch_format="pyarrow"
+        )
+    )

@@ -98,3 +98,85 @@ def lag_deltas(
         .groupby("_c")
         .map_groups(deltas_partition, batch_format="pyarrow")
     )
+
+
+def rolling_sum(
+    events,
+    *,
+    window: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Per-key moving-window sum: for each event, the sum of ``value`` (in
+    integer cents, float-policy per SURVEY §3.4) over the last ``window``
+    rows of the same key in ``(ts, id)`` order — SQL ``SUM(...) OVER
+    (PARTITION BY user ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``.
+
+    Scale shape identical to :func:`lag_deltas`: ONE coarse keyed shuffle,
+    then an in-partition vectorized sort + prefix-sum — the window is
+    computed as ``cumsum[i+1] - cumsum[max(i-window+1, group_start)]``
+    with group boundaries masked, no per-key Python dispatch.
+    → Dataset(event_id, user_id, roll_cents).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+    W = window
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column(user_col), pa.int64())
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column(value_col), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        key = user.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "user_id": user,
+            "ts_us": ts_us,
+            "event_id": pc.cast(t.column(id_col), pa.int64()),
+            "cents": cents,
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def roll_partition(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_c"]).combine_chunks()
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("ts_us", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        t = t.take(order)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("cents").to_numpy(zero_copy_only=False)
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        gstart = np.repeat(starts, np.diff(np.append(starts, n)))
+        idx = np.arange(n, dtype=np.int64)
+        wstart = np.maximum(idx - (W - 1), gstart)
+        cs = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+        roll = cs[idx + 1] - cs[wstart]
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "roll_cents": pa.array(roll, pa.int64()),
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(roll_partition, batch_format="pyarrow")
+    )

@@ -276,3 +276,93 @@ def test_new_queries_vs_duckdb_oracle(name):
         a, b = df[c], o[c]
         both_na = a.isna().values & b.isna().values
         assert ((a.values == b.values) | both_na).all(), c
+
+
+# --------------------------------------------------------------------------- #
+# rolling window sum / histogram / doc frequency / rollup (round-2 additions)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_rolling_sum_semantics_and_partition_invariance(nparts):
+    """Window clips at each key's start; result invariant to partitioning."""
+    from nightcrawlercmd_ray.stages.windows import rolling_sum
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+         "2024-01-01 00:03:00", "2024-01-01 00:00:30", "2024-01-01 00:02:30"]
+    )
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [7, 7, 7, 7, 9, 9],
+        "ts": ts,
+        "value": [1.00, 2.00, 4.00, 8.00, 0.50, 0.25],
+    })
+    out = (
+        rolling_sum(ray.data.from_pandas(df).repartition(nparts), window=3,
+                    num_partitions=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # user 7: 100, 100+200, 100+200+400, 200+400+800; user 9: 50, 50+25
+    assert out["roll_cents"].tolist() == [100, 300, 700, 1400, 50, 75]
+
+
+def test_fixed_width_histogram_counts():
+    from nightcrawlercmd_ray.stages.quantiles import fixed_width_histogram
+
+    df = pd.DataFrame({"v": [0.01, 49.99, 50.00, 99.99, 100.00, 149.99, -0.01]})
+    out = (
+        fixed_width_histogram(
+            ray.data.from_pandas(df).repartition(3), "v", bucket_cents=5000
+        )
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    # cents // 5000: -1→bucket -1, [1,4999]→0, [5000,9999]→1, [10000,14999]→2
+    assert out.set_index("bucket")["n"].to_dict() == {-1: 1, 0: 2, 1: 2, 2: 2}
+
+
+def test_document_frequency_counts_docs_not_occurrences():
+    from nightcrawlercmd_ray.stages.textops import document_frequency
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Alpha alpha ALPHA beta1 gamma", "alpha delta", "delta delta"],
+    })
+    out = (
+        document_frequency(ray.data.from_pandas(df).repartition(2))
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    got = out.set_index("word")["df"].to_dict()
+    # RE_WORD = [a-zA-Z][a-z]{3,}: "beta1" tokenizes as "beta"; repeats in
+    # one doc count once
+    assert got == {"alpha": 2, "beta": 1, "gamma": 1, "delta": 2}
+
+
+def test_rollup_levels_match_duckdb():
+    import duckdb
+
+    from nightcrawlercmd_ray.stages.rollup import rollup_sum_count
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=200),
+        "b": rng.integers(0, 4, size=200).astype("int64"),
+        "cents": rng.integers(-50, 1000, size=200).astype("int64"),
+    })
+    out = (
+        rollup_sum_count(ray.data.from_pandas(df).repartition(7),
+                         keys=["a", "b"], value_col="cents")
+        .to_pandas()
+    )
+    o = duckdb.sql(
+        "SELECT a, b, CAST(sum(cents) AS BIGINT) AS total, count(*) AS n "
+        "FROM df GROUP BY ROLLUP(a, b)"
+    ).df()
+
+    def canon(d):
+        d = d.copy()
+        d["a"] = d["a"].fillna("\x00")
+        d["b"] = d["b"].fillna(-999).astype("int64")
+        return d.sort_values(["a", "b"]).reset_index(drop=True).astype(
+            {"total": "int64", "n": "int64"}
+        )
+
+    assert canon(out).equals(canon(o))
