@@ -390,6 +390,15 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Per-doc top-3 TF terms (stages/textops.doc_top_terms): keyword
+    extraction — TF and the cut are doc-local, pure map, NO shuffle."""
+    from nightcrawlercmd_ray.stages.textops import doc_top_terms
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_top_terms(ds, k=3)
+
+
 def q_orders_rollup(sf_dir: str):
     """ROLLUP subtotal pyramid (stages/rollup.rollup_sum_count): order count
     + total cents by (o_orderpriority, order year), by priority, and grand
@@ -1024,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": q_events_rolling_sum,
         "order_price_histogram": q_order_price_histogram,
         "doc_frequency": q_doc_frequency,
+        "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
@@ -1153,6 +1163,25 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "doc_top_terms": """
+            SELECT doc_id, word, tf
+            FROM (
+                SELECT doc_id, word, tf,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tf DESC, word
+                       ) AS rk
+                FROM (
+                    SELECT doc_id, lower(w) AS word, count(*) AS tf
+                    FROM (
+                        SELECT doc_id,
+                               unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                        FROM documents
+                    )
+                    GROUP BY doc_id, lower(w)
+                )
+            )
+            WHERE rk <= 3
         """,
         "orders_rollup": """
             SELECT o_orderpriority, yr,

@@ -127,3 +127,37 @@ def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
             lambda t: t.rename_columns(["word", "df"]), batch_format="pyarrow"
         )
     )
+
+
+def doc_top_terms(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document top-k terms by term frequency (ties broken
+    alphabetically) — the TF side of TF-IDF keyword extraction. Tokenization
+    matches the wordcount family (``RE_WORD`` lowercased).
+
+    Scale shape: embarrassingly parallel — TF and the top-k cut are local
+    to each document, so this is a pure ``map_batches`` with NO shuffle;
+    output is at most k rows per doc. SQL equivalent: ``row_number() OVER
+    (PARTITION BY doc ORDER BY tf DESC, word) <= k``.
+    → Dataset(doc_id, word, tf).
+    """
+    from collections import Counter
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            c = Counter(w.lower() for w in RE_WORD.findall(text or ""))
+            for w, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]:
+                ids.append(did)
+                words.append(w)
+                tfs.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")
