@@ -390,6 +390,46 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (stages/slidingwindow.py): per-event-type
+    counts/sums over 1-hour windows hopping every 15 min — per-batch
+    expand+combine (shuffle bounded by keys × occupied windows), one
+    groupby merge."""
+    from nightcrawlercmd_ray.stages.slidingwindow import sliding_window_agg
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return sliding_window_agg(ev, window_s=3600, slide_s=900)
+
+
+def q_lineitem_quantity_tiers(sf_dir: str):
+    """Broadcast range join (stages/joins.broadcast_range_join): lineitem
+    quantities banded into half-open tiers via one vectorized searchsorted
+    per batch — no shuffle on the fact side — then a tiny tier aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from nightcrawlercmd_ray.stages.joins import broadcast_range_join
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_quantity": pc.cast(t.column("l_quantity"), pa.float64()),
+            "cents": _cents(t.column("l_extendedprice")),
+        })
+
+    tagged = broadcast_range_join(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "l_quantity",
+        breaks=[1, 10, 25, 40, 51],
+        labels=["XS", "S", "M", "L"],
+    )
+    return tagged.groupby("tier").aggregate(
+        Count(alias_name="n"), Sum("cents", alias_name="total_cents")
+    )
+
+
 def q_doc_top_terms(sf_dir: str):
     """Per-doc top-3 TF terms (stages/textops.doc_top_terms): keyword
     extraction — TF and the cut are doc-local, pure map, NO shuffle."""
@@ -1035,6 +1075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
+        "events_sliding_window": q_events_sliding_window,
+        "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1163,6 +1205,34 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "events_sliding_window": """
+            SELECT key, win_start_s, count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM (
+                SELECT event_type AS key,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       unnest(generate_series(latest - 2700, latest, 900))
+                           AS win_start_s
+                FROM (
+                    SELECT event_type, value,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
+                               AS latest
+                    FROM events
+                )
+            )
+            GROUP BY key, win_start_s
+        """,
+        "lineitem_quantity_tiers": """
+            WITH tiers(tier, lo, hi) AS (
+                VALUES ('XS', 1, 10), ('S', 10, 25), ('M', 25, 40), ('L', 40, 51)
+            )
+            SELECT tier, count(*) AS n,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM lineitem JOIN tiers
+              ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY tier
         """,
         "doc_top_terms": """
             SELECT doc_id, word, tf

@@ -252,3 +252,49 @@ def hash_join(
         .groupby("_c")
         .map_groups(merge_partition, batch_format="pyarrow")
     )
+
+
+def broadcast_range_join(
+    ds,
+    col: str,
+    *,
+    breaks: list,
+    labels: list[str],
+    out_col: str = "tier",
+    keep_unmatched: bool = False,
+):
+    """Range (band/interval) join against a SMALL side of half-open
+    intervals ``[breaks[i], breaks[i+1]) → labels[i]`` — the "join fact rows
+    to a tier/bucket table on lo <= v < hi" shape. The reference's nearest
+    analog is the bucket status classifier (M22, exact-value cases); a real
+    range join has no counterpart there.
+
+    Scale shape: the interval side is tiny by construction, so this is the
+    broadcast form — NO shuffle at all; each batch does one vectorized
+    ``np.searchsorted`` against the breakpoint array captured in the task
+    closure (shipped once per task, not per batch). Rows outside every
+    interval are dropped unless ``keep_unmatched`` (then labelled null).
+    → the input Dataset with ``out_col`` appended.
+    """
+    if len(labels) != len(breaks) - 1:
+        raise ValueError("need len(labels) == len(breaks) - 1")
+    lo, hi = breaks[0], breaks[-1]
+    bks = np.asarray(breaks, dtype=np.float64)
+    labs = pa.array(labels, pa.string())
+
+    def tag_batch(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(col), pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(bks, v, side="right") - 1
+        ok = (v >= lo) & (v < hi)
+        if not keep_unmatched:
+            t = t.filter(pa.array(ok))
+            idx = idx[ok]
+            return t.append_column(out_col, labs.take(pa.array(idx)))
+        take_idx = pa.array(
+            np.where(ok, idx, -1), pa.int64(), mask=~ok, from_pandas=True
+        )
+        return t.append_column(out_col, labs.take(take_idx))
+
+    return ds.map_batches(tag_batch, batch_format="pyarrow")

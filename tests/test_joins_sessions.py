@@ -178,3 +178,61 @@ def test_hash_join_name_clash_and_empty_side():
     out3 = hash_join(left, right2, on="k", how="left",
                      num_partitions=3).to_pandas()
     assert len(out3) == 2 and out3["v_r"].isna().all()
+
+
+# --------------------------------------------------------------------------- #
+# sliding window / broadcast range join (round-2 additions)
+# --------------------------------------------------------------------------- #
+def test_sliding_window_membership_and_partition_invariance():
+    """Each event lands in exactly window/slide windows; half-open bounds."""
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.slidingwindow import sliding_window_agg
+
+    # one event at t=3600 exactly: windows [900,4500) .. [3600,7200)
+    df = pd.DataFrame({
+        "event_type": ["a"],
+        "ts": pd.to_datetime(["1970-01-01 01:00:00"]),
+        "value": [1.0],
+    })
+    for nparts in (1, 3):
+        out = (
+            sliding_window_agg(
+                ray.data.from_pandas(df).repartition(nparts),
+                window_s=3600, slide_s=900,
+            )
+            .to_pandas().sort_values("win_start_s").reset_index(drop=True)
+        )
+        assert out["win_start_s"].tolist() == [900, 1800, 2700, 3600]
+        assert out["n_events"].tolist() == [1, 1, 1, 1]
+        assert out["sum_value_cents"].tolist() == [100] * 4
+
+
+def test_sliding_window_rejects_nondividing_slide():
+    import pytest as _pytest
+
+    from nightcrawlercmd_ray.stages.slidingwindow import sliding_window_agg
+
+    with _pytest.raises(ValueError):
+        sliding_window_agg(None, window_s=3600, slide_s=1000)
+
+
+def test_broadcast_range_join_bounds_and_unmatched():
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.joins import broadcast_range_join
+
+    df = pd.DataFrame({"v": [0.5, 1.0, 9.99, 10.0, 50.99, 51.0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = broadcast_range_join(
+        ds, "v", breaks=[1, 10, 51], labels=["lo", "hi"]
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    # 0.5 and 51.0 fall outside every half-open interval and are dropped
+    assert out["v"].tolist() == [1.0, 9.99, 10.0, 50.99]
+    assert out["tier"].tolist() == ["lo", "lo", "hi", "hi"]
+
+    kept = broadcast_range_join(
+        ds, "v", breaks=[1, 10, 51], labels=["lo", "hi"], keep_unmatched=True
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(kept) == 6
+    assert kept["tier"].isna().tolist() == [True, False, False, False, False, True]
