@@ -390,6 +390,73 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_latest_orders_per_customer(sf_dir: str):
+    """Keep-newest-record-per-key dedup (stages/dedup.latest_per_key): the
+    'newest crawl of a URL wins' shape — per-batch local argmax combiner,
+    keyed shuffle carries ≤ one row per key per block."""
+    from nightcrawlercmd_ray.stages.dedup import latest_per_key
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    out = latest_per_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="o_custkey", order_col="o_orderdate", tie_col="o_orderkey",
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "cents"])
+
+
+def q_sample_docs_per_lang(sf_dir: str):
+    """Deterministic k-per-group sampling (stages/sampling.sample_k_per_group):
+    5 docs per language by Knuth-hash rank — associative local-top-k
+    combiner, reproducible at any parallelism, SQL-replicable."""
+    from nightcrawlercmd_ray.stages.sampling import sample_k_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = sample_k_per_group(ds, key="doc_id", group="lang", k=5)
+    return out.sort(["lang", "doc_id"])
+
+
+def q_order_price_outliers(sf_dir: str):
+    """Percentile-fence composite: exact p99 via the distributed histogram
+    quantile (tiny result), broadcast as a plain threshold into a second
+    streaming filter+aggregate pass — the two-phase outlier-cut shape."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(t.column("o_totalprice"))})
+
+    cents = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow")
+    p99 = int(
+        exact_quantiles(cents, "cents", [0.99], out_names=["p99"])
+        .column("p99")[0].as_py()
+    )
+    agg = (
+        cents.filter(expr=f"cents > {p99}")
+        .aggregate(Count(alias_name="n_outliers"),
+                   Sum("cents", alias_name="total_cents"))
+    )
+    return pd.DataFrame([{
+        "n_outliers": int(agg["n_outliers"]),
+        "total_cents": int(agg["total_cents"]),
+    }])
+
+
 def q_events_sliding_window(sf_dir: str):
     """Sliding-window aggregate (stages/slidingwindow.py): per-event-type
     counts/sums over 1-hour windows hopping every 15 min — per-batch
@@ -1077,6 +1144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
+        "latest_orders_per_customer": q_latest_orders_per_customer,
+        "sample_docs_per_lang": q_sample_docs_per_lang,
+        "order_price_outliers": q_order_price_outliers,
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1205,6 +1275,42 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "latest_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rk
+                FROM orders
+            )
+            WHERE rk = 1
+        """,
+        "sample_docs_per_lang": """
+            SELECT doc_id, lang
+            FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rk
+                FROM documents
+            )
+            WHERE rk <= 5
+            ORDER BY lang, doc_id
+        """,
+        "order_price_outliers": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT count(*) AS n_outliers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM c
+            WHERE cents > (SELECT quantile_disc(cents, 0.99) FROM c)
         """,
         "events_sliding_window": """
             SELECT key, win_start_s, count(*) AS n_events,

@@ -554,3 +554,39 @@ def embedding_duplicates(
         .map_groups(coarse_bucket_pairs, batch_format="pyarrow")
     )
     return _typed_dup_result(pairs)
+
+
+# --------------------------------------------------------------------------- #
+# latest-per-key: keep the newest record per key (combiner-first)
+# --------------------------------------------------------------------------- #
+def latest_per_key(ds, key_col: str, order_col: str, tie_col: str | None = None):
+    """Keep, per key, the row with the MAX ``order_col`` (ties broken by max
+    ``tie_col``) — "newest crawl of a URL wins", "latest order per
+    customer". Deterministic at any parallelism.
+
+    Scale shape: the reduction is associative, so each batch FIRST reduces
+    locally to one row per key (``take`` on per-key argmax — a combiner),
+    and the single keyed shuffle carries at most |distinct keys in batch|
+    rows; the per-group merge then picks the winner among block-local
+    winners. No full-row sort anywhere.
+    """
+    sort_keys = [(key_col, "ascending"), (order_col, "descending")]
+    if tie_col is not None:
+        sort_keys.append((tie_col, "descending"))
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.ones(len(keys), dtype=bool)
+        if len(keys) > 1:
+            first[1:] = keys[1:] != keys[:-1]
+        return t.filter(pa.array(first))
+
+    return (
+        ds.map_batches(local_latest, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(local_latest, batch_format="pyarrow")
+    )

@@ -96,3 +96,51 @@ def train_holdout_split(ds, *, key: str, holdout: float, salt: int = 0):
         ds.map_batches(side(False), batch_format="pyarrow"),
         ds.map_batches(side(True), batch_format="pyarrow"),
     )
+
+
+def sample_k_per_group(
+    ds, *, key: str, group: str, k: int, salt: int = 0
+):
+    """Deterministic k-per-group sample: within each group keep the k rows
+    with the smallest ``(hash_u32(key), key)`` rank — a reproducible
+    "reservoir" that is independent of partitioning and row order (the
+    hash IS the random draw, SQL-replicable as
+    ``(key*2654435761+salt) % 2^32``).
+
+    Scale shape: the selection is associative — each batch first cuts to
+    its local top-k per group (combiner), the single keyed shuffle carries
+    ≤ k·|groups in batch| rows, and the per-group merge re-cuts to the
+    global k. No global sort.
+    """
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_hr", pa.array([], pa.int64())) \
+                if "_hr" not in t.column_names else t
+        if "_hr" not in t.column_names:
+            keys = pc.cast(t.column(key), pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            hr = hash_u32(keys, salt).astype(np.int64)
+            t = t.append_column("_hr", pa.array(hr, pa.int64()))
+        idx = pc.sort_indices(
+            t, sort_keys=[(group, "ascending"), ("_hr", "ascending"),
+                          (key, "ascending")],
+        )
+        t = t.take(idx)
+        g = t.column(group).combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        return t.filter(pa.array(rank < k))
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(local_topk, batch_format="pyarrow")
+        .drop_columns(["_hr"])
+    )

@@ -233,3 +233,26 @@ def test_minhash_simhash_dup_set_regression():
             f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"])
         sh = sorted((r["doc_id"], r["dup_of"]) for r in simhash_duplicates(ds2).take_all())
         assert sh == [tuple(x) for x in fx[sf]["simhash"]], sf
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_latest_per_key_partition_invariant(nparts):
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.dedup import latest_per_key
+
+    df = pd.DataFrame({
+        "url_id": [1, 1, 1, 2, 2, 3],
+        "crawl_ts": [10, 30, 30, 5, 7, 1],
+        "rev": [0, 1, 2, 0, 1, 0],
+        "payload": list("abcdef"),
+    })
+    out = (
+        latest_per_key(
+            ray.data.from_pandas(df).repartition(nparts),
+            key_col="url_id", order_col="crawl_ts", tie_col="rev",
+        )
+        .to_pandas().sort_values("url_id").reset_index(drop=True)
+    )
+    # ties on crawl_ts=30 broken by max rev → payload 'c'
+    assert out["payload"].tolist() == ["c", "e", "f"]

@@ -101,3 +101,34 @@ def test_stratified_query_matches_duckdb_oracle():
         res.reset_index(drop=True), ora.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_sample_k_per_group_partition_invariant(nparts):
+    """Same k-sample at any parallelism; exactly k per group (or all rows
+    when the group is smaller than k)."""
+    from nightcrawlercmd_ray.stages.sampling import sample_k_per_group
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(100, dtype="int64"),
+        "lang": (["en"] * 60 + ["de"] * 38 + ["xx"] * 2),
+    })
+    out = (
+        sample_k_per_group(
+            ray.data.from_pandas(df).repartition(nparts),
+            key="doc_id", group="lang", k=5,
+        )
+        .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    )
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"en": 5, "de": 5, "xx": 2}
+    # pinned draw: smallest (doc_id*2654435761) % 2^32 rank wins — compare
+    # against a direct pandas computation
+    h = (df["doc_id"].to_numpy().astype("uint64") * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    df2 = df.assign(h=h.astype("int64"))
+    want = (
+        df2.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(5)
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)[["doc_id", "lang"]]
+    )
+    assert out[["doc_id", "lang"]].equals(want)
