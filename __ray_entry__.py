@@ -390,6 +390,27 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_docs_source_lang_pivot(sf_dir: str):
+    """Pivot / cross-tab (stages/pivot.pivot_count): doc counts per source
+    × language — per-batch combiner, bounded reshape, declared column
+    domain (the SQL FILTER pivot form)."""
+    from nightcrawlercmd_ray.stages.pivot import pivot_count
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return pivot_count(ds, "source", "lang", ["de", "en", "es", "fr", "zh"])
+
+
+def q_user_journeys(sf_dir: str):
+    """Ordered per-user event-type sequence (stages/sessions.user_journeys):
+    the behavior-sequence assembly a sequence-model pipeline needs — one
+    keyed shuffle, in-partition sort + join."""
+    from nightcrawlercmd_ray.stages.sessions import user_journeys
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["event_id", "ts", "user_id", "event_type"])
+    return user_journeys(ev, n_rows=_parquet_rows(path))
+
+
 def q_latest_orders_per_customer(sf_dir: str):
     """Keep-newest-record-per-key dedup (stages/dedup.latest_per_key): the
     'newest crawl of a URL wins' shape — per-batch local argmax combiner,
@@ -1144,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
+        "docs_source_lang_pivot": q_docs_source_lang_pivot,
+        "user_journeys": q_user_journeys,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
         "order_price_outliers": q_order_price_outliers,
@@ -1275,6 +1298,20 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "docs_source_lang_pivot": """
+            SELECT source,
+                   count(*) FILTER (lang = 'de') AS de,
+                   count(*) FILTER (lang = 'en') AS en,
+                   count(*) FILTER (lang = 'es') AS es,
+                   count(*) FILTER (lang = 'fr') AS fr,
+                   count(*) FILTER (lang = 'zh') AS zh
+            FROM documents GROUP BY source
+        """,
+        "user_journeys": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id
         """,
         "latest_orders_per_customer": """
             SELECT o_custkey, o_orderkey,

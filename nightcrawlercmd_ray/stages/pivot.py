@@ -1,0 +1,69 @@
+"""Pivot (cross-tab) counts: rows × columns contingency table.
+
+The reference's nearest analog is the report's per-status bucket tally
+(M22/A5, a fixed two-way case); this is the general form — one output row
+per ``row_col`` value, one output column per (known, small) ``col_col``
+value, cells = row counts.
+
+Scale shape: a per-batch ``pyarrow`` group-by combiner means the shuffle
+carries at most |rows × cols| partials per block; the reshape runs once
+over the merged (bounded, small-by-construction) result inside a single
+constant-key ``map_groups`` — the raw table is never re-scanned. The
+column domain must be declared (as in SQL's FILTER/CASE pivot) so the
+output schema is stable and skew-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pivot_count(ds, row_col: str, col_col: str, col_values: list[str]):
+    """→ Dataset(row_col, <one int64 count column per col_values entry>).
+    Rows of ``col_col`` outside ``col_values`` are ignored (same as the
+    SQL FILTER form)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([row_col, col_col])
+            .group_by([row_col, col_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([row_col, col_col, "_n"])
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    def reshape(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_k"]).combine_chunks()
+        row_vals = sorted(pc.unique(t.column(row_col)).to_pylist())
+        row_idx = {v: i for i, v in enumerate(row_vals)}
+        out = {row_col: pa.array(row_vals, t.schema.field(row_col).type)}
+        rows = row_vals
+        mats = {v: np.zeros(len(rows), dtype=np.int64) for v in col_values}
+        for r, c, n in zip(
+            t.column(row_col).to_pylist(),
+            t.column(col_col).to_pylist(),
+            t.column("_n").to_pylist(),
+        ):
+            if c in mats:
+                mats[c][row_idx[r]] = n
+        for v in col_values:
+            out[v] = pa.array(mats[v])
+        return pa.table(out)
+
+    return (
+        merged.map_batches(
+            lambda t: t.append_column("_k", pa.array([0] * len(t), pa.int8())),
+            batch_format="pyarrow",
+        )
+        .groupby("_k")
+        .map_groups(reshape, batch_format="pyarrow")
+    )

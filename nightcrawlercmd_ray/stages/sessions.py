@@ -106,3 +106,61 @@ def sessionize(
         .groupby("_c")
         .map_groups(sessions_partition, batch_format="pyarrow")
     )
+
+
+def user_journeys(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    seq_col: str = "event_type",
+    sep: str = ">",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Ordered per-key sequence assembly: each user's event types joined in
+    ``(ts, id)`` order into one string — the "user journey" / behavior
+    sequence a sequence-model training pipeline materializes. SQL:
+    ``string_agg(type, sep ORDER BY ts, id) GROUP BY user``.
+
+    Scale shape: same single coarse keyed shuffle as :func:`sessionize`;
+    in-partition work is one vectorized sort then a pandas groupby-join
+    (string concatenation is inherently per-key, but keys never cross
+    partitions so there is no second shuffle). Partitioning assumption:
+    one user's events fit in a partition.
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column(user_col), pa.int64())
+        key = user.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "user_id": user,
+            "ts_us": pc.cast(
+                pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()
+            ),
+            "event_id": pc.cast(t.column(id_col), pa.int64()),
+            "step": pc.cast(t.column(seq_col), pa.string()),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_c"]).to_pandas()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        j = df.groupby("user_id", sort=True)["step"].agg(sep.join).reset_index()
+        return pa.table({
+            "user_id": pa.array(j["user_id"], pa.int64()),
+            "journey": pa.array(j["step"], pa.string()),
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(join_partition, batch_format="pyarrow")
+    )

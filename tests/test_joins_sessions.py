@@ -236,3 +236,44 @@ def test_broadcast_range_join_bounds_and_unmatched():
     ).to_pandas().sort_values("v").reset_index(drop=True)
     assert len(kept) == 6
     assert kept["tier"].isna().tolist() == [True, False, False, False, False, True]
+
+
+def test_pivot_count_declared_domain_and_zeros():
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.pivot import pivot_count
+
+    df = pd.DataFrame({
+        "r": ["a", "a", "b", "b", "b"],
+        "c": ["x", "y", "x", "x", "q"],  # 'q' outside the declared domain
+    })
+    out = (
+        pivot_count(ray.data.from_pandas(df).repartition(3), "r", "c", ["x", "y", "z"])
+        .to_pandas().sort_values("r").reset_index(drop=True)
+    )
+    assert out.columns.tolist() == ["r", "x", "y", "z"]
+    assert out.set_index("r").loc["a"].tolist() == [1, 1, 0]
+    assert out.set_index("r").loc["b"].tolist() == [2, 0, 0]
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_user_journeys_order_and_partition_invariance(nparts):
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.sessions import user_journeys
+
+    df = pd.DataFrame({
+        "event_id": [3, 1, 2, 10],
+        "user_id": [5, 5, 5, 6],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:02", "2024-01-01 00:00", "2024-01-01 00:01",
+             "2024-01-01 09:00"]
+        ),
+        "event_type": ["c", "a", "b", "solo"],
+    })
+    out = (
+        user_journeys(ray.data.from_pandas(df).repartition(nparts),
+                      num_partitions=3)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["journey"].tolist() == ["a>b>c", "solo"]
