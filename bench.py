@@ -176,7 +176,9 @@ def run_bench() -> dict:
     family = () if os.environ.get("GRAFT_CRAWL_ONLY") else (
         "pricing_summary", "wordcount_documents", "minhash_near_dups",
         "knn_embeddings", "events_hourly_window", "dedup_exact_documents",
-        "revenue_by_nation", "events_asof_orders",
+        "revenue_by_nation", "events_asof_orders", "bigram_counts",
+        "events_sliding_window", "latest_orders_per_customer",
+        "user_journeys", "orders_rollup",
     )
     for name in family:
         fn = entrymod.queries()[name]
