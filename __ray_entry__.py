@@ -718,8 +718,8 @@ def q_revenue_by_nation(sf_dir: str):
         })
 
     j = hash_join(
-        li.map_batches(prep_li, batch_format="pyarrow"),
-        orders.map_batches(prep_ord, batch_format="pyarrow"),
+        li.map_batches(prep_li, batch_format="pyarrow", batch_size=65536),
+        orders.map_batches(prep_ord, batch_format="pyarrow", batch_size=65536),
         on="_k",
         n_rows=_parquet_rows(li_path) + _parquet_rows(ord_path),
     )
@@ -748,7 +748,9 @@ def q_revenue_by_nation(sf_dir: str):
         })
 
     return (
-        j.map_batches(annotate, batch_format="pyarrow")
+        # big batches: pc.index_in re-hashes the dim value_set per CALL, so
+        # 1024-row default batches would rebuild the 150k-key table 50×
+        j.map_batches(annotate, batch_format="pyarrow", batch_size=65536)
         .groupby("n_name")
         .aggregate(
             Sum("rev_e4", alias_name="revenue_e4"),

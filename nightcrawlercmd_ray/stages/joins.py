@@ -93,8 +93,8 @@ def asof_join(
 
         return fn
 
-    stream = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow")
+    stream = left.map_batches(tag(0), batch_format="pyarrow", batch_size=65536).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=65536)
     )
 
     out_fields = (
@@ -216,8 +216,8 @@ def hash_join(
 
         return fn
 
-    stream = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow")
+    stream = left.map_batches(tag(0), batch_format="pyarrow", batch_size=65536).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=65536)
     )
 
     out_fields = (

@@ -102,7 +102,7 @@ def sessionize(
         })
 
     return (
-        events.map_batches(prep, batch_format="pyarrow")
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
         .groupby("_c")
         .map_groups(sessions_partition, batch_format="pyarrow")
     )
@@ -160,7 +160,7 @@ def user_journeys(
         })
 
     return (
-        events.map_batches(prep, batch_format="pyarrow")
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
         .groupby("_c")
         .map_groups(join_partition, batch_format="pyarrow")
     )

@@ -94,7 +94,7 @@ def lag_deltas(
         })
 
     return (
-        events.map_batches(prep, batch_format="pyarrow")
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
         .groupby("_c")
         .map_groups(deltas_partition, batch_format="pyarrow")
     )
@@ -176,7 +176,7 @@ def rolling_sum(
         })
 
     return (
-        events.map_batches(prep, batch_format="pyarrow")
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
         .groupby("_c")
         .map_groups(roll_partition, batch_format="pyarrow")
     )

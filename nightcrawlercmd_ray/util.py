@@ -21,19 +21,32 @@ def read_parquet_clean(path, **kw):
     import pyarrow.parquet as pq
     import ray
 
-    if "schema" not in kw:
-        f = path[0] if isinstance(path, (list, tuple)) and path else path
-        if isinstance(f, str) and os.path.isdir(f):
-            # directory of part files: schemas are uniform
-            parts = sorted(p for p in os.listdir(f) if p.endswith(".parquet"))
-            f = os.path.join(f, parts[0]) if parts else None
-        if f is not None and os.path.isfile(f):
+    f = path[0] if isinstance(path, (list, tuple)) and path else path
+    if isinstance(f, str) and os.path.isdir(f):
+        # directory of part files: schemas are uniform
+        parts = sorted(p for p in os.listdir(f) if p.endswith(".parquet"))
+        f = os.path.join(f, parts[0]) if parts else None
+    if f is not None and os.path.isfile(f):
+        if "schema" not in kw:
             schema = pq.read_schema(f)
             if schema.metadata:
                 cols = kw.get("columns")
                 if cols:  # schema must match the pruned column set
                     schema = pa.schema([schema.field(c) for c in cols])
                 kw["schema"] = schema.remove_metadata()
+        if "use_threads" not in kw:
+            # Parquet reads split across tasks at ROW-GROUP granularity; a
+            # file written as a few huge row groups (the driver testdata is
+            # one 600k-row group) decodes serially in one task no matter how
+            # many CPUs the cluster has. Turn on pyarrow's thread-parallel
+            # decode inside the read task for such files; leave it off for
+            # well-split files (our own sinks) where cross-task parallelism
+            # already covers the cores and per-task threads would contend.
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups and (
+                md.num_rows / md.num_row_groups > 131_072
+            ):
+                kw["use_threads"] = True
 
     return ray.data.read_parquet(path, **kw)
 
