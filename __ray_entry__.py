@@ -390,6 +390,28 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (stages/decontaminate.py): flag training
+    docs (doc_id ≥ 10) sharing any lowercased word-5-gram with the
+    'benchmark' docs (doc_id < 10). Benchmark shingle hashes built once
+    driver-side and broadcast; the corpus streams through one vectorized
+    probe — no shuffle."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.decontaminate import (
+        benchmark_shingles,
+        flag_contaminated,
+    )
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench_texts = [
+        r["text"]
+        for r in ds.filter(expr="doc_id < 10").take(100)
+    ]
+    ref = ray.put(benchmark_shingles(bench_texts, k=5))
+    return flag_contaminated(ds.filter(expr="doc_id >= 10"), ref, k=5)
+
+
 def q_docs_source_lang_pivot(sf_dir: str):
     """Pivot / cross-tab (stages/pivot.pivot_count): doc counts per source
     × language — per-batch combiner, bounded reshape, declared column
@@ -1167,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
+        "decontaminate_documents": q_decontaminate_documents,
         "docs_source_lang_pivot": q_docs_source_lang_pivot,
         "user_journeys": q_user_journeys,
         "latest_orders_per_customer": q_latest_orders_per_customer,
@@ -1300,6 +1323,34 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "decontaminate_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[a-zA-Z][a-z]{3,}'),
+                           w -> lower(w)
+                       ) AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] AS g
+                FROM toks, LATERAL UNNEST(range(1, len(ws) - 3)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+            agg AS (
+                SELECT doc_id, count(*) AS n_shingles,
+                       count(*) FILTER (g IN (SELECT g FROM bench)) AS n_hits
+                FROM sh WHERE doc_id >= 10 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_shingles, 0) AS n_shingles,
+                   coalesce(a.n_hits, 0) AS n_hits,
+                   coalesce(a.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         "docs_source_lang_pivot": """
             SELECT source,
