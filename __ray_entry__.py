@@ -390,6 +390,16 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped vector aggregate (stages/similarity.group_vector_sums): the
+    distributed centroid computation over the embeddings table — quantized
+    component sums per label, exactly associative at any parallelism."""
+    from nightcrawlercmd_ray.stages.similarity import group_vector_sums
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return group_vector_sums(ds)
+
+
 def q_decontaminate_documents(sf_dir: str):
     """Benchmark decontamination (stages/decontaminate.py): flag training
     docs (doc_id ≥ 10) sharing any lowercased word-5-gram with the
@@ -1189,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
+        "label_centroids": q_label_centroids,
         "decontaminate_documents": q_decontaminate_documents,
         "docs_source_lang_pivot": q_docs_source_lang_pivot,
         "user_journeys": q_user_journeys,
@@ -1323,6 +1334,18 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "label_centroids": """
+            SELECT label, i AS dim,
+                   CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                        AS BIGINT) AS qsum,
+                   count(*) AS n
+            FROM (
+                SELECT label, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            GROUP BY label, i
         """,
         "decontaminate_documents": """
             WITH toks AS (

@@ -182,3 +182,60 @@ def knn_ivf(
             "score": pa.array(out_s, pa.float32()),
         }
     )
+
+
+def group_vector_sums(
+    ds,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+):
+    """Grouped vector aggregate — the distributed centroid computation
+    (k-means/IVF building block, class-prototype extraction): per-group
+    component-wise sums of the embedding column plus counts; centroid =
+    qsum / (quant·n). Components are quantized to int64 (``round(x·quant)``)
+    BEFORE summation so the result is exactly associative — identical at
+    any parallelism and SQL-oracle-able bit-for-bit (float summation order
+    would not be).
+
+    Scale shape: per-batch numpy combiner reduces each block to
+    |labels × dim| partial rows (long form: group, dim, qsum, n) → ONE
+    small ``groupby(group, dim)`` shuffle.
+    → Dataset(group_col, dim [1-based], qsum, n).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column(group_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({
+                group_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "qsum": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        q = np.round(vecs * quant).astype(np.int64)
+        dim = q.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        g = np.repeat(uniq.astype(np.int64), dim)
+        d = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            group_col: pa.array(g),
+            "dim": pa.array(d),
+            "qsum": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+    )

@@ -256,3 +256,29 @@ def test_latest_per_key_partition_invariant(nparts):
     )
     # ties on crawl_ts=30 broken by max rev → payload 'c'
     assert out["payload"].tolist() == ["c", "e", "f"]
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_group_vector_sums_matches_numpy(nparts):
+    """Quantize-then-sum is exactly associative: same ints at any
+    parallelism, equal to a direct numpy computation."""
+    from nightcrawlercmd_ray.stages.similarity import group_vector_sums
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 8
+    labels = rng.integers(0, 4, size=n).astype("int64")
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({
+        "label": pa.array(labels),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    out = (
+        group_vector_sums(ray.data.from_arrow(t).repartition(nparts))
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    q = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for lab in range(4):
+        sel = out[out["label"] == lab]
+        want = q[labels == lab].sum(axis=0)
+        assert sel["qsum"].tolist() == want.tolist()
+        assert (sel["n"] == int((labels == lab).sum())).all()
