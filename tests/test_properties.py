@@ -122,3 +122,85 @@ def test_cuckoo_never_false_negative(items):
 def test_parse_robots_total(s):
     r = parse_robots(s)
     assert isinstance(r.allowed("/any/path"), bool)
+
+
+# --------------------------------------------------------------------------- #
+# window / rollup operator properties (round-2 additions; pure-core checks
+# run through Ray on small data — one session per pytest run)
+# --------------------------------------------------------------------------- #
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 50),         # ts seconds
+            st.integers(-500, 500),     # value cents (pre-scaled)
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 5),
+)
+def test_rolling_sum_matches_pandas_rolling(rows, window):
+    """rolling_sum ≡ pandas groupby.rolling(min_periods=1).sum on the same
+    (ts, id)-ordered stream, for any data and window."""
+    import numpy as np
+    import ray
+
+    from nightcrawlercmd_ray.stages.windows import rolling_sum
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] * 1_000_000_000 for r in rows]),
+            "value": [r[2] / 100.0 for r in rows],
+        }
+    )
+    got = (
+        rolling_sum(ray.data.from_pandas(df).repartition(3),
+                    window=window, num_partitions=2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    sorted_df = df.sort_values(["user_id", "ts", "event_id"])
+    cents = (sorted_df["value"] * 100).round().astype("int64")
+    want = (
+        cents.groupby(sorted_df["user_id"])
+        .rolling(window, min_periods=1).sum().reset_index(level=0, drop=True)
+        .astype("int64")
+    )
+    want_by_id = want.reindex(df.index)  # align back to event_id order
+    assert got["roll_cents"].tolist() == want_by_id.tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 3),
+                  st.integers(-100, 100)),
+        min_size=1, max_size=50,
+    )
+)
+def test_rollup_levels_are_consistent(rows):
+    """Every ROLLUP level must sum to the grand total; the finest level
+    must equal a direct pandas groupby."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.rollup import rollup_sum_count
+
+    df = pd.DataFrame({"a": [r[0] for r in rows],
+                       "b": [r[1] for r in rows],
+                       "cents": [r[2] for r in rows]})
+    out = rollup_sum_count(
+        ray.data.from_pandas(df).repartition(2), keys=["a", "b"],
+        value_col="cents",
+    ).to_pandas()
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert len(grand) == 1
+    assert grand["total"].iloc[0] == df["cents"].sum()
+    assert grand["n"].iloc[0] == len(df)
+    lvl_a = out[out["a"].notna() & out["b"].isna()]
+    assert lvl_a["total"].sum() == df["cents"].sum()
+    finest = out[out["a"].notna() & out["b"].notna()]
+    want = df.groupby(["a", "b"])["cents"].sum()
+    got = finest.set_index(["a", "b"])["total"].astype("int64")
+    assert got.sort_index().to_dict() == want.sort_index().to_dict()
