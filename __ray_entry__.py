@@ -722,9 +722,14 @@ def q_revenue_by_nation(sf_dir: str):
     per-partition vectorized merge — then customer/nation broadcast dims
     (Arrow table + ``pc.index_in``, J5 pattern) and a grouped revenue sum.
     The fact⋈fact join is deliberately NOT a broadcast: at 100 TB both
-    sides stream through the same keyed exchange."""
+    sides stream through the same keyed exchange. Two combiners keep that
+    exchange small: lineitem revenue is partial-summed per orderkey inside
+    each batch BEFORE the shuffle (integer e4 units, exactly associative),
+    and the joined rows are partial-summed per nation inside each batch so
+    the final groupby exchanges ~|nations| rows per block, not the join
+    output."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from nightcrawlercmd_ray.stages.joins import hash_join
 
@@ -738,9 +743,17 @@ def q_revenue_by_nation(sf_dir: str):
             pc.cast(t.column("l_extendedprice"), pa.float64()),
             pc.subtract(pa.scalar(1.0), pc.cast(t.column("l_discount"), pa.float64())),
         )
-        return pa.table({
+        part = pa.table({
             "_k": pc.cast(t.column("l_orderkey"), pa.int64()),
             "rev_e4": pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64()),
+        })
+        # in-batch combiner: lineitem is ~4 lines/order, so summing per
+        # orderkey here cuts the join-exchange row count ~4× for free
+        g = part.group_by("_k").aggregate([("rev_e4", "sum"), ("rev_e4", "count")])
+        return pa.table({
+            "_k": g.column("_k"),
+            "rev_e4": g.column("rev_e4_sum"),
+            "n_lines": pc.cast(g.column("rev_e4_count"), pa.int64()),
         })
 
     def prep_ord(t: pa.Table) -> pa.Table:
@@ -774,9 +787,20 @@ def q_revenue_by_nation(sf_dir: str):
                          value_set=cust.column("c_custkey").combine_chunks())
         nk = pc.take(cust.column("c_nationkey"), ci)
         ni = pc.index_in(nk, value_set=nat.column("n_nationkey").combine_chunks())
-        return pa.table({
+        ann = pa.table({
             "n_name": pc.cast(pc.take(nat.column("n_name"), ni), pa.string()),
             "rev_e4": t.column("rev_e4"),
+            "n_lines": t.column("n_lines"),
+        })
+        # second combiner: fold this batch down to ≤|nations| partial rows so
+        # the final groupby exchange moves KBs, not the join output
+        g = ann.group_by("n_name").aggregate(
+            [("rev_e4", "sum"), ("n_lines", "sum")]
+        )
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "rev_e4": g.column("rev_e4_sum"),
+            "n_lines": g.column("n_lines_sum"),
         })
 
     return (
@@ -786,7 +810,7 @@ def q_revenue_by_nation(sf_dir: str):
         .groupby("n_name")
         .aggregate(
             Sum("rev_e4", alias_name="revenue_e4"),
-            Count(alias_name="line_count"),
+            Sum("n_lines", alias_name="line_count"),
         )
         .sort("n_name")
     )
