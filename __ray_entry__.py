@@ -1039,6 +1039,157 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_lsh_duplicates(ds, threshold=0.8, n_docs=_parquet_rows(path))
 
 
+def q_dup_clusters_documents(sf_dir: str):
+    """Transitive near-dup CLUSTERS: MinHash-LSH pairwise matches →
+    distributed connected components (stages/graph.py min-label
+    propagation) → (doc_id, cluster_id=min id in the transitive group).
+    The standard LSH post-pass a dedup pipeline needs before choosing one
+    representative per group. Exactness vs serial union-find is pinned in
+    tests/test_graph.py."""
+    from nightcrawlercmd_ray.stages.dedup import minhash_lsh_duplicates
+    from nightcrawlercmd_ray.stages.graph import dup_clusters
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    pairs = minhash_lsh_duplicates(ds, threshold=0.8, n_docs=_parquet_rows(path))
+    return dup_clusters(pairs).sort("doc_id")
+
+
+def q_doc_chain_components(sf_dir: str):
+    """Connected components, SQL-oracled: edges link consecutive doc_ids
+    with the same lang (a deterministic self-join both engines can build);
+    components via stages/graph.connected_components, oracle via a DuckDB
+    recursive CTE. Exercises the full iterate-to-fixpoint loop against SQL."""
+    from nightcrawlercmd_ray.stages.graph import connected_components
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+    n = _parquet_rows(path)
+    docs = _read_pq(path, columns=["doc_id", "lang"])
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.add(pc.cast(t.column("doc_id"), pa.int64()), pa.scalar(1)),
+            "src": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang_l": pc.cast(t.column("lang"), pa.string()),
+        })
+
+    def prep_r(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang_r": pc.cast(t.column("lang"), pa.string()),
+        })
+
+    j = hash_join(
+        docs.map_batches(prep_l, batch_format="pyarrow", batch_size=65536),
+        docs.map_batches(prep_r, batch_format="pyarrow", batch_size=65536),
+        on="_k",
+        n_rows=2 * n,
+    )
+    edges = j.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang_l"), t.column("lang_r")))
+                   .select(["src", "_k"])
+                   .rename_columns(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges).sort("node")
+
+
+def q_crawl_pagerank(sf_dir: str):
+    """PageRank over the crawl corpus link graph (authority scoring — the
+    canonical crawl-ordering signal): pages → href edges (canonicalized,
+    url_hash node ids) → stages/graph.pagerank (8 damped power iterations)
+    → top 50 (url, rank). Exactness of the iteration vs a serial numpy
+    oracle is pinned in tests/test_graph.py."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Min
+
+    from nightcrawlercmd_ray.functions.htmlparse import parse_html
+    from nightcrawlercmd_ray.functions.urlnorm import (
+        canonicalize, to_abs_url, url_hash,
+    )
+    from nightcrawlercmd_ray.stages.graph import pagerank
+
+    c = _corpus_for(sf_dir)
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        srcs: list[int] = []
+        dsts: list[int] = []
+        ids: list[int] = []
+        urls: list[str] = []
+        for url, html in zip(t.column("url").to_pylist(),
+                             t.column("html").to_pylist()):
+            cu = canonicalize(url)
+            if cu is None:
+                continue
+            sh = url_hash(cu)
+            ids.append(sh)
+            urls.append(cu)
+            for href in parse_html(html).hrefs:
+                au = to_abs_url(cu, href)
+                if au is None:
+                    continue
+                dh = url_hash(au)
+                srcs.append(sh)
+                dsts.append(dh)
+                ids.append(dh)
+                urls.append(au)
+
+        def s64(v: list[int]) -> pa.Array:
+            return pa.array(
+                np.array(v, dtype=np.uint64).view(np.int64)
+                if v else np.array([], np.int64))
+
+        n_e = len(srcs)
+        return pa.table({
+            "src": pa.concat_arrays([s64(srcs), pa.nulls(len(ids), pa.int64())]),
+            "dst": pa.concat_arrays([s64(dsts), pa.nulls(len(ids), pa.int64())]),
+            "node": pa.concat_arrays([pa.nulls(n_e, pa.int64()), s64(ids)]),
+            "url": pa.concat_arrays(
+                [pa.nulls(n_e, pa.string()),
+                 pa.array(urls, pa.string())]),
+        })
+
+    # one parse pass emits BOTH edge rows and (node,url) name rows
+    parsed = ds.map_batches(edge_batch, batch_format="pyarrow",
+                            batch_size=128).materialize()
+    edges = parsed.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("src")))
+                   .select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(edges, n_iter=8)
+    top_rows = ranks.sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(50).take_all()
+    top_t = pa.table({
+        "node": pa.array([r["node"] for r in top_rows], pa.int64()),
+        "rank": pa.array([r["rank"] for r in top_rows], pa.float64()),
+    })
+    ids_ref = ray.put(top_t.column("node").combine_chunks())
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keep = pc.is_in(t.column("node"), value_set=_ray.get(ids_ref))
+        sub = t.filter(pc.fill_null(keep, False))
+        return pa.table({"node": sub.column("node"), "url": sub.column("url")})
+
+    names = (
+        parsed.map_batches(name_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("url", alias_name="url"))
+    )
+    name_map = {r["node"]: r["url"] for r in names.take_all()}
+    return pa.table({
+        "url": pa.array([name_map[n] for n in
+                         top_t.column("node").to_pylist()], pa.string()),
+        "rank": top_t.column("rank"),
+    })
+
+
 def q_simhash_near_dups(sf_dir: str):
     import ray
 
@@ -1234,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": q_order_price_quantiles,
         "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_users_by_type": q_distinct_users_by_type,
+        "doc_chain_components": q_doc_chain_components,
         "wordcount_documents": q_wordcount_documents,
         "wordlist_documents": q_wordlist_documents,
         "bigram_counts": q_bigram_counts,
@@ -1246,6 +1398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,
         "minhash_near_dups": q_minhash_near_dups,
+        "dup_clusters_documents": q_dup_clusters_documents,
+        "crawl_pagerank": q_crawl_pagerank,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1533,6 +1687,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_chain_components": """
+            WITH RECURSIVE e AS (
+                SELECT d1.doc_id AS src, d2.doc_id AS dst
+                FROM documents d1
+                JOIN documents d2
+                  ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+            ), und AS (
+                SELECT src AS u, dst AS v FROM e
+                UNION
+                SELECT dst AS u, src AS v FROM e
+            ), reach(node, lab) AS (
+                SELECT u, u FROM und
+                UNION
+                SELECT und.u, reach.lab
+                FROM und JOIN reach ON reach.node = und.v
+            )
+            SELECT node, CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY node
         """,
         "sample_documents_stratified": """
             SELECT doc_id, lang, n_chars

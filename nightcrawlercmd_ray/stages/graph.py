@@ -1,0 +1,330 @@
+"""Distributed graph operators — engine additions beyond the reference (the
+reference crawler extracts links, `mainCrawler.go:160-198`, but never
+processes the link GRAPH). These are the graph shapes a web-corpus pipeline
+needs: connected components (the standard post-pass that turns pairwise
+near-duplicate matches from LSH into transitive duplicate CLUSTERS) and
+PageRank over the crawl link graph (authority scoring for crawl ordering /
+quality weighting).
+
+Both are iterative BSP loops composed from the engine's own primitives:
+per round, ONE keyed exchange ships compact (node, value) rows through
+``stages.joins.hash_join`` (tagged union + coarse keyed shuffle + vectorized
+per-partition merge) and ONE native groupby-aggregate (vectorized, never
+per-key Python) reduces messages — edge payloads ride a shuffle once per
+round, labels/ranks are the only other traffic, and nothing materializes on
+the driver (per-round convergence is a scalar count).
+
+Algorithms (public knowledge):
+- connected components: iterative min-label propagation ("hash-min" family;
+  cf. Rastogi et al., *Finding Connected Components in Map-Reduce in
+  Logarithmic Rounds*, ICDE 2013, and Kiveris et al., *Connected Components
+  in MapReduce and Beyond*, SoCC 2014). Converges in O(diameter) rounds —
+  the intended workloads (near-dup clusters, small-world web graphs) have
+  tiny diameter; for adversarially deep graphs the star-contraction variant
+  of Kiveris et al. is the documented upgrade path.
+- PageRank: Page, Brin, Motwani, Winograd, *The PageRank Citation Ranking*,
+  1999 — damped power iteration with dangling-mass redistribution.
+
+Partitioning assumption (inherited from hash_join): a single node's edges
+fit in one partition; salt pathological super-nodes upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min, Sum
+
+from .joins import hash_join
+
+
+def _edge_stream(edges, src: str, dst: str, *, undirected: bool):
+    """Normalize to a (u, v) int64 edge Dataset; undirected doubles each
+    edge so every neighborhood is visible from both endpoints. Self-loops
+    are dropped (no-ops for both operators — a node with ONLY self-loops is
+    a singleton and disappears from the node set entirely); per-batch exact
+    duplicates are collapsed to shrink the per-round exchange."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(src), pa.int64())
+        v = pc.cast(t.column(dst), pa.int64())
+        both = pa.table({"u": u, "v": v})
+        if undirected:
+            both = pa.concat_tables([both, pa.table({"u": v, "v": u})])
+        both = both.filter(pc.not_equal(both.column("u"), both.column("v")))
+        # in-batch dedupe (cheap combiner). NOT a global dedupe — CC's min
+        # semantics tolerate dupes; pagerank dedupes globally (see _edges_w_deg)
+        return both.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    return edges.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+
+def _distinct_nodes(edge_ds):
+    """Dataset(node) of distinct endpoints: per-batch unique combiner, then
+    one native groupby — only distinct ids per block ride the shuffle."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([
+            t.column("u").combine_chunks(),
+            t.column("v").combine_chunks(),
+        ]).unique()
+        return pa.table({"node": n})
+
+    return (
+        edge_ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def _changed_count(merged) -> int:
+    """Scalar count of rows with new_lab < old_lab, reduced per batch —
+    never a per-row driver loop."""
+
+    def part(t: pa.Table) -> pa.Table:
+        lt = pc.less(t.column("new_lab"), t.column("old_lab"))
+        c = pc.sum(pc.cast(lt, pa.int64())).as_py() or 0
+        return pa.table({"c": pa.array([c], pa.int64())})
+
+    return int(merged.map_batches(part, batch_format="pyarrow").sum("c") or 0)
+
+
+def connected_components(
+    edges,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+    n_rows: int | None = None,
+):
+    """→ Dataset(node, component) — ``component`` is the smallest node id in
+    the node's connected component (edges treated as undirected).
+
+    Per round: labels join onto edges (keyed exchange on ``u``), each edge
+    forwards its source's label to ``v`` (with an in-batch per-target min
+    combiner), one native groupby-Min merges proposals with current labels,
+    and a pointer-jump (``lab ← lab[lab]``, Wyllie shortcutting — one more
+    keyed exchange over node-sized rows) halves the remaining propagation
+    distance, making the loop O(log diameter) rounds instead of
+    O(diameter). Labels only ever decrease, so the edge-propagation step's
+    changed count hits 0 exactly at the fixed point.
+    """
+    e = _edge_stream(edges, src, dst, undirected=True).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+    if n_rows is not None:
+        n_edges = n_rows
+
+    labels = _distinct_nodes(e).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "lab": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        fwd = hash_join(
+            e,
+            labels.map_batches(
+                lambda t: pa.table({"u": t.column("node"),
+                                    "lab": t.column("lab")}),
+                batch_format="pyarrow",
+            ),
+            on="u",
+            n_rows=n_edges,
+        )
+
+        def msg(t: pa.Table) -> pa.Table:
+            p = pa.table({"node": t.column("v"), "cand": t.column("lab")})
+            g = p.group_by("node").aggregate([("cand", "min")])
+            return pa.table({
+                "node": g.column("node"),
+                "cand": g.column("cand_min"),
+                "old": pa.nulls(g.num_rows, pa.int64()),
+            })
+
+        merged = (
+            fwd.map_batches(msg, batch_format="pyarrow", batch_size=65536)
+            .union(labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "cand": t.column("lab"),
+                                    "old": t.column("lab")}),
+                batch_format="pyarrow",
+            ))
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="new_lab"),
+                       Min("old", alias_name="old_lab"))
+            .materialize()
+        )
+        changed = _changed_count(merged)
+        labels = merged.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "lab": t.column("new_lab")}),
+            batch_format="pyarrow",
+        ).materialize()
+        if changed == 0:
+            break
+
+        # pointer jump: lab ← lab[lab]. Every label IS a node id, so the
+        # left join always resolves; coalesce guards the root (lab == node)
+        jump = hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"_j": t.column("lab"),
+                                    "node": t.column("node")}),
+                batch_format="pyarrow",
+            ),
+            labels.map_batches(
+                lambda t: pa.table({"_j": t.column("node"),
+                                    "lab2": t.column("lab")}),
+                batch_format="pyarrow",
+            ),
+            on="_j",
+            how="left",
+            n_rows=None,
+        )
+        labels = jump.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "lab": pc.coalesce(t.column("lab2"), t.column("_j")),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "component": t.column("lab")}),
+        batch_format="pyarrow",
+    )
+
+
+def dup_clusters(pairs, *, left: str = "doc_id", right: str = "dup_of",
+                 n_rows: int | None = None):
+    """Transitive duplicate clusters from pairwise near-dup matches (the
+    standard LSH post-pass): → Dataset(doc_id, cluster_id) covering every
+    doc that appears in ≥1 pair, with cluster_id = min doc id in the
+    transitive group. Docs in no pair are singletons by definition and are
+    deliberately not emitted."""
+    lab = connected_components(pairs, src=left, dst=right, n_rows=n_rows)
+    return lab.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "cluster_id": t.column("component")}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank(
+    edges,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    n_rows: int | None = None,
+):
+    """→ Dataset(node, rank) after ``n_iter`` damped power iterations over
+    the DIRECTED edge list (parallel edges collapsed); ranks sum to 1
+    (dangling mass redistributed uniformly, the standard treatment).
+
+    Per iteration: ranks join onto out-edges (keyed exchange on ``u``), each
+    edge emits rank/outdeg to its target with an in-batch per-target sum
+    combiner, one native groupby-Sum reduces incoming mass, and a left join
+    back onto the node set re-bases nodes with no in-links. Edge payloads
+    are (u, v, outdeg) only; the driver sees two scalars per round.
+    """
+    e = _edge_stream(edges, src, dst, undirected=False).materialize()
+    if e.count() == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
+    # global parallel-edge collapse: PageRank's outdeg counts DISTINCT targets
+    e = (
+        e.groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    n_edges = n_rows if n_rows is not None else e.count()
+
+    nodes = _distinct_nodes(e).materialize()
+    n_nodes = nodes.count()
+
+    # out-degree once, attached to edges once — iterations reuse it
+    deg = (
+        e.groupby("u")
+        .aggregate(Count(alias_name="outdeg"))
+    )
+    ewd = hash_join(e, deg, on="u", n_rows=n_edges).materialize()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "rank": pa.array(
+                np.full(t.num_rows, 1.0 / n_nodes), pa.float64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iter):
+        contrib = hash_join(
+            ewd,
+            ranks.map_batches(
+                lambda t: pa.table({"u": t.column("node"),
+                                    "rank": t.column("rank")}),
+                batch_format="pyarrow",
+            ),
+            on="u",
+            n_rows=n_edges + n_nodes,
+        )
+
+        def emit(t: pa.Table) -> pa.Table:
+            c = pc.divide(
+                t.column("rank"),
+                pc.cast(t.column("outdeg"), pa.float64()),
+            )
+            p = pa.table({"node": t.column("v"), "m": c})
+            g = p.group_by("node").aggregate([("m", "sum")])
+            return pa.table({"node": g.column("node"),
+                             "mass": g.column("m_sum")})
+
+        mass = (
+            contrib.map_batches(emit, batch_format="pyarrow",
+                                batch_size=65536)
+            .groupby("node")
+            .aggregate(Sum("mass", alias_name="mass"))
+            .materialize()
+        )
+        # dangling mass = rank not emitted this round (outdeg-0 nodes).
+        # Total rank is invariantly 1: sum(next) = (1-d) + d*total, so
+        # starting from 1 it stays 1 — no need to re-sum ranks per round.
+        emitted = mass.sum("mass") or 0.0
+        dangle = max(1.0 - emitted, 0.0) / n_nodes
+
+        joined = hash_join(nodes, mass, on="node", how="left",
+                           n_rows=2 * n_nodes)
+        d = damping
+        ranks = joined.map_batches(
+            lambda t, _b=base, _d=d, _g=dangle: pa.table({
+                "node": t.column("node"),
+                "rank": pc.add(
+                    pa.scalar(_b + _d * _g),
+                    pc.multiply(
+                        pc.coalesce(t.column("mass"), pa.scalar(0.0)),
+                        pa.scalar(_d),
+                    ),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks

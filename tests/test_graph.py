@@ -1,0 +1,142 @@
+"""Distributed graph operators (stages/graph.py) vs serial oracles:
+connected components vs union-find, PageRank vs a numpy power iteration
+with identical damping / iteration count / dangling handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.graph import (
+    connected_components,
+    dup_clusters,
+    pagerank,
+)
+
+
+def _edge_ds(edges, repartition=None):
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(repartition) if repartition else ds
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            find(a)
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return {n: min(s) for s in comps.values() for n in s}
+
+
+def _numpy_pagerank(edges, n_iter, damping=0.85):
+    dedup = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for e in dedup for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in dedup:
+        outdeg[ix[a]] += 1
+    M = np.zeros((n, n))
+    for a, b in dedup:
+        M[ix[b], ix[a]] = 1.0 / outdeg[ix[a]]
+    r = np.full(n, 1.0 / n)
+    d = damping
+    for _ in range(n_iter):
+        dangle = r[outdeg == 0].sum() / n
+        r = (1 - d) / n + d * (M @ r + dangle)
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_cc_matches_union_find_random():
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (300, 2))
+             if a != b]
+    got = {r["node"]: r["component"]
+           for r in connected_components(_edge_ds(edges, 5)).take_all()}
+    assert got == _union_find(edges)
+
+
+def test_cc_deep_chain_converges_fast():
+    """A 64-deep path exercises pointer jumping: O(log d) rounds must reach
+    the fixpoint well inside max_rounds=14 < 64."""
+    edges = [(i, i + 1) for i in range(64)]
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               _edge_ds(edges, 4), max_rounds=14).take_all()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_cc_parallelism_invariant():
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, (100, 2))
+             if a != b]
+    a = {r["node"]: r["component"]
+         for r in connected_components(_edge_ds(edges, 1)).take_all()}
+    b = {r["node"]: r["component"]
+         for r in connected_components(_edge_ds(edges, 7)).take_all()}
+    assert a == b == _union_find(edges)
+
+
+def test_cc_self_loops_and_duplicate_edges():
+    edges = [(1, 1), (2, 3), (2, 3), (3, 2), (5, 5)]
+    got = {r["node"]: r["component"]
+           for r in connected_components(_edge_ds(edges)).take_all()}
+    # self-loops carry no connectivity: nodes with ONLY self-loops are
+    # singletons and are not emitted (documented in _edge_stream)
+    assert got == {2: 2, 3: 2}
+
+
+def test_dup_clusters_transitive_chain():
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6, 9], pa.int64()),
+        "dup_of": pa.array([3, 5, 8], pa.int64()),
+    }))
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).take_all()}
+    assert got == {3: 3, 5: 3, 6: 3, 8: 8, 9: 8}
+
+
+def test_pagerank_matches_numpy_random():
+    rng = np.random.default_rng(7)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 50, (150, 2))
+                    if a != b})
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edge_ds(edges, 6), n_iter=8).take_all()}
+    want = _numpy_pagerank(edges, n_iter=8)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_parallel_edges():
+    # node 4 dangles (no out-edges); (1,2) appears 3 times — must count once
+    edges = [(1, 2), (1, 2), (1, 2), (2, 3), (3, 4), (1, 4)]
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edge_ds(edges, 3), n_iter=6).take_all()}
+    want = _numpy_pagerank(edges, n_iter=6)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_ranks_hub_highest():
+    edges = [(i, 0) for i in range(1, 9)]
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edge_ds(edges), n_iter=5).take_all()}
+    assert got[0] == max(got.values())
