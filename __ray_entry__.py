@@ -1058,10 +1058,13 @@ def q_dup_clusters_documents(sf_dir: str):
 def q_doc_chain_components(sf_dir: str):
     """Connected components, SQL-oracled: edges link consecutive doc_ids
     with the same lang (a deterministic self-join both engines can build);
-    components via stages/graph.connected_components, oracle via a DuckDB
-    recursive CTE. Exercises the full iterate-to-fixpoint loop against SQL."""
-    from nightcrawlercmd_ray.stages.graph import connected_components
+    components via the actor-BSP engine (state/graphbsp.py — edges
+    partitioned once into shard actors, only labels move per round), oracle
+    via a DuckDB recursive CTE. Exercises the full iterate-to-fixpoint loop
+    against SQL; the pure-Dataset composition is pinned equal in
+    tests/test_graph.py."""
     from nightcrawlercmd_ray.stages.joins import hash_join
+    from nightcrawlercmd_ray.state.graphbsp import connected_components_bsp
 
     path = f"{sf_dir}/documents.parquet"
     n = _parquet_rows(path)
@@ -1092,15 +1095,16 @@ def q_doc_chain_components(sf_dir: str):
                    .rename_columns(["src", "dst"]),
         batch_format="pyarrow",
     )
-    return connected_components(edges).sort("node")
+    return connected_components_bsp(edges).sort("node")
 
 
 def q_crawl_pagerank(sf_dir: str):
     """PageRank over the crawl corpus link graph (authority scoring — the
     canonical crawl-ordering signal): pages → href edges (canonicalized,
-    url_hash node ids) → stages/graph.pagerank (8 damped power iterations)
-    → top 50 (url, rank). Exactness of the iteration vs a serial numpy
-    oracle is pinned in tests/test_graph.py."""
+    url_hash node ids) → actor-BSP pagerank (state/graphbsp.py, 8 damped
+    power iterations — edges partitioned once, only rank mass moves per
+    round) → top 50 (url, rank). Exactness of the iteration vs a serial
+    numpy oracle is pinned in tests/test_graph.py."""
     import numpy as np
     import ray
     from ray.data.aggregate import Min
@@ -1109,7 +1113,7 @@ def q_crawl_pagerank(sf_dir: str):
     from nightcrawlercmd_ray.functions.urlnorm import (
         canonicalize, to_abs_url, url_hash,
     )
-    from nightcrawlercmd_ray.stages.graph import pagerank
+    from nightcrawlercmd_ray.state.graphbsp import pagerank_bsp
 
     c = _corpus_for(sf_dir)
     ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
@@ -1160,7 +1164,7 @@ def q_crawl_pagerank(sf_dir: str):
                    .select(["src", "dst"]),
         batch_format="pyarrow",
     )
-    ranks = pagerank(edges, n_iter=8)
+    ranks = pagerank_bsp(edges, n_iter=8)
     top_rows = ranks.sort(
         ["rank", "node"], descending=[True, False]
     ).limit(50).take_all()

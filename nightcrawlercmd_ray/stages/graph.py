@@ -205,13 +205,23 @@ def connected_components(
 
 
 def dup_clusters(pairs, *, left: str = "doc_id", right: str = "dup_of",
-                 n_rows: int | None = None):
+                 n_rows: int | None = None, engine: str = "bsp",
+                 num_shards: int = 8):
     """Transitive duplicate clusters from pairwise near-dup matches (the
     standard LSH post-pass): → Dataset(doc_id, cluster_id) covering every
     doc that appears in ≥1 pair, with cluster_id = min doc id in the
     transitive group. Docs in no pair are singletons by definition and are
-    deliberately not emitted."""
-    lab = connected_components(pairs, src=left, dst=right, n_rows=n_rows)
+    deliberately not emitted. ``engine="bsp"`` (default) runs on the
+    actor-sharded engine (``state/graphbsp.py`` — edges partitioned once,
+    only labels move per round); ``engine="dataset"`` uses the pure
+    Dataset composition below."""
+    if engine == "bsp":
+        from ..state.graphbsp import connected_components_bsp
+
+        lab = connected_components_bsp(pairs, src=left, dst=right,
+                                       num_shards=num_shards)
+    else:
+        lab = connected_components(pairs, src=left, dst=right, n_rows=n_rows)
     return lab.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"),
                             "cluster_id": t.column("component")}),

@@ -1,0 +1,335 @@
+"""Actor-sharded BSP graph engine (Pregel-lite) — the SCALE path for the
+iterative graph operators in ``stages/graph.py``.
+
+Why actors (SURVEY §2.6 custom-operator recipe (b)): an iterative graph
+algorithm re-reads the SAME edge set every superstep. The Dataset-composed
+versions re-shuffle the edges through a keyed exchange once per round —
+correct, but at 100 TB the dominant cost becomes re-sorting static data.
+Here the edge set is partitioned ONCE into P shard actors (owner(x) =
+``hash(x) % P``, the same multiplicative hash as ``stages/joins.py``), and
+each superstep ships only compact (node, value) message arrays between
+shards — an object-store all-to-all in which the driver routes REFS only
+(``num_returns=P`` per propagate call) and sees nothing but per-round
+scalar counters. This mirrors the crawl frontier's shard design
+(``state/frontier.py``): stateful shards + task-side pushes, no driver
+materialization.
+
+Partitioning assumptions (documented per the §2.6 recipe):
+- a node's out-edges fit in its owner shard's memory (hash-spread; salt a
+  pathological super-node upstream);
+- message volume per round is O(nodes), far below the edge volume that a
+  Dataset re-shuffle would move.
+
+Algorithms are identical to ``stages/graph.py`` (min-label propagation with
+pointer jumping; damped PageRank with dangling-mass redistribution) and are
+conformance-pinned against those versions AND the serial oracles in
+``tests/test_graph.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _owner(x: np.ndarray, P: int) -> np.ndarray:
+    return ((x.astype(np.uint64) * _GOLD) >> np.uint64(32)) % np.uint64(P)
+
+
+def _group_min(keys: np.ndarray, vals: np.ndarray):
+    """(unique keys, per-key min(vals)) — vectorized sort + reduceat."""
+    if keys.size == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.minimum.reduceat(v, starts)
+
+
+def _group_sum(keys: np.ndarray, vals: np.ndarray):
+    if keys.size == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.add.reduceat(v, starts)
+
+
+class GraphShard:
+    """One partition of the graph: edges with owner(u) == shard_id, plus
+    label/rank state for owned nodes (owner(n) == shard_id)."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.id = shard_id
+        self.P = num_shards
+        self._eu: list[np.ndarray] = []
+        self._ev: list[np.ndarray] = []
+        self._nodes: list[np.ndarray] = []
+        self.eu = self.ev = self.nodes = None
+        self.lab = self.rank = self.outdeg = None
+        self.u_idx = None  # per-edge index of u into self.nodes
+
+    # ---- build ---------------------------------------------------------- #
+    def add_edges(self, t: pa.Table) -> int:
+        self._eu.append(t.column("u").to_numpy(zero_copy_only=False))
+        self._ev.append(t.column("v").to_numpy(zero_copy_only=False))
+        return t.num_rows
+
+    def add_nodes(self, t: pa.Table) -> int:
+        self._nodes.append(t.column("node").to_numpy(zero_copy_only=False))
+        return t.num_rows
+
+    def seal(self, *, dedup_edges: bool) -> dict:
+        eu = (np.concatenate(self._eu) if self._eu
+              else np.array([], np.int64))
+        ev = (np.concatenate(self._ev) if self._ev
+              else np.array([], np.int64))
+        self._eu = self._ev = []
+        order = np.lexsort((ev, eu))
+        eu, ev = eu[order], ev[order]
+        if dedup_edges and eu.size:
+            keep = np.r_[True, (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])]
+            eu, ev = eu[keep], ev[keep]
+        self.eu, self.ev = eu, ev
+        ann = (np.concatenate(self._nodes) if self._nodes
+               else np.array([], np.int64))
+        self._nodes = []
+        self.nodes = np.unique(ann)
+        self.u_idx = np.searchsorted(self.nodes, self.eu)
+        # out-degree of owned nodes (after dedup → distinct targets)
+        self.outdeg = np.zeros(self.nodes.size, np.int64)
+        if self.eu.size:
+            np.add.at(self.outdeg, self.u_idx, 1)
+        return {"edges": int(self.eu.size), "nodes": int(self.nodes.size)}
+
+    # ---- connected components ------------------------------------------ #
+    def cc_init(self) -> None:
+        self.lab = self.nodes.copy()
+
+    def cc_propagate(self):
+        """Per-target-owner min proposals from local edges; returns P
+        tables (routed by the driver as refs, fetched shard-to-shard)."""
+        lab_u = self.lab[self.u_idx] if self.eu.size else self.eu
+        v, m = _group_min(self.ev, lab_u)
+        part = _owner(v, self.P)
+        out = []
+        for j in range(self.P):
+            sel = part == j
+            out.append(pa.table({"node": pa.array(v[sel], pa.int64()),
+                                 "cand": pa.array(m[sel], pa.int64())}))
+        return out if self.P > 1 else out[0]
+
+    def cc_merge(self, *proposals: pa.Table) -> int:
+        ks, vs = [], []
+        for t in proposals:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("cand").to_numpy(zero_copy_only=False))
+        if not ks:
+            return 0
+        k, v = _group_min(np.concatenate(ks), np.concatenate(vs))
+        idx = np.searchsorted(self.nodes, k)
+        new = np.minimum(self.lab[idx], v)
+        changed = int((new < self.lab[idx]).sum())
+        self.lab[idx] = new
+        return changed
+
+    def label_queries(self):
+        """Pointer jump, step 1: distinct labels we hold, routed to their
+        owner shards for resolution."""
+        ls = np.unique(self.lab) if self.lab is not None else np.array([], np.int64)
+        part = _owner(ls, self.P)
+        out = [pa.array(ls[part == j], pa.int64()) for j in range(self.P)]
+        return out if self.P > 1 else out[0]
+
+    def lookup(self, ids: pa.Array) -> pa.Table:
+        a = np.asarray(ids)
+        idx = np.searchsorted(self.nodes, a)
+        return pa.table({"node": pa.array(a, pa.int64()),
+                         "lab": pa.array(self.lab[idx], pa.int64())})
+
+    def apply_jump(self, *answers: pa.Table) -> None:
+        ks, vs = [], []
+        for t in answers:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("lab").to_numpy(zero_copy_only=False))
+        if not ks:
+            return
+        # answers are disjoint across owner shards (each label resolved by
+        # exactly one owner), so a concat+sort gives a unique-keyed map
+        keys = np.concatenate(ks)
+        vals = np.concatenate(vs)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        idx = np.searchsorted(keys, self.lab)
+        # every label is a node id we queried, so lookup always resolves
+        self.lab = np.minimum(self.lab, vals[idx])
+
+    def cc_result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "component": pa.array(self.lab, pa.int64())})
+
+    # ---- pagerank -------------------------------------------------------- #
+    def pr_init(self, n_nodes: int) -> None:
+        self.n_total = n_nodes
+        self.rank = np.full(self.nodes.size, 1.0 / n_nodes)
+
+    def pr_propagate(self):
+        """Per-target-owner partial mass sums; last element of the return
+        is the scalar mass emitted (driver derives dangling mass)."""
+        if self.eu.size:
+            contrib = self.rank[self.u_idx] / self.outdeg[self.u_idx]
+            v, m = _group_sum(self.ev, contrib)
+            emitted = float(contrib.sum())
+        else:
+            v = np.array([], np.int64)
+            m = np.array([], np.float64)
+            emitted = 0.0
+        part = _owner(v, self.P)
+        out = [pa.table({"node": pa.array(v[part == j], pa.int64()),
+                         "mass": pa.array(m[part == j], pa.float64())})
+               for j in range(self.P)]
+        out.append(emitted)
+        return out if len(out) > 1 else out[0]
+
+    def pr_update(self, base: float, damping: float, dangle: float,
+                  *masses: pa.Table) -> None:
+        total = np.zeros(self.nodes.size)
+        ks, vs = [], []
+        for t in masses:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("mass").to_numpy(zero_copy_only=False))
+        if ks:
+            k, v = _group_sum(np.concatenate(ks), np.concatenate(vs))
+            total[np.searchsorted(self.nodes, k)] = v
+        self.rank = base + damping * dangle + damping * total
+
+    def pr_result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "rank": pa.array(self.rank, pa.float64())})
+
+
+def _build_shards(edges, src: str, dst: str, P: int, *, undirected: bool,
+                  dedup_edges: bool):
+    """Partition an edge Dataset into P shard actors: one map_batches pass
+    routes edge rows to owner(u) and node announcements to owner(n); the
+    driver consumes only per-batch row counts."""
+    import pyarrow.compute as pc
+
+    Shard = ray.remote(num_cpus=0)(GraphShard)
+    shards = [Shard.remote(i, P) for i in range(P)]
+
+    def push(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(src), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(dst), pa.int64()).to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if undirected and u.size:
+            u, v = np.r_[u, v], np.r_[v, u]
+        acks = []
+        eo = _owner(u, P)
+        for j in range(P):
+            sel = eo == j
+            if sel.any():
+                acks.append(shards[j].add_edges.remote(
+                    pa.table({"u": pa.array(u[sel], pa.int64()),
+                              "v": pa.array(v[sel], pa.int64())})))
+        nodes = np.unique(np.r_[u, v]) if u.size else u
+        no = _owner(nodes, P)
+        for j in range(P):
+            sel = no == j
+            if sel.any():
+                acks.append(shards[j].add_nodes.remote(
+                    pa.table({"node": pa.array(nodes[sel], pa.int64())})))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(u)], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow",
+                      batch_size=65536).sum("n")
+    infos = ray.get([s.seal.remote(dedup_edges=dedup_edges) for s in shards])
+    return shards, infos
+
+
+def _routed(shards, refs_matrix):
+    """refs_matrix[i] = P refs emitted by shard i; returns per-destination
+    argument lists [refs from every i destined to j]."""
+    P = len(shards)
+    return [[refs_matrix[i][j] for i in range(P)] for j in range(P)]
+
+
+def connected_components_bsp(
+    edges, *, src: str = "src", dst: str = "dst", num_shards: int = 8,
+    max_rounds: int = 100, pointer_jump: bool = True,
+):
+    """Actor-BSP connected components; same contract as
+    ``stages.graph.connected_components`` (node → min id in component,
+    undirected, self-loop-only nodes dropped)."""
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=True, dedup_edges=True)
+    P = len(shards)
+    if sum(i["nodes"] for i in infos) == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())}))
+    ray.get([s.cc_init.remote() for s in shards])
+    for _ in range(max_rounds):
+        if P > 1:
+            props = [s.cc_propagate.options(num_returns=P).remote()
+                     for s in shards]
+            routed = _routed(shards, props)
+        else:
+            routed = [[shards[0].cc_propagate.remote()]]
+        changed = sum(ray.get(
+            [shards[j].cc_merge.remote(*routed[j]) for j in range(P)]))
+        if changed == 0:
+            break
+        if pointer_jump:
+            if P > 1:
+                qs = [s.label_queries.options(num_returns=P).remote()
+                      for s in shards]
+                answers = [
+                    [shards[j].lookup.remote(qs[i][j]) for j in range(P)]
+                    for i in range(P)
+                ]
+            else:
+                answers = [[shards[0].lookup.remote(
+                    shards[0].label_queries.remote())]]
+            ray.get([shards[i].apply_jump.remote(*answers[i])
+                     for i in range(P)])
+    return ray.data.from_arrow_refs(
+        [s.cc_result.remote() for s in shards])
+
+
+def pagerank_bsp(
+    edges, *, src: str = "src", dst: str = "dst", num_shards: int = 8,
+    damping: float = 0.85, n_iter: int = 10,
+):
+    """Actor-BSP PageRank; same contract as ``stages.graph.pagerank``
+    (directed, parallel edges collapsed, dangling mass redistributed,
+    ranks sum to 1)."""
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=False, dedup_edges=True)
+    P = len(shards)
+    n_nodes = sum(i["nodes"] for i in infos)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())}))
+    ray.get([s.pr_init.remote(n_nodes) for s in shards])
+    base = (1.0 - damping) / n_nodes
+    for _ in range(n_iter):
+        outs = [s.pr_propagate.options(num_returns=P + 1).remote()
+                for s in shards]
+        emitted = sum(ray.get([outs[i][P] for i in range(P)]))
+        dangle = max(1.0 - emitted, 0.0) / n_nodes
+        routed = [[outs[i][j] for i in range(P)] for j in range(P)]
+        ray.get([
+            shards[j].pr_update.remote(base, damping, dangle, *routed[j])
+            for j in range(P)
+        ])
+    return ray.data.from_arrow_refs([s.pr_result.remote() for s in shards])

@@ -12,6 +12,10 @@ from nightcrawlercmd_ray.stages.graph import (
     dup_clusters,
     pagerank,
 )
+from nightcrawlercmd_ray.state.graphbsp import (
+    connected_components_bsp,
+    pagerank_bsp,
+)
 
 
 def _edge_ds(edges, repartition=None):
@@ -140,3 +144,59 @@ def test_pagerank_star_ranks_hub_highest():
     got = {r["node"]: r["rank"]
            for r in pagerank(_edge_ds(edges), n_iter=5).take_all()}
     assert got[0] == max(got.values())
+
+
+# --------------------------------------------------------------------------- #
+# actor-BSP engine (state/graphbsp.py) ≡ Dataset composition ≡ serial oracle
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("num_shards", [1, 3, 8])
+def test_cc_bsp_matches_union_find(num_shards):
+    rng = np.random.default_rng(31)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, (450, 2))
+             if a != b]
+    got = {r["node"]: r["component"]
+           for r in connected_components_bsp(
+               _edge_ds(edges, 5), num_shards=num_shards).take_all()}
+    assert got == _union_find(edges)
+
+
+def test_cc_bsp_deep_chain_and_self_loops():
+    edges = [(i, i + 1) for i in range(100)] + [(500, 500)]
+    got = {r["node"]: r["component"]
+           for r in connected_components_bsp(
+               _edge_ds(edges, 4), num_shards=4, max_rounds=16).take_all()}
+    assert got == {i: 0 for i in range(101)}
+
+
+@pytest.mark.parametrize("num_shards", [1, 4])
+def test_pagerank_bsp_matches_numpy(num_shards):
+    rng = np.random.default_rng(41)
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 70, (220, 2)) if a != b})
+    # include parallel edges in the input — must collapse
+    noisy = edges + edges[:20]
+    got = {r["node"]: r["rank"]
+           for r in pagerank_bsp(_edge_ds(noisy, 5), num_shards=num_shards,
+                                 n_iter=7).take_all()}
+    want = _numpy_pagerank(edges, n_iter=7)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_bsp_equals_dataset_composition():
+    rng = np.random.default_rng(53)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, (180, 2))
+             if a != b]
+    a = {r["node"]: r["component"]
+         for r in connected_components(_edge_ds(edges, 3)).take_all()}
+    b = {r["node"]: r["component"]
+         for r in connected_components_bsp(
+             _edge_ds(edges, 3), num_shards=5).take_all()}
+    assert a == b
+    pr_a = {r["node"]: r["rank"]
+            for r in pagerank(_edge_ds(edges, 3), n_iter=6).take_all()}
+    pr_b = {r["node"]: r["rank"]
+            for r in pagerank_bsp(_edge_ds(edges, 3), num_shards=5,
+                                  n_iter=6).take_all()}
+    assert max(abs(pr_a[v] - pr_b[v]) for v in pr_a) < 1e-12
