@@ -1107,7 +1107,6 @@ def q_crawl_pagerank(sf_dir: str):
     numpy oracle is pinned in tests/test_graph.py."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Min
 
     from nightcrawlercmd_ray.functions.htmlparse import parse_html
     from nightcrawlercmd_ray.functions.urlnorm import (
@@ -1175,18 +1174,24 @@ def q_crawl_pagerank(sf_dir: str):
     ids_ref = ray.put(top_t.column("node").combine_chunks())
 
     def name_rows(t: pa.Table) -> pa.Table:
+        # per-batch partial min(url) per top-50 node (≤50 rows out per
+        # batch) — the final min is a tiny driver reduce, no shuffle
         import ray as _ray
 
         keep = pc.is_in(t.column("node"), value_set=_ray.get(ids_ref))
         sub = t.filter(pc.fill_null(keep, False))
-        return pa.table({"node": sub.column("node"), "url": sub.column("url")})
+        part = pa.TableGroupBy(
+            sub.select(["node", "url"]), "node"
+        ).aggregate([("url", "min")])
+        return part.rename_columns(["node", "url"])
 
-    names = (
-        parsed.map_batches(name_rows, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("url", alias_name="url"))
-    )
-    name_map = {r["node"]: r["url"] for r in names.take_all()}
+    name_map: dict[int, str] = {}
+    for r in parsed.map_batches(
+        name_rows, batch_format="pyarrow"
+    ).take_all():
+        prev = name_map.get(r["node"])
+        if prev is None or r["url"] < prev:
+            name_map[r["node"]] = r["url"]
     return pa.table({
         "url": pa.array([name_map[n] for n in
                          top_t.column("node").to_pylist()], pa.string()),

@@ -178,7 +178,8 @@ def run_bench() -> dict:
         "knn_embeddings", "events_hourly_window", "dedup_exact_documents",
         "revenue_by_nation", "events_asof_orders", "bigram_counts",
         "events_sliding_window", "latest_orders_per_customer",
-        "user_journeys", "orders_rollup",
+        "user_journeys", "orders_rollup", "doc_chain_components",
+        "crawl_pagerank",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -242,12 +242,15 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
     """Remove near-duplicates: anti-join ds against the duplicate id set
     (broadcast — the dup set is small relative to the corpus)."""
     dups = minhash_lsh_duplicates(ds, text_col, id_col, **kw)
-    dup_ref = ray.put({r["doc_id"] for r in dups.take_all()})
+    dup_ids = pa.array(
+        sorted({r["doc_id"] for r in dups.take_all()}), pa.int64())
+    dup_ref = ray.put(dup_ids)
 
     def drop_dups(t: pa.Table) -> pa.Table:
-        ids = ray.get(dup_ref)
-        mask = [i not in ids for i in t.column(id_col).to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        ids = ray.get(dup_ref)  # broadcast once; local-store read per worker
+        hit = pc.is_in(pc.cast(t.column(id_col), pa.int64()),
+                       value_set=ids)
+        return t.filter(pc.invert(hit))
 
     return ds.map_batches(drop_dups, batch_format="pyarrow")
 
