@@ -1359,6 +1359,64 @@ def q_wordlist_pages(sf_dir: str):
     return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
 
 
+def q_pii_redact_documents(sf_dir: str):
+    """PII scrub (stages/curation.pii_redact): plant deterministic PII
+    derived from doc_id (the synthetic corpus carries none — planting makes
+    the driver check positively exercise every redaction pass, per the
+    round-1 verdict's 0-rows-would-also-pass critique), then run the
+    sequential email→IPv4→phone redaction. Pure map, no shuffle."""
+    from nightcrawlercmd_ray.stages.curation import pii_redact
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        dirty = [
+            f"{s or ''} contact user{i}@example.com or "
+            f"10.{i % 256}.0.{(i * 7) % 256} call "
+            f"{(i % 900) + 100}-{(i % 9000) + 1000}"
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(dirty, pa.string())})
+
+    return pii_redact(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def q_dedup_lines_documents(sf_dir: str):
+    """Intra-doc repeated-line removal (stages/curation.dedup_lines), the
+    C4-style boilerplate filter. The newline-free synthetic text is
+    regrouped into 2-word pseudo-lines (same derivation in the SQL oracle)
+    so repeats actually occur. Doc-local → pure map, no shuffle."""
+    from nightcrawlercmd_ray.stages.curation import dedup_lines
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_lines(ds, words_per_line=2)
+
+
+def q_pack_sequences_documents(sf_dir: str):
+    """Concat-and-chop sequence-packing plan (stages/curation.
+    pack_concat_chunks): docs concatenated in id order within doc-id-range
+    parts, token stream chopped into 512-token chunks. One bounded keyed
+    shuffle of int rows; oracle = SQL window cumsum."""
+    from nightcrawlercmd_ray.stages.curation import pack_concat_chunks
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_concat_chunks(ds, budget=512, part_span=100)
+
+
+def q_pack_greedy_documents(sf_dir: str):
+    """No-split first-fit packing (stages/curation.pack_greedy_bins) — the
+    fine-tuning packing discipline. Greedy recurrence is not
+    window-expressible, so rows-only here; exact conformance vs a serial
+    oracle is pinned in tests/test_curation.py."""
+    from nightcrawlercmd_ray.stages.curation import pack_greedy_bins
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_greedy_bins(ds, budget=512, part_span=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -1402,7 +1460,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "lang_distribution": q_lang_distribution,
         "knn_embeddings": q_knn_embeddings,
+        "pii_redact_documents": q_pii_redact_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
+        "pack_greedy_documents": q_pack_greedy_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,
@@ -1823,5 +1885,83 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
             )
             WHERE rk <= 5
+        """,
+        # sequential email→IPv4→phone passes; counts taken at the point each
+        # pass runs, on the deterministically-planted dirty text (see
+        # q_pii_redact_documents)
+        "pii_redact_documents": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 10.'
+                          || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                          || ' call ' || ((doc_id % 900) + 100) || '-'
+                          || ((doc_id % 9000) + 1000) AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM dirty
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+                   n_emails, n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+            FROM s2
+        """,
+        # 2-word pseudo-lines (split(' ') zipped 2 at a time), keep-first
+        # line dedup, reassemble with \n — see stages/curation.dedup_lines
+        "dedup_lines_documents": """
+            WITH ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(wl) AS w, generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), lines AS (
+              SELECT doc_id, CAST((ord - 1) // 2 AS BIGINT) AS lno,
+                     string_agg(w, ' ' ORDER BY ord) AS line
+              FROM words GROUP BY doc_id, (ord - 1) // 2
+            ), ranked AS (
+              SELECT doc_id, lno, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY lno) AS rn
+              FROM lines
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY lno)
+                       FILTER (WHERE rn = 1) AS text,
+                   count(*) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+            FROM ranked GROUP BY doc_id
+        """,
+        # concat-and-chop packing plan: window cumsum within doc-id parts
+        "pack_sequences_documents": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS part,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, part, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS cum_excl
+              FROM d
+            )
+            SELECT doc_id, part, n_tokens,
+                   CAST(cum_excl // 512 AS BIGINT) AS start_chunk,
+                   CAST((cum_excl + n_tokens - 1) // 512 AS BIGINT) AS end_chunk,
+                   CAST(cum_excl % 512 AS BIGINT) AS chunk_offset
+            FROM c
         """,
     }

@@ -1,0 +1,232 @@
+"""Corpus-curation stages a large-scale training-data pipeline needs on top
+of dedup: PII redaction, intra-document repetition removal, and sequence
+packing (engine additions per the SURVEY mandate — the reference has no
+counterpart; its nearest relative is the regex extractor family,
+``/root/reference/mainWordlist.go:17-22``, which these stages deliberately
+mirror in style: compiled-once patterns, vectorized per-batch application).
+
+All three are shuffle-light by construction:
+
+- ``pii_redact`` is a pure per-batch map (NO shuffle);
+- ``dedup_lines`` is a pure per-batch map (line dedup is doc-local);
+- the packers do ONE bounded keyed shuffle (``groupby(part)``) where
+  ``part`` is a deterministic doc-id range, so group size is capped by
+  ``part_span`` regardless of corpus size — at 100 TB the parts stream
+  through ``map_groups`` with per-task memory ∝ part_span, never ∝ corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Patterns are RE2-compatible (no backrefs / lookarounds) so the DuckDB
+# oracle can run the literal same expressions; Python re and RE2 agree on
+# leftmost, non-overlapping 'g' semantics for this subset.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> pa.Table:
+    """Sequentially redact each PII category and count its matches at the
+    point its pass runs (pass order is part of the spec — a category never
+    sees text already replaced by an earlier one). Appends one ``n_<name>``
+    int64 column per category and rewrites ``text_col`` in place."""
+    compiled = [(name, re.compile(pat), repl) for name, pat, repl in patterns]
+    texts = [x or "" for x in t.column(text_col).to_pylist()]
+    counts: dict[str, list[int]] = {name: [] for name, _, _ in compiled}
+    out_texts: list[str] = []
+    for s in texts:
+        for name, rx, repl in compiled:
+            s, n = rx.subn(repl, s)
+            counts[name].append(n)
+        out_texts.append(s)
+    cols = {c: t.column(c) for c in t.column_names}
+    cols[text_col] = pa.array(out_texts, pa.string())
+    out = pa.table(cols)
+    for name, _, _ in compiled:
+        out = out.append_column(f"n_{name}", pa.array(counts[name], pa.int64()))
+    return out
+
+
+def pii_redact(ds, text_col: str = "text",
+               patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS):
+    """Dataset-level PII scrub: pure ``map_batches``, no shuffle, patterns
+    compiled once per task via the partial's closure."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(pii_redact_batch, text_col=text_col,
+                          patterns=patterns),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition removal (C4-style repeated-line dedup)
+# ---------------------------------------------------------------------------
+def lines_from_words(text: str, words_per_line: int) -> list[str]:
+    """Regroup a single-spaced text into fixed-width pseudo-lines — the
+    deterministic derivation the oracled query uses on the newline-free
+    synthetic corpus (``string_split(text, ' ')`` zipped ``n`` at a time).
+    Uses ``split(' ')``, not ``split()``, to match SQL exactly (repeated
+    spaces yield empty words on both sides)."""
+    w = text.split(" ")
+    return [" ".join(w[i:i + words_per_line])
+            for i in range(0, len(w), words_per_line)]
+
+
+def dedup_lines_batch(t: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      words_per_line: int | None = None) -> pa.Table:
+    """Keep the FIRST occurrence of each distinct line within a document and
+    drop later repeats (the C4/Gopher boilerplate filter). Doc-local, so a
+    pure per-batch map. When ``words_per_line`` is set the text is first
+    regrouped via :func:`lines_from_words`; otherwise lines are ``\\n``
+    splits. → columns (id_col, text, n_lines, n_dropped)."""
+    ids = t.column(id_col)
+    texts = [x or "" for x in t.column(text_col).to_pylist()]
+    out_text: list[str] = []
+    out_lines: list[int] = []
+    out_drop: list[int] = []
+    for s in texts:
+        lines = (lines_from_words(s, words_per_line)
+                 if words_per_line else s.split("\n"))
+        seen: set[str] = set()
+        kept: list[str] = []
+        for ln in lines:
+            if ln in seen:
+                continue
+            seen.add(ln)
+            kept.append(ln)
+        out_text.append("\n".join(kept))
+        out_lines.append(len(lines))
+        out_drop.append(len(lines) - len(kept))
+    return pa.table({
+        id_col: ids,
+        "text": pa.array(out_text, pa.string()),
+        "n_lines": pa.array(out_lines, pa.int64()),
+        "n_dropped": pa.array(out_drop, pa.int64()),
+    })
+
+
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                words_per_line: int | None = None):
+    import functools
+
+    return ds.map_batches(
+        functools.partial(dedup_lines_batch, text_col=text_col,
+                          id_col=id_col, words_per_line=words_per_line),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+def _token_parts(ds, id_col: str, text_col: str, part_span: int):
+    """(id, part, n_tokens) rows — n_tokens = len(split(' ')) to match the
+    SQL oracle; part = id // part_span bounds every downstream group."""
+    def stats(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        ntok = np.fromiter(
+            (len((x or "").split(" ")) for x in t.column(text_col).to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({
+            id_col: ids,
+            "part": pa.array(ids_np // part_span),
+            "n_tokens": pa.array(ntok),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def pack_concat_chunks(ds, budget: int = 512, part_span: int = 100,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """GPT-style concat-and-chop packing plan: within each deterministic
+    doc-id-range part, documents are concatenated in id order and the token
+    stream is chopped into fixed ``budget``-token chunks; docs may span a
+    chunk boundary. Emits, per doc, the chunk range it lands in and its
+    offset in the first chunk — the plan a pack-writer needs to materialize
+    training sequences.
+
+    Scale shape: one ``groupby(part)`` shuffle of 3-int rows (never text);
+    each group is ≤ ``part_span`` rows, cumsum'd with numpy. Deterministic
+    at any parallelism (id-sorted within part, parts independent).
+    → Dataset(id, part, n_tokens, start_chunk, end_chunk, chunk_offset).
+    """
+    def plan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        ntok = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum_excl = np.cumsum(ntok) - ntok
+        return pa.table({
+            id_col: g.column(id_col),
+            "part": g.column("part"),
+            "n_tokens": g.column("n_tokens"),
+            "start_chunk": pa.array(cum_excl // budget),
+            "end_chunk": pa.array((cum_excl + ntok - 1) // budget),
+            "chunk_offset": pa.array(cum_excl % budget),
+        })
+
+    return (
+        _token_parts(ds, id_col, text_col, part_span)
+        .groupby("part")
+        .map_groups(plan, batch_format="pyarrow")
+    )
+
+
+def pack_greedy_bins(ds, budget: int = 512, part_span: int = 100,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """No-split first-fit-in-order packing: within each part, walk docs in
+    id order, closing the current bin whenever the next doc would exceed
+    ``budget``; a doc larger than ``budget`` gets a bin of its own. Unlike
+    :func:`pack_concat_chunks` no document crosses a bin boundary (the
+    fine-tuning / instruction-data packing discipline).
+
+    Same scale shape as the chunk packer (one bounded keyed shuffle of int
+    rows). → Dataset(id, part, bin, n_tokens, bin_tokens) where ``bin`` is
+    part-local and ``bin_tokens`` is the filled size of the doc's bin.
+    """
+    def plan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        ntok = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        bins = np.empty(len(ntok), dtype=np.int64)
+        fill = 0
+        b = 0
+        fills: list[int] = []
+        for i, n in enumerate(ntok):
+            if i > 0 and fill + n > budget:
+                fills.append(fill)
+                b += 1
+                fill = 0
+            fill += int(n)
+            bins[i] = b
+        fills.append(fill)
+        bin_tokens = np.array(fills, dtype=np.int64)[bins]
+        return pa.table({
+            id_col: g.column(id_col),
+            "part": g.column("part"),
+            "bin": pa.array(bins),
+            "n_tokens": g.column("n_tokens"),
+            "bin_tokens": pa.array(bin_tokens),
+        })
+
+    return (
+        _token_parts(ds, id_col, text_col, part_span)
+        .groupby("part")
+        .map_groups(plan, batch_format="pyarrow")
+    )

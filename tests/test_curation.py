@@ -1,0 +1,245 @@
+"""Curation stages: PII redaction, repeated-line removal, sequence packing.
+Each operator is checked against a serial in-process oracle, on crafted edge
+inputs, and for parallelism-invariance (same result at different block
+counts)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.curation import (
+    PII_PATTERNS,
+    dedup_lines,
+    dedup_lines_batch,
+    lines_from_words,
+    pack_concat_chunks,
+    pack_greedy_bins,
+    pii_redact,
+    pii_redact_batch,
+)
+
+
+# --------------------------------------------------------------------------- #
+# PII redaction
+# --------------------------------------------------------------------------- #
+def test_pii_redact_batch_counts_and_text():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@ex.co and d@sub.ex.org now",
+            "host 10.0.0.1 and 255.255.255.255, call 555-0142",
+            "clean text, no pii at all",
+        ]),
+    })
+    out = pii_redact_batch(t)
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "mail <EMAIL> and <EMAIL> now"
+    assert texts[1] == "host <IP> and <IP>, call <PHONE>"
+    assert texts[2] == "clean text, no pii at all"
+    assert out.column("n_emails").to_pylist() == [2, 0, 0]
+    assert out.column("n_ipv4").to_pylist() == [0, 2, 0]
+    assert out.column("n_phones").to_pylist() == [0, 1, 0]
+
+
+def test_pii_redact_sequential_passes():
+    # an email containing a dotted quad is consumed by the EMAIL pass, so
+    # the IP pass (which runs after) must not count it
+    t = pa.table({"text": pa.array(["x 1.2.3.4@ex.com y"])})
+    out = pii_redact_batch(t)
+    assert out.column("text").to_pylist() == ["x <EMAIL> y"]
+    assert out.column("n_emails").to_pylist() == [1]
+    assert out.column("n_ipv4").to_pylist() == [0]
+
+
+def test_pii_redact_dataset_matches_batch_oracle():
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(300):
+        bits = ["w%d" % rng.randint(50) for _ in range(10)]
+        if i % 3 == 0:
+            bits.append(f"u{i}@ex{i % 7}.net")
+        if i % 4 == 0:
+            bits.append(f"192.168.{i % 256}.{(i * 3) % 256}")
+        if i % 5 == 0:
+            bits.append(f"{100 + i % 900}-{1000 + i % 9000}")
+        rows.append(" ".join(bits))
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(rows)})
+    expect = pii_redact_batch(t)
+    got = (
+        pii_redact(ray.data.from_arrow(t).repartition(7))
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert got["text"].tolist() == expect.column("text").to_pylist()
+    for c in ("n_emails", "n_ipv4", "n_phones"):
+        assert got[c].tolist() == expect.column(c).to_pylist()
+    # planted categories all positively exercised
+    assert got["n_emails"].sum() == 100
+    assert got["n_ipv4"].sum() == 75
+    assert got["n_phones"].sum() == 60
+
+
+def test_pii_patterns_re2_safe():
+    # oracle parity depends on the patterns staying in the RE2 subset
+    for _, pat, _ in PII_PATTERNS:
+        assert not re.search(r"\(\?[<=!]", pat), pat  # no lookaround
+        assert not re.search(r"\\[1-9]", pat), pat    # no backrefs
+
+
+# --------------------------------------------------------------------------- #
+# repeated-line removal
+# --------------------------------------------------------------------------- #
+def test_dedup_lines_keep_first():
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a\nb\na\nc\nb\na"]),
+    })
+    out = dedup_lines_batch(t)
+    assert out.column("text").to_pylist() == ["a\nb\nc"]
+    assert out.column("n_lines").to_pylist() == [6]
+    assert out.column("n_dropped").to_pylist() == [3]
+
+
+def test_dedup_lines_edge_cases():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "only one line", "x\nx\nx"]),
+    })
+    out = dedup_lines_batch(t)
+    assert out.column("text").to_pylist() == ["", "only one line", "x"]
+    assert out.column("n_dropped").to_pylist() == [0, 0, 2]
+
+
+def test_lines_from_words_matches_sql_split_semantics():
+    # split(' ') keeps empty strings — the SQL-parity contract
+    assert lines_from_words("a b c d e", 2) == ["a b", "c d", "e"]
+    assert lines_from_words("a  b", 2) == ["a ", "b"]
+    assert lines_from_words("", 3) == [""]
+
+
+def test_dedup_lines_dataset_words_per_line():
+    texts = ["p q p q r s p q", "a b a b a b a b"]
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        dedup_lines(ray.data.from_arrow(t).repartition(2), words_per_line=2)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert got["text"].tolist() == ["p q\nr s", "a b"]
+    assert got["n_lines"].tolist() == [4, 4]
+    assert got["n_dropped"].tolist() == [2, 3]
+
+
+# --------------------------------------------------------------------------- #
+# sequence packing
+# --------------------------------------------------------------------------- #
+def _toy_docs(n=400, seed=5):
+    rng = np.random.RandomState(seed)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # gaps: ids need not be dense
+    texts = [" ".join("t%d" % k for k in range(rng.randint(1, 40)))
+             for _ in range(n)]
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+
+def _serial_concat_plan(t, budget, span):
+    rows = sorted(
+        zip(t.column("doc_id").to_pylist(),
+            [len(x.split(" ")) for x in t.column("text").to_pylist()])
+    )
+    by_part: dict[int, list] = {}
+    for did, ntok in rows:
+        by_part.setdefault(did // span, []).append((did, ntok))
+    out = {}
+    for part, docs in by_part.items():
+        cum = 0
+        for did, ntok in docs:
+            out[did] = (part, ntok, cum // budget,
+                        (cum + ntok - 1) // budget, cum % budget)
+            cum += ntok
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_pack_concat_chunks_vs_serial(nblocks):
+    t = _toy_docs()
+    got = (
+        pack_concat_chunks(
+            ray.data.from_arrow(t).repartition(nblocks),
+            budget=64, part_span=50,
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    expect = _serial_concat_plan(t, 64, 50)
+    assert len(got) == t.num_rows
+    for r in got.itertuples(index=False):
+        assert expect[r.doc_id] == (
+            r.part, r.n_tokens, r.start_chunk, r.end_chunk, r.chunk_offset
+        ), r.doc_id
+
+
+def _serial_greedy(t, budget, span):
+    rows = sorted(
+        zip(t.column("doc_id").to_pylist(),
+            [len(x.split(" ")) for x in t.column("text").to_pylist()])
+    )
+    by_part: dict[int, list] = {}
+    for did, ntok in rows:
+        by_part.setdefault(did // span, []).append((did, ntok))
+    out = {}
+    for part, docs in by_part.items():
+        b, fill, members = 0, 0, []
+        fills = []
+        for i, (did, ntok) in enumerate(docs):
+            if i > 0 and fill + ntok > budget:
+                fills.append(fill)
+                b += 1
+                fill = 0
+            fill += ntok
+            members.append((did, part, b, ntok))
+        fills.append(fill)
+        for did, p, bb, ntok in members:
+            out[did] = (p, bb, ntok, fills[bb])
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_pack_greedy_bins_vs_serial(nblocks):
+    t = _toy_docs(seed=9)
+    got = (
+        pack_greedy_bins(
+            ray.data.from_arrow(t).repartition(nblocks),
+            budget=64, part_span=50,
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    expect = _serial_greedy(t, 64, 50)
+    for r in got.itertuples(index=False):
+        assert expect[r.doc_id] == (r.part, r.bin, r.n_tokens, r.bin_tokens), r.doc_id
+    # no bin over budget unless it holds a single oversized doc
+    bins = got.groupby(["part", "bin"]).agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "size"))
+    over = bins[bins["total"] > 64]
+    assert (over["n"] == 1).all()
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", " ".join(["w"] * 100), "d e"]),
+    })
+    got = (
+        pack_greedy_bins(ray.data.from_arrow(t), budget=10, part_span=1000)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert got["bin"].tolist() == [0, 1, 2]
+    assert got["bin_tokens"].tolist() == [3, 100, 2]
