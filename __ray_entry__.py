@@ -729,7 +729,6 @@ def q_revenue_by_nation(sf_dir: str):
     the final groupby exchanges ~|nations| rows per block, not the join
     output."""
     import ray
-    from ray.data.aggregate import Sum
 
     from nightcrawlercmd_ray.stages.joins import hash_join
 
@@ -803,17 +802,26 @@ def q_revenue_by_nation(sf_dir: str):
             "n_lines": g.column("n_lines_sum"),
         })
 
-    return (
-        # big batches: pc.index_in re-hashes the dim value_set per CALL, so
-        # 1024-row default batches would rebuild the 150k-key table 50×
-        j.map_batches(annotate, batch_format="pyarrow", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(
-            Sum("rev_e4", alias_name="revenue_e4"),
-            Sum("n_lines", alias_name="line_count"),
-        )
-        .sort("n_name")
-    )
+    # big batches: pc.index_in re-hashes the dim value_set per CALL, so
+    # 1024-row default batches would rebuild the 150k-key table 50×.
+    # Final reduce: each block is already ≤|nations| partial rows, so the
+    # stream's total is blocks×25 rows — a tiny driver fold replaces a
+    # second all-to-all (groupby+sort machinery ≈ 2.7 s fixed) and stays
+    # O(blocks) at any corpus size (kNN-reduce pattern).
+    partials = j.map_batches(
+        annotate, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    folded: dict[str, list[int]] = {}
+    for r in partials:
+        acc = folded.setdefault(r["n_name"], [0, 0])
+        acc[0] += r["rev_e4"]
+        acc[1] += r["n_lines"]
+    names = sorted(folded)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "revenue_e4": pa.array([folded[n][0] for n in names], pa.int64()),
+        "line_count": pa.array([folded[n][1] for n in names], pa.int64()),
+    })
 
 
 def q_top_parts_per_brand(sf_dir: str):
