@@ -32,8 +32,9 @@ def _read_pq(path, **kw):
     """read_parquet with pandas schema-metadata stripped (util.read_parquet_clean)
     so Ray Data's per-block schema dedup works (hash(schema) fails on the
     b'pandas' metadata blob these files carry)."""
-    from nightcrawlercmd_ray.util import read_parquet_clean
+    from nightcrawlercmd_ray.util import install_log_filters, read_parquet_clean
 
+    install_log_filters()  # drop the cosmetic empty-partition schema warning
     return read_parquet_clean(path, **kw)
 
 

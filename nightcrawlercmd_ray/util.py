@@ -51,6 +51,32 @@ def read_parquet_clean(path, **kw):
     return ray.data.read_parquet(path, **kw)
 
 
+def install_log_filters() -> None:
+    """Silence ONE known-cosmetic Ray Data warning: the streaming executor
+    logs "RefBundle with a different schema … new schema: ." whenever an
+    all-to-all partition is legitimately empty (empty blocks carry a
+    columnless schema — e.g. a sort partition that received no groups).
+    The filter matches only that empty-new-schema form; real schema
+    mismatches (two NON-empty schemas differing) still log. Idempotent."""
+    import logging
+
+    class _EmptySchemaBundleFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(
+        type(f).__name__ == "_EmptySchemaBundleFilter" for f in lg.filters
+    ):
+        lg.addFilter(_EmptySchemaBundleFilter())
+
+
 def distinct(ds, col: str):
     """Distinct values of one column as a DATASET (``Dataset.unique`` returns
     a driver-side list — unusable for large cardinality). One hash shuffle."""
