@@ -1219,13 +1219,48 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """Cosine near-dup via full-signature hyperplane LSH
+    (stages/dedup.embedding_duplicates). The synthetic embeddings carry no
+    natural near-dups at the 0.98 bar, so every 20th vector is mirrored as
+    a deterministically-perturbed copy (id+10^9, ~0.999 cosine) BEFORE
+    dedup — the driver's rows-only check then positively asserts recall
+    (planted pairs MUST come back; round-1 verdict: 0 rows would also pass
+    for a broken operator). Exactness vs brute force is pinned in
+    tests/test_dedup_similarity.py."""
     import ray
 
     from nightcrawlercmd_ray.stages.dedup import embedding_duplicates
 
     path = f"{sf_dir}/embeddings.parquet"
     ds = _read_pq(path)
-    return embedding_duplicates(ds, threshold=0.98, n_docs=_parquet_rows(path))
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        pick = ids % 20 == 0
+        if not pick.any():
+            return t.select(["vec_id", "embedding"])
+        vecs = np.array(
+            t.column("embedding").take(pa.array(np.nonzero(pick)[0])).to_pylist(),
+            dtype=np.float64,
+        )
+        # deterministic tiny rotation: add 1e-3 × a seeded direction — stays
+        # ≥0.999 cosine to the original at any embedding norm ≥ ~0.1
+        rng = np.random.RandomState(424242)
+        vecs = vecs + 1e-3 * rng.randn(*vecs.shape)
+        dup = pa.table({
+            "vec_id": pa.array(ids[pick] + 1_000_000_000),
+            "embedding": pa.array(vecs.tolist(),
+                                  pa.list_(pa.float64())),
+        })
+        return pa.concat_tables([
+            t.select(["vec_id", "embedding"]).cast(dup.schema), dup
+        ])
+
+    n = _parquet_rows(path)
+    return embedding_duplicates(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=0.98, n_docs=n + n // 20 + 1,
+    )
 
 
 def q_cleanroom_documents(sf_dir: str):
