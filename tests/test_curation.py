@@ -243,3 +243,51 @@ def test_pack_greedy_oversized_doc_gets_own_bin():
     )
     assert got["bin"].tolist() == [0, 1, 2]
     assert got["bin_tokens"].tolist() == [3, 100, 2]
+
+
+# --------------------------------------------------------------------------- #
+# property tests (pure batch functions, no Ray)
+# --------------------------------------------------------------------------- #
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_pii_alphabet = st.sampled_from(list("ab @.-3519\n") + ["@ex.co", "10.0.0.1",
+                                                        "555-0142", "x@y.zz"])
+_pii_text = st.lists(_pii_alphabet, max_size=40).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_pii_text)
+def test_pii_redact_idempotent(s):
+    t = pa.table({"text": pa.array([s], pa.string())})
+    once = pii_redact_batch(t)
+    twice = pii_redact_batch(once.select(["text"]))
+    # placeholders contain no digits or '@', so a second pass is a no-op
+    assert twice.column("text").to_pylist() == once.column("text").to_pylist()
+    for c in ("n_emails", "n_ipv4", "n_phones"):
+        assert twice.column(c).to_pylist() == [0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab\n", max_size=8), max_size=10))
+def test_dedup_lines_idempotent_and_order_preserving(lines):
+    s = "\n".join(lines)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([s], pa.string())})
+    once = dedup_lines_batch(t)
+    out = once.column("text").to_pylist()[0]
+    kept = out.split("\n")
+    # kept lines are distinct, in first-occurrence order, subsequence of input
+    assert len(kept) == len(set(kept))
+    src = s.split("\n")
+    it = iter(src)
+    assert all(any(ln == x for x in it) for ln in kept)
+    again = dedup_lines_batch(once.select(["doc_id", "text"]))
+    assert again.column("n_dropped").to_pylist() == [0]
+    assert again.column("text").to_pylist() == [out]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab ", max_size=60), st.integers(1, 5))
+def test_lines_from_words_roundtrip(s, n):
+    assert " ".join(lines_from_words(s, n)) == s
