@@ -1450,6 +1450,17 @@ def q_pack_sequences_documents(sf_dir: str):
     return pack_concat_chunks(ds, budget=512, part_span=100)
 
 
+def q_packed_chunks_documents(sf_dir: str):
+    """Materialized training sequences (stages/curation.packed_chunks): one
+    row per fixed-length 512-token chunk, hashed-word token ids, padding
+    confined to each part's final chunk. Rows-only (list<int32> payload);
+    byte-level plan↔chunks agreement is pinned in tests/test_curation.py."""
+    from nightcrawlercmd_ray.stages.curation import packed_chunks
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return packed_chunks(ds, budget=512, part_span=100)
+
+
 def q_pack_greedy_documents(sf_dir: str):
     """No-split first-fit packing (stages/curation.pack_greedy_bins) — the
     fine-tuning packing discipline. Greedy recurrence is not
@@ -1509,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
+        "packed_chunks_documents": q_packed_chunks_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,

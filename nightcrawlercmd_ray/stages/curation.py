@@ -189,6 +189,86 @@ def pack_concat_chunks(ds, budget: int = 512, part_span: int = 100,
     )
 
 
+def _hash_token_ids(words: list[str]) -> np.ndarray:
+    """Deterministic 31-bit token ids from whitespace words — a stand-in
+    vocabulary (no real BPE tokenizer ships in this sandbox; the id space
+    and fixed-length layout are what the packing layer actually exercises).
+    FNV-1a over utf-8 bytes, masked to int32-positive."""
+    out = np.empty(len(words), dtype=np.int32)
+    for i, w in enumerate(words):
+        h = 0x811C9DC5
+        for b in w.encode("utf-8"):
+            h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+        out[i] = h & 0x7FFFFFFF
+    return out
+
+
+PAD_ID = -1
+
+
+def packed_chunks(ds, budget: int = 512, part_span: int = 100,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Materialize the concat-and-chop plan: one output row per fixed-length
+    training sequence — ``token_ids`` is EXACTLY ``budget`` ids (the final
+    chunk of each part padded with ``PAD_ID``). Token stream = whitespace
+    words in doc-id order, hashed via :func:`_hash_token_ids`, byte-for-byte
+    the same layout :func:`pack_concat_chunks` plans (cross-checked in
+    tests/test_curation.py).
+
+    Scale shape: unlike the planner, TEXT rides this shuffle (it must — the
+    sequences are built from it), but each ``map_groups`` group is still
+    capped at ``part_span`` documents, and the output chunks stream straight
+    to the consumer. → Dataset(part, chunk, token_ids, n_pad, n_docs).
+    """
+    def stats(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids,
+            "part": pa.array(ids_np // part_span),
+            "text": pc.cast(t.column(text_col), pa.string()),
+        })
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        streams = [_hash_token_ids((x or "").split(" "))
+                   for x in g.column("text").to_pylist()]
+        lens = np.array([len(s) for s in streams], dtype=np.int64)
+        total = int(lens.sum())
+        n_chunks = max(1, -(-total // budget))
+        flat = np.full(n_chunks * budget, PAD_ID, dtype=np.int32)
+        flat[:total] = np.concatenate(streams) if streams else []
+        # docs overlapping each chunk: doc i spans [cum[i], cum[i]+len)
+        cum = np.cumsum(lens) - lens
+        start_chunk = cum // budget
+        end_chunk = (cum + np.maximum(lens, 1) - 1) // budget
+        # docs touching chunk c = (#starts ≤ c) − (#ends < c), via two
+        # cumulative bincounts — O(n_chunks), no per-chunk scan
+        starts_cum = np.cumsum(np.bincount(start_chunk, minlength=n_chunks))
+        ends_before = np.concatenate((
+            [0], np.cumsum(np.bincount(end_chunk, minlength=n_chunks))[:-1]
+        ))
+        n_docs = (starts_cum - ends_before).astype(np.int64)
+        part_val = int(g.column("part")[0].as_py()) if g.num_rows else 0
+        n_pad = np.zeros(n_chunks, dtype=np.int64)
+        if total < n_chunks * budget:
+            n_pad[-1] = n_chunks * budget - total
+        return pa.table({
+            "part": pa.array(np.full(n_chunks, part_val, dtype=np.int64)),
+            "chunk": pa.array(np.arange(n_chunks, dtype=np.int64)),
+            "token_ids": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.int32()), budget),
+            "n_pad": pa.array(n_pad),
+            "n_docs": pa.array(n_docs),
+        })
+
+    return (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def pack_greedy_bins(ds, budget: int = 512, part_span: int = 100,
                      id_col: str = "doc_id", text_col: str = "text"):
     """No-split first-fit-in-order packing: within each part, walk docs in
