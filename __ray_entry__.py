@@ -1403,6 +1403,16 @@ def q_wordlist_pages(sf_dir: str):
     return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-5 informative keywords (stages/textops.tfidf_top_terms):
+    TF desc with corpus DF as integer informativeness tie-break; one word
+    shuffle + pruned-DF broadcast probe."""
+    from nightcrawlercmd_ray.stages.textops import tfidf_top_terms
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5, min_df=2)
+
+
 def q_pii_redact_documents(sf_dir: str):
     """PII scrub (stages/curation.pii_redact): plant deterministic PII
     derived from doc_id (the synthetic corpus carries none — planting makes
@@ -1516,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q_lang_distribution,
         "knn_embeddings": q_knn_embeddings,
         "pii_redact_documents": q_pii_redact_documents,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_lines_documents": q_dedup_lines_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
@@ -1941,6 +1952,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
             )
             WHERE rk <= 5
+        """,
+        "tfidf_top_terms": """
+            WITH tf AS (
+              SELECT doc_id, lower(w) AS word, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                FROM documents
+              )
+              GROUP BY doc_id, lower(w)
+            ), df AS (
+              SELECT word, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, word FROM tf)
+              GROUP BY word
+            ), ranked AS (
+              SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.word
+                     ) AS rn
+              FROM tf JOIN df USING (word)
+              WHERE df.df >= 2
+            )
+            SELECT doc_id, word, tf, df FROM ranked WHERE rn <= 5
         """,
         # sequential email→IPv4→phone passes; counts taken at the point each
         # pass runs, on the deterministically-planted dirty text (see

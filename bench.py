@@ -148,6 +148,15 @@ def run_bench() -> dict:
     crawl_sec = time.time() - t0
     queries["crawl_bfs"] = round(crawl_sec, 3)
 
+    # release the crawl product before the family queries: the pinned
+    # fetch/links blocks (full extracted text) plus 16 live shard actors
+    # otherwise pressure the object store into spilling under the
+    # memory-hungry queries below (measured 6× on crawl_pagerank)
+    n_waves = run.wave
+    for s in run.shards:
+        ray.kill(s)
+    del run
+
     # ---- extraction-only slice (stateless map_batches throughput) ----------
     from nightcrawlercmd_ray.functions.htmlparse import parse_html
     import pyarrow as pa
@@ -202,7 +211,7 @@ def run_bench() -> dict:
         "crawl_pages": crawl_pages,
         "crawl_links": n_links,
         "urls_per_sec": round(crawl_pages / crawl_sec, 1),
-        "waves": run.wave,
+        "waves": n_waves,
     }
     ray.shutdown()
     return out

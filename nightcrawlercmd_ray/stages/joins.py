@@ -138,6 +138,36 @@ def asof_join(
     )
 
 
+def detect_hot_keys(ds, on: str, *, hot_fraction: float = 0.01,
+                    n_rows: int | None = None) -> list[int]:
+    """Estimate join keys hot enough to overflow a single partition: per
+    batch, count the batch's top keys (a combiner — at most 32 candidate
+    rows leave each batch), fold the partials on the driver, and return keys
+    whose corpus-wide count exceeds ``hot_fraction`` of the total. One
+    streaming pass, no shuffle, O(batches × 32) driver state."""
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(on), pa.int64())
+        vc = keys.combine_chunks().value_counts()
+        counts = vc.field("counts")
+        order = pc.sort_indices(counts, sort_keys=[("", "descending")])[:32]
+        return pa.table({
+            "k": pc.take(vc.field("values"), order),
+            "n": pc.take(counts, order),
+            "tot": pa.array([len(keys)] + [0] * (min(32, len(order)) - 1)
+                            if len(order) else [], pa.int64()),
+        })
+
+    folded: dict[int, int] = {}
+    total = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        folded[r["k"]] = folded.get(r["k"], 0) + r["n"]
+        total += r["tot"]
+    if total == 0:
+        return []
+    bar = max(1, int(total * hot_fraction))
+    return sorted(k for k, n in folded.items() if n > bar)
+
+
 def hash_join(
     left,
     right,
@@ -147,6 +177,8 @@ def hash_join(
     suffix: str = "_r",
     num_partitions: int | None = None,
     n_rows: int | None = None,
+    hot_keys: list[int] | None = None,
+    salt_factor: int = 8,
 ):
     """Distributed equi-join of two big Datasets on an integer key column.
 
@@ -163,8 +195,15 @@ def hash_join(
     match). For semi/anti the right side should be projected to just the key
     column upstream (and per-batch deduped — see ``tag``'s semi/anti path)
     so only distinct keys ride the shuffle. Right payload columns whose names
-    clash with left ones get ``suffix``. Partitioning assumption: one key's
-    rows fit in a partition (salt pathologically hot keys upstream).
+    clash with left ones get ``suffix``.
+
+    Skew handling: by default one key's rows must fit in a partition. For a
+    left-heavy hot key (the 75 %-hot-host shape), pass it in ``hot_keys``
+    (e.g. from :func:`detect_hot_keys`): its LEFT rows are salted across
+    ``salt_factor`` partitions and its RIGHT rows replicated to each — the
+    join result is identical (tested), per-partition volume drops ~S×. A key
+    hot on BOTH sides has a genuinely quadratic output; salting cannot fix
+    that and such keys should be pre-aggregated instead.
     → Dataset(on, *left_payload, *right_payload[suffixed]) — left columns
     only for semi/anti.
     """
@@ -186,6 +225,9 @@ def hash_join(
     )
     union_schema = pa.schema(list(union_fields) + [("_c", pa.int64())])
     P = num_partitions or _coarse_partitions(n_rows)
+    hot_arr = (np.asarray(sorted(hot_keys), dtype=np.int64)
+               if hot_keys else None)
+    S = max(1, int(salt_factor))
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -212,6 +254,28 @@ def hash_join(
             out = pa.table(cols)
             key = out.column(on).to_numpy(zero_copy_only=False).astype(np.uint64)
             part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+            if hot_arr is not None and n:
+                hot = np.isin(key.view(np.int64), hot_arr)
+                if side == 0:
+                    # spread a hot key's left rows over S partitions; any
+                    # assignment is correct (the right side lands on all S)
+                    salt = np.zeros(n, dtype=np.uint64)
+                    salt[hot] = np.arange(int(hot.sum()), dtype=np.uint64) % np.uint64(S)
+                    part = (part + salt) % np.uint64(P)
+                elif hot.any():
+                    # replicate the hot keys' right rows to every salt
+                    idx = np.nonzero(hot)[0]
+                    base = out.append_column(
+                        "_c", pa.array(part.astype(np.int64)))
+                    reps = [
+                        out.take(pa.array(idx)).append_column(
+                            "_c",
+                            pa.array(((part[idx] + np.uint64(s))
+                                      % np.uint64(P)).astype(np.int64)),
+                        )
+                        for s in range(1, S)
+                    ]
+                    return pa.concat_tables([base] + reps)
             return out.append_column("_c", pa.array(part.astype(np.int64)))
 
         return fn

@@ -129,6 +129,59 @@ def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document top-k informative keywords: rank terms by TF descending
+    with corpus document frequency as the informativeness tie-breaker
+    (df ASC — rarer wins) then word — a deterministic integer-only TF-IDF
+    ranking (no float idf, so the DuckDB oracle compares exactly). Terms in
+    fewer than ``min_df`` docs are dropped. Tokenization = the wordcount
+    family (``RE_WORD`` lowercased).
+
+    Scale shape: ONE word shuffle total (inside ``document_frequency``);
+    the DF side is pruned to ``min_df`` survivors and broadcast once
+    (``ray.put``), then TF, the DF probe and the top-k cut are all local to
+    each batch. At 100 TB the broadcast is the min_df-pruned vocabulary —
+    if that outgrows a broadcast, swap the probe for the keyed
+    ``stages/joins.hash_join`` path (same output, one more shuffle).
+    → Dataset(doc_id, word, tf, df).
+    """
+    from collections import Counter
+
+    import ray
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+
+    df_pd = document_frequency(ds, text_col, id_col).to_pandas()
+    df_pd = df_pd[df_pd["df"] >= min_df]
+    df_ref = ray.put(dict(zip(df_pd["word"], df_pd["df"].astype(int))))
+
+    def topk(t: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)  # broadcast once; local-store read
+        ids, words, tfs, dfs = [], [], [], []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            c = Counter(w.lower() for w in RE_WORD.findall(text or ""))
+            scored = [
+                (w, n, df_map[w]) for w, n in c.items() if w in df_map
+            ]
+            scored.sort(key=lambda x: (-x[1], x[2], x[0]))
+            for w, n, d in scored[:k]:
+                ids.append(did)
+                words.append(w)
+                tfs.append(n)
+                dfs.append(d)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
 def doc_top_terms(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document top-k terms by term frequency (ties broken
     alphabetically) — the TF side of TF-IDF keyword extraction. Tokenization

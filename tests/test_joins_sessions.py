@@ -277,3 +277,50 @@ def test_user_journeys_order_and_partition_invariance(nparts):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     )
     assert out["journey"].tolist() == ["a>b>c", "solo"]
+
+
+# --------------------------------------------------------------------------- #
+# hash_join skew salting
+# --------------------------------------------------------------------------- #
+def _skewed_inputs():
+    rng = np.random.default_rng(13)
+    # key 7 owns 60% of the left side; right has a handful of rows per key
+    lk = np.where(rng.random(4000) < 0.6, 7, rng.integers(0, 50, 4000))
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(rng.integers(0, 1000, 4000), pa.int64())})
+    rk = np.repeat(np.arange(0, 40, dtype=np.int64), 3)  # keys 40+ unmatched
+    right = pa.table({"k": pa.array(rk),
+                      "rv": pa.array(rng.integers(0, 9, len(rk)), pa.int64())})
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_salted_equals_unsalted(how):
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    left_t, right_t = _skewed_inputs()
+    kw = dict(on="k", how=how, num_partitions=11)
+    base = hash_join(ray.data.from_arrow(left_t).repartition(5),
+                     ray.data.from_arrow(right_t).repartition(3), **kw)
+    salted = hash_join(ray.data.from_arrow(left_t).repartition(5),
+                       ray.data.from_arrow(right_t).repartition(3),
+                       hot_keys=[7], salt_factor=4, **kw)
+    cols = base.schema().names if base.schema() else ["k"]
+    b = base.to_pandas().sort_values(cols).reset_index(drop=True)
+    s = salted.to_pandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_exact=True)
+    if how in ("inner", "left"):
+        assert (b["k"] == 7).sum() >= 2000 * 3  # hot key's join output intact
+
+
+def test_detect_hot_keys_finds_planted_skew():
+    from nightcrawlercmd_ray.stages.joins import detect_hot_keys
+
+    left_t, _ = _skewed_inputs()
+    hot = detect_hot_keys(ray.data.from_arrow(left_t).repartition(6), "k",
+                          hot_fraction=0.1)
+    assert hot == [7]
+    # uniform input: nothing crosses a 10% bar
+    uni = pa.table({"k": pa.array(np.arange(5000) % 500, pa.int64())})
+    assert detect_hot_keys(ray.data.from_arrow(uni).repartition(4), "k",
+                           hot_fraction=0.1) == []
