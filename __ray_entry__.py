@@ -1403,6 +1403,46 @@ def q_wordlist_pages(sf_dir: str):
     return distinct(ds.map_batches(words, batch_format="pyarrow"), "word").sort("word")
 
 
+def q_jaccard_planted_pairs(sf_dir: str):
+    """Exact word-5-shingle Jaccard scoring (stages/dedup.
+    ngram_jaccard_pairs) with a TRUE value-level SQL oracle: every 10th doc
+    is paired with a deterministic truncated copy (first 5 words dropped,
+    id+10^9), so the verifier's jaccard values (0.17–0.95 here) are
+    hash-compared against DuckDB rather than rows-only checked. On this
+    corpus the engine's ``[\\w]+`` tokenizer and SQL's ``split(' ')`` agree
+    (single-spaced lowercase words); the LSH-fed entry stays
+    ``ngram_jaccard_verify``."""
+    from nightcrawlercmd_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def extend(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pick = ids % 10 == 0
+        texts = t.column("text").to_pylist()
+        dup = pa.table({
+            "doc_id": pa.array(ids[pick] + 1_000_000_000),
+            "text": pa.array(
+                [" ".join((texts[i] or "").split(" ")[5:])
+                 for i in np.nonzero(pick)[0]], pa.string()),
+        })
+        base = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pc.cast(t.column("text"), pa.string())})
+        return pa.concat_tables([base, dup])
+
+    def mkpairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "dup_of": pa.array(ids[keep] + 1_000_000_000),
+        })
+
+    corpus = ds.map_batches(extend, batch_format="pyarrow")
+    pairs = ds.map_batches(mkpairs, batch_format="pyarrow")
+    return ngram_jaccard_pairs(corpus, pairs, k=5)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-5 informative keywords (stages/textops.tfidf_top_terms):
     TF desc with corpus DF as integer informativeness tie-break; one word
@@ -1527,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": q_knn_embeddings,
         "pii_redact_documents": q_pii_redact_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "jaccard_planted_pairs": q_jaccard_planted_pairs,
         "dedup_lines_documents": q_dedup_lines_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
@@ -1952,6 +1993,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
             )
             WHERE rk <= 5
+        """,
+        # exact word-5-shingle Jaccard on planted (doc, truncated-copy)
+        # pairs; DISTINCT shingle sets both sides, single IEEE division
+        "jaccard_planted_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000,
+                     array_to_string(string_split(text, ' ')[6:], ' ')
+              FROM documents WHERE doc_id % 10 = 0
+            ), pairs AS (
+              SELECT doc_id AS d1, doc_id + 1000000000 AS d2
+              FROM documents WHERE doc_id % 10 = 0
+            ), ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM corpus
+            ), words AS (
+              SELECT doc_id, unnest(wl) AS w, generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), sh AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                     AS shingle
+              FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(w, 4) OVER win IS NOT NULL
+            ), ds AS (
+              SELECT DISTINCT doc_id, shingle FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+            ), inter AS (
+              SELECT p.d1, p.d2, count(*) AS i
+              FROM pairs p
+              JOIN ds s1 ON s1.doc_id = p.d1
+              JOIN ds s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+              GROUP BY p.d1, p.d2
+            )
+            SELECT p.d1 AS doc_id, p.d2 AS dup_of,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                     / (n1.n + n2.n - COALESCE(i.i, 0)) AS jaccard
+            FROM pairs p
+            JOIN sizes n1 ON n1.doc_id = p.d1
+            JOIN sizes n2 ON n2.doc_id = p.d2
+            LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
         """,
         "tfidf_top_terms": """
             WITH tf AS (
