@@ -4,9 +4,13 @@ The end-to-end corpus-cleaning flow a 100 TB web-text training pipeline
 runs (an engine addition beyond the reference, composing the mandated
 training-data operators — SURVEY §8 "Engine additions"):
 
-    documents ──▶ exact dedup ──▶ MinHash-LSH near-dedup ──▶ quality
+    documents ──▶ exact dedup ──▶ MinHash-LSH near-dedup ──▶ (optional)
+    repeated-line removal ──▶ (optional) PII redaction ──▶ quality
     annotate (lang-id, quality score, token counts, fingerprint) ──▶
     quality filter ──▶ resumable partitioned Parquet
+
+Curation rewrites run AFTER the dup decisions (dedup keys on raw text) and
+fuse into the same stage-3 streaming pass — no extra pass over the corpus.
 
 Scale shape:
 - each stage is a Ray Data transform (map_batches / one keyed groupby per
@@ -140,6 +144,8 @@ def cleanroom(
     minhash_threshold: float = 0.8,
     num_partitions: int = 16,
     n_docs: int | None = None,
+    redact_pii: bool = False,
+    dedup_lines_words: int | None = None,
 ):
     """Run the cleanroom flow over a documents Parquet table.
 
@@ -177,11 +183,24 @@ def cleanroom(
 
     near_arr = _dup_sidecar(f"{side_dir}/_near_dups.parquet", near_dups)
 
-    # stage 3: drop dups + annotate + quality-filter — one streaming pass
+    # stage 3: drop dups + (optional) curation rewrites + annotate +
+    # quality-filter — ONE streaming pass. Curation runs AFTER the dup
+    # decisions on purpose: dedup keys on the raw text, and redaction/line
+    # dedup must not perturb which documents count as duplicates.
     all_dups = pa.concat_arrays([exact_arr, near_arr])
     ds = _drop_ids_stage(read_parquet_clean(documents_path), id_col, all_dups)
 
     def annotate_filter(t: pa.Table) -> pa.Table:
+        if dedup_lines_words is not None:
+            from ..stages.curation import dedup_lines_in_place
+
+            # 0 = dedup natural \n lines; N>0 = regroup into N-word lines
+            t = dedup_lines_in_place(t, text_col=text_col,
+                                     words_per_line=dedup_lines_words or None)
+        if redact_pii:
+            from ..stages.curation import pii_redact_batch
+
+            t = pii_redact_batch(t, text_col=text_col)
         t = annotate_text_batch(t, text_col=text_col)
         keep = pc.and_(
             pc.greater_equal(t.column("quality"), pa.scalar(float(min_quality))),

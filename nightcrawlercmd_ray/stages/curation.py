@@ -89,16 +89,7 @@ def lines_from_words(text: str, words_per_line: int) -> list[str]:
             for i in range(0, len(w), words_per_line)]
 
 
-def dedup_lines_batch(t: pa.Table, text_col: str = "text",
-                      id_col: str = "doc_id",
-                      words_per_line: int | None = None) -> pa.Table:
-    """Keep the FIRST occurrence of each distinct line within a document and
-    drop later repeats (the C4/Gopher boilerplate filter). Doc-local, so a
-    pure per-batch map. When ``words_per_line`` is set the text is first
-    regrouped via :func:`lines_from_words`; otherwise lines are ``\\n``
-    splits. → columns (id_col, text, n_lines, n_dropped)."""
-    ids = t.column(id_col)
-    texts = [x or "" for x in t.column(text_col).to_pylist()]
+def _dedup_lines_core(texts: list[str], words_per_line: int | None):
     out_text: list[str] = []
     out_lines: list[int] = []
     out_drop: list[int] = []
@@ -115,12 +106,37 @@ def dedup_lines_batch(t: pa.Table, text_col: str = "text",
         out_text.append("\n".join(kept))
         out_lines.append(len(lines))
         out_drop.append(len(lines) - len(kept))
+    return out_text, out_lines, out_drop
+
+
+def dedup_lines_batch(t: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      words_per_line: int | None = None) -> pa.Table:
+    """Keep the FIRST occurrence of each distinct line within a document and
+    drop later repeats (the C4/Gopher boilerplate filter). Doc-local, so a
+    pure per-batch map. When ``words_per_line`` is set the text is first
+    regrouped via :func:`lines_from_words`; otherwise lines are ``\\n``
+    splits. → columns (id_col, text, n_lines, n_dropped)."""
+    texts = [x or "" for x in t.column(text_col).to_pylist()]
+    out_text, out_lines, out_drop = _dedup_lines_core(texts, words_per_line)
     return pa.table({
-        id_col: ids,
+        id_col: t.column(id_col),
         "text": pa.array(out_text, pa.string()),
         "n_lines": pa.array(out_lines, pa.int64()),
         "n_dropped": pa.array(out_drop, pa.int64()),
     })
+
+
+def dedup_lines_in_place(t: pa.Table, text_col: str = "text",
+                         words_per_line: int | None = None) -> pa.Table:
+    """Column-preserving form for pipeline composition (cleanroom): rewrites
+    ``text_col`` with repeats dropped and appends ``n_lines_dropped``."""
+    texts = [x or "" for x in t.column(text_col).to_pylist()]
+    out_text, _, out_drop = _dedup_lines_core(texts, words_per_line)
+    cols = {c: t.column(c) for c in t.column_names}
+    cols[text_col] = pa.array(out_text, pa.string())
+    out = pa.table(cols)
+    return out.append_column("n_lines_dropped", pa.array(out_drop, pa.int64()))
 
 
 def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",

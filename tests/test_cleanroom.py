@@ -93,3 +93,34 @@ def test_write_partitioned_atomic_markers(tmp_path, ray_docs_ds):
         ).num_rows
     back = read_partitioned(out)
     assert back.count() == m["rows"]
+
+
+def test_cleanroom_with_curation_stages(tmp_path):
+    doc_path = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out")
+    rows = []
+    for i in range(8):
+        base = _doc_text(i)
+        # plant PII and a repeated 3-word line boundary
+        rows.append((i, base + f" mail u{i}@ex.net mail u{i}@ex.net"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(t, doc_path)
+
+    ds, info = cleanroom(doc_path, out, min_tokens=3, num_partitions=2,
+                         redact_pii=True, dedup_lines_words=3)
+    got = {r["doc_id"]: r for r in ds.take_all()}
+    assert set(got) == set(range(8))
+    for i, r in got.items():
+        assert "@" not in r["text"]            # redacted
+        assert "<EMAIL>" in r["text"]
+        assert r["n_emails"] >= 1
+        lines = r["text"].split("\n")
+        assert len(lines) == len(set(lines))   # no repeated 3-word lines
+        assert r["n_lines_dropped"] >= 0
+    # curation must not change WHICH docs survive dedup/quality
+    ds2, info2 = cleanroom(doc_path, str(tmp_path / "out2"), min_tokens=3,
+                           num_partitions=2)
+    assert sorted(got) == sorted(r["doc_id"] for r in ds2.take_all())
