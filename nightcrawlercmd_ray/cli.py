@@ -342,6 +342,36 @@ def cmd_portscan(argv: list[str]) -> int:
     return 0
 
 
+def cmd_clean(argv: list[str]) -> int:
+    """Engine addition (no reference counterpart): the cleanroom
+    training-data prep pipeline over a documents Parquet table — dedup →
+    optional line-dedup/PII-redaction → annotate → quality filter →
+    resumable partitioned Parquet (pipelines/cleanroom.py)."""
+    p = argparse.ArgumentParser(prog="clean")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--minhash-threshold", type=float, default=0.8)
+    p.add_argument("--partitions", type=int, default=16)
+    p.add_argument("--redact-pii", action="store_true")
+    p.add_argument("--dedup-lines", type=int, default=None, metavar="N",
+                   help="drop repeated lines (0 = \\n lines, N>0 = N-word lines)")
+    a = p.parse_args(argv)
+    _ray_session()
+    from .pipelines.cleanroom import cleanroom
+
+    ds, info = cleanroom(
+        a.input, a.out,
+        min_quality=a.min_quality, min_tokens=a.min_tokens,
+        minhash_threshold=a.minhash_threshold, num_partitions=a.partitions,
+        redact_pii=a.redact_pii, dedup_lines_words=a.dedup_lines,
+    )
+    info["rows_out"] = ds.count()
+    print(json.dumps(info))
+    return 0
+
+
 COMMANDS = {
     "crawler": cmd_crawler,
     "report": cmd_report,
@@ -352,6 +382,7 @@ COMMANDS = {
     "httpscan": cmd_httpscan,
     "httppipe": cmd_httppipe,
     "portscan": cmd_portscan,
+    "clean": cmd_clean,  # engine addition: training-data prep pipeline
 }
 
 

@@ -130,6 +130,10 @@ def read_partitioned(out_dir: str):
         for d in os.listdir(out_dir)
         if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/data.parquet")
     )
+    if not paths:  # everything filtered: a valid (empty) cleanroom result
+        import ray.data
+
+        return ray.data.from_items([])
     return read_parquet_clean(paths)
 
 

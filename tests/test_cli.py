@@ -181,3 +181,42 @@ def test_dns_xlsx_report(tmp_path):
     assert ("not found", "gone.example.com.\n") in by_first_cell
     www_row = next(r for r in rows if "1.2.3.4" in r)
     assert www_row == ["found", "1.2.3.4", "found", "1.2.3.5"]
+
+
+def test_clean_cli(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # same shape as test_cleanroom._doc_text: English base (stopwords keep
+    # quality_score above the bar), every 4th word doc-specific (distinct
+    # docs are not near-dups)
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while the patient hunter "
+            "watches quietly from a distance near the old stone bridge ") * 3
+    def _t(i):
+        return " ".join(
+            f"tag{i}x{j}" if j % 4 == 0 else w
+            for j, w in enumerate(base.split())
+        )
+    rows = [(i, _t(i) + f" mail u{i}@ex.net") for i in range(6)]
+    rows.append((50, rows[2][1]))  # exact dup loser
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }),
+        str(tmp_path / "docs.parquet"),
+    )
+    rc = main([
+        "clean", "--input", str(tmp_path / "docs.parquet"),
+        "--out", str(tmp_path / "out"), "--min-tokens", "3",
+        "--partitions", "2", "--redact-pii",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["exact_dups"] == 1
+    assert info["rows_out"] == 6
+    from nightcrawlercmd_ray.pipelines.cleanroom import read_partitioned
+
+    for r in read_partitioned(str(tmp_path / "out/clean")).take_all():
+        assert "<EMAIL>" in r["text"] and "@" not in r["text"]
