@@ -220,3 +220,32 @@ def test_clean_cli(tmp_path, capsys):
 
     for r in read_partitioned(str(tmp_path / "out/clean")).take_all():
         assert "<EMAIL>" in r["text"] and "@" not in r["text"]
+
+
+def test_crawl_job_entrypoint_fresh_and_resume(tiny_corpus, tmp_path):
+    """scripts/crawl_job.py — the `ray job submit` entrypoint: fresh run,
+    then a retry that must resume (same stats, no refetch)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import importlib
+
+    crawl_job = importlib.import_module("crawl_job")
+    import io
+    from contextlib import redirect_stdout
+
+    ckpt = str(tmp_path / "jobckpt")
+    args = ["--corpus", tiny_corpus["dir"], "--checkpoint-dir", ckpt,
+            "--shards", "2", "--buckets", "4"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert crawl_job.main(args) == 0
+    first = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert first["fetched"] > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert crawl_job.main(["--corpus", tiny_corpus["dir"],
+                               "--checkpoint-dir", ckpt]) == 0
+    again = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert again == first
