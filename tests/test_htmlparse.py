@@ -159,3 +159,32 @@ def test_fast_parse_differential_corpus(tiny_corpus):
         a, b = parse_html(h), _parse_html_stdlib(h)
         assert (a.hrefs, a.resources, a.title, a.text) == (
             b.hrefs, b.resources, b.title, b.text)
+
+
+def test_break_line_equivalence():
+    """The replace-based whitespace collapse in _Extractor._break_line must
+    equal the pinned spec `_WS_RE.sub(" ", s).strip()` on every input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nightcrawlercmd_ray.functions.htmlparse import _WS_RE, _Extractor
+
+    def via_extractor(s: str) -> str:
+        ex = _Extractor()
+        ex._cur = [s]
+        ex._break_line()
+        return ex._lines[0] if ex._lines else ""
+
+    cases = ["  a b  ", "a  b", "\xa0x\xa0", " \t\n ", "", "a",
+             "x   y", "\x1c z \x1c", "a b", "  a ",
+             "a\n\t\r\f\v b", "\v\f", "word"]
+    for s in cases:
+        assert via_extractor(s) == _WS_RE.sub(" ", s).strip(), repr(s)
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=list(" \t\r\n\f\v\xa0 \x1cabz&;"),
+                   max_size=30))
+    def prop(s):
+        assert via_extractor(s) == _WS_RE.sub(" ", s).strip(), repr(s)
+
+    prop()
