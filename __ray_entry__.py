@@ -1339,16 +1339,41 @@ def q_fuzz_payloads(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Media feature extraction in ``auto`` mode: every 16th payload is
+    replaced with a REAL synthesized PPM image (pixels seeded from the
+    media id), so the pure-stdlib uncompressed-format decode path
+    (stages/multimodal.decode_image → pixel_features) is positively
+    exercised at every tier (``decoded=True`` rows); the html payloads
+    take the deterministic hash-fallback path (``decoded=False``)."""
     import ray
 
     from nightcrawlercmd_ray.stages.multimodal import (
+        encode_ppm,
         extract_media_features,
         media_table_from_pages,
     )
 
     c = _corpus_for(sf_dir)
     pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
-    return extract_media_features(media_table_from_pages(pages))
+    media = media_table_from_pages(pages)
+
+    def plant_images(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = t.column("payload").to_pylist()
+        out = []
+        for i, p in zip(ids, payloads):
+            if i % 16 == 0:
+                rng = np.random.RandomState(int(i) % (2**31))
+                out.append(encode_ppm(
+                    rng.randint(0, 256, (8, 8, 3)).astype("uint8")))
+            else:
+                out.append(p)
+        cols = {c_: t.column(c_) for c_ in t.column_names}
+        cols["payload"] = pa.array(out, pa.binary())
+        return pa.table(cols)
+
+    media = media.map_batches(plant_images, batch_format="pyarrow")
+    return extract_media_features(media, fake="auto")
 
 
 def q_media_frame_samples(sf_dir: str):

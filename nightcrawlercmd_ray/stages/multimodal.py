@@ -1,14 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool stages.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs — marked explicitly below); everything Ray-side is real and
-tested: schema, batch sizing for large binary payloads, actor signature,
-deterministic fake features for pipeline testing.
+Decode support is format-tiered: UNCOMPRESSED formats (PPM/PGM, BI_RGB BMP)
+decode for real in pure stdlib+numpy — features and resize below operate on
+actual pixels for them. COMPRESSED codecs (jpeg/png/video) are STUBBED (this
+container ships none — marked explicitly below); a real deployment plugs
+Pillow/libvips/PyAV into the same stage signatures. Everything Ray-side is
+real and tested either way: schema, batch sizing for large binary payloads,
+actor signature, deterministic fallback features for undecodable payloads.
 """
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pyarrow as pa
 
 from ..functions.urlnorm import hash64
@@ -26,55 +32,148 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: no image codec in this environment. A real deployment plugs
-    Pillow/libvips here; the surrounding Ray plumbing is unchanged."""
-    raise NotImplementedError("image decode requires a codec library (not in sandbox)")
+def _parse_pnm_header(b: bytes):
+    """(magic, width, height, maxval, data_offset) for P5/P6 — tokens
+    separated by whitespace, '#' comments, one whitespace byte before data."""
+    toks, i, n = [], 2, len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i:i + 1]
+        if c == b"#":
+            j = b.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j:j + 1].isspace() and b[j:j + 1] != b"#":
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    if len(toks) < 3 or i >= n:
+        raise ValueError("truncated PNM header")
+    return int(toks[0]), int(toks[1]), int(toks[2]), i + 1
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED image payload to an (h, w, c) uint8 array.
+
+    Real in-sandbox support (pure stdlib + numpy): binary PPM (``P6``,
+    c=3), binary PGM (``P5``, c=1), and BI_RGB BMP at 24/32 bpp
+    (bottom-up or top-down). Anything else — every COMPRESSED codec —
+    raises ``NotImplementedError``: a real deployment plugs Pillow/libvips
+    here and the surrounding Ray plumbing is unchanged."""
+    b = bytes(payload or b"")
+    if b[:2] in (b"P6", b"P5"):
+        w, h, maxval, off = _parse_pnm_header(b)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        c = 3 if b[:2] == b"P6" else 1
+        need = w * h * c
+        if len(b) - off < need:
+            raise ValueError("truncated PNM data")
+        return np.frombuffer(b, np.uint8, need, off).reshape(h, w, c)
+    if b[:2] == b"BM" and len(b) >= 54:
+        data_off, = struct.unpack_from("<I", b, 10)
+        w, h_signed = struct.unpack_from("<ii", b, 18)
+        bpp, = struct.unpack_from("<H", b, 28)
+        comp, = struct.unpack_from("<I", b, 30)
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+            raise NotImplementedError("only BI_RGB 24/32-bpp BMP supported")
+        h = abs(h_signed)
+        c = bpp // 8
+        stride = (w * c + 3) & ~3
+        if len(b) - data_off < stride * h:
+            raise ValueError("truncated BMP data")
+        rows = np.frombuffer(b, np.uint8, stride * h, data_off)
+        px = rows.reshape(h, stride)[:, : w * c].reshape(h, w, c)
+        if h_signed > 0:
+            px = px[::-1]  # bottom-up storage
+        return px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
+    raise NotImplementedError(
+        "compressed image codecs not in sandbox (PPM/PGM/BMP decode is real)")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (the inverse of decode_image's
+    PPM path; used by the resize stage's re-encode and by tests)."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def pixel_features(px: np.ndarray, feature_dim: int) -> list[float]:
+    """Deterministic real-pixel feature vector: [w/4096, h/4096, mean_r,
+    mean_g, mean_b (each /255; grayscale replicated), std/255, min/255,
+    max/255], zero-padded/truncated to ``feature_dim``."""
+    h, w = px.shape[:2]
+    chans = px.reshape(h * w, -1).astype(np.float64)
+    means = chans.mean(axis=0) / 255.0
+    if len(means) == 1:
+        means = np.repeat(means, 3)
+    f = [w / 4096.0, h / 4096.0, *means[:3],
+         float(chans.std() / 255.0),
+         float(chans.min() / 255.0), float(chans.max() / 255.0)]
+    f = f[:feature_dim] + [0.0] * max(0, feature_dim - len(f))
+    return f
+
+
+def _fake_features(b: bytes, feature_dim: int) -> list[float]:
+    h = hash64(b)
+    return [((h >> (8 * (i % 8))) & 0xFF) / 255.0 for i in range(feature_dim)]
 
 
 class MediaFeatureStage:
     """Actor-pool stage: media batches → per-item feature rows.
 
-    ``fake=True`` (default in-sandbox) derives deterministic pseudo-features
-    from the payload bytes — hash-seeded, so tests are stable — while keeping
-    the exact actor/batch shape a real decoder would use (small ``batch_size``,
-    ``num_cpus>=1``, one model/codec load per actor in ``__init__``)."""
+    ``fake`` modes: ``True`` (hash-seeded pseudo-features — stable tests,
+    zero decode), ``"auto"`` (REAL pixel features via :func:`decode_image`
+    for the uncompressed formats it supports, hash fallback for the rest),
+    ``False`` (decode required; undecodable payloads raise). The actor/batch
+    shape is identical in all modes (small ``batch_size``, one codec init
+    per actor in ``__init__``)."""
 
-    def __init__(self, feature_dim: int = 8, fake: bool = True):
+    def __init__(self, feature_dim: int = 8, fake: bool | str = True):
         self.feature_dim = feature_dim
         self.fake = fake
-        if not fake:
-            decode_image(b"")  # raises: no codec in sandbox
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("media_id").to_pylist()
         kinds = t.column("kind").to_pylist()
         payloads = t.column("payload").to_pylist()
-        feats, sizes = [], []
+        feats, sizes, decoded = [], [], []
         for p in payloads:
             b = bytes(p or b"")
             sizes.append(len(b))
-            h = hash64(b)
-            feats.append(
-                [((h >> (8 * (i % 8))) & 0xFF) / 255.0 for i in range(self.feature_dim)]
-            )
+            if self.fake is True:
+                feats.append(_fake_features(b, self.feature_dim))
+                decoded.append(False)
+                continue
+            try:
+                px = decode_image(b)
+                feats.append(pixel_features(px, self.feature_dim))
+                decoded.append(True)
+            except (NotImplementedError, ValueError):
+                if self.fake is False:
+                    raise
+                feats.append(_fake_features(b, self.feature_dim))
+                decoded.append(False)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "kind": pa.array(kinds, pa.string()),
                 "n_bytes": pa.array(sizes, pa.int64()),
                 "features": pa.array(feats, pa.list_(pa.float32())),
+                "decoded": pa.array(decoded, pa.bool_()),
             }
         )
 
 
 def extract_media_features(ds, *, feature_dim: int = 8, concurrency: int = 2,
-                           batch_size: int = 16):
+                           batch_size: int = 16, fake: bool | str = True):
     """Large binary payloads ⇒ SMALL batches (batch × concurrency must fit a
     worker heap) — the sizing rule a real decoder inherits."""
     return ds.map_batches(
         MediaFeatureStage,
-        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": True},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -121,35 +220,63 @@ def sample_frames(ds, *, fps: float = 1.0, max_frames: int = 64):
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resample: output pixel (y, x) samples source
+    pixel (y*h//height, x*w//width)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
 class ImageResizeStage:
-    """Actor-pool resize stage (decode/encode stubbed; plumbing real).
+    """Actor-pool resize stage. Same ``fake`` modes as
+    :class:`MediaFeatureStage`: ``"auto"`` decodes the uncompressed formats
+    and performs a REAL nearest-neighbor resize (re-encoded as PPM, digest
+    of the resized bytes); undecodable payloads fall back to the
+    digest-of-input fake (``decoded`` column says which). ``True`` skips
+    decode entirely; ``False`` requires it."""
 
-    ``fake=True`` emits the target dims + a deterministic payload digest so
-    the pipeline shape (small batches, per-actor codec init, typed output)
-    is testable in-sandbox."""
-
-    def __init__(self, width: int = 224, height: int = 224, fake: bool = True):
+    def __init__(self, width: int = 224, height: int = 224,
+                 fake: bool | str = True):
         self.width, self.height, self.fake = width, height, fake
-        if not fake:
-            decode_image(b"")  # raises: no codec in sandbox
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").to_pylist()
-        digests = [hash64(bytes(p or b"")) & 0x7FFFFFFFFFFFFFFF for p in payloads]
+        digests, decoded = [], []
+        for p in payloads:
+            b = bytes(p or b"")
+            if self.fake is not True:
+                try:
+                    px = decode_image(b)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    out = encode_ppm(resize_nearest(px[:, :, :3],
+                                                    self.width, self.height))
+                    digests.append(hash64(out) & 0x7FFFFFFFFFFFFFFF)
+                    decoded.append(True)
+                    continue
+                except (NotImplementedError, ValueError):
+                    if self.fake is False:
+                        raise
+            digests.append(hash64(b) & 0x7FFFFFFFFFFFFFFF)
+            decoded.append(False)
         n = t.num_rows
         return pa.table({
             "media_id": t.column("media_id"),
             "width": pa.array([self.width] * n, pa.int32()),
             "height": pa.array([self.height] * n, pa.int32()),
             "resized_digest": pa.array(digests, pa.int64()),
+            "decoded": pa.array(decoded, pa.bool_()),
         })
 
 
 def resize_images(ds, *, width: int = 224, height: int = 224,
-                  concurrency: int = 2, batch_size: int = 16):
+                  concurrency: int = 2, batch_size: int = 16,
+                  fake: bool | str = True):
     return ds.map_batches(
         ImageResizeStage,
-        fn_constructor_kwargs={"width": width, "height": height, "fake": True},
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -61,7 +61,10 @@ def test_resize_stage_shape_and_determinism():
 
 
 def test_real_decode_raises():
+    """fake=False = decode REQUIRED: an undecodable (compressed/garbage)
+    payload raises at call time; video decode stays fully stubbed."""
     from nightcrawlercmd_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
         ImageResizeStage,
         MediaFeatureStage,
         decode_image,
@@ -72,7 +75,129 @@ def test_real_decode_raises():
         decode_image(b"")
     with pytest.raises(NotImplementedError):
         decode_video_frame(b"", 0)
+    bad = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"]),
+        "mime": pa.array(["image/png"]),
+        "payload": pa.array([b"\x89PNG garbage"], pa.binary()),
+        "width": pa.array([None], pa.int32()),
+        "height": pa.array([None], pa.int32()),
+        "duration_ms": pa.array([None], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
-        MediaFeatureStage(fake=False)
+        MediaFeatureStage(fake=False)(bad)
     with pytest.raises(NotImplementedError):
-        ImageResizeStage(fake=False)
+        ImageResizeStage(fake=False)(bad)
+
+
+# --------------------------------------------------------------------------- #
+# real decode path (uncompressed formats; compressed stays stubbed)
+# --------------------------------------------------------------------------- #
+import struct
+
+import numpy as np
+import pytest
+
+from nightcrawlercmd_ray.stages.multimodal import (
+    decode_image,
+    encode_ppm,
+    extract_media_features,
+    pixel_features,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _bmp24(px: np.ndarray) -> bytes:
+    """Minimal BI_RGB 24-bpp bottom-up BMP encoder (test-side oracle)."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        px[y, :, [2, 1, 0]].T.astype(np.uint8).tobytes().ljust(stride, b"\0")
+        for y in range(h - 1, -1, -1)
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def _px(seed=0, h=6, w=8):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_decode_ppm_roundtrip_and_comments():
+    px = _px(1)
+    assert (decode_image(encode_ppm(px)) == px).all()
+    # header comments + odd whitespace are part of the PNM spec
+    b = b"P6 # c\n# full line comment\n 8\t6\n255\n" + px.tobytes()
+    assert (decode_image(b) == px).all()
+
+
+def test_decode_pgm():
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    b = b"P5\n6 4\n255\n" + g.tobytes()
+    assert (decode_image(b) == g).all()
+
+
+def test_decode_bmp24_matches_ppm_pixels():
+    px = _px(2)
+    assert (decode_image(_bmp24(px)) == px).all()
+
+
+def test_decode_compressed_still_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"")
+
+
+def test_pixel_features_solid_color():
+    px = np.zeros((4, 10, 3), np.uint8)
+    px[:, :, 0] = 255  # solid red
+    f = pixel_features(px, 8)
+    assert f[0] == 10 / 4096.0 and f[1] == 4 / 4096.0
+    assert f[2:5] == [1.0, 0.0, 0.0]
+    assert f[7] == 1.0  # max
+
+
+def test_resize_nearest_checkerboard():
+    px = np.array([[[0], [255]], [[255], [0]]], np.uint8)
+    out = resize_nearest(px, 4, 4)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 255
+    assert (out[:2, :2, 0] == 0).all() and (out[2:, 2:, 0] == 0).all()
+
+
+def test_auto_mode_end_to_end_encoding_invariant(media_ds_factory=None):
+    """Same pixels as PPM and as BMP must produce the SAME resized digest
+    (digest depends on decoded pixels, not on the container format); a
+    garbage payload falls back to fake with decoded=False."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.multimodal import MEDIA_SCHEMA
+
+    px = _px(3)
+    payloads = [encode_ppm(px), _bmp24(px), b"not an image"]
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image"] * 3),
+        "mime": pa.array(["image/x-portable-pixmap", "image/bmp",
+                          "application/octet-stream"]),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([None] * 3, pa.int32()),
+        "height": pa.array([None] * 3, pa.int32()),
+        "duration_ms": pa.array([None] * 3, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(t)
+    rs = resize_images(ds, width=4, height=4, fake="auto").to_pandas()
+    rs = rs.set_index("media_id")
+    assert rs.loc[1, "decoded"] and rs.loc[2, "decoded"]
+    assert not rs.loc[3, "decoded"]
+    assert rs.loc[1, "resized_digest"] == rs.loc[2, "resized_digest"]
+    assert rs.loc[3, "resized_digest"] != rs.loc[1, "resized_digest"]
+
+    ft = extract_media_features(ds, fake="auto").to_pandas().set_index("media_id")
+    f1, f2 = list(ft.loc[1, "features"]), list(ft.loc[2, "features"])
+    assert f1 == f2  # same pixels → same real features
+    assert ft.loc[1, "decoded"] and not ft.loc[3, "decoded"]
