@@ -140,7 +140,7 @@ class MediaFeatureStage:
         kinds = t.column("kind").to_pylist()
         payloads = t.column("payload").to_pylist()
         feats, sizes, decoded = [], [], []
-        for p in payloads:
+        for p, kind in zip(payloads, kinds):
             b = bytes(p or b"")
             sizes.append(len(b))
             if self.fake is True:
@@ -148,8 +148,13 @@ class MediaFeatureStage:
                 decoded.append(False)
                 continue
             try:
-                px = decode_image(b)
-                feats.append(pixel_features(px, self.feature_dim))
+                if kind == "audio":
+                    samples, rate = decode_audio(b)
+                    feats.append(audio_features(samples, rate,
+                                                self.feature_dim))
+                else:
+                    px = decode_image(b)
+                    feats.append(pixel_features(px, self.feature_dim))
                 decoded.append(True)
             except (NotImplementedError, ValueError):
                 if self.fake is False:
@@ -178,6 +183,75 @@ def extract_media_features(ds, *, feature_dim: int = 8, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an UNCOMPRESSED audio payload: RIFF/WAVE PCM (8/16-bit int,
+    any channel count) → ((n_samples, channels) float32 in [-1, 1],
+    sample_rate). Compressed codecs (mp3/aac/ogg/float-WAV) raise
+    ``NotImplementedError`` — a real deployment plugs ffmpeg/soundfile."""
+    b = bytes(payload or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio codecs not in sandbox (PCM WAV decode is real)")
+    pos, n = 12, len(b)
+    fmt = None
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", b, body)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            audio_fmt, channels, rate, _, _, bits = fmt
+            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+                raise NotImplementedError("only 8/16-bit PCM WAV supported")
+            raw = b[body: body + min(size, n - body)]
+            if bits == 16:
+                x = np.frombuffer(raw[: len(raw) & ~1], "<i2").astype(np.float32)
+                x /= 32768.0
+            else:  # 8-bit WAV is unsigned
+                x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+            usable = (len(x) // channels) * channels
+            return x[:usable].reshape(-1, channels), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk in WAV")
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) float in [-1, 1] → 16-bit PCM WAV bytes (inverse of
+    decode_audio's PCM16 path; used by tests)."""
+    s = np.asarray(samples, np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    ch = s.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   feature_dim: int = 8) -> list[float]:
+    """Deterministic real-signal features: [duration_s/3600, channels/8,
+    rms, peak, zero-crossing rate, mean, rate/96000], padded to
+    ``feature_dim``."""
+    mono = samples.mean(axis=1)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+        if len(mono) > 1 else 0.0
+    f = [len(samples) / rate / 3600.0 if rate else 0.0,
+         samples.shape[1] / 8.0,
+         float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0,
+         float(np.abs(mono).max()) if len(mono) else 0.0,
+         zc, float(mono.mean()) if len(mono) else 0.0,
+         rate / 96000.0]
+    return f[:feature_dim] + [0.0] * max(0, feature_dim - len(f))
 
 
 def decode_video_frame(payload: bytes, ts_ms: int) -> "object":

@@ -201,3 +201,59 @@ def test_auto_mode_end_to_end_encoding_invariant(media_ds_factory=None):
     f1, f2 = list(ft.loc[1, "features"]), list(ft.loc[2, "features"])
     assert f1 == f2  # same pixels → same real features
     assert ft.loc[1, "decoded"] and not ft.loc[3, "decoded"]
+
+
+def test_decode_wav_roundtrip_and_features():
+    from nightcrawlercmd_ray.stages.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    0.5 * np.sin(2 * np.pi * 220 * t)], axis=1)
+    samples, rate = decode_audio(encode_wav(sig, 8000))
+    assert rate == 8000 and samples.shape == (8000, 2)
+    assert np.abs(samples - sig).max() < 1e-3  # 16-bit quantization only
+
+    f = audio_features(samples, rate, 8)
+    assert abs(f[0] - 1.0 / 3600.0) < 1e-9   # 1 second
+    assert f[1] == 2 / 8.0                   # stereo
+    # mono mix = (sin440 + 0.5·sin220)/2 → rms = sqrt(0.15625) ≈ 0.3953
+    assert abs(f[2] - 0.3953) < 0.002
+    # 8-bit unsigned path
+    s8 = b"RIFF" + __import__("struct").pack("<I", 4 + 24 + 8 + 4) + b"WAVE" \
+        + b"fmt " + __import__("struct").pack("<IHHIIHH", 16, 1, 1, 100, 100, 1, 8) \
+        + b"data" + __import__("struct").pack("<I", 4) + bytes([128, 255, 0, 128])
+    mono, r = decode_audio(s8)
+    assert r == 100 and mono.shape == (4, 1)
+    assert abs(mono[1, 0] - 127 / 128) < 1e-6 and mono[0, 0] == 0.0
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03mp3 data...")
+
+
+def test_audio_auto_mode_in_feature_stage():
+    import ray
+
+    from nightcrawlercmd_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_media_features,
+    )
+
+    wav = encode_wav(np.sin(np.arange(400) / 10.0), 4000)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["audio", "audio"]),
+        "mime": pa.array(["audio/wav", "audio/mpeg"]),
+        "payload": pa.array([wav, b"not audio"], pa.binary()),
+        "width": pa.array([None] * 2, pa.int32()),
+        "height": pa.array([None] * 2, pa.int32()),
+        "duration_ms": pa.array([None] * 2, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    ft = extract_media_features(ray.data.from_arrow(t), fake="auto") \
+        .to_pandas().set_index("media_id")
+    assert ft.loc[1, "decoded"] and not ft.loc[2, "decoded"]
+    assert abs(ft.loc[1, "features"][1] - 1 / 8.0) < 1e-6  # mono
