@@ -179,8 +179,11 @@ def test_multimodal_plumbing():
     # deterministic fake features (hash-derived)
     out2 = MediaFeatureStage()(t).to_pydict()
     assert out2["features"][0] == list(out.sort_values("media_id")["features"].iloc[0])
+    # fake=False = decode REQUIRED: these compressed/garbage payloads raise
+    # at call time (uncompressed PPM/BMP/WAV now decode for real — see
+    # tests/test_multimodal.py)
     with pytest.raises(NotImplementedError):
-        MediaFeatureStage(fake=False)
+        MediaFeatureStage(fake=False)(t)
 
 
 def test_embedding_duplicates_planted_recall():
