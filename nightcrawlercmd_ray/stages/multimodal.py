@@ -254,10 +254,56 @@ def audio_features(samples: np.ndarray, rate: int,
     return f[:feature_dim] + [0.0] * max(0, feature_dim - len(f))
 
 
-def decode_video_frame(payload: bytes, ts_ms: int) -> "object":
-    """STUB: no video codec in this environment. A real deployment plugs
-    PyAV/ffmpeg here; the frame-sampling plumbing below is real."""
-    raise NotImplementedError("video decode requires a codec library (not in sandbox)")
+def _parse_y4m_header(b: bytes):
+    """(width, height, fps, header_end) from a YUV4MPEG2 stream header."""
+    eol = b.find(b"\n")
+    if eol < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    num, den = 30, 1
+    for tok in b[9:eol].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C" and tok[1:] not in (b"420", b"420jpeg",
+                                                 b"420mpeg2", b"420paldv"):
+            raise NotImplementedError("only 4:2:0 Y4M supported")
+    if not w or not h or den == 0:
+        raise ValueError("bad Y4M header")
+    return w, h, num / den, eol + 1
+
+
+def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+    """Decode the frame at ``ts_ms`` from an UNCOMPRESSED video payload:
+    YUV4MPEG2 (Y4M) 4:2:0 → the frame's luma plane as an (h, w, 1) uint8
+    array (the plane the sampling/feature stages consume). Every COMPRESSED
+    container/codec (mp4/h264/vp9/…) raises ``NotImplementedError`` — a
+    real deployment plugs PyAV/ffmpeg here; the frame-sampling plumbing
+    below is unchanged either way."""
+    b = bytes(payload or b"")
+    if b[:9] != b"YUV4MPEG2":
+        raise NotImplementedError(
+            "compressed video codecs not in sandbox (Y4M decode is real)")
+    w, h, fps, pos = _parse_y4m_header(b)
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))  # 4:2:0 planes
+    want = max(0, int(ts_ms / 1000.0 * fps))
+    idx = 0
+    n = len(b)
+    while pos < n:
+        eol = b.find(b"\n", pos)
+        if eol < 0 or b[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        data = eol + 1
+        if data + frame_bytes > n:
+            raise ValueError("truncated Y4M frame")
+        if idx == want:
+            return np.frombuffer(b, np.uint8, w * h, data).reshape(h, w, 1)
+        idx += 1
+        pos = data + frame_bytes
+    raise ValueError(f"ts {ts_ms}ms past end of stream ({idx} frames)")
 
 
 def sample_frames(ds, *, fps: float = 1.0, max_frames: int = 64):

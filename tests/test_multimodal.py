@@ -1,6 +1,8 @@
 """Multimodal plumbing: frame-sample expansion math, resize stage shape,
-feature determinism. Decode itself is stubbed (no codecs in sandbox) and
-must raise clearly when requested for real."""
+feature determinism — plus the REAL uncompressed-format decode tier
+(PPM/PGM/BMP images, PCM WAV audio, Y4M video). Compressed codecs remain
+stubbed (no codec libraries in sandbox) and must raise clearly when decode
+is required."""
 
 from __future__ import annotations
 
@@ -62,7 +64,7 @@ def test_resize_stage_shape_and_determinism():
 
 def test_real_decode_raises():
     """fake=False = decode REQUIRED: an undecodable (compressed/garbage)
-    payload raises at call time; video decode stays fully stubbed."""
+    payload raises at call time; compressed video stays stubbed."""
     from nightcrawlercmd_ray.stages.multimodal import (
         MEDIA_SCHEMA,
         ImageResizeStage,
@@ -257,3 +259,24 @@ def test_audio_auto_mode_in_feature_stage():
         .to_pandas().set_index("media_id")
     assert ft.loc[1, "decoded"] and not ft.loc[2, "decoded"]
     assert abs(ft.loc[1, "features"][1] - 1 / 8.0) < 1e-6  # mono
+
+
+def test_decode_y4m_video_frame():
+    from nightcrawlercmd_ray.stages.multimodal import decode_video_frame
+
+    w, h = 4, 2
+    frames = []
+    for k in range(3):
+        y = np.full((h, w), 10 * k, np.uint8)
+        uv = np.zeros((h // 2) * (w // 2) * 2, np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + uv.tobytes())
+    b = b"YUV4MPEG2 W4 H2 F2:1 Ip A1:1 C420\n" + b"".join(frames)
+    # 2 fps → frame k covers [500k, 500k+500) ms
+    assert decode_video_frame(b, 0)[0, 0, 0] == 0
+    assert decode_video_frame(b, 600)[0, 0, 0] == 10
+    assert decode_video_frame(b, 1400)[0, 0, 0] == 20
+    assert decode_video_frame(b, 999)[0, 0, 0] == 10
+    with pytest.raises(ValueError):
+        decode_video_frame(b, 5000)  # past end
+    with pytest.raises(NotImplementedError):
+        decode_video_frame(b"\x00\x00\x00\x18ftypmp42...", 0)
