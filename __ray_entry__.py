@@ -1376,6 +1376,48 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media, fake="auto")
 
 
+def q_media_decoded_frames(sf_dir: str):
+    """Real video-frame decode in a pipeline (stages/multimodal.
+    decode_sampled_frames): every 32nd media payload becomes a synthesized
+    uncompressed Y4M stream (frame count/pixels seeded from the id) and the
+    actor-pool stage samples + decodes its frames — luma summaries out;
+    non-Y4M payloads contribute no rows. Rows-only; frame math and luma
+    values pinned in tests/test_multimodal.py."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.multimodal import (
+        decode_sampled_frames,
+        media_table_from_pages,
+    )
+
+    c = _corpus_for(sf_dir)
+    pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    media = media_table_from_pages(pages, kind="video")
+
+    def plant_y4m(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = t.column("payload").to_pylist()
+        out = []
+        for i, p in zip(ids, payloads):
+            if i % 32 == 0:
+                rng = np.random.RandomState(int(i) % (2**31))
+                nf = 2 + int(i) % 7
+                parts = [b"YUV4MPEG2 W8 H4 F4:1 C420\n"]
+                for _ in range(nf):
+                    parts.append(b"FRAME\n"
+                                 + rng.randint(0, 256, 32).astype("uint8").tobytes()
+                                 + bytes(8))
+                out.append(b"".join(parts))
+            else:
+                out.append(p)
+        cols = {c_: t.column(c_) for c_ in t.column_names}
+        cols["payload"] = pa.array(out, pa.binary())
+        return pa.table(cols)
+
+    media = media.map_batches(plant_y4m, batch_format="pyarrow")
+    return decode_sampled_frames(media, max_frames=4)
+
+
 def q_media_frame_samples(sf_dir: str):
     """Video frame-sampling plan (stages/multimodal.py:sample_frames) over a
     synthetic media table with typed duration metadata — the decode that
@@ -1613,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzz_payloads": q_fuzz_payloads,
         "media_features": q_media_features,
         "media_frame_samples": q_media_frame_samples,
+        "media_decoded_frames": q_media_decoded_frames,
         "wordlist_pages": q_wordlist_pages,
     }
 

@@ -306,6 +306,72 @@ def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
     raise ValueError(f"ts {ts_ms}ms past end of stream ({idx} frames)")
 
 
+class FrameDecodeStage:
+    """Actor-pool stage: sample AND decode frames from decodable
+    (uncompressed Y4M) video payloads in one pass — up to ``max_frames``
+    per item, evenly spread over the stream's actual frames. Emits one row
+    per decoded frame with the luma-plane summary a dedup/quality pipeline
+    consumes. Undecodable (compressed) payloads yield no rows here — their
+    decode plan still comes from :func:`sample_frames` + a real codec."""
+
+    def __init__(self, max_frames: int = 16):
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, idx_out, ts_out, mean_out, w_out, h_out = [], [], [], [], [], []
+        for mid, p in zip(t.column("media_id").to_pylist(),
+                          t.column("payload").to_pylist()):
+            b = bytes(p or b"")
+            if b[:9] != b"YUV4MPEG2":
+                continue
+            try:
+                w, h, fps, pos = _parse_y4m_header(b)
+            except (ValueError, NotImplementedError):
+                continue
+            frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+            offsets = []
+            n = len(b)
+            while pos < n:
+                eol = b.find(b"\n", pos)
+                if eol < 0 or b[pos:pos + 5] != b"FRAME" \
+                        or eol + 1 + frame_bytes > n:
+                    break
+                offsets.append(eol + 1)
+                pos = eol + 1 + frame_bytes
+            if not offsets:
+                continue
+            want = min(len(offsets), self.max_frames)
+            for k in range(want):
+                fi = k * len(offsets) // want
+                y = np.frombuffer(b, np.uint8, w * h, offsets[fi])
+                ids_out.append(mid)
+                idx_out.append(fi)
+                ts_out.append(int(fi * 1000.0 / fps) if fps else 0)
+                mean_out.append(float(y.mean()))
+                w_out.append(w)
+                h_out.append(h)
+        return pa.table({
+            "media_id": pa.array(ids_out, pa.int64()),
+            "frame_idx": pa.array(idx_out, pa.int32()),
+            "ts_ms": pa.array(ts_out, pa.int64()),
+            "luma_mean": pa.array(mean_out, pa.float64()),
+            "width": pa.array(w_out, pa.int32()),
+            "height": pa.array(h_out, pa.int32()),
+        })
+
+
+def decode_sampled_frames(ds, *, max_frames: int = 16, concurrency: int = 2,
+                          batch_size: int = 8):
+    """Video payloads ⇒ small batches (one payload can hold many frames)."""
+    return ds.map_batches(
+        FrameDecodeStage,
+        fn_constructor_kwargs={"max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sample_frames(ds, *, fps: float = 1.0, max_frames: int = 64):
     """Frame-sample plan: one row per frame to decode — (media_id, frame_idx,
     ts_ms) expanded from each video row's ``duration_ms`` metadata at ``fps``,

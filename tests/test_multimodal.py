@@ -280,3 +280,38 @@ def test_decode_y4m_video_frame():
         decode_video_frame(b, 5000)  # past end
     with pytest.raises(NotImplementedError):
         decode_video_frame(b"\x00\x00\x00\x18ftypmp42...", 0)
+
+
+def test_decode_sampled_frames_stage():
+    from nightcrawlercmd_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_sampled_frames,
+    )
+
+    def y4m(n_frames, w=4, h=2, base=0):
+        parts = [b"YUV4MPEG2 W%d H%d F4:1 C420\n" % (w, h)]
+        for k in range(n_frames):
+            y = np.full((h, w), base + k, np.uint8)
+            uv = np.zeros((h // 2) * (w // 2) * 2, np.uint8)
+            parts.append(b"FRAME\n" + y.tobytes() + uv.tobytes())
+        return b"".join(parts)
+
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["video"] * 3),
+        "mime": pa.array(["video/x-y4m", "video/x-y4m", "video/mp4"]),
+        "payload": pa.array([y4m(8), y4m(2, base=100), b"mp4 junk"],
+                            pa.binary()),
+        "width": pa.array([None] * 3, pa.int32()),
+        "height": pa.array([None] * 3, pa.int32()),
+        "duration_ms": pa.array([None] * 3, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    df = (decode_sampled_frames(ray.data.from_arrow(t), max_frames=4)
+          .to_pandas().sort_values(["media_id", "frame_idx"]))
+    counts = df.groupby("media_id").size().to_dict()
+    assert counts == {1: 4, 2: 2}  # capped at 4; short video full; mp4 none
+    m1 = df[df.media_id == 1]
+    assert m1["frame_idx"].tolist() == [0, 2, 4, 6]  # evenly spread over 8
+    assert m1["luma_mean"].tolist() == [0.0, 2.0, 4.0, 6.0]
+    assert m1["ts_ms"].tolist() == [0, 500, 1000, 1500]  # 4 fps
+    assert df[df.media_id == 2]["luma_mean"].tolist() == [100.0, 101.0]
