@@ -1406,7 +1406,7 @@ def q_media_decoded_frames(sf_dir: str):
                 for _ in range(nf):
                     parts.append(b"FRAME\n"
                                  + rng.randint(0, 256, 32).astype("uint8").tobytes()
-                                 + bytes(8))
+                                 + bytes(16))  # 4:2:0 UV planes: 2 × (4×2)
                 out.append(b"".join(parts))
             else:
                 out.append(p)
