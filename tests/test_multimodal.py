@@ -315,3 +315,29 @@ def test_decode_sampled_frames_stage():
     assert m1["luma_mean"].tolist() == [0.0, 2.0, 4.0, 6.0]
     assert m1["ts_ms"].tolist() == [0, 500, 1000, 1500]  # 4 fps
     assert df[df.media_id == 2]["luma_mean"].tolist() == [100.0, 101.0]
+
+
+def test_decode_bmp_stride_padding_and_shapes():
+    """Widths whose 3-byte rows aren't 4-aligned exercise the stride math;
+    property-checked over random shapes, plus 32-bpp and top-down forms."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 13), st.integers(1, 9), st.integers(0, 10**6))
+    def prop(w, h, seed):
+        px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+        assert (decode_image(_bmp24(px)) == px).all()
+
+    prop()
+
+    # 32-bpp top-down (negative height)
+    px = _px(7, h=3, w=5)
+    rgba = np.dstack([px, np.full(px.shape[:2], 9, np.uint8)])
+    rows = rgba[:, :, [2, 1, 0, 3]].tobytes()  # top-down: no flip
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 5, -3, 1, 32, 0, len(rows),
+                      2835, 2835, 0, 0)
+    out = decode_image(header + dib + rows)
+    assert out.shape == (3, 5, 4)
+    assert (out[:, :, :3] == px).all() and (out[:, :, 3] == 9).all()
