@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "user_journeys", "orders_rollup", "doc_chain_components",
         "crawl_pagerank", "pii_redact_documents", "dedup_lines_documents",
         "pack_sequences_documents", "embedding_near_dups",
+        "tfidf_top_terms", "jaccard_planted_pairs",
     )
     for name in family:
         fn = entrymod.queries()[name]
