@@ -234,6 +234,10 @@ from html.parser import (  # module-level globals, stable across CPython 3.x
 
 # identical to stdlib html.parser.endtagfind
 _END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# identical to stdlib _markupbase._commentclose — comments may close with
+# '-- >' etc., NOT only a literal '-->' (ADVICE r2: literal find() swallowed
+# content between a lax close and a later literal '-->')
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
 }
@@ -325,10 +329,10 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
             i = m.end()
         elif c == "!":
             if html.startswith("<!--", lt):
-                e = find("-->", lt + 4)
-                if e < 0:
+                cm = _COMMENT_CLOSE.search(html, lt + 4)
+                if cm is None:
                     return False  # EOF inside comment: stdlib salvage differs
-                i = e + 3  # handle_comment is a no-op in the extractor
+                i = cm.end()  # handle_comment is a no-op in the extractor
             else:
                 # simple declaration (<!DOCTYPE html>): ends at the first '>'
                 # provided nothing quote/bracket-ish intervenes (stdlib's

@@ -64,6 +64,10 @@ def asof_join(
         [("_side", pa.int8()), (by, pa.int64()), (on, pa.int64())]
         + [(n, l_types[n]) for n in l_names]
         + [(r_out[n], r_types[n]) for n in r_names]
+        + [("_m", pa.int8())]  # non-null marker on RIGHT rows: inner-join
+        # filter keys off it, never off a payload column (a matched right row
+        # whose first payload is legitimately null must survive, and a
+        # payload-less right side must still give inner — ADVICE r2)
     )
     union_schema = pa.schema(union_fields)
     P = num_partitions or _coarse_partitions(n_rows)
@@ -86,6 +90,10 @@ def asof_join(
                     pc.cast(t.column(name), r_types[name])
                     if side == 1 else pa.nulls(n, r_types[name])
                 )
+            cols["_m"] = (
+                pa.array(np.ones(n, dtype=np.int8))
+                if side == 1 else pa.nulls(n, pa.int8())
+            )
             out = pa.table(cols)
             key = out.column(by).to_numpy(zero_copy_only=False).astype(np.uint64)
             part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
@@ -104,29 +112,32 @@ def asof_join(
     )
 
     def merge_partition(g: pa.Table) -> pa.Table:
-        df = g.drop_columns(["_c"]).to_pandas()
-        lf = df[df["_side"] == 0][[by, on] + l_names]
-        rf = df[df["_side"] == 1][[by, on] + [r_out[n] for n in r_names]]
+        # split sides at the ARROW level, then convert with ArrowDtype:
+        # a plain to_pandas() coerces null-bearing int64 to float64, silently
+        # corrupting 63-bit hash ids > 2^53 (ADVICE r2) — ArrowDtype keeps
+        # every payload exact through the merge
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, 0)).select([by, on] + l_names)
+        rt = g.filter(pc.equal(side, 1)).select(
+            [by, on] + [r_out[n] for n in r_names] + ["_m"]
+        )
         empty = pa.table(
             {name: pa.array([], typ) for name, typ in out_fields}
         )
-        if lf.empty or rf.empty:
+        if lt.num_rows == 0 or rt.num_rows == 0:
             return empty
+        lf = lt.to_pandas(types_mapper=pd.ArrowDtype)
+        rf = rt.to_pandas(types_mapper=pd.ArrowDtype)
         # merge_asof needs both frames globally sorted by `on`; right-side
         # ties (same by+on) resolve to the last row in sort order, so sorting
         # the right frame by its payload columns pins the winner
         lf = lf.sort_values([on, by], kind="stable")
         rf = rf.sort_values([on, by] + [r_out[n] for n in r_names], kind="stable")
         m = pd.merge_asof(lf, rf, on=on, by=by, direction="backward")
-        first_r = r_out[r_names[0]] if r_names else None
-        if first_r is not None:  # inner semantics: drop left rows w/o a match
-            m = m[m[first_r].notna()]
+        m = m[m["_m"].notna()]  # inner semantics, keyed on the marker column
         cols = {}
         for name, typ in out_fields:
-            s = m[name]
-            if pa.types.is_integer(typ) and s.dtype.kind == "f":
-                s = s.astype("int64")  # NaNs are gone post-drop
-            cols[name] = pa.array(s, typ)
+            cols[name] = pa.array(m[name], typ, from_pandas=True)
         return pa.table(cols)
 
     return (
@@ -291,16 +302,25 @@ def hash_join(
     )
 
     def merge_partition(g: pa.Table) -> pa.Table:
-        df = g.drop_columns(["_c"]).to_pandas()
-        lf = df[df["_side"] == 0][[on] + l_names]
-        rf = df[df["_side"] == 1][[on] + [r_out[n] for n in r_names]]
-        if lf.empty or (rf.empty and how in ("inner", "semi")):
+        # Arrow-level side split + ArrowDtype conversion: plain to_pandas()
+        # coerces null-bearing int64 to float64, corrupting 63-bit hash ids
+        # > 2^53 (ADVICE r2) — and CC/PageRank labels ride this join
+        side = g.column("_side")
+        lt = g.filter(pc.equal(side, 0)).select([on] + l_names)
+        rt = g.filter(pc.equal(side, 1)).select([on] + [r_out[n] for n in r_names])
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how in ("inner", "semi")):
             return pa.table({name: pa.array([], typ) for name, typ in out_fields})
         if filter_only:
-            mask = lf[on].isin(rf[on].unique())
-            m = lf[mask] if how == "semi" else lf[~mask]
-        else:
-            m = lf.merge(rf, on=on, how=how)
+            # pure-Arrow membership probe: no pandas conversion at all
+            mask = pc.is_in(lt.column(on), value_set=pc.unique(
+                rt.column(on).combine_chunks()))
+            if how == "anti":
+                mask = pc.invert(mask)
+            m_t = lt.filter(mask)
+            return m_t.cast(pa.schema(out_fields))
+        lf = lt.to_pandas(types_mapper=pd.ArrowDtype)
+        rf = rt.to_pandas(types_mapper=pd.ArrowDtype)
+        m = lf.merge(rf, on=on, how=how)
         cols = {}
         for name, typ in out_fields:
             cols[name] = pa.array(m[name], typ, from_pandas=True)

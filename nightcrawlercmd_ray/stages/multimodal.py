@@ -152,6 +152,13 @@ class MediaFeatureStage:
                     samples, rate = decode_audio(b)
                     feats.append(audio_features(samples, rate,
                                                 self.feature_dim))
+                elif kind == "video":
+                    # Y4M luma plane of frame 0 — videos must NOT route
+                    # through decode_image (which always raises on Y4M,
+                    # crashing fake=False batches of decodable videos and
+                    # silently hash-faking fake='auto' ones — ADVICE r2)
+                    px = decode_video_frame(b, 0)
+                    feats.append(pixel_features(px, self.feature_dim))
                 else:
                     px = decode_image(b)
                     feats.append(pixel_features(px, self.feature_dim))

@@ -42,6 +42,16 @@ def _partial_hist(value_col: str, by_col: str | None):
     return fn
 
 
+def _default_qname(q: float) -> str:
+    """Numeric column name for quantile q: p25, p50, p100; non-integral
+    percents keep their digits with '.'→'_' (0.999 → p99_9). String-munging
+    str(q) mangled edge cases (1.0 → 'p1.0', 0.999 → 'p999' — ADVICE r2)."""
+    v = q * 100.0
+    if abs(v - round(v)) < 1e-9:
+        return f"p{int(round(v)):02d}"
+    return "p" + f"{v:.6f}".rstrip("0").rstrip(".").replace(".", "_")
+
+
 def _pick(values: np.ndarray, counts: np.ndarray, qs: list[float]) -> list:
     """Order statistics from a sorted (value, count) histogram —
     quantile_disc semantics: k-th smallest, k = max(1, ceil(q*n))."""
@@ -72,7 +82,7 @@ def exact_quantiles(
     Driver memory is O(distinct values × groups); see module docstring.
     """
     if out_names is None:
-        out_names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs]
+        out_names = [_default_qname(q) for q in qs]
 
     hist = (
         ds.map_batches(_partial_hist(value_col, by_col), batch_format="pyarrow")

@@ -78,6 +78,11 @@ _QUIRKS = [
     '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0//EN">deep',
     "<!-- c --><p>y</p>",
     "<!-- unterminated comment <p>z</p>",
+    # lax comment close (stdlib _commentclose is r'--\s*>', NOT literal '-->')
+    "<div><!--ad-- ><a href=x>link</a>text--></div>",
+    "<!--a--\t><p>tabclose</p>",
+    "<!--a--\n  ><a href=y>nl</a>",
+    "<!--a-- <p>not closed here</p> --><a href=z>after</a>",
     "<?php echo ?><p>pi</p>",
     "<script>var a = '<p>not text</p>';</script>after",
     "<script>unterminated cdata <a href=x>",

@@ -45,6 +45,54 @@ def test_asof_join_semantics(P):
     assert out["rv"].tolist() == [200, 300]
 
 
+def test_asof_join_null_first_payload_and_payloadless_right():
+    """ADVICE r2 regressions: (a) a matched right row whose FIRST payload
+    value is legitimately null must survive the inner filter; (b) a right
+    side with only (by, on) must still give inner semantics (unmatched left
+    rows dropped), not silently degrade to a left join."""
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    left = _ds({"k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([10, 10], pa.int64()),
+                "lv": pa.array(["a", "b"], pa.string())})
+    right = _ds({"k": pa.array([1], pa.int64()),
+                 "t": pa.array([5], pa.int64()),
+                 "rv": pa.array([None], pa.int64())})
+    out = asof_join(left, right, by="k", on="t", num_partitions=3).to_pandas()
+    assert out["k"].tolist() == [1]  # k=2 unmatched → dropped
+    assert out["lv"].tolist() == ["a"] and pd.isna(out["rv"].iloc[0])
+
+    right2 = _ds({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([5], pa.int64())})  # payload-less right
+    out2 = asof_join(left, right2, by="k", on="t", num_partitions=3).to_pandas()
+    assert out2["k"].tolist() == [1] and out2["lv"].tolist() == ["a"]
+
+
+def test_joins_preserve_63bit_int64_payloads():
+    """ADVICE r2 regression: null-bearing int64 payloads must NOT pass
+    through float64 (values > 2^53 silently corrupt). The repo's 63-bit hash
+    ids ride these joins (CC/PageRank labels)."""
+    from nightcrawlercmd_ray.stages.joins import asof_join, hash_join
+
+    big = 4611686018427400249  # loses precision in float64
+    left = _ds({"k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([10, 10], pa.int64()),
+                "lv": pa.array([big, big + 2], pa.int64())})
+    right = _ds({"k": pa.array([1, 2], pa.int64()),
+                 "t": pa.array([5, 5], pa.int64()),
+                 "rv": pa.array([big + 1, None], pa.int64())})
+    out = (asof_join(left, right, by="k", on="t", num_partitions=2)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["lv"].tolist() == [big, big + 2]
+    assert out["rv"].iloc[0] == big + 1 and pd.isna(out["rv"].iloc[1])
+
+    hout = (hash_join(left.drop_columns(["t"]), right.drop_columns(["t"]),
+                      on="k", how="left", num_partitions=2)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert hout["lv"].tolist() == [big, big + 2]
+    assert hout["rv"].iloc[0] == big + 1 and pd.isna(hout["rv"].iloc[1])
+
+
 def test_asof_join_name_clash_suffix():
     from nightcrawlercmd_ray.stages.joins import asof_join
 

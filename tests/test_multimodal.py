@@ -341,3 +341,30 @@ def test_decode_bmp_stride_padding_and_shapes():
     out = decode_image(header + dib + rows)
     assert out.shape == (3, 5, 4)
     assert (out[:, :, :3] == px).all() and (out[:, :, 3] == 9).all()
+
+
+def test_feature_stage_routes_video_to_y4m_decoder():
+    """ADVICE r2: kind=='video' payloads must go through the Y4M path, not
+    decode_image — fake=False on decodable Y4M must decode, and fake='auto'
+    must yield REAL luma features (decoded=True), not the hash fallback."""
+    from nightcrawlercmd_ray.stages.multimodal import MediaFeatureStage
+
+    def y4m(w=4, h=2, val=200):
+        y = np.full((h, w), val, np.uint8)
+        uv = np.zeros((h // 2) * (w // 2) * 2, np.uint8)
+        return (b"YUV4MPEG2 W%d H%d F4:1 C420\n" % (w, h)
+                + b"FRAME\n" + y.tobytes() + uv.tobytes())
+
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([y4m()], pa.binary()),
+    })
+    out = MediaFeatureStage(fake=False)(t)  # must NOT raise
+    assert out.column("decoded").to_pylist() == [True]
+    f = out.column("features").to_pylist()[0]
+    assert abs(f[2] - 200 / 255.0) < 1e-6  # real luma mean, grayscale-replicated
+
+    auto = MediaFeatureStage(fake="auto")(t)
+    assert auto.column("decoded").to_pylist() == [True]
+    assert auto.column("features").to_pylist()[0] == f

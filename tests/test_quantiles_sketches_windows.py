@@ -366,3 +366,15 @@ def test_rollup_levels_match_duckdb():
         )
 
     assert canon(out).equals(canon(o))
+
+
+def test_default_quantile_names_edge_values():
+    """ADVICE r2: q=1.0 must not yield 'p1.0' nor 0.999 'p999'."""
+    from nightcrawlercmd_ray.stages.quantiles import _default_qname
+
+    assert _default_qname(0.25) == "p25"
+    assert _default_qname(0.5) == "p50"
+    assert _default_qname(0.05) == "p05"
+    assert _default_qname(1.0) == "p100"
+    assert _default_qname(0.999) == "p99_9"
+    assert _default_qname(0.0) == "p00"
