@@ -17,9 +17,12 @@ Scale shape:
   dedup family) — raw text shuffles ZERO times; only 8-byte hashes and
   compact signatures move between nodes;
 - dup-id sets are only ever as large as the duplicate count (losers are
-  emitted directly; no full-id materialization), checkpointed once to small
-  Parquet sidecars (skipped on resume), and broadcast as an Arrow array for
-  a vectorized ``is_in`` drop filter;
+  emitted directly; no full-id materialization), checkpointed once to
+  Parquet sidecar directories via distributed ``write_parquet`` (skipped on
+  resume, never folded on the driver), and consumed either as a broadcast
+  ``is_in`` filter (small sets) or a distributed hash anti-join (sets past
+  ``broadcast_limit`` — web dup rates of 30-50 % make driver folds unbounded
+  at 100 TB);
 - output is hash-partitioned Parquet, ONE DIRECTORY PER PARTITION with an
   atomic done-marker: a failed run re-executes only the unfinished
   partitions' writes (and none of the dedup decisions, which reload from
@@ -41,31 +44,39 @@ from ..stages.dedup import exact_duplicate_ids, minhash_lsh_duplicates
 from ..stages.textops import annotate_text_batch
 
 
-def _dup_sidecar(path: str, compute) -> pa.Int64Array:
-    """Stage checkpoint: the (small) duplicate-id set as a Parquet sidecar —
-    computed once, reloaded on resume (atomic tmp+rename write)."""
-    if not os.path.exists(path):
-        ids = sorted(compute())
-        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
-        tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
-    return pq.read_table(path).column("doc_id").combine_chunks()
+def _dup_sidecar(dir_path: str, compute_ds) -> int:
+    """Stage checkpoint: the duplicate-id set written ONCE as a partitioned
+    Parquet directory — distributed ``write_parquet`` (the ids never fold on
+    the driver), atomic tmp-dir+rename, skipped on resume. Returns the id
+    count (from parquet footers — no data read)."""
+    if not os.path.isdir(dir_path):
+        tmp = f"{dir_path}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)  # an EMPTY dup set writes no files
+        compute_ds().write_parquet(tmp)
+        os.replace(tmp, dir_path)
+    return sum(
+        pq.ParquetFile(f"{dir_path}/{f}").metadata.num_rows
+        for f in os.listdir(dir_path) if f.endswith(".parquet")
+    )
 
 
-def _drop_ids_stage(ds, id_col: str, ids_arr):
-    """Vectorized anti-join against a broadcast id array (no-op when empty)."""
-    if len(ids_arr) == 0:
+def _drop_sidecar_ids(ds, id_col: str, dir_path: str, n_ids: int,
+                      broadcast_limit: int, n_rows: int | None = None):
+    """Anti-join ds against a sidecar id set: broadcast ``is_in`` when small
+    (zero shuffle), distributed ``hash_join(how='anti')`` when the set
+    outgrows the fast path (r2 verdict #3 — never fold big id sets on the
+    driver)."""
+    from ..stages.dedup import anti_join_ids
+    from ..util import read_parquet_clean
+
+    if n_ids == 0:
         return ds
-    ref = ray.put(ids_arr)
-
-    def drop(t: pa.Table) -> pa.Table:
-        arr = ray.get(ref)
-        return t.filter(
-            pc.invert(pc.is_in(pc.cast(t.column(id_col), pa.int64()), value_set=arr))
-        )
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    if n_ids <= broadcast_limit:
+        ids = pq.read_table(dir_path).column("doc_id").combine_chunks()
+        return anti_join_ids(ds, ids, id_col, broadcast_limit=broadcast_limit)
+    right = read_parquet_clean(dir_path, columns=["doc_id"])
+    return anti_join_ids(ds, right, id_col, broadcast_limit=broadcast_limit,
+                         n_rows=n_rows, n_dups=n_ids)
 
 
 def write_partitioned(ds, out_dir: str, *, key_col: str, num_partitions: int,
@@ -150,6 +161,7 @@ def cleanroom(
     n_docs: int | None = None,
     redact_pii: bool = False,
     dedup_lines_words: int | None = None,
+    broadcast_limit: int = 1 << 21,
 ):
     """Run the cleanroom flow over a documents Parquet table.
 
@@ -168,31 +180,34 @@ def cleanroom(
     os.makedirs(side_dir, exist_ok=True)
 
     # stage 1: exact duplicate ids (winner = min id, kept; losers dropped)
-    def exact_dups() -> list[int]:
+    def exact_dups():
         ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
-        return [
-            r["doc_id"] for r in exact_duplicate_ids(ds, text_col, id_col).take_all()
-        ]
+        return exact_duplicate_ids(ds, text_col, id_col, n_rows=n_docs)
 
-    exact_arr = _dup_sidecar(f"{side_dir}/_exact_dups.parquet", exact_dups)
+    exact_dir = f"{side_dir}/_exact_dups"
+    n_exact = _dup_sidecar(exact_dir, exact_dups)
 
     # stage 2: near-duplicate ids (MinHash-LSH over the exact survivors)
-    def near_dups() -> list[int]:
+    def near_dups():
         ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
-        ds = _drop_ids_stage(ds, id_col, exact_arr)
-        dups = minhash_lsh_duplicates(
+        ds = _drop_sidecar_ids(ds, id_col, exact_dir, n_exact,
+                               broadcast_limit, n_rows=n_docs)
+        return minhash_lsh_duplicates(
             ds, text_col, id_col, threshold=minhash_threshold, n_docs=n_docs
-        )
-        return [r["doc_id"] for r in dups.take_all()]
+        ).select_columns(["doc_id"])
 
-    near_arr = _dup_sidecar(f"{side_dir}/_near_dups.parquet", near_dups)
+    near_dir = f"{side_dir}/_near_dups"
+    n_near = _dup_sidecar(near_dir, near_dups)
 
     # stage 3: drop dups + (optional) curation rewrites + annotate +
     # quality-filter — ONE streaming pass. Curation runs AFTER the dup
     # decisions on purpose: dedup keys on the raw text, and redaction/line
     # dedup must not perturb which documents count as duplicates.
-    all_dups = pa.concat_arrays([exact_arr, near_arr])
-    ds = _drop_ids_stage(read_parquet_clean(documents_path), id_col, all_dups)
+    ds = read_parquet_clean(documents_path)
+    ds = _drop_sidecar_ids(ds, id_col, exact_dir, n_exact,
+                           broadcast_limit, n_rows=n_docs)
+    ds = _drop_sidecar_ids(ds, id_col, near_dir, n_near,
+                           broadcast_limit, n_rows=n_docs)
 
     def annotate_filter(t: pa.Table) -> pa.Table:
         if dedup_lines_words is not None:
@@ -216,8 +231,8 @@ def cleanroom(
 
     info = {
         "n_docs": n_docs,
-        "exact_dups": len(exact_arr),
-        "near_dups": len(near_arr),
+        "exact_dups": n_exact,
+        "near_dups": n_near,
     }
     if out_dir:
         info["write"] = write_partitioned(

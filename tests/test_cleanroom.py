@@ -124,3 +124,23 @@ def test_cleanroom_with_curation_stages(tmp_path):
     ds2, info2 = cleanroom(doc_path, str(tmp_path / "out2"), min_tokens=3,
                            num_partitions=2)
     assert sorted(got) == sorted(r["doc_id"] for r in ds2.take_all())
+
+
+def test_cleanroom_anti_join_path_matches_broadcast(tmp_path):
+    """r2 verdict #3: with broadcast_limit=0 every dup set routes through the
+    distributed hash anti-join — results must be identical to the broadcast
+    fast path."""
+    doc_a = str(tmp_path / "docs_a.parquet")
+    doc_b = str(tmp_path / "docs_b.parquet")
+    _corpus(doc_a)
+    _corpus(doc_b)
+
+    ds_b, info_b = cleanroom(doc_a, str(tmp_path / "out_bcast"), min_tokens=3,
+                             num_partitions=4)
+    ds_j, info_j = cleanroom(doc_b, str(tmp_path / "out_anti"), min_tokens=3,
+                             num_partitions=4, broadcast_limit=0)
+    assert info_j["exact_dups"] == info_b["exact_dups"]
+    assert info_j["near_dups"] == info_b["near_dups"]
+    ids_b = sorted(r["doc_id"] for r in ds_b.take_all())
+    ids_j = sorted(r["doc_id"] for r in ds_j.take_all())
+    assert ids_j == ids_b
