@@ -127,6 +127,19 @@ def test_knn_on_embeddings_table_brute_vs_ivf():
     ivf = knn_ivf(ds, q, k=5, n_centroids=8, nprobe=8).to_pydict()
     # probing ALL buckets → IVF must equal brute force exactly
     assert ivf["vec_id"] == bf["vec_id"]
+    # r2 verdict #5 regressions: (a) many more centroids than the old fixed
+    # 16 — full probe must still equal brute force; (b) forced bucket
+    # sub-partitioning (tiny rows_per_group → every bucket splits) must not
+    # change results — sub-partials merge exactly in the top-k fold
+    n = ds.count()
+    big = knn_ivf(ds, q, k=5, n_centroids=64, nprobe=64).to_pydict()
+    assert big["vec_id"] == bf["vec_id"]
+    sub = knn_ivf(ds, q, k=5, n_centroids=8, nprobe=8, n_rows=n,
+                  rows_per_group=32).to_pydict()
+    assert sub["vec_id"] == bf["vec_id"]
+    # default n_centroids scales with the corpus (~sqrt)
+    auto = knn_ivf(ds, q, k=5, nprobe=10**9).to_pydict()
+    assert auto["vec_id"] == bf["vec_id"]
 
 
 def test_annotate_documents():
