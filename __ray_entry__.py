@@ -1064,6 +1064,38 @@ def q_dup_clusters_documents(sf_dir: str):
     return dup_clusters(pairs).sort("doc_id")
 
 
+def q_dup_clusters_exact(sf_dir: str):
+    """Transitive EXACT-duplicate clusters with a value-level SQL oracle
+    (r2 verdict #7): duplicates are planted deterministically (two extra
+    copies for doc_id%10==0 / %20==0 — groups of size 2 and 3, CHAIN edges
+    so connected components must actually propagate labels multi-hop), and
+    the cluster of every chain is ``min(doc_id) OVER (PARTITION BY text)``
+    in DuckDB."""
+    import functools
+
+    from nightcrawlercmd_ray.stages.dedup import exact_duplicate_chain_pairs
+    from nightcrawlercmd_ray.stages.graph import dup_clusters
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+
+    def planted(t: pa.Table, mod: int, shift: int) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ids % mod) == 0))
+        new_ids = sub.column("doc_id").to_numpy(zero_copy_only=False) + shift
+        return pa.table({"doc_id": pa.array(new_ids, pa.int64()),
+                         "text": sub.column("text")})
+
+    corpus = ds.union(
+        ds.map_batches(functools.partial(planted, mod=10, shift=10**9),
+                       batch_format="pyarrow"),
+        ds.map_batches(functools.partial(planted, mod=20, shift=2 * 10**9),
+                       batch_format="pyarrow"),
+    )
+    pairs = exact_duplicate_chain_pairs(corpus, n_rows=_parquet_rows(path))
+    return dup_clusters(pairs).sort("doc_id")
+
+
 def q_doc_chain_components(sf_dir: str):
     """Connected components, SQL-oracled: edges link consecutive doc_ids
     with the same lang (a deterministic self-join both engines can build);
@@ -1304,14 +1336,26 @@ def q_ngram_jaccard_verify(sf_dir: str):
 
 
 def q_knn_ivf_embeddings(sf_dir: str):
-    import ray
-
+    """IVF ANN with FULL probing (nprobe = n_centroids): exhaustive, so the
+    result is provably equal to brute force — SQL-oracled like
+    knn_embeddings — while still exercising the whole IVF machinery
+    (centroid training, bucket shuffle, per-bucket top-k, partial merge).
+    Partial-probe recall is pinned in tests/test_dedup_similarity.py."""
     from nightcrawlercmd_ray.stages.similarity import knn_ivf
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet")
-    qrows = [r for r in ds.take(50) if r["vec_id"] < 3]
+    qrows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
     q = np.array([r["embedding"] for r in qrows], dtype=np.float32)
-    return knn_ivf(ds, q, k=5, n_centroids=8, nprobe=3)
+    out = knn_ivf(ds, q, k=5, n_centroids=8, nprobe=8)
+    qids = [qrows[i]["vec_id"] for i in out.column("query_id").to_pylist()]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "vec_id": out.column("vec_id"),
+        }
+    )
 
 
 def q_annotate_documents(sf_dir: str):
@@ -1637,6 +1681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_planted_pairs": q_jaccard_planted_pairs,
         "dedup_lines_documents": q_dedup_lines_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "dup_clusters_exact": q_dup_clusters_exact,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -1650,7 +1696,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "cleanroom_documents": q_cleanroom_documents,
-        "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "annotate_documents": q_annotate_documents,
         "fuzz_payloads": q_fuzz_payloads,
         "media_features": q_media_features,
@@ -2046,6 +2091,39 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "dup_clusters_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000000, text FROM documents
+              WHERE doc_id % 20 = 0
+            ), g AS (
+              SELECT doc_id,
+                     CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT)
+                         AS cluster_id,
+                     count(*) OVER (PARTITION BY text) AS n
+              FROM corpus
+            )
+            SELECT doc_id, cluster_id FROM g WHERE n >= 2 ORDER BY doc_id
+        """,
+        "knn_ivf_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id
+            FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                    e.vec_id ASC
+                       ) AS rk
+                FROM q CROSS JOIN embeddings e
+            )
+            WHERE rk <= 5
         """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -103,7 +103,7 @@ def run_bench() -> dict:
     from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
     from nightcrawlercmd_ray.pipelines.crawl import (
         CrawlRun,
-        collect_robots,
+        collect_robots_from_store,
         prepare_pagestore,
     )
 
@@ -127,7 +127,12 @@ def run_bench() -> dict:
     # levels; extraction compute dominates, the per-wave floor amortizes
     params = CrawlParams(seeds=seeds, window_ms=3_600_000, default_delay_ms=500)
     run = CrawlRun(store, params, num_shards=16)
-    run.install_robots(collect_robots(f"{corpus}/pages.parquet", 16))
+    rules = collect_robots_from_store(store, 16)
+    if rules is None:  # legacy store prepped before the robots sidecar
+        from nightcrawlercmd_ray.pipelines.crawl import collect_robots
+
+        rules = collect_robots(f"{corpus}/pages.parquet", 16)
+    run.install_robots(rules)
     run.seed()
     run.stats()  # touch every shard actor so spawn cost stays untimed
 

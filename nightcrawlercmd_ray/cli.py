@@ -62,7 +62,7 @@ def cmd_crawler(argv: list[str]) -> int:
 
     _ray_session()
     from .oracle.crawl_oracle import CrawlParams
-    from .pipelines.crawl import CrawlRun, collect_robots, run_crawl
+    from .pipelines.crawl import CrawlRun, run_crawl
 
     seeds = []
     if a.url:

@@ -109,14 +109,34 @@ def prepare_pagestore(
     fetch_meta_path: str | None,
     out_dir: str,
     num_buckets: int = 32,
+    rows_per_run: int = 65536,
 ) -> dict:
     """One-time hash-partition of the page universe by ``url_hash % B``.
 
     Ray Data shuffle: add the bucket column vectorized, then one
-    ``groupby(bucket).map_groups`` writes each bucket as its own Parquet dir —
-    the resumable, prunable layout every later fetch join relies on.
+    ``groupby`` writes each bucket — the resumable, prunable layout every
+    later fetch join relies on. Scale shape (r2 verdict #2/#6 fixes):
+
+    - the shuffle key is ``(bucket, sub)`` with enough url-hash sub-splits
+      that NO task ever holds more than ~``rows_per_run`` pages (the old
+      one-task-per-bucket write held corpus/B rows — ~3 TB/task at 100 TB);
+      each sub-split becomes an independent hash-sorted run file inside the
+      bucket dir, and point reads search every run (run count is bounded:
+      runs = corpus / rows_per_run, spread over B dirs);
+    - per-host ``/robots.txt`` rows are extracted into a tiny sidecar
+      DURING this (single) scan — the old design paid a second full-corpus
+      scan + a driver-side parse in ``collect_robots``.
     """
     os.makedirs(out_dir, exist_ok=True)
+
+    def _num_rows(p: str) -> int:  # footer-only; p may be a shard directory
+        if os.path.isdir(p):
+            return sum(_num_rows(os.path.join(p, f))
+                       for f in os.listdir(p) if f.endswith(".parquet"))
+        return pq.ParquetFile(p).metadata.num_rows
+
+    n_rows_total = _num_rows(pages_path)
+    n_sub = max(1, -(-n_rows_total // max(1, num_buckets) // rows_per_run))
 
     def write_source(path: str, sub: str, columns: list[str] | None) -> int:
         from ..util import read_parquet_clean
@@ -124,21 +144,23 @@ def prepare_pagestore(
         ds = read_parquet_clean(path, columns=columns)
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            b = np.fromiter(
-                (url_hash(u) % num_buckets for u in t.column("url").to_pylist()),
-                dtype=np.int32,
-                count=t.num_rows,
+            h = np.fromiter(
+                (url_hash(u) for u in t.column("url").to_pylist()),
+                dtype=np.uint64, count=t.num_rows,
             )
-            return t.append_column("bucket", pa.array(b, pa.int32()))
+            g = (h % num_buckets) * n_sub + (h >> np.uint64(32)) % n_sub
+            return (t.append_column("_g", pa.array(g.astype(np.int64)))
+                     .append_column("_uh", pa.array(h)))
 
         def write_group_blob(t: pa.Table) -> pa.Table:
-            """Pages bucket as raw hash-ordered blobs + offset index: a wave
+            """Pages run as raw hash-ordered blobs + offset index: a wave
             point-read is searchsorted + two page-cache slices per row —
             no parquet decode, no row-group overshoot (read amplification
             1.0; the parquet variant decoded whole 64-row groups, ~3× the
             wanted bytes, and its decode CPU inflated 2.5× under 16-way
             occupancy — the round-2 scaling limiter)."""
-            bucket = int(t.column("bucket")[0].as_py())
+            g = int(t.column("_g")[0].as_py())
+            bucket, run = g // n_sub, g % n_sub
             d = f"{out_dir}/{sub}/bucket={bucket}"
             os.makedirs(d, exist_ok=True)
             urls = t.column("url").to_pylist()
@@ -147,7 +169,7 @@ def prepare_pagestore(
                 for x in t.column("html").to_pylist()
             ]
             n = len(urls)
-            h = np.fromiter((url_hash(u) for u in urls), np.uint64, count=n)
+            h = t.column("_uh").to_numpy(zero_copy_only=False).astype(np.uint64)
             order = np.argsort(h, kind="stable")
             ub = [urls[i].encode("utf-8") for i in order]
             hb = [htmls[i] for i in order]
@@ -158,30 +180,40 @@ def prepare_pagestore(
             if n:
                 np.cumsum(ln[:-1], out=off[1:])
                 np.cumsum(uln[:-1].astype(np.int64), out=uoff[1:])
-            with open(f"{d}/pages.blob", "wb") as f:
+            tag = "" if n_sub == 1 else f"-{run:04d}"
+            with open(f"{d}/pages{tag}.blob", "wb") as f:
                 f.write(b"".join(hb))
-            with open(f"{d}/urls.blob", "wb") as f:
+            with open(f"{d}/urls{tag}.blob", "wb") as f:
                 f.write(b"".join(ub))
-            np.savez(f"{d}/index2.npz", h=h[order], off=off, ln=ln,
+            np.savez(f"{d}/index2{tag}.npz", h=h[order], off=off, ln=ln,
                      uoff=uoff, uln=uln)
-            return pa.table({"bucket": pa.array([bucket], pa.int32()),
-                             "rows": pa.array([n], pa.int64())})
+            # robots sidecar: the per-host /robots.txt bodies found in this
+            # run (a tiny fraction) — parsed later in tasks, never a second
+            # corpus scan (r2 verdict #3 fix)
+            mask = pc.ends_with(t.column("url"), pattern="/robots.txt")
+            if pc.any(mask).as_py():
+                rt = t.filter(mask).select(["url", "html"])
+                rd = f"{out_dir}/robots"
+                os.makedirs(rd, exist_ok=True)
+                pq.write_table(rt, f"{rd}/b{bucket:05d}{tag}.parquet")
+            return pa.table({"rows": pa.array([n], pa.int64())})
 
         def write_group_parquet(t: pa.Table) -> pa.Table:
-            bucket = int(t.column("bucket")[0].as_py())
+            g = int(t.column("_g")[0].as_py())
+            bucket, run = g // n_sub, g % n_sub
             d = f"{out_dir}/{sub}/bucket={bucket}"
             os.makedirs(d, exist_ok=True)
-            sorted_t = t.drop_columns(["bucket"]).sort_by("url")
-            pq.write_table(sorted_t, f"{d}/part.parquet",
+            sorted_t = t.drop_columns(["_g", "_uh"]).sort_by("url")
+            tag = "" if n_sub == 1 else f"-{run:04d}"
+            pq.write_table(sorted_t, f"{d}/part{tag}.parquet",
                            row_group_size=ROW_GROUP_SIZE,
                            compression=STORE_COMPRESSION)
-            return pa.table({"bucket": pa.array([bucket], pa.int32()),
-                             "rows": pa.array([t.num_rows], pa.int64())})
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
         write_group = write_group_blob if sub == "pages" else write_group_parquet
         out = (
             ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
+            .groupby("_g")
             .map_groups(write_group, batch_format="pyarrow")
         )
         return int(sum(r["rows"] for r in out.take_all()))
@@ -190,15 +222,57 @@ def prepare_pagestore(
     n_meta = 0
     if fetch_meta_path and os.path.exists(fetch_meta_path):
         n_meta = write_source(fetch_meta_path, "meta", None)
-    manifest = {"num_buckets": num_buckets, "n_pages": n_pages, "n_meta": n_meta}
+    os.makedirs(f"{out_dir}/robots", exist_ok=True)  # may be empty: no robots
+    manifest = {"num_buckets": num_buckets, "n_pages": n_pages,
+                "n_meta": n_meta, "n_sub": n_sub,
+                "rows_per_run": rows_per_run, "robots_sidecar": True}
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f)
     return manifest
 
 
+@ray.remote
+def _parse_robots_file(path: str, num_shards: int) -> list[dict]:
+    """Parse one robots-sidecar parquet IN A TASK → per-shard rule dicts."""
+    from ..state.robots import robots_url
+
+    t = pq.read_table(path)
+    per_shard: list[dict] = [{} for _ in range(num_shards)]
+    for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        host = host_of(u)
+        # exact match only (mirrors crawl_oracle.robots_for) — a deep path
+        # like /a/robots.txt or an https variant must not shadow the rules
+        if not host or u != robots_url(host):
+            continue
+        per_shard[shard_of(host, num_shards)][host] = parse_robots(h)
+    return per_shard
+
+
+def collect_robots_from_store(store_dir: str, num_shards: int) -> list[dict] | None:
+    """Per-host robots rules from the pagestore's prep-time sidecar — no
+    corpus scan at all (the rows were extracted during the single prep pass,
+    r2 verdict #3 fix) and parsing runs in parallel tasks. Rules stay
+    SHARDED: one {host: RobotsRules} dict per frontier shard. Returns None
+    for legacy stores without the sidecar (caller falls back to
+    :func:`collect_robots`)."""
+    rd = f"{store_dir}/robots"
+    if not os.path.isdir(rd):
+        return None
+    files = sorted(f"{rd}/{f}" for f in os.listdir(rd) if f.endswith(".parquet"))
+    per_shard: list[dict] = [{} for _ in range(num_shards)]
+    for parts in ray.get(
+        [_parse_robots_file.remote(p, num_shards) for p in files]
+    ):
+        for i, d in enumerate(parts):
+            per_shard[i].update(d)
+    return per_shard
+
+
 def collect_robots(pages_path: str, num_shards: int) -> list[dict]:
     """Pre-scan the universe for per-host /robots.txt bodies (tiny fraction of
     rows — pruned at the read to two columns) and parse them driver-side.
+    LEGACY path for corpora without a prepped pagestore — prefer
+    :func:`collect_robots_from_store` (no extra scan, task-side parse).
     Returns one {host: RobotsRules} dict per frontier shard."""
     from ..util import read_parquet_clean
 
@@ -285,12 +359,22 @@ def _read_buckets(
         # searchsorted + one os.pread per wanted row (page-cache direct; NOT
         # mmap, whose per-4K-page fault cost on this VM is ~6-15× a pread
         # and re-paid per worker process). The (small) url strings are
-        # decoded once per worker and cached with the index.
+        # decoded once per worker and cached with the index. A bucket holds
+        # one or more hash-sorted RUNS (sub-splits from pagestore prep so no
+        # prep task ever held more than ~rows_per_run pages); each run is
+        # searched independently — a wanted hash lives in exactly one run
+        # (the sub key is a deterministic function of the hash), so the only
+        # cross-run cost is the extra searchsorted (~log of run rows).
+        def _list_runs(bdir: str):
+            return sorted(f for f in os.listdir(bdir)
+                          if f.startswith("index2") and f.endswith(".npz"))
+
         def _load_idx2(p: str):
             with np.load(p) as z:
                 idx = {k: z[k] for k in z.files}
             bdir = os.path.dirname(p)
-            with open(os.path.join(bdir, "urls.blob"), "rb") as f:
+            tag = os.path.basename(p)[len("index2"):-len(".npz")]
+            with open(os.path.join(bdir, f"urls{tag}.blob"), "rb") as f:
                 ublob = f.read()
             uoff, uln = idx["uoff"], idx["uln"]
             idx["urls"] = [
@@ -299,31 +383,37 @@ def _read_buckets(
             ]
             return idx
 
-        idx2 = _cached_artifact(os.path.join(d, "index2.npz"), _load_idx2)
-        if idx2 is not None:
-            fobj = _cached_artifact(
-                os.path.join(d, "pages.blob"), lambda p: open(p, "rb")
-            )
-            fd = fobj.fileno()
-            hidx = idx2["h"]
-            lo = np.searchsorted(hidx, want_h, side="left")
-            hi = np.searchsorted(hidx, want_h, side="right")
-            run = hi - lo
-            nz = np.nonzero(run > 0)[0]
-            if nz.size == 0:
-                continue
+        run_files = _cached_artifact(d, _list_runs) or []
+        if run_files:
             out_urls: list[str] = []
             out_html: list[bytes] = []
-            off, ln = idx2["off"], idx2["ln"]
-            urls_idx = idx2["urls"]
             pread = os.pread
-            for j in nz:
-                for r in range(int(lo[j]), int(hi[j])):  # equal-hash runs
-                    u = urls_idx[r]
-                    if u not in want:  # hash collision: exact check wins
-                        continue
-                    out_urls.append(u)
-                    out_html.append(pread(fd, int(ln[r]), int(off[r])))
+            for rf in run_files:
+                idx2 = _cached_artifact(os.path.join(d, rf), _load_idx2)
+                if idx2 is None:
+                    continue
+                tag = rf[len("index2"):-len(".npz")]
+                fobj = _cached_artifact(
+                    os.path.join(d, f"pages{tag}.blob"),
+                    lambda p: open(p, "rb"),
+                )
+                fd = fobj.fileno()
+                hidx = idx2["h"]
+                lo = np.searchsorted(hidx, want_h, side="left")
+                hi = np.searchsorted(hidx, want_h, side="right")
+                runlen = hi - lo
+                nz = np.nonzero(runlen > 0)[0]
+                if nz.size == 0:
+                    continue
+                off, ln = idx2["off"], idx2["ln"]
+                urls_idx = idx2["urls"]
+                for j in nz:
+                    for r in range(int(lo[j]), int(hi[j])):  # equal-hash runs
+                        u = urls_idx[r]
+                        if u not in want:  # hash collision: exact check wins
+                            continue
+                        out_urls.append(u)
+                        out_html.append(pread(fd, int(ln[r]), int(off[r])))
             if out_urls:
                 tables.append(pa.table({
                     "url": pa.array(out_urls, pa.string()),
@@ -487,12 +577,20 @@ def fetch_extract_bucket(
     uh_arr = wave_slice.column("url_hash").to_numpy(zero_copy_only=False)
     pages_t = _read_buckets(store_dir, "pages", buckets, urls,
                             columns=["url", "html"], url_hashes=uh_arr)
-    # meta sidecar buckets are tiny — worker-cached whole, filtered per wave
+    # meta sidecar buckets are tiny — worker-cached whole (all run files of
+    # the bucket concatenated once), filtered per wave
+    def _load_meta_dir(bdir: str):
+        parts = sorted(f for f in os.listdir(bdir)
+                       if f.startswith("part") and f.endswith(".parquet"))
+        if not parts:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(bdir, f)) for f in parts])
+
     want_arr = pa.array(urls, pa.string())
     meta_parts = []
     for b in buckets:
-        mt = _cached_artifact(f"{store_dir}/meta/bucket={b}/part.parquet",
-                              pq.read_table)
+        mt = _cached_artifact(f"{store_dir}/meta/bucket={b}", _load_meta_dir)
         if mt is not None:
             meta_parts.append(
                 mt.filter(pc.is_in(mt.column("url"), value_set=want_arr))
@@ -641,7 +739,8 @@ class CrawlRun:
                  num_shards: int = 8, seen_filter: str = "cuckoo",
                  seen_capacity: int = 1 << 20, keep_seen_log: bool = False,
                  checkpoint_dir: str | None = None, checkpoint_every: int = 8,
-                 dedup_sharding: str = "url"):
+                 dedup_sharding: str = "url",
+                 drop_refs_after_checkpoint: bool = False):
         self.store_dir = store_dir
         self.params = params
         self.num_shards = num_shards
@@ -675,6 +774,15 @@ class CrawlRun:
         self.links_refs: list = []
         self.wave_timings: list[dict] = []  # per-wave phase breakdown (sec)
         self._ckpt_write_refs: list = []  # in-flight wave-parquet write tasks
+        # waves whose outputs live ONLY in checkpoint parquet (re-exposed
+        # lazily via read_parquet — never through driver memory)
+        self._spilled_wave_dirs: list[str] = []
+        self._ckpt_pending_dirs: list[str] = []  # written since last durable cut
+        # at 100 TB the crawl product must not pin the object store for the
+        # run's lifetime: with this flag, once a wave's parquet is durable its
+        # block refs are dropped and consumers read the checkpoint lazily
+        self.drop_refs_after_checkpoint = bool(
+            drop_refs_after_checkpoint and checkpoint_dir)
         self.fetched_total = 0
         self.wave = 0
         self.scope_dropped = 0
@@ -847,15 +955,33 @@ class CrawlRun:
         return self
 
     # -- outputs ------------------------------------------------------------
+    def _wave_dataset(self, refs: list, fname: str, schema: pa.Schema):
+        """Combine spilled checkpoint waves (lazy worker-side read_parquet —
+        the r2 verdict #1 fix: never ``ray.put(pq.read_table(...))`` per wave
+        through driver memory) with the live in-object-store wave refs."""
+        parts = []
+        if self._spilled_wave_dirs:
+            # partitioning=None: the wave=NNNNNN dir names must not be
+            # hive-inferred into an extra partition column
+            parts.append(ray.data.read_parquet(
+                [f"{d}/{fname}" for d in self._spilled_wave_dirs],
+                partitioning=None))
+        if refs:
+            parts.append(ray.data.from_arrow_refs(list(refs)))
+        if not parts:
+            return ray.data.from_arrow(schema.empty_table())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     def fetches_dataset(self):
-        if not self.fetch_refs:
-            return ray.data.from_arrow(FETCH_SCHEMA.empty_table())
-        return ray.data.from_arrow_refs(list(self.fetch_refs))
+        return self._wave_dataset(self.fetch_refs, "fetches.parquet",
+                                  FETCH_SCHEMA)
 
     def links_dataset(self):
-        if not self.links_refs:
-            return ray.data.from_arrow(LINKS_SCHEMA.empty_table())
-        return ray.data.from_arrow_refs(list(self.links_refs))
+        return self._wave_dataset(self.links_refs, "links.parquet",
+                                  LINKS_SCHEMA)
 
     def stats(self) -> dict:
         per_shard = ray.get([s.stats.remote() for s in self.shards])
@@ -886,12 +1012,20 @@ class CrawlRun:
             _write_wave_ckpt_task.remote(d, len(fetch_refs),
                                          *fetch_refs, *links_refs)
         )
+        self._ckpt_pending_dirs.append(d)
 
     def checkpoint(self) -> None:
         """Durable cut at a wave boundary: per-shard state + lineage manifest."""
         if self._ckpt_write_refs:  # all wave parquet durable before MANIFEST
             ray.get(self._ckpt_write_refs)
             self._ckpt_write_refs.clear()
+        if self.drop_refs_after_checkpoint and self._ckpt_pending_dirs:
+            # every accumulated ref belongs to a wave now durable on disk:
+            # release the object-store copies; consumers re-read lazily
+            self._spilled_wave_dirs.extend(self._ckpt_pending_dirs)
+            self.fetch_refs.clear()
+            self.links_refs.clear()
+        self._ckpt_pending_dirs.clear()
         d = f"{self.checkpoint_dir}/shards"
         os.makedirs(d, exist_ok=True)
         blobs = ray.get([s.checkpoint_bytes.remote() for s in self.shards])
@@ -945,15 +1079,18 @@ class CrawlRun:
             merged.update(r)
         run._robots_rules = merged
         run._robots_ref = ray.put(merged)
-        # prior waves' outputs live in the checkpoint parquet; re-expose as refs
+        # prior waves' outputs live in the checkpoint parquet; re-expose them
+        # LAZILY (read_parquet in fetches_dataset) — the r2 design re-loaded
+        # every wave through driver memory with ray.put(pq.read_table(...)),
+        # a driver OOM at the 10^10-URL design point. Driver state here is
+        # just the directory names.
         import glob
 
         for d in sorted(glob.glob(f"{checkpoint_dir}/waves/wave=*")):
             wave_idx = int(d.rsplit("=", 1)[1])
             if wave_idx >= run.wave:
                 continue  # wave written but not covered by the shard snapshot
-            run.fetch_refs.append(ray.put(pq.read_table(f"{d}/fetches.parquet")))
-            run.links_refs.append(ray.put(pq.read_table(f"{d}/links.parquet")))
+            run._spilled_wave_dirs.append(d)
         return run
 
 
@@ -969,6 +1106,7 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     max_waves: int = 100_000,
     dedup_sharding: str = "url",
+    rows_per_run: int = 65536,
 ) -> CrawlRun:
     """Convenience entry: prep page store (if needed) + robots + seed + run."""
     store = store_dir or f"{corpus_dir}/_pagestore"
@@ -978,6 +1116,7 @@ def run_crawl(
             f"{corpus_dir}/fetch_meta.parquet",
             store,
             num_buckets=num_buckets,
+            rows_per_run=rows_per_run,
         )
     run = CrawlRun(
         store, params, num_shards=num_shards, seen_filter=seen_filter,
@@ -985,6 +1124,9 @@ def run_crawl(
         dedup_sharding=dedup_sharding,
     )
     if params.respect_robots:
-        run.install_robots(collect_robots(f"{corpus_dir}/pages.parquet", num_shards))
+        rules = collect_robots_from_store(store, num_shards)
+        if rules is None:  # legacy store without the prep-time sidecar
+            rules = collect_robots(f"{corpus_dir}/pages.parquet", num_shards)
+        run.install_robots(rules)
     run.seed()
     return run.run(max_waves=max_waves)

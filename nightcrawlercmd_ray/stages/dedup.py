@@ -149,6 +149,51 @@ def exact_duplicate_ids(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def exact_duplicate_chain_pairs(ds, text_col: str = "text",
+                                id_col: str = "doc_id", *,
+                                num_partitions: int | None = None,
+                                n_rows: int | None = None):
+    """→ Dataset(doc_id, dup_of) CHAIN edges over exact-duplicate groups:
+    each non-winner links to its PREDECESSOR in the id-sorted equal-text run
+    (not to the min id), so a k-way duplicate group becomes a (k-1)-hop path.
+    This is the shape that actually exercises transitive connected
+    components downstream — star edges converge in one propagation round;
+    chains need O(log k) — while remaining SQL-oracle-able (the component of
+    every chain is still ``min(doc_id) over (partition by text)``). Same
+    coarse-partition machinery as :func:`exact_duplicate_ids` (a text
+    group's rows always co-locate: the partition key is a function of the
+    content hash)."""
+    P = _num_coarse_partitions(ds, num_partitions, n_rows,
+                               rows_per_partition=262144)
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        h1, h2 = _content_hashes(t.column(text_col))
+        coarse = (h1.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t.column(id_col), pa.int64()),
+            "_h1": pa.array(h1), "_h2": pa.array(h2),
+            "_coarse": pa.array(coarse),
+        })
+
+    def partition_chains(g: pa.Table) -> pa.Table:
+        h1 = g.column("_h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("_h2").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order, first = _first_of_hash_runs(h1, h2, ids)
+        s_ids = ids[order]
+        tail = np.nonzero(~first)[0]
+        return pa.table({
+            "doc_id": pa.array(s_ids[tail], pa.int64()),
+            "dup_of": pa.array(s_ids[tail - 1], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(partition_chains, batch_format="pyarrow")
+    )
+
+
 def minhash_band_rows(t: pa.Table, *, text_col: str, id_col: str, num_perm: int,
                       k: int, num_bands: int, seed: int) -> pa.Table:
     """text → (doc_id, band_id, band_hash, sig bytes). Stateless task (the

@@ -182,3 +182,39 @@ def test_url_sharded_dedup_balances_hot_host(tmp_path):
     assert sum(seen) > 100
     # uniform-ish: no shard holds more than ~2x the mean
     assert max(seen) <= 2 * (sum(seen) / len(seen))
+
+
+def test_multirun_pagestore_matches_single_run(tiny_corpus, tmp_path):
+    """r2 verdict #6: prep sub-splits buckets into bounded runs (no task
+    holds more than ~rows_per_run pages). A store forced to many runs per
+    bucket must (a) actually have them, (b) extract the robots sidecar, and
+    (c) crawl bit-equal to the single-run store."""
+    import glob
+    import json
+    import os
+
+    from nightcrawlercmd_ray.pipelines.crawl import collect_robots_from_store
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    single = run_crawl(tiny_corpus["dir"], params,
+                       store_dir=str(tmp_path / "store1"),
+                       num_shards=2, num_buckets=2, seen_filter="exact")
+    multi_store = str(tmp_path / "storeN")
+    multi = run_crawl(tiny_corpus["dir"], params, store_dir=multi_store,
+                      num_shards=2, num_buckets=2, seen_filter="exact",
+                      rows_per_run=16)
+    m = json.load(open(f"{multi_store}/manifest.json"))
+    assert m["n_sub"] > 1
+    runs = glob.glob(f"{multi_store}/pages/bucket=0/index2-*.npz")
+    assert len(runs) > 1  # bucket really split into multiple runs
+    # every run is bounded by ~rows_per_run (hash split is not exact — 4×
+    # slack guards against a skewed tiny sample, still far below bucket size)
+    for rf in glob.glob(f"{multi_store}/pages/bucket=*/index2-*.npz"):
+        import numpy as np
+        with np.load(rf) as z:
+            assert len(z["h"]) <= 16 * 4
+    # robots sidecar exists and parses to the same sharded rules
+    rules = collect_robots_from_store(multi_store, 2)
+    assert rules is not None and sum(len(r) for r in rules) > 0
+    ef, mf = _engine_frame(single), _engine_frame(multi)
+    pd.testing.assert_frame_equal(mf[ORDER_COLS], ef[ORDER_COLS])
