@@ -126,7 +126,10 @@ def run_bench() -> dict:
     # one BSP round ≈ one logical hour of politeness budget → waves are BFS
     # levels; extraction compute dominates, the per-wave floor amortizes
     params = CrawlParams(seeds=seeds, window_ms=3_600_000, default_delay_ms=500)
-    run = CrawlRun(store, params, num_shards=16)
+    # GRAFT_EMIT_TEXT=0: extraction still runs, text not shipped in blocks —
+    # the documented bytes/page lever for the bus-bound 16-CPU band
+    emit_text = os.environ.get("GRAFT_EMIT_TEXT", "1") != "0"
+    run = CrawlRun(store, params, num_shards=16, emit_text=emit_text)
     rules = collect_robots_from_store(store, 16)
     if rules is None:  # legacy store prepped before the robots sidecar
         from nightcrawlercmd_ray.pipelines.crawl import collect_robots

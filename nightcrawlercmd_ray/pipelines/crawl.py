@@ -548,6 +548,7 @@ def fetch_extract_bucket(
     robots_ref=None,
     dedup_url_sharding: bool = True,
     push_candidates: bool = True,
+    emit_text: bool = True,
 ):
     """Fetch a group of page-store buckets' share of the wave and extract.
 
@@ -639,7 +640,11 @@ def fetch_extract_bucket(
         f_cols["content_type"].append(o.content_type)
         f_cols["error"].append(o.error)
         f_cols["n_links"].append(o.n_links)
-        f_cols["text"].append(o.text)
+        # emit_text=False: the text IS still extracted (the metric is
+        # scheduled+extracted URLs/sec and the one-pass parse assembles it
+        # anyway) but not SHIPPED — the r2 verdict #8 bytes/page lever for
+        # the bus-bound 16-CPU band when no downstream consumer reads it
+        f_cols["text"].append(o.text if emit_text else "")
         f_cols["title"].append(o.title)
         for raw, abs_url, same in o.links:
             l_cols["src_url"].append(url)
@@ -740,7 +745,8 @@ class CrawlRun:
                  seen_capacity: int = 1 << 20, keep_seen_log: bool = False,
                  checkpoint_dir: str | None = None, checkpoint_every: int = 8,
                  dedup_sharding: str = "url",
-                 drop_refs_after_checkpoint: bool = False):
+                 drop_refs_after_checkpoint: bool = False,
+                 emit_text: bool = True):
         self.store_dir = store_dir
         self.params = params
         self.num_shards = num_shards
@@ -783,6 +789,7 @@ class CrawlRun:
         # block refs are dropped and consumers read the checkpoint lazily
         self.drop_refs_after_checkpoint = bool(
             drop_refs_after_checkpoint and checkpoint_dir)
+        self.emit_text = emit_text
         self.fetched_total = 0
         self.wave = 0
         self.scope_dropped = 0
@@ -900,6 +907,7 @@ class CrawlRun:
                 self._robots_ref if self.params.respect_robots else None,
                 self.dedup_sharding == "url",
                 not truncated,
+                self.emit_text,
             )
             for start, length, bks in plan["groups"]
         ]

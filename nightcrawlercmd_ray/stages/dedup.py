@@ -554,14 +554,19 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
         return t.append_column("_c", pa.array((key % P).astype(np.int64)))
 
     def attach_text(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        texts = df[df["_side"] == 2][["_key", "_text"]]
-        sides = df[df["_side"] != 2][["_key", "_p_doc", "_p_dup", "_side"]]
+        # split sides at the ARROW level before pandas: the text rows carry
+        # null _p_doc/_p_dup, and a mixed to_pandas() would coerce those
+        # int64 columns to float64 (silently corrupting 63-bit ids — the
+        # same hazard ADVICE r2 flagged in stages/joins.py)
+        side = g.column("_side")
+        texts = g.filter(pc.equal(side, 2)).select(["_key", "_text"]).to_pandas()
+        sides = g.filter(pc.not_equal(side, 2)).select(
+            ["_key", "_p_doc", "_p_dup", "_side"]).to_pandas()
         m = sides.merge(texts, on="_key", how="inner")
         return pa.table({
-            "_p_doc": pa.array(m["_p_doc"].astype("int64"), pa.int64()),
-            "_p_dup": pa.array(m["_p_dup"].astype("int64"), pa.int64()),
-            "_side": pa.array(m["_side"].astype("int8"), pa.int8()),
+            "_p_doc": pa.array(m["_p_doc"], pa.int64(), from_pandas=True),
+            "_p_dup": pa.array(m["_p_dup"], pa.int64(), from_pandas=True),
+            "_side": pa.array(m["_side"], pa.int8(), from_pandas=True),
             "_text": pa.array(m["_text"].tolist(), pa.string()),
         })
 

@@ -218,3 +218,29 @@ def test_multirun_pagestore_matches_single_run(tiny_corpus, tmp_path):
     assert rules is not None and sum(len(r) for r in rules) > 0
     ef, mf = _engine_frame(single), _engine_frame(multi)
     pd.testing.assert_frame_equal(mf[ORDER_COLS], ef[ORDER_COLS])
+
+
+def test_emit_text_off_identical_except_text(tiny_corpus, tmp_path):
+    """emit_text=False ships empty text but extraction/scheduling must be
+    IDENTICAL: same rows, same order, same links, text column empty."""
+    from nightcrawlercmd_ray.pipelines.crawl import (
+        CrawlRun,
+        collect_robots_from_store,
+    )
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    store = str(tmp_path / "store")
+    on = run_crawl(tiny_corpus["dir"], params, store_dir=store,
+                   num_shards=2, num_buckets=4, seen_filter="exact")
+    off = CrawlRun(store, params, num_shards=2, seen_filter="exact",
+                   emit_text=False)
+    off.install_robots(collect_robots_from_store(store, 2))
+    off.seed()
+    off.run()
+    fa = _engine_frame(on)
+    fb = _engine_frame(off)
+    pd.testing.assert_frame_equal(fb[ORDER_COLS], fa[ORDER_COLS])
+    tb = off.fetches_dataset().to_pandas()
+    assert (tb["text"] == "").all()
+    ta = on.fetches_dataset().to_pandas()
+    assert (ta["text"] != "").any()

@@ -298,3 +298,23 @@ def test_group_vector_sums_matches_numpy(nparts):
         want = q[labels == lab].sum(axis=0)
         assert sel["qsum"].tolist() == want.tolist()
         assert (sel["n"] == int((labels == lab).sum())).all()
+
+
+def test_ngram_jaccard_pairs_63bit_ids():
+    """attach_text must not route 63-bit ids through float64 (the ADVICE r2
+    joins hazard, same shape here: text rows carry null pair columns)."""
+    from nightcrawlercmd_ray.stages.dedup import ngram_jaccard_pairs
+
+    big = 4611686018427400249
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([big, big + 2], pa.int64()),
+        "text": pa.array(["a b c d e f g", "a b c d e f g"], pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([big + 2], pa.int64()),
+        "dup_of": pa.array([big], pa.int64()),
+    }))
+    out = ngram_jaccard_pairs(docs, pairs, k=3).to_pandas()
+    assert out["doc_id"].tolist() == [big + 2]
+    assert out["dup_of"].tolist() == [big]
+    assert out["jaccard"].tolist() == [1.0]
