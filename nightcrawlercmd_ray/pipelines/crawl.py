@@ -746,7 +746,8 @@ class CrawlRun:
                  checkpoint_dir: str | None = None, checkpoint_every: int = 8,
                  dedup_sharding: str = "url",
                  drop_refs_after_checkpoint: bool = False,
-                 emit_text: bool = True):
+                 emit_text: bool = True,
+                 robots_gate: str = "task"):
         self.store_dir = store_dir
         self.params = params
         self.num_shards = num_shards
@@ -755,6 +756,20 @@ class CrawlRun:
         self.checkpoint_every = checkpoint_every
         with open(f"{store_dir}/manifest.json") as f:
             self.num_buckets = json.load(f)["num_buckets"]
+        # robots_gate="task" (default): candidates are gated in the parallel
+        # fetch tasks against a merged broadcast rules dict — the fast mode
+        # while the ruleset fits a broadcast. robots_gate="seal": the gate
+        # runs at each HOST-owning shard's seal with only that shard's rules
+        # — rules stay sharded end-to-end (the 10^8-host mode, no merged
+        # dict anywhere, driver included). Seal mode requires host sharding:
+        # in url mode the dedup shard is keyed by url hash and would need
+        # every host's rules.
+        if robots_gate not in ("task", "seal"):
+            raise ValueError(f"robots_gate must be 'task' or 'seal', got {robots_gate!r}")
+        if robots_gate == "seal" and dedup_sharding != "host":
+            raise ValueError("robots_gate='seal' requires dedup_sharding='host' "
+                             "(the gate runs at the host-owning shard)")
+        self.robots_gate = robots_gate
         fc = FrontierConfig(
             num_shards=num_shards,
             default_delay_ms=params.default_delay_ms,
@@ -764,9 +779,7 @@ class CrawlRun:
             seen_capacity=seen_capacity,
             keep_seen_log=keep_seen_log,
             respect_robots=params.respect_robots,
-            # gating happens in the parallel fetch tasks (robots rules are
-            # broadcast); shards keep rules only for Crawl-delay politeness
-            robots_gate_in_seal=False,
+            robots_gate_in_seal=(robots_gate == "seal"),
             dedup_sharding=dedup_sharding,
         )
         self.dedup_sharding = dedup_sharding
@@ -805,9 +818,15 @@ class CrawlRun:
 
     # -- setup --------------------------------------------------------------
     def install_robots(self, per_shard_rules: list[dict]) -> None:
-        # shards need rules for Crawl-delay; fetch tasks get the merged dict
-        # broadcast once for the (parallel) allow/deny gate
+        # shards always get THEIR OWN hosts' rules (Crawl-delay politeness +
+        # the seal-mode gate). In task mode the fetch tasks additionally get
+        # the merged dict broadcast once for the parallel allow/deny gate;
+        # in seal mode nothing is ever merged — rules stay sharded end-to-end
         ray.get([s.set_robots.remote(r) for s, r in zip(self.shards, per_shard_rules)])
+        if self.robots_gate == "seal":
+            self._robots_rules = {}
+            self._robots_ref = ray.put({})
+            return
         merged: dict = {}
         for r in per_shard_rules:
             merged.update(r)
@@ -904,7 +923,9 @@ class CrawlRun:
                 self.store_dir, (start, length), bks, wave_ref,
                 self._params_ref, self.scope_host, self.num_shards,
                 self._shards_ref,
-                self._robots_ref if self.params.respect_robots else None,
+                self._robots_ref
+                if (self.params.respect_robots and self.robots_gate == "task")
+                else None,
                 self.dedup_sharding == "url",
                 not truncated,
                 self.emit_text,
@@ -1081,12 +1102,14 @@ class CrawlRun:
                 blobs.append(f.read())
         ray.get([s.restore_bytes.remote(b) for s, b in zip(run.shards, blobs)])
         # rebroadcast robots rules to the fetch tasks (shard snapshots carry
-        # them for politeness; the task-side gate needs the merged dict)
-        merged: dict = {}
-        for r in ray.get([s.get_robots.remote() for s in run.shards]):
-            merged.update(r)
-        run._robots_rules = merged
-        run._robots_ref = ray.put(merged)
+        # them for politeness; the task-side gate needs the merged dict).
+        # seal mode keeps rules sharded — nothing to merge.
+        if run.robots_gate == "task":
+            merged: dict = {}
+            for r in ray.get([s.get_robots.remote() for s in run.shards]):
+                merged.update(r)
+            run._robots_rules = merged
+            run._robots_ref = ray.put(merged)
         # prior waves' outputs live in the checkpoint parquet; re-expose them
         # LAZILY (read_parquet in fetches_dataset) — the r2 design re-loaded
         # every wave through driver memory with ray.put(pq.read_table(...)),
@@ -1115,6 +1138,7 @@ def run_crawl(
     max_waves: int = 100_000,
     dedup_sharding: str = "url",
     rows_per_run: int = 65536,
+    robots_gate: str = "task",
 ) -> CrawlRun:
     """Convenience entry: prep page store (if needed) + robots + seed + run."""
     store = store_dir or f"{corpus_dir}/_pagestore"
@@ -1129,7 +1153,7 @@ def run_crawl(
     run = CrawlRun(
         store, params, num_shards=num_shards, seen_filter=seen_filter,
         keep_seen_log=keep_seen_log, checkpoint_dir=checkpoint_dir,
-        dedup_sharding=dedup_sharding,
+        dedup_sharding=dedup_sharding, robots_gate=robots_gate,
     )
     if params.respect_robots:
         rules = collect_robots_from_store(store, num_shards)

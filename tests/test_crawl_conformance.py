@@ -244,3 +244,34 @@ def test_emit_text_off_identical_except_text(tiny_corpus, tmp_path):
     assert (tb["text"] == "").all()
     ta = on.fetches_dataset().to_pandas()
     assert (ta["text"] != "").any()
+
+
+def test_robots_gate_in_seal_matches_oracle(tiny_corpus, tiny_oracle, tmp_path):
+    """robots_gate='seal' (host-sharded; each shard gates with ONLY its own
+    hosts' rules — no merged broadcast anywhere, driver included) must be
+    bit-equal to the oracle and to the task-gated default, with the same
+    seen set and robots_blocked count."""
+    params, res = tiny_oracle
+    run = run_crawl(
+        tiny_corpus["dir"], params, store_dir=str(tmp_path / "store"),
+        num_shards=3, num_buckets=4, seen_filter="exact", keep_seen_log=True,
+        dedup_sharding="host", robots_gate="seal",
+    )
+    # the merged dict was never built on the driver
+    assert run._robots_rules == {}
+    _assert_match(run, res)
+    assert run.seen_urls() == res.seen
+    assert run.stats()["robots_blocked"] == res.counters["robots_blocked"]
+
+
+def test_robots_gate_seal_requires_host_sharding(tiny_corpus, tmp_path):
+    import pytest as _pytest
+
+    from nightcrawlercmd_ray.pipelines.crawl import CrawlRun
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    store = str(tmp_path / "store")
+    run_crawl(tiny_corpus["dir"], params, store_dir=store,
+              num_shards=2, num_buckets=4, seen_filter="exact")  # preps store
+    with _pytest.raises(ValueError):
+        CrawlRun(store, params, num_shards=2, robots_gate="seal")
