@@ -365,6 +365,53 @@ def write_semicolon_csv(ds, path: str, header: list[str] | None) -> int:
     return n
 
 
+def write_semicolon_csv_distributed(ds, path: str, header: list[str] | None,
+                                    *, parts_dir: str | None = None) -> int:
+    """Distributed single-file ``;``-CSV sink — the 100× mode for the
+    reference's one-file-per-report contract (r2 verdict minor note on
+    :func:`write_semicolon_csv`'s driver streaming).
+
+    Each block is CSV-serialized by its own Ray task into an ORDERED part
+    file (block order is the dataset order, so a sorted dataset stays
+    sorted); the driver then concatenates the parts byte-wise
+    (``shutil.copyfileobj`` — it never parses or holds a single row).
+    ``parts_dir`` must be storage every node can write (object store / NFS
+    at cluster scale; /tmp in the sandbox). Returns the row count."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    parts_dir = parts_dir or tempfile.mkdtemp(prefix="nc_csv_parts_")
+    os.makedirs(parts_dir, exist_ok=True)
+
+    @ray.remote
+    def write_part(i: int, block) -> tuple[str, int]:
+        p = f"{parts_dir}/part-{i:06d}.csv"
+        block.to_pandas().to_csv(p, sep=";", header=False, index=False)
+        return p, block.num_rows
+
+    refs, i = [], 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk in bundle.block_refs:
+            refs.append(write_part.remote(i, blk))
+            i += 1
+    parts = ray.get(refs)  # list of (path, rows) in block order
+    if os.path.exists(path):
+        os.remove(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = 0
+    with open(path, "wb") as out:
+        if header:
+            out.write((";".join(header) + "\n").encode("utf-8"))
+        for p, rows in parts:
+            with open(p, "rb") as f:
+                shutil.copyfileobj(f, out, 1 << 20)
+            os.remove(p)
+            n += rows
+    return n
+
+
 def generate_reports(
     corpus_dir: str,
     out_dir: str,

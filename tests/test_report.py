@@ -102,3 +102,25 @@ def test_formtags_and_invalidtags_nonempty(report_out):
     reasons = {r[0] for r in inv}
     assert "InvTag" in reasons and "InvAttribute" in reasons
     assert all(int(r[3]) >= 1 for r in inv)  # line numbers annotated
+
+
+def test_distributed_csv_sink_byte_identical(tiny_corpus, tmp_path):
+    """The distributed single-file CSV sink (ordered per-block part files +
+    byte-wise concat) must produce a byte-identical file to the streaming
+    driver sink, including on a multi-block sorted dataset."""
+    from nightcrawlercmd_ray.pipelines.report import (
+        page_reports_dataset,
+        report_all_urls,
+        write_semicolon_csv,
+        write_semicolon_csv_distributed,
+    )
+
+    pr = page_reports_dataset(tiny_corpus["dir"]).materialize()
+    urls = report_all_urls(pr).sort("href").repartition(5).materialize()
+    a = str(tmp_path / "stream.csv")
+    b = str(tmp_path / "dist.csv")
+    n1 = write_semicolon_csv(urls, a, ["url"])
+    n2 = write_semicolon_csv_distributed(urls, b, ["url"],
+                                         parts_dir=str(tmp_path / "parts"))
+    assert n1 == n2 > 0
+    assert open(a, "rb").read() == open(b, "rb").read()
