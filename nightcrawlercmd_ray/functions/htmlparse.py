@@ -286,11 +286,26 @@ def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
     return endpos, tag, attrs, end == "/>"
 
 
+# Exact-string tag-parse memo: template markup repeats heavily both within a
+# page and across a corpus (nav/footer/boilerplate), so the (tag, attrs)
+# parse of a COMPLETE tag string is cached keyed by the exact text
+# ``html[lt:gt+1]`` (first '>' after '<'). Soundness: an entry is inserted
+# ONLY when the full regex parse consumed exactly that span (endpos == gt+1),
+# and tag parsing depends only on the span's own characters — a string that
+# find('>') truncates mid-quoted-value can never have been inserted (its
+# parse ends elsewhere or bails), so a hit is always byte-exact with stdlib.
+# Cached attrs lists are shared across hits — handlers only read them.
+# Bounded; workers are single-threaded for map fns.
+_TAG_CACHE: dict[str, tuple] = {}
+_TAG_CACHE_MAX = 8192
+
+
 def _fast_parse(html: str, ex: _Extractor) -> bool:
     """Emit the stdlib-identical event stream, or return False to bail."""
     i, n = 0, len(html)
     find = html.find
     hd = ex.handle_data
+    cache = _TAG_CACHE
     while i < n:
         lt = find("<", i)
         if lt < 0:
@@ -302,10 +317,23 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
             hd(_unescape(seg) if "&" in seg else seg)
         c = html[lt + 1] if lt + 1 < n else ""
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            st = _parse_starttag_fast(html, lt)
-            if st is None:
-                return False
-            i, tag, attrs, selfclosing = st
+            gt = find(">", lt + 1)
+            if gt < 0:
+                return False  # incomplete at EOF: stdlib salvage differs
+            cand = html[lt : gt + 1]
+            hit = cache.get(cand)
+            if hit is not None:
+                tag, attrs, selfclosing = hit
+                i = gt + 1
+            else:
+                st = _parse_starttag_fast(html, lt)
+                if st is None:
+                    return False
+                i, tag, attrs, selfclosing = st
+                if i == gt + 1 and len(cand) <= 256:
+                    if len(cache) >= _TAG_CACHE_MAX:
+                        cache.clear()
+                    cache[cand] = (tag, attrs, selfclosing)
             if selfclosing:
                 ex.handle_startendtag(tag, attrs)
                 continue
@@ -322,6 +350,17 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
                 ex.handle_endtag(tag)
                 i = em.end()
         elif c == "/":
+            # fast path for the overwhelming `</name>` shape: a pure-ASCII
+            # alphanumeric name starting with a letter needs no regex (the
+            # name class subset of stdlib endtagfind); anything else — '-',
+            # '.', ':', '_', whitespace padding — takes the exact regex
+            gt = find(">", lt + 2)
+            if gt > lt + 2:
+                seg = html[lt + 2 : gt]
+                if seg.isascii() and seg.isalnum() and seg[0].isalpha():
+                    ex.handle_endtag(seg.lower())
+                    i = gt + 1
+                    continue
             m = _END_RE.match(html, lt)
             if m is None:
                 return False
