@@ -114,7 +114,8 @@ class _Extractor(HTMLParser):
             line = s.strip()
             if line:
                 self._lines.append(line)
-            self._cur = []
+            # clear IN PLACE: _fast_parse holds a bound .append to this list
+            self._cur.clear()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth > 0:
@@ -299,22 +300,57 @@ def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
 _TAG_CACHE: dict[str, tuple] = {}
 _TAG_CACHE_MAX = 8192
 
+# start-tag action codes for the inline dispatch in _fast_parse: stateless
+# effects (href/resource appends, block breaks) run without a handler frame;
+# stateful tags (skip-enter, form/input/title) route to handle_starttag.
+_ACT_NONE, _ACT_HREF, _ACT_RES, _ACT_HANDLER = 0, 1, 2, 3
+_STATEFUL_START = _SKIP_TAGS | {"form", "input", "title"}
+_STATEFUL_END = _SKIP_TAGS | {"form", "title"}
+
+
+def _classify_start(tag: str, attrs: list) -> tuple[int, str | None]:
+    """(action, payload) for the inline start-tag dispatch; must mirror
+    _Extractor.handle_starttag exactly for the stateless tags."""
+    if tag in _STATEFUL_START:
+        return _ACT_HANDLER, None
+    if tag == "a":
+        href = (dict(attrs).get("href") or "").strip()
+        return (_ACT_HREF, href) if href else (_ACT_NONE, None)
+    if tag == "img" or tag == "link":
+        v = (dict(attrs).get("src" if tag == "img" else "href") or "").strip()
+        return (_ACT_RES, v) if v else (_ACT_NONE, None)
+    return _ACT_NONE, None
+
 
 def _fast_parse(html: str, ex: _Extractor) -> bool:
-    """Emit the stdlib-identical event stream, or return False to bail."""
+    """Emit the stdlib-identical event stream, or return False to bail.
+
+    Hot-loop inlining (all behavior-equality enforced by the differential
+    tests): data segments append straight to ``ex._cur`` unless a stateful
+    mode (skip/title) is active; cached start tags carry a precomputed
+    action code so the stateless majority (plain tags, <a href>, <img src>,
+    <link href>) never enters a handler frame; simple ``</name>`` end tags
+    dispatch through two frozenset checks."""
     i, n = 0, len(html)
     find = html.find
     hd = ex.handle_data
+    cur_append = ex._cur.append
     cache = _TAG_CACHE
     while i < n:
         lt = find("<", i)
         if lt < 0:
             seg = html[i:]
-            hd(_unescape(seg) if "&" in seg else seg)
+            if ex._skip_depth == 0 and not ex._in_title:
+                cur_append(_unescape(seg) if "&" in seg else seg)
+            else:
+                hd(_unescape(seg) if "&" in seg else seg)
             return True
         if lt > i:
             seg = html[i:lt]
-            hd(_unescape(seg) if "&" in seg else seg)
+            if ex._skip_depth == 0 and not ex._in_title:
+                cur_append(_unescape(seg) if "&" in seg else seg)
+            else:
+                hd(_unescape(seg) if "&" in seg else seg)
         c = html[lt + 1] if lt + 1 < n else ""
         if "a" <= c <= "z" or "A" <= c <= "Z":
             gt = find(">", lt + 1)
@@ -323,8 +359,17 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
             cand = html[lt : gt + 1]
             hit = cache.get(cand)
             if hit is not None:
-                tag, attrs, selfclosing = hit
+                tag, attrs, selfclosing, action, payload, is_block = hit
                 i = gt + 1
+                if not selfclosing and action != _ACT_HANDLER:
+                    # inline stateless dispatch — no handler frame
+                    if action == _ACT_HREF:
+                        ex.hrefs.append(payload)
+                    elif action == _ACT_RES:
+                        ex.resources.append(payload)
+                    if is_block:
+                        ex._break_line()
+                    continue
             else:
                 st = _parse_starttag_fast(html, lt)
                 if st is None:
@@ -333,7 +378,9 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
                 if i == gt + 1 and len(cand) <= 256:
                     if len(cache) >= _TAG_CACHE_MAX:
                         cache.clear()
-                    cache[cand] = (tag, attrs, selfclosing)
+                    action, payload = _classify_start(tag, attrs)
+                    cache[cand] = (tag, attrs, selfclosing, action, payload,
+                                   tag in _BLOCK_TAGS)
             if selfclosing:
                 ex.handle_startendtag(tag, attrs)
                 continue
@@ -358,7 +405,11 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
             if gt > lt + 2:
                 seg = html[lt + 2 : gt]
                 if seg.isascii() and seg.isalnum() and seg[0].isalpha():
-                    ex.handle_endtag(seg.lower())
+                    tg = seg.lower()
+                    if tg in _STATEFUL_END:
+                        ex.handle_endtag(tg)
+                    elif tg in _BLOCK_TAGS:
+                        ex._break_line()
                     i = gt + 1
                     continue
             m = _END_RE.match(html, lt)
