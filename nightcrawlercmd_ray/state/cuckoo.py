@@ -204,6 +204,93 @@ class CuckooFilter:
         return f
 
 
+class BloomSeenFilter:
+    """Sharded Bloom URL-seen filter — the north rule's other named sketch
+    ("a sharded Bloom/cuckoo URL-seen filter").
+
+    Standard Bloom construction over an m-bit array with k double-hashed
+    probes (Kirsch–Mitzenmacher: idx_i = h1 + i·h2 mod m). Properties:
+
+    - **no false negatives** by construction (bits are only ever set), so a
+      seen URL is never refetched — the dedup invariant;
+    - false positives at ε ≈ (1 - e^(-kn/m))^k; the default 16 bits/key with
+      k=11 gives ε ≈ 5e-4 at full load — denser than cuckoo per key but
+      without deletion support (the crawl never deletes);
+    - deterministic for a fixed seed (a passing equality test stays passing);
+    - ``to_bytes``/``from_bytes`` round-trips bit-exactly for checkpoint.
+
+    ``add_batch`` is fully vectorized: one (n, k) index matrix, one gather
+    for the pre-batch membership test, one scatter for the new bits;
+    in-batch exact duplicates resolve first-wins via ``np.unique``.
+    """
+
+    _C1 = np.uint64(0xFF51AFD7ED558CCD)
+    _C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 7,
+                 bits_per_key: int = 16, k: int = 11):
+        n_bits = max(128, int(capacity) * int(bits_per_key))
+        n_bits = (n_bits + 63) & ~63
+        self.m = n_bits
+        self.k = int(k)
+        self.seed = np.uint64(seed)
+        self.words = np.zeros(n_bits // 64, dtype=np.uint64)
+        self.n = 0
+
+    def _probes(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(word_idx, bit_mask) matrices of shape (n, k)."""
+        x = h.astype(np.uint64) ^ self.seed
+        x ^= x >> np.uint64(33)
+        h1 = x * self._C1
+        h2 = (x * self._C2) | np.uint64(1)  # odd → full-period stride
+        ks = np.arange(self.k, dtype=np.uint64)
+        idx = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+        return (idx >> np.uint64(6)).astype(np.int64), \
+            np.uint64(1) << (idx & np.uint64(63))
+
+    def contains(self, h: int) -> bool:
+        w, bit = self._probes(np.array([h], dtype=np.uint64))
+        return bool(((self.words[w] & bit) != 0).all())
+
+    def add_if_new(self, h: int) -> bool:
+        return bool(self.add_batch(np.array([h], dtype=np.uint64))[0])
+
+    def add_batch(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        w, bit = self._probes(h)
+        pre_seen = ((self.words[w] & bit) != 0).all(axis=1)
+        # first-wins within the batch for exact duplicates
+        _, first_pos = np.unique(h, return_index=True)
+        is_first = np.zeros(len(h), dtype=bool)
+        is_first[first_pos] = True
+        new = (~pre_seen) & is_first
+        nz = np.nonzero(new)[0]
+        if nz.size:
+            np.bitwise_or.at(self.words, w[nz].ravel(), bit[nz].ravel())
+            self.n += int(nz.size)
+        return new
+
+    def __len__(self) -> int:
+        return self.n
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {"m": self.m, "k": self.k, "seed": int(self.seed), "n": self.n,
+             "words": self.words.tobytes()},
+            protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomSeenFilter":
+        d = pickle.loads(data)
+        f = cls.__new__(cls)
+        f.m, f.k, f.seed, f.n = d["m"], d["k"], np.uint64(d["seed"]), d["n"]
+        f.words = np.frombuffer(d["words"], dtype=np.uint64).copy()
+        return f
+
+
 class ExactSeenFilter:
     """Exact seen-set (conformance mode; API-compatible with CuckooFilter)."""
 
@@ -241,12 +328,14 @@ class ExactSeenFilter:
 def seen_filter_class(kind: str):
     if kind == "cuckoo":
         return CuckooFilter
+    if kind == "bloom":
+        return BloomSeenFilter
     if kind == "exact":
         return ExactSeenFilter
     raise ValueError(f"unknown seen-filter kind {kind!r}")
 
 
 def make_seen_filter(kind: str, capacity: int, seed: int = 7):
-    if kind == "cuckoo":
-        return CuckooFilter(capacity, seed)
+    if kind in ("cuckoo", "bloom"):
+        return seen_filter_class(kind)(capacity, seed)
     return seen_filter_class(kind)()

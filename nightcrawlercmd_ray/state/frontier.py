@@ -60,7 +60,7 @@ class FrontierConfig:
     default_delay_ms: int = 500  # reference default, mainCrawler.go:45
     per_host_delay_ms: dict[str, int] = field(default_factory=dict)
     window_ms: int = 2000  # politeness window a wave represents
-    seen_filter: str = "cuckoo"  # or "exact" (conformance mode)
+    seen_filter: str = "cuckoo"  # or "bloom" / "exact" (conformance mode)
     seen_capacity: int = 1 << 20  # per shard
     keep_seen_log: bool = False  # record url strings (test scale only)
     respect_robots: bool = True

@@ -131,3 +131,56 @@ def test_cuckoo_add_batch_equals_scalar_sequence():
         assert (got == want).all()
         assert len(a) == len(b)
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    from nightcrawlercmd_ray.state.cuckoo import BloomSeenFilter
+
+    bf = BloomSeenFilter(50_000)
+    import numpy as np
+    rng = np.random.RandomState(1)
+    ins = rng.randint(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    bf.add_batch(ins)
+    assert all(bf.contains(int(h)) for h in ins[:2000])  # no false negatives
+    probe = rng.randint(0, 2**63, 20_000, dtype=np.int64).astype(np.uint64)
+    fresh = np.setdiff1d(probe, ins)
+    fpr = sum(bf.contains(int(h)) for h in fresh[:5000]) / 5000
+    assert fpr < 0.01
+
+
+def test_bloom_serialize_roundtrip_and_batch_semantics():
+    import numpy as np
+
+    from nightcrawlercmd_ray.state.cuckoo import BloomSeenFilter
+
+    bf = BloomSeenFilter(1000)
+    h = np.array([5, 7, 5, 9, 7, 11], dtype=np.uint64)
+    new = bf.add_batch(h)
+    # first-wins within the batch; repeats are dups
+    assert new.tolist() == [True, True, False, True, False, True]
+    assert bf.add_if_new(11) is False and bf.add_if_new(13) is True
+    rt = BloomSeenFilter.from_bytes(bf.to_bytes())
+    assert rt.m == bf.m and rt.k == bf.k and len(rt) == len(bf)
+    assert all(rt.contains(x) for x in (5, 7, 9, 11, 13))
+    # scalar sequence ≡ batch on a fresh filter
+    bf2 = BloomSeenFilter(1000)
+    assert [bf2.add_if_new(int(x)) for x in h.tolist()] == new.tolist()
+
+
+def test_crawl_with_bloom_filter_matches_exact(tiny_corpus, tmp_path):
+    """seen_filter='bloom' at default capacity: deterministic, and at this
+    corpus size the fp rate is ~0 so the crawl equals the exact-mode crawl."""
+    import pandas as pd
+
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+    from nightcrawlercmd_ray.pipelines.crawl import run_crawl
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    a = run_crawl(tiny_corpus["dir"], params, store_dir=str(tmp_path / "s1"),
+                  num_shards=2, num_buckets=4, seen_filter="exact")
+    b = run_crawl(tiny_corpus["dir"], params, store_dir=str(tmp_path / "s2"),
+                  num_shards=2, num_buckets=4, seen_filter="bloom")
+    cols = ["seq", "url", "status"]
+    fa = a.fetches_dataset().to_pandas()[cols].sort_values("seq").reset_index(drop=True)
+    fb = b.fetches_dataset().to_pandas()[cols].sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fb, fa)
