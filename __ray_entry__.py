@@ -1064,6 +1064,32 @@ def q_dup_clusters_documents(sf_dir: str):
     return dup_clusters(pairs).sort("doc_id")
 
 
+def q_boilerplate_lines_documents(sf_dir: str):
+    """Cross-document boilerplate-line removal (C4-style shared
+    header/footer stripping): a shared footer line is planted on every even
+    doc and a doc-unique line on every odd doc; lines occurring in ≥10
+    distinct docs are removed corpus-wide. Global line-frequency combiner →
+    one line-keyed shuffle → broadcast hot set → pure rewrite map; value-
+    oracled against a DuckDB unnest/string_agg replica."""
+    from nightcrawlercmd_ray.stages.curation import remove_boilerplate_lines
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [
+            (x or "") + "\nCOPYRIGHT 2024 example corp all rights reserved"
+            if i % 2 == 0 else (x or "") + f"\nrare line {i}"
+            for i, x in zip(ids.tolist(), texts)
+        ]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return remove_boilerplate_lines(planted, min_docs=10).sort("doc_id")
+
+
 def q_dup_clusters_exact(sf_dir: str):
     """Transitive EXACT-duplicate clusters with a value-level SQL oracle
     (r2 verdict #7): duplicates are planted deterministically (two extra
@@ -1683,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "dup_clusters_exact": q_dup_clusters_exact,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "boilerplate_lines_documents": q_boilerplate_lines_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -2091,6 +2118,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "boilerplate_lines_documents": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'COPYRIGHT 2024 example corp all rights reserved'
+                          ELSE 'rare line ' || doc_id END AS text
+              FROM documents
+            ), exploded AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+              FROM corpus
+            ), hot AS (
+              SELECT line FROM exploded
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+            )
+            SELECT e.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN h.line IS NULL THEN e.line END,
+                       chr(10) ORDER BY e.pos), '') AS text,
+                   CAST(count(h.line) AS BIGINT) AS n_boiler_dropped
+            FROM exploded e LEFT JOIN hot h USING (line)
+            GROUP BY e.doc_id ORDER BY doc_id
         """,
         "dup_clusters_exact": """
             WITH corpus AS (

@@ -326,3 +326,76 @@ def pack_greedy_bins(ds, budget: int = 512, part_span: int = 100,
         .groupby("part")
         .map_groups(plan, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate-line removal
+# ---------------------------------------------------------------------------
+def boilerplate_hot_lines(ds, text_col: str = "text", *, min_docs: int = 2):
+    """→ Dataset(line, n) of lines appearing in ≥ ``min_docs`` DISTINCT
+    documents — the global side of C4-style boilerplate removal (shared
+    headers/footers/nav text repeated across a crawl).
+
+    Scale shape: each batch pre-aggregates unique-lines-per-doc into a
+    (line, partial doc count) Counter (a combiner — a line that appears in
+    every doc of a batch leaves the batch as ONE row), then a single
+    ``groupby(line).sum`` merges the partials. The shuffle is keyed on the
+    exact line string so the result is byte-exact vs a SQL oracle (a 64-bit
+    line hash would wrongly drop a rare line on collision); volume is
+    bounded by distinct-lines-per-batch, not occurrences."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            for ln in set((x or "").split("\n")):
+                c[ln] += 1
+        return pa.table({"line": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         pa.scalar(min_docs, pa.int64())))
+
+    return counts.map_batches(hot_only, batch_format="pyarrow")
+
+
+def remove_boilerplate_lines(ds, text_col: str = "text",
+                             id_col: str = "doc_id", *, min_docs: int = 2):
+    """Remove every line that occurs in ≥ ``min_docs`` distinct documents;
+    surviving lines keep their order (re-joined with ``\\n``). Appends
+    ``n_boiler_dropped`` (dropped line occurrences per doc).
+
+    Two streaming passes: the global hot-line set (small by construction —
+    bounded by corpus/min_docs distinct strings; boilerplate in practice)
+    is computed once and broadcast via ``ray.put``; the rewrite pass is a
+    pure per-batch map, zero shuffle of document text."""
+    import ray
+
+    hot_rows = boilerplate_hot_lines(
+        ds, text_col, min_docs=min_docs).take_all()
+    hot_ref = ray.put(frozenset(r["line"] for r in hot_rows))
+
+    def drop(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        out_text, out_n = [], []
+        for x in t.column(text_col).to_pylist():
+            lines = (x or "").split("\n")
+            kept = [ln for ln in lines if ln not in hot]
+            out_text.append("\n".join(kept))
+            out_n.append(len(lines) - len(kept))
+        cols = {c: t.column(c) for c in t.column_names}
+        cols[text_col] = pa.array(out_text, pa.string())
+        out = pa.table(cols)
+        return out.append_column("n_boiler_dropped",
+                                 pa.array(out_n, pa.int64()))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -365,3 +365,31 @@ def test_packed_chunks_n_docs_counts_overlaps():
     # c0 [0,4)=d0, c1 [4,8)=d0,d1, c2 [8,12)=d1,d2, c3 [12,16)=d2
     assert got["n_docs"].tolist() == [1, 2, 2, 1]
     assert got["n_pad"].tolist() == [0, 0, 0, 1]
+
+
+def test_remove_boilerplate_lines_cross_doc():
+    """Cross-document boilerplate removal: a line in ≥min_docs distinct docs
+    is dropped everywhere (including repeated occurrences within one doc);
+    rare lines survive in order; result is partition-count invariant."""
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.curation import remove_boilerplate_lines
+
+    rows = []
+    for i in range(6):
+        body = f"unique body {i}\nFOOTER\nmiddle {i}\nFOOTER"
+        rows.append((i, body))
+    rows.append((6, "no footer here\nonly rare text"))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (remove_boilerplate_lines(ds, min_docs=3)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for i in range(6):
+            assert out.loc[i, "text"] == f"unique body {i}\nmiddle {i}"
+            assert out.loc[i, "n_boiler_dropped"] == 2  # both occurrences
+        assert out.loc[6, "text"] == "no footer here\nonly rare text"
+        assert out.loc[6, "n_boiler_dropped"] == 0
