@@ -1090,6 +1090,31 @@ def q_boilerplate_lines_documents(sf_dir: str):
     return remove_boilerplate_lines(planted, min_docs=10).sort("doc_id")
 
 
+def q_gopher_quality_documents(sf_dir: str):
+    """Gopher-style repetition/quality battery (Rae et al. 2021 filters)
+    with deterministic planting so every signal fires: docs with
+    doc_id%3==0 get duplicate lines, a bullet line and an ellipsis line
+    appended. Pure map, zero shuffle; bit-exact vs a DuckDB
+    unnest/list_transform oracle."""
+    from nightcrawlercmd_ray.stages.textops import gopher_quality_signals
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [
+            (x or "") + "\nrepeat line\nrepeat line\n- bullet point\ntrails off ..."
+            if i % 3 == 0 else (x or "")
+            for i, x in zip(ids.tolist(), texts)
+        ]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return gopher_quality_signals(planted).sort("doc_id")
+
+
 def q_dup_clusters_exact(sf_dir: str):
     """Transitive EXACT-duplicate clusters with a value-level SQL oracle
     (r2 verdict #7): duplicates are planted deterministically (two extra
@@ -1710,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_exact": q_dup_clusters_exact,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "boilerplate_lines_documents": q_boilerplate_lines_documents,
+        "gopher_quality_documents": q_gopher_quality_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -2118,6 +2144,61 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "gopher_quality_documents": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || 'repeat line' || chr(10) ||
+                               'repeat line' || chr(10) || '- bullet point' ||
+                               chr(10) || 'trails off ...'
+                          ELSE text END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM corpus
+            ), words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+            wstat AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(len(w))::DOUBLE / count(*) AS mean_word_len
+              FROM words GROUP BY doc_id),
+            lines AS (SELECT doc_id, unnest(ls) AS l FROM base),
+            lstat AS (
+              SELECT doc_id, count(*) AS n_lines, sum(len(l)) AS tot_chars,
+                     (count(*) - count(DISTINCT l))::DOUBLE / count(*)
+                         AS frac_dup_lines,
+                     sum(CASE WHEN starts_with(trim(l), '-')
+                               OR starts_with(trim(l), '*')
+                              THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                         AS frac_bullet_lines,
+                     sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) AS frac_ellipsis_lines
+              FROM lines GROUP BY doc_id),
+            ldist AS (
+              SELECT doc_id, sum(l_len) AS dist_chars
+              FROM (SELECT DISTINCT doc_id, l, len(l) AS l_len FROM lines)
+              GROUP BY doc_id),
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(ws) - 2, 0) + 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+              FROM base),
+            tstat AS (
+              SELECT doc_id,
+                     (count(*) - count(DISTINCT g))::DOUBLE / count(*)
+                         AS frac_dup_3grams
+              FROM tg GROUP BY doc_id)
+            SELECT w.doc_id, w.n_words, w.mean_word_len,
+                   l.frac_dup_lines,
+                   (l.tot_chars - d.dist_chars)::DOUBLE /
+                       greatest(l.tot_chars, 1) AS frac_dup_line_chars,
+                   l.frac_bullet_lines, l.frac_ellipsis_lines,
+                   coalesce(t.frac_dup_3grams, 0.0) AS frac_dup_3grams
+            FROM wstat w JOIN lstat l USING (doc_id)
+            JOIN ldist d USING (doc_id) LEFT JOIN tstat t USING (doc_id)
+            ORDER BY doc_id
         """,
         "boilerplate_lines_documents": """
             WITH corpus AS (

@@ -4,6 +4,7 @@ scoring, token counting, fingerprinting (engine additions, SURVEY mandate)."""
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.textstats import (
     detect_lang,
@@ -214,3 +215,60 @@ def doc_top_terms(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
         })
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def gopher_quality_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, the standard web-text curation battery):
+    word count, mean word length, duplicate-line fraction (by lines and by
+    characters), bullet/ellipsis line fractions, duplicate word-3-gram
+    fraction. Pure per-batch map — ZERO shuffle; every value is an exact
+    integer ratio (single IEEE division of int aggregates), so the whole
+    battery is SQL-oracle-able bit-for-bit
+    (``queries()['gopher_quality_documents']``).
+
+    Tokenization contract (shared with the oracle): words = split on a
+    single space; lines = split on '\\n'; bullet = line lstrip(' ') starts
+    with '-' or '*' (DuckDB ``trim`` strips spaces only); ellipsis = line
+    endswith '...'."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        cols: dict[str, list] = {
+            "n_words": [], "mean_word_len": [], "frac_dup_lines": [],
+            "frac_dup_line_chars": [], "frac_bullet_lines": [],
+            "frac_ellipsis_lines": [], "frac_dup_3grams": [],
+        }
+        for x in t.column(text_col).to_pylist():
+            s = x or ""
+            ws = s.split(" ")
+            n_words = len(ws)  # split never yields [] — '' → ['']
+            cols["n_words"].append(n_words)
+            cols["mean_word_len"].append(sum(map(len, ws)) / n_words)
+            ls = s.split("\n")
+            n_lines = len(ls)
+            distinct = set(ls)
+            cols["frac_dup_lines"].append((n_lines - len(distinct)) / n_lines)
+            tot_chars = sum(map(len, ls))
+            dist_chars = sum(map(len, distinct))
+            cols["frac_dup_line_chars"].append(
+                (tot_chars - dist_chars) / max(tot_chars, 1))
+            cols["frac_bullet_lines"].append(
+                sum(1 for l in ls if l.lstrip(" ").startswith(("-", "*")))
+                / n_lines)
+            cols["frac_ellipsis_lines"].append(
+                sum(1 for l in ls if l.endswith("...")) / n_lines)
+            n_tg = n_words - 2
+            if n_tg > 0:
+                tgs = {" ".join(ws[i:i + 3]) for i in range(n_tg)}
+                cols["frac_dup_3grams"].append((n_tg - len(tgs)) / n_tg)
+            else:
+                cols["frac_dup_3grams"].append(0.0)
+        out = {id_col: ids, "n_words": pa.array(cols["n_words"], pa.int64())}
+        for k in ("mean_word_len", "frac_dup_lines", "frac_dup_line_chars",
+                  "frac_bullet_lines", "frac_ellipsis_lines",
+                  "frac_dup_3grams"):
+            out[k] = pa.array(cols[k], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(sig, batch_format="pyarrow")

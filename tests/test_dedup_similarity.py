@@ -318,3 +318,25 @@ def test_ngram_jaccard_pairs_63bit_ids():
     assert out["doc_id"].tolist() == [big + 2]
     assert out["dup_of"].tolist() == [big]
     assert out["jaccard"].tolist() == [1.0]
+
+
+def test_gopher_quality_signals_hand_computed():
+    from nightcrawlercmd_ray.stages.textops import gopher_quality_signals
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma alpha beta gamma delta",
+            "one\ndup line\ndup line\n- bullet\ntrails off ...",
+        ], pa.string()),
+    })
+    for parts in (1, 3):
+        out = (gopher_quality_signals(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        r1, r2 = out.iloc[0], out.iloc[1]
+        assert r1["n_words"] == 7 and r1["frac_dup_3grams"] == 0.2
+        assert r1["frac_dup_lines"] == 0.0
+        assert r2["frac_dup_lines"] == 0.2          # 1 dup of 5 lines
+        assert r2["frac_bullet_lines"] == 0.2
+        assert r2["frac_ellipsis_lines"] == 0.2
+        assert abs(r2["frac_dup_line_chars"] - 8 / 41) < 1e-15
