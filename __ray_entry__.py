@@ -1090,6 +1090,34 @@ def q_boilerplate_lines_documents(sf_dir: str):
     return remove_boilerplate_lines(planted, min_docs=10).sort("doc_id")
 
 
+_SUBSTR_PLANT = ("lorem ipsum dolor sit amet consectetur adipiscing elit"
+                 " sed do eiusmod tempor")
+
+
+def q_substring_dedup_documents(sf_dir: str):
+    """Exact substring (k-word window) dedup, Lee et al. 2021
+    (stages/curation.mask_duplicate_spans): every 4th doc gets the same
+    12-word sentence appended, so its interior 8-word windows occur in ≥2
+    distinct docs and are masked corpus-wide (plus any naturally repeated
+    windows — both sides compute the identical spec). Value-oracled against
+    a DuckDB lead()-window shingle replica: cleaned text, n_words,
+    n_dup_words all hash-compared."""
+    from nightcrawlercmd_ray.stages.curation import mask_duplicate_spans
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [(x or "") + (" " + _SUBSTR_PLANT if i % 4 == 0 else "")
+               for i, x in zip(ids.tolist(), texts)]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return mask_duplicate_spans(planted, k=8, min_docs=2).sort("doc_id")
+
+
 def q_gopher_quality_documents(sf_dir: str):
     """Gopher-style repetition/quality battery (Rae et al. 2021 filters)
     with deterministic planting so every signal fires: docs with
@@ -1735,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_exact": q_dup_clusters_exact,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "boilerplate_lines_documents": q_boilerplate_lines_documents,
+        "substring_dedup_documents": q_substring_dedup_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
@@ -2224,6 +2253,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(h.line) AS BIGINT) AS n_boiler_dropped
             FROM exploded e LEFT JOIN hot h USING (line)
             GROUP BY e.doc_id ORDER BY doc_id
+        """,
+        "substring_dedup_documents": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 4 = 0
+                       THEN ' lorem ipsum dolor sit amet consectetur'
+                            || ' adipiscing elit sed do eiusmod tempor'
+                       ELSE '' END AS text
+              FROM documents
+            ), ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM corpus
+            ), w AS (
+              SELECT doc_id, unnest(wl) AS w,
+                     generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), sh AS (
+              SELECT doc_id, ord,
+                     w || ' ' || lead(w, 1) OVER win || ' ' ||
+                     lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win
+                     || ' ' || lead(w, 4) OVER win || ' ' ||
+                     lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                     || ' ' || lead(w, 7) OVER win AS g
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(w, 7) OVER win IS NOT NULL
+            ), dup AS (
+              SELECT g FROM sh GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), starts AS (
+              SELECT DISTINCT s.doc_id, s.ord FROM sh s JOIN dup d USING (g)
+            ), covered AS (
+              SELECT DISTINCT doc_id, ord + r AS p
+              FROM starts, LATERAL UNNEST(range(0, 8)) AS t(r)
+            )
+            SELECT w.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN c.p IS NULL THEN w.w END,
+                       ' ' ORDER BY w.ord), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(c.p) AS BIGINT) AS n_dup_words
+            FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.ord
+            GROUP BY w.doc_id ORDER BY w.doc_id
         """,
         "dup_clusters_exact": """
             WITH corpus AS (

@@ -399,3 +399,107 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
                                  pa.array(out_n, pa.int64()))
 
     return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact substring (k-word window) dedup — Lee et al. 2021
+# ---------------------------------------------------------------------------
+def duplicate_window_shingles(ds, text_col: str = "text", *,
+                              k: int = 8, min_docs: int = 2):
+    """→ Dataset(shingle, n) of k-word windows appearing in ≥ ``min_docs``
+    DISTINCT documents — the global side of exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2021: repeated ≥k-token substrings across a crawl are memorization
+    hazards and should be masked).  The reference's nearest relative is its
+    exact whole-page dedup (``map[string]bool``, SURVEY §2.7); this is the
+    sub-document generalization a training-data pipeline needs.
+
+    Tokenization is ``text.split(' ')`` — identical to the SQL oracle's
+    ``string_split(text, ' ')`` (the documents corpus is single-spaced).
+
+    Scale shape: per-batch combiner (per-doc DISTINCT windows → partial
+    (shingle, doc count) rows) → ONE ``groupby(shingle).sum`` → filter.
+    The exchange is inherently O(total windows) — true of every exact
+    substring-dedup construction (suffix arrays also touch every token);
+    what the combiner buys is one row per batch-distinct window.  At the
+    100 TB design point, key this shuffle on a 128-bit window hash instead
+    of the string (8-16× smaller rows; ``_content_hashes``-style double
+    xxhash makes false merges ~2^-63) — string keying here is for byte-
+    exactness vs the DuckDB oracle."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            ws = (x or "").split(" ")
+            if len(ws) >= k:
+                c.update({" ".join(ws[i:i + k])
+                          for i in range(len(ws) - k + 1)})
+        return pa.table({"shingle": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         pa.scalar(min_docs, pa.int64())))
+
+    return counts.map_batches(hot_only, batch_format="pyarrow")
+
+
+def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                         *, k: int = 8, min_docs: int = 2):
+    """Exact substring dedup: remove from EVERY document all words covered
+    by any k-word window that occurs in ≥ ``min_docs`` distinct documents
+    (overlapping duplicate windows merge into spans).  Appends ``n_words``
+    (pre-mask word count) and ``n_dup_words`` (words removed); surviving
+    words keep their order (re-joined with a single space).
+
+    Two streaming passes, mirroring :func:`remove_boilerplate_lines`: the
+    duplicated-window set is bounded by *duplicated* content (not corpus
+    size) and is broadcast once via ``ray.put``; the rewrite is a pure
+    per-batch map — document text itself never shuffles.  If the dup set
+    outgrows a broadcast (adversarial corpora), the fallback is the
+    sidecar keyed-join shape used by ``pipelines/cleanroom._drop_sidecar_ids``:
+    ship (doc_id, window start) rows through a doc-keyed shuffle instead."""
+    import ray
+
+    hot_rows = duplicate_window_shingles(
+        ds, text_col, k=k, min_docs=min_docs).take_all()
+    hot_ref = ray.put(frozenset(r["shingle"] for r in hot_rows))
+
+    def mask(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        out_text, out_nw, out_nd = [], [], []
+        for x in t.column(text_col).to_pylist():
+            ws = (x or "").split(" ")
+            n = len(ws)
+            out_nw.append(n)
+            if n < k or not hot:
+                out_text.append(" ".join(ws))
+                out_nd.append(0)
+                continue
+            covered = np.zeros(n, dtype=bool)
+            for i in range(n - k + 1):
+                if " ".join(ws[i:i + k]) in hot:
+                    covered[i:i + k] = True
+            if covered.any():
+                kept = [w for w, c in zip(ws, covered) if not c]
+                out_text.append(" ".join(kept))
+                out_nd.append(int(covered.sum()))
+            else:
+                out_text.append(" ".join(ws))
+                out_nd.append(0)
+        cols = {c: t.column(c) for c in t.column_names}
+        cols[text_col] = pa.array(out_text, pa.string())
+        out = pa.table(cols)
+        return (out.append_column("n_words", pa.array(out_nw, pa.int64()))
+                .append_column("n_dup_words", pa.array(out_nd, pa.int64())))
+
+    return ds.map_batches(mask, batch_format="pyarrow")

@@ -393,3 +393,67 @@ def test_remove_boilerplate_lines_cross_doc():
             assert out.loc[i, "n_boiler_dropped"] == 2  # both occurrences
         assert out.loc[6, "text"] == "no footer here\nonly rare text"
         assert out.loc[6, "n_boiler_dropped"] == 0
+
+
+# --------------------------------------------------------------------------- #
+# exact substring (k-word window) dedup — Lee et al. 2021
+# --------------------------------------------------------------------------- #
+def test_mask_duplicate_spans_vs_serial_oracle():
+    """Spec check vs an in-process serial oracle on a crafted corpus:
+    (a) a sentence shared by ≥2 docs is masked in ALL of them;
+    (b) overlapping dup windows merge into one span;
+    (c) a window repeated twice inside ONE doc does not count (min_docs
+        is distinct-doc count);
+    (d) docs shorter than k words are untouched;
+    (e) result is partition-count invariant."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.curation import mask_duplicate_spans
+
+    k = 4
+    shared = "alpha beta gamma delta epsilon"          # 5 words → 2 windows
+    docs = [
+        (0, f"intro zero {shared} outro zero"),
+        (1, f"different lead {shared} different tail"),
+        (2, "self rep self rep self rep self rep"),     # intra-doc repeat only
+        (3, "short doc"),                               # < k words
+        (4, ""),                                        # empty
+    ]
+
+    # serial oracle
+    from collections import Counter
+    cnt: Counter = Counter()
+    for _, text in docs:
+        ws = text.split(" ")
+        cnt.update({" ".join(ws[i:i + k]) for i in range(max(0, len(ws) - k + 1))})
+    hot = {g for g, n in cnt.items() if n >= 2}
+
+    expect = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        covered = [False] * len(ws)
+        for i in range(max(0, len(ws) - k + 1)):
+            if " ".join(ws[i:i + k]) in hot:
+                for j in range(i, i + k):
+                    covered[j] = True
+        expect[did] = (" ".join(w for w, c in zip(ws, covered) if not c),
+                       len(ws), sum(covered))
+
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (mask_duplicate_spans(ds, k=k, min_docs=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for _, row in out.iterrows():
+            etext, enw, end_ = expect[row["doc_id"]]
+            assert row["text"] == etext, row["doc_id"]
+            assert row["n_words"] == enw
+            assert row["n_dup_words"] == end_
+
+    # positive assertions on the spec itself
+    assert expect[0][2] == 5 and expect[1][2] == 5      # whole shared run masked
+    assert shared not in expect[0][0] and shared not in expect[1][0]
+    assert expect[2][2] == 0                            # intra-doc only → kept
+    assert expect[3] == ("short doc", 2, 0)
+    assert expect[4] == ("", 1, 0)
