@@ -1118,6 +1118,21 @@ def q_substring_dedup_documents(sf_dir: str):
     return mask_duplicate_spans(planted, k=8, min_docs=2).sort("doc_id")
 
 
+def q_lm_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus bucketing (stages/textops.
+    word_rank_buckets): integer-only word-rank LM proxy — top-10 corpus
+    words ranked by frequency, doc score = sum of word ranks (unknown=11),
+    buckets via integer cross-multiplied mean-rank thresholds. One word
+    shuffle + bounded top_v broadcast + pure scoring map; all three buckets
+    fire on this corpus (≈383/113/4 at sf0.01) and every column is
+    integer/string so the DuckDB oracle hashes bit-exact."""
+    from nightcrawlercmd_ray.stages.textops import word_rank_buckets
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return word_rank_buckets(ds, top_v=10, head_max=9,
+                             middle_max=10).sort("doc_id")
+
+
 def q_gopher_quality_documents(sf_dir: str):
     """Gopher-style repetition/quality battery (Rae et al. 2021 filters)
     with deterministic planting so every signal fires: docs with
@@ -1764,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "boilerplate_lines_documents": q_boilerplate_lines_documents,
         "substring_dedup_documents": q_substring_dedup_documents,
+        "lm_quality_buckets": q_lm_quality_buckets,
         "gopher_quality_documents": q_gopher_quality_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
@@ -2294,6 +2310,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(c.p) AS BIGINT) AS n_dup_words
             FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.ord
             GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "lm_quality_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                         regexp_extract_all(text, '[a-zA-Z][a-z]{3,}'),
+                         w -> lower(w)
+                     ) AS ws
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(ws) AS w FROM toks
+            ), cnt AS (
+              SELECT w, count(*) AS n FROM w GROUP BY w
+            ), ranked AS (
+              SELECT w, r FROM (
+                SELECT w, row_number() OVER (ORDER BY n DESC, w) AS r
+                FROM cnt
+              ) t WHERE r <= 10
+            ), scored AS (
+              SELECT w.doc_id, count(*) AS n_tokens,
+                     sum(coalesce(r.r, 11)) AS sum_rank
+              FROM w LEFT JOIN ranked r USING (w) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.sum_rank, 0) AS BIGINT) AS sum_rank,
+                   CASE WHEN coalesce(s.sum_rank, 0)
+                             <= 9 * coalesce(s.n_tokens, 0) THEN 'head'
+                        WHEN coalesce(s.sum_rank, 0)
+                             <= 10 * coalesce(s.n_tokens, 0) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "dup_clusters_exact": """
             WITH corpus AS (

@@ -272,3 +272,71 @@ def gopher_quality_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(out)
 
     return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                      top_v: int = 10, head_max: int = 9,
+                      middle_max: int = 10):
+    """CCNet-style corpus quality bucketing (Wenzek et al. 2020: score each
+    doc with a language model trained on trusted text, split the corpus
+    into head/middle/tail by perplexity). The LM here is an integer-only
+    proxy so the DuckDB oracle hashes bit-exact: words are ranked 1..top_v
+    by corpus frequency (count desc, word asc — a total order), words
+    outside the top-``top_v`` score ``top_v+1``, a doc's score is the SUM
+    of its words' ranks, and buckets come from integer cross-multiplied
+    mean-rank thresholds (``sum_rank <= head_max * n_tokens`` → head, ...
+    ``<= middle_max * n_tokens`` → middle, else tail; zero-token docs are
+    head by the same comparison). Tokenization = the wordcount family
+    (``RE_WORD`` lowercased).
+
+    Scale shape: ONE word-keyed shuffle (per-batch Counter combiner →
+    ``groupby(word).sum``); the rank table is capped at ``top_v`` rows BY
+    CONSTRUCTION (sort+limit before ``take_all``) so the driver pull and
+    broadcast are bounded regardless of corpus size; scoring is a pure
+    per-batch map — zero further shuffle.
+    → Dataset(doc_id, n_tokens, sum_rank, bucket)."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.extractors import RE_WORD
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(w.lower() for w in RE_WORD.findall(text or ""))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(top_v)
+        .take_all()
+    )
+    top.sort(key=lambda r: (-r["n"], r["word"]))  # driver re-sort: determinism
+    rank_ref = ray.put({r["word"]: i + 1 for i, r in enumerate(top)})
+    unk = top_v + 1
+
+    def score(t: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        nt, sr, bk = [], [], []
+        for text in t.column(text_col).to_pylist():
+            ws = RE_WORD.findall(text or "")
+            n = len(ws)
+            s = sum(rank.get(w.lower(), unk) for w in ws)
+            nt.append(n)
+            sr.append(s)
+            bk.append("head" if s <= head_max * n
+                      else "middle" if s <= middle_max * n else "tail")
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "sum_rank": pa.array(sr, pa.int64()),
+            "bucket": pa.array(bk, pa.string()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

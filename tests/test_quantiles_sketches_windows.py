@@ -378,3 +378,59 @@ def test_default_quantile_names_edge_values():
     assert _default_qname(1.0) == "p100"
     assert _default_qname(0.999) == "p99_9"
     assert _default_qname(0.0) == "p00"
+
+
+# --------------------------------------------------------------------------- #
+# CCNet-style word-rank quality buckets
+# --------------------------------------------------------------------------- #
+def test_word_rank_buckets_vs_serial_oracle():
+    """Integer word-rank LM proxy vs an in-process serial oracle: rank table
+    = top_v by (count desc, word asc); unknown words score top_v+1; bucket
+    thresholds are integer cross-multiplications; zero-token docs are head;
+    result is partition-count invariant."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+    from nightcrawlercmd_ray.stages.textops import word_rank_buckets
+
+    docs = [
+        (0, "apple apple apple banana banana cherry"),
+        (1, "apple zebra quokka xylophone"),          # mostly unknown
+        (2, "apple banana apple banana apple banana"),
+        (3, "zz q"),                                  # no >=4-char words
+        (4, ""),
+        (5, "apple apple apple"),                     # pure rank-1 → head
+    ]
+    top_v, head_max, middle_max = 2, 1, 2
+
+    cnt: Counter = Counter()
+    for _, text in docs:
+        cnt.update(w.lower() for w in RE_WORD.findall(text))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    rank = {w: i + 1 for i, (w, _) in enumerate(top)}
+    expect = {}
+    for did, text in docs:
+        ws = [w.lower() for w in RE_WORD.findall(text)]
+        n, s = len(ws), sum(rank.get(w, top_v + 1) for w in ws)
+        b = ("head" if s <= head_max * n
+             else "middle" if s <= middle_max * n else "tail")
+        expect[did] = (n, s, b)
+
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (word_rank_buckets(ds, top_v=top_v, head_max=head_max,
+                                 middle_max=middle_max)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for _, row in out.iterrows():
+            n, s, b = expect[row["doc_id"]]
+            assert (row["n_tokens"], row["sum_rank"], row["bucket"]) == (n, s, b), row["doc_id"]
+
+    # the crafted corpus exercises all three buckets + the zero-token edge
+    assert {b for _, _, b in expect.values()} == {"head", "middle", "tail"}
+    assert expect[4] == (0, 0, "head")
