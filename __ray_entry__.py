@@ -1412,6 +1412,52 @@ def q_cleanroom_documents(sf_dir: str):
     return ds
 
 
+def q_cleanroom_exact_documents(sf_dir: str):
+    """The SAME composed cleanroom pipeline (pipelines/cleanroom.py —
+    sidecar dup sets, anti-join drops, fused curation/annotate/filter pass)
+    run in its exact-only configuration so EVERY stage is SQL-replicable
+    and the driver value-gates the composition end-to-end:
+    exact dedup (planted byte-identical copies of every 10th doc, winner =
+    min id) → 2-word-line repetition removal → PII redaction (planted
+    email/IP/phone per doc) → integer token-count filter (min_tokens=30
+    drops ~13% of docs at sf0.01). MinHash stage and float quality
+    predicate are switched off (minhash_threshold=None / min_quality=None);
+    projection keeps only the SQL-expressible columns."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nightcrawlercmd_ray.pipelines.cleanroom import cleanroom
+
+    src = f"{sf_dir}/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    dirty = [
+        (x or "") + f" contact user{i}@example.com or 10.{i % 256}.0."
+        f"{(i * 7) % 256} call {(i % 900) + 100}-{(i % 9000) + 1000}"
+        for i, x in zip(ids, texts)
+    ]
+    planted = pa.table({
+        "doc_id": pa.array(ids + [i + 1_000_000_000 for i in ids
+                                  if i % 10 == 0], pa.int64()),
+        "text": pa.array(dirty + [x for i, x in zip(ids, dirty)
+                                  if i % 10 == 0], pa.string()),
+    })
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ncrawler_cleanroom_exact/{tag}.parquet"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(planted, path)
+
+    ds, _ = cleanroom(path, None, minhash_threshold=None, min_quality=None,
+                      min_tokens=30, redact_pii=True, dedup_lines_words=2,
+                      n_docs=planted.num_rows)
+    return ds.select_columns(
+        ["doc_id", "text", "n_lines_dropped", "n_emails", "n_ipv4",
+         "n_phones", "n_tokens_ws"]
+    ).sort("doc_id")
+
+
 def q_ngram_jaccard_verify(sf_dir: str):
     """LSH candidates verified by exact n-gram Jaccard — broadcast pair-id
     semi-join + two keyed-shuffle stages (stages/dedup.py:ngram_jaccard_pairs)."""
@@ -1794,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "cleanroom_documents": q_cleanroom_documents,
+        "cleanroom_exact_documents": q_cleanroom_exact_documents,
         "annotate_documents": q_annotate_documents,
         "fuzz_payloads": q_fuzz_payloads,
         "media_features": q_media_features,
@@ -2310,6 +2357,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(c.p) AS BIGINT) AS n_dup_words
             FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.ord
             GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "cleanroom_exact_documents": r"""
+            WITH pii_planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 10.'
+                          || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                          || ' call ' || ((doc_id % 900) + 100) || '-'
+                          || ((doc_id % 9000) + 1000) AS text
+              FROM documents
+            ), corpus AS (
+              SELECT doc_id, text FROM pii_planted
+              UNION ALL
+              SELECT doc_id + 1000000000, text FROM pii_planted
+              WHERE doc_id % 10 = 0
+            ), exact AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM corpus) t WHERE rn = 1
+            ), ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM exact
+            ), words AS (
+              SELECT doc_id, unnest(wl) AS w,
+                     generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), lines AS (
+              SELECT doc_id, CAST((ord - 1) // 2 AS BIGINT) AS lno,
+                     string_agg(w, ' ' ORDER BY ord) AS line
+              FROM words GROUP BY doc_id, (ord - 1) // 2
+            ), ranked AS (
+              SELECT doc_id, lno, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY lno) AS rn
+              FROM lines
+            ), lined AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY lno)
+                         FILTER (WHERE rn = 1) AS text,
+                     CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                         AS n_lines_dropped
+              FROM ranked GROUP BY doc_id
+            ), s1 AS (
+              SELECT doc_id, n_lines_dropped,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM lined
+            ), s2 AS (
+              SELECT doc_id, n_lines_dropped, n_emails,
+                     CAST(len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                       AS n_ipv4,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_lines_dropped, n_emails, n_ipv4,
+                     CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b'))
+                       AS BIGINT) AS n_phones,
+                     regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')
+                       AS text
+              FROM s2
+            ), final AS (
+              SELECT doc_id, text, n_lines_dropped, n_emails, n_ipv4,
+                     n_phones,
+                     CAST(len(list_filter(
+                         regexp_split_to_array(text, '[ \n]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens_ws
+              FROM s3
+            )
+            SELECT doc_id, text, n_lines_dropped, n_emails, n_ipv4,
+                   n_phones, n_tokens_ws
+            FROM final WHERE n_tokens_ws >= 30 ORDER BY doc_id
         """,
         "lm_quality_buckets": """
             WITH toks AS (

@@ -154,9 +154,9 @@ def cleanroom(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_quality: float = 0.3,
+    min_quality: float | None = 0.3,
     min_tokens: int = 5,
-    minhash_threshold: float = 0.8,
+    minhash_threshold: float | None = 0.8,
     num_partitions: int = 16,
     n_docs: int | None = None,
     redact_pii: bool = False,
@@ -187,17 +187,24 @@ def cleanroom(
     exact_dir = f"{side_dir}/_exact_dups"
     n_exact = _dup_sidecar(exact_dir, exact_dups)
 
-    # stage 2: near-duplicate ids (MinHash-LSH over the exact survivors)
-    def near_dups():
-        ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
-        ds = _drop_sidecar_ids(ds, id_col, exact_dir, n_exact,
-                               broadcast_limit, n_rows=n_docs)
-        return minhash_lsh_duplicates(
-            ds, text_col, id_col, threshold=minhash_threshold, n_docs=n_docs
-        ).select_columns(["doc_id"])
+    # stage 2: near-duplicate ids (MinHash-LSH over the exact survivors).
+    # ``minhash_threshold=None`` skips the stage — the exact-only
+    # composition every column of which a SQL oracle can replicate
+    # (queries()['cleanroom_exact_documents'] runs the pipeline this way).
+    if minhash_threshold is None:
+        near_dir, n_near = None, 0
+    else:
+        def near_dups():
+            ds = read_parquet_clean(documents_path, columns=[id_col, text_col])
+            ds = _drop_sidecar_ids(ds, id_col, exact_dir, n_exact,
+                                   broadcast_limit, n_rows=n_docs)
+            return minhash_lsh_duplicates(
+                ds, text_col, id_col, threshold=minhash_threshold,
+                n_docs=n_docs
+            ).select_columns(["doc_id"])
 
-    near_dir = f"{side_dir}/_near_dups"
-    n_near = _dup_sidecar(near_dir, near_dups)
+        near_dir = f"{side_dir}/_near_dups"
+        n_near = _dup_sidecar(near_dir, near_dups)
 
     # stage 3: drop dups + (optional) curation rewrites + annotate +
     # quality-filter — ONE streaming pass. Curation runs AFTER the dup
@@ -206,8 +213,9 @@ def cleanroom(
     ds = read_parquet_clean(documents_path)
     ds = _drop_sidecar_ids(ds, id_col, exact_dir, n_exact,
                            broadcast_limit, n_rows=n_docs)
-    ds = _drop_sidecar_ids(ds, id_col, near_dir, n_near,
-                           broadcast_limit, n_rows=n_docs)
+    if near_dir is not None:
+        ds = _drop_sidecar_ids(ds, id_col, near_dir, n_near,
+                               broadcast_limit, n_rows=n_docs)
 
     def annotate_filter(t: pa.Table) -> pa.Table:
         if dedup_lines_words is not None:
@@ -221,10 +229,14 @@ def cleanroom(
 
             t = pii_redact_batch(t, text_col=text_col)
         t = annotate_text_batch(t, text_col=text_col)
-        keep = pc.and_(
-            pc.greater_equal(t.column("quality"), pa.scalar(float(min_quality))),
-            pc.greater_equal(t.column("n_tokens_ws"), pa.scalar(min_tokens, pa.int64())),
-        )
+        keep = pc.greater_equal(t.column("n_tokens_ws"),
+                                pa.scalar(min_tokens, pa.int64()))
+        if min_quality is not None:  # None → integer-only filter (oracle-able)
+            keep = pc.and_(
+                pc.greater_equal(t.column("quality"),
+                                 pa.scalar(float(min_quality))),
+                keep,
+            )
         return t.filter(keep)
 
     ds = ds.map_batches(annotate_filter, batch_format="pyarrow")
