@@ -1118,6 +1118,34 @@ def q_substring_dedup_documents(sf_dir: str):
     return mask_duplicate_spans(planted, k=8, min_docs=2).sort("doc_id")
 
 
+def q_source_quality_filter(sf_dir: str):
+    """Domain-level curation (stages/curation.source_quality_filter): keep
+    docs whose source's mean chars ≥ 300 (integer cross-multiplied — bit-
+    exact vs the DuckDB GROUP BY replica; threshold splits the 20 synthetic
+    sources roughly in half). One source-keyed combiner shuffle + broadcast
+    stats + pure filter map."""
+    from nightcrawlercmd_ray.stages.curation import source_quality_filter
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source", "n_chars"])
+    return source_quality_filter(ds, min_mean_chars=300).sort("doc_id")
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Per-language token-budget cut (stages/sampling.token_budget_sample):
+    keep each lang's docs in doc_id order while the running token total
+    stays ≤ 2500 — a two-pass distributed prefix scan (part×lang partial
+    sums → driver exclusive scan of the bounded partial table → one
+    part-keyed bounded shuffle with vectorized segment cumsum). Budget cuts
+    every lang partially at sf0.01 (totals 3.5k–11.8k tokens). SQL oracle:
+    SUM OVER (PARTITION BY lang ORDER BY doc_id)."""
+    from nightcrawlercmd_ray.stages.sampling import token_budget_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang", "text"])
+    return token_budget_sample(ds, budget=2500, part_span=64).sort("doc_id")
+
+
 def q_lm_quality_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus bucketing (stages/textops.
     word_rank_buckets): integer-only word-rank LM proxy — top-10 corpus
@@ -1826,6 +1854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines_documents": q_boilerplate_lines_documents,
         "substring_dedup_documents": q_substring_dedup_documents,
         "lm_quality_buckets": q_lm_quality_buckets,
+        "source_quality_filter": q_source_quality_filter,
+        "token_budget_sample": q_token_budget_sample,
         "gopher_quality_documents": q_gopher_quality_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
@@ -2357,6 +2387,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(c.p) AS BIGINT) AS n_dup_words
             FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.ord
             GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "source_quality_filter": """
+            WITH s AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS src_chars
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, s.src_docs, s.src_chars
+            FROM documents d JOIN s USING (source)
+            WHERE s.src_chars >= 300 * s.src_docs
+            ORDER BY d.doc_id
+        """,
+        "token_budget_sample": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                              ORDER BY doc_id) AS BIGINT)
+                         AS cum_tokens
+              FROM toks
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 2500 ORDER BY doc_id
         """,
         "cleanroom_exact_documents": r"""
             WITH pii_planted AS (

@@ -503,3 +503,69 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                 .append_column("n_dup_words", pa.array(out_nd, pa.int64())))
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-domain (source/host) quality aggregation + filter
+# ---------------------------------------------------------------------------
+def source_quality_filter(ds, *, min_mean_chars: int,
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          chars_col: str = "n_chars"):
+    """Domain-level curation: aggregate a quality statistic per source
+    (here mean document length in chars — the signal domain blocklists are
+    built from) and keep only documents from sources whose mean clears the
+    threshold. The comparison is an integer cross-multiplication
+    (``sum_chars >= min_mean_chars * n_docs``) so the DuckDB oracle hashes
+    bit-exact.
+
+    Scale shape: per-batch combiner → ONE ``groupby(source).sum`` whose
+    result is |distinct sources| (≈10^8 hosts at web scale, NOT corpus-
+    sized) → broadcast the kept-source stats dict via ``ray.put`` → pure
+    filter map. If the kept set outgrows a broadcast, flip to broadcasting
+    the (usually far smaller) REJECTED set and keep-by-default, or fall
+    back to the keyed ``stages/joins.hash_join`` semi-join — same output.
+    → Dataset(doc_id, source, src_docs, src_chars) for kept documents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_pylist()
+        chars = pc.cast(t.column(chars_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        agg: dict[str, list[int]] = {}
+        for s, c in zip(src, chars.tolist()):
+            e = agg.setdefault(s, [0, 0])
+            e[0] += 1
+            e[1] += c
+        return pa.table({
+            source_col: pa.array(list(agg.keys()), pa.string()),
+            "src_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "src_chars": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("src_docs", alias_name="src_docs"),
+                   Sum("src_chars", alias_name="src_chars"))
+        .take_all()
+    )
+    kept = {r[source_col]: (r["src_docs"], r["src_chars"]) for r in stats
+            if r["src_chars"] >= min_mean_chars * r["src_docs"]}
+    kept_ref = ray.put(kept)
+
+    def filt(t: pa.Table) -> pa.Table:
+        k = ray.get(kept_ref)
+        src = t.column(source_col).to_pylist()
+        mask = np.fromiter((s in k for s in src), dtype=bool, count=len(src))
+        idx = np.flatnonzero(mask)
+        srcs = [src[i] for i in idx.tolist()]
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()).take(pa.array(idx)),
+            source_col: pa.array(srcs, pa.string()),
+            "src_docs": pa.array([k[s][0] for s in srcs], pa.int64()),
+            "src_chars": pa.array([k[s][1] for s in srcs], pa.int64()),
+        })
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -144,3 +144,113 @@ def sample_k_per_group(
         .map_groups(local_topk, batch_format="pyarrow")
         .drop_columns(["_hr"])
     )
+
+
+def token_budget_sample(ds, *, budget: int, lang_col: str = "lang",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        part_span: int = 4096):
+    """Per-stratum token-budget sampling: within each ``lang_col`` stratum,
+    keep documents in ``id_col`` order while the running token total stays
+    ≤ ``budget`` — the "take the first B tokens of each language" cut a
+    mixture-weighted training-data pipeline makes (token counts, not doc
+    counts, are what LLM data budgets are written in). Tokens =
+    ``len(text.split(' '))``, identical to the SQL oracle's
+    ``len(string_split(text, ' '))``.
+
+    Scale shape — a textbook two-pass distributed prefix scan (budget
+    sampling is sequential per stratum BY DEFINITION; this is the standard
+    way to distribute it):
+
+    1. pass A (map + tiny shuffle): per-batch combiner emits
+       ``(part = id // part_span, lang, partial token sum)`` rows;
+       ``groupby(part, lang).sum`` reduces them to ≤ parts × strata rows —
+       the only driver pull, bounded at 10^10 docs / 2^20-span to ~10^4
+       rows per stratum, NOT corpus-sized.
+    2. driver: exclusive prefix sum of part totals per stratum → broadcast
+       the offset dict via ``ray.put``.
+    3. pass B (ONE bounded keyed shuffle): ``groupby(part)`` groups are
+       capped at ``part_span`` rows regardless of corpus size; inside a
+       group the per-stratum cumsum is vectorized (argsort + segment
+       cumsum) and each row keeps iff ``offset[part, lang] + local_cum ≤
+       budget``.
+
+    → Dataset(doc_id, lang, n_tokens, cum_tokens) — ``cum_tokens`` is the
+    stratum-global running total at that row (≤ budget for every kept row).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    span = int(part_span)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ntok = np.fromiter(
+            (len((x or "").split(" ")) for x in t.column(text_col).to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        langs = t.column(lang_col).to_pylist()
+        agg: dict[tuple[int, str], int] = {}
+        for p, lg, n in zip((ids // span).tolist(), langs, ntok.tolist()):
+            agg[(p, lg)] = agg.get((p, lg), 0) + n
+        return pa.table({
+            "part": pa.array([k[0] for k in agg], pa.int64()),
+            lang_col: pa.array([k[1] for k in agg], pa.string()),
+            "tok": pa.array(list(agg.values()), pa.int64()),
+        })
+
+    part_rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["part", lang_col])
+        .aggregate(Sum("tok", alias_name="tok"))
+        .take_all()
+    )
+    part_rows.sort(key=lambda r: (r[lang_col], r["part"]))
+    offsets: dict[tuple[int, str], int] = {}
+    run: dict[str, int] = {}
+    for r in part_rows:
+        lg = r[lang_col]
+        offsets[(r["part"], lg)] = run.get(lg, 0)
+        run[lg] = run.get(lg, 0) + r["tok"]
+    off_ref = ray.put(offsets)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        part = pc.divide(ids, pa.scalar(span, pa.int64()))
+        return pa.table({
+            id_col: ids,
+            lang_col: pc.cast(t.column(lang_col), pa.string()),
+            text_col: t.column(text_col),
+            "part": part,
+        })
+
+    def pick(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        part = int(g.column("part")[0].as_py())
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        langs = np.asarray(g.column(lang_col).to_pylist(), dtype=object)
+        ntok = np.fromiter(
+            (len((x or "").split(" ")) for x in g.column(text_col).to_pylist()),
+            dtype=np.int64, count=g.num_rows)
+        # segment cumsum: sort by (lang, doc_id), cumsum, subtract segment base
+        order = np.lexsort((ids, langs))
+        sl, st, si = langs[order], ntok[order], ids[order]
+        cs = np.cumsum(st)
+        seg_first = np.ones(len(sl), dtype=bool)
+        seg_first[1:] = sl[1:] != sl[:-1]
+        base = np.repeat(cs[np.flatnonzero(seg_first)] - st[np.flatnonzero(seg_first)],
+                         np.diff(np.append(np.flatnonzero(seg_first), len(sl))))
+        local_cum = cs - base
+        glob = local_cum + np.fromiter(
+            (off.get((part, lg), 0) for lg in sl), dtype=np.int64, count=len(sl))
+        keep = glob <= budget
+        return pa.table({
+            id_col: pa.array(si[keep]),
+            lang_col: pa.array(sl[keep].tolist(), pa.string()),
+            "n_tokens": pa.array(st[keep]),
+            "cum_tokens": pa.array(glob[keep]),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -132,3 +132,64 @@ def test_sample_k_per_group_partition_invariant(nparts):
         .sort_values(["lang", "doc_id"]).reset_index(drop=True)[["doc_id", "lang"]]
     )
     assert out[["doc_id", "lang"]].equals(want)
+
+
+# --------------------------------------------------------------------------- #
+# token-budget sampling (two-pass distributed prefix scan)
+# --------------------------------------------------------------------------- #
+def test_token_budget_sample_vs_serial_oracle():
+    """Per-stratum running-total cut vs a serial oracle; invariant under
+    both Ray partitioning AND the prefix-scan's own part_span (spans that
+    split strata mid-run must still yield the identical global cumsum)."""
+    from nightcrawlercmd_ray.stages.sampling import token_budget_sample
+
+    rng = np.random.default_rng(7)
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(90):
+        nw = int(rng.integers(1, 12))
+        rows.append((i, langs[i % 3], " ".join(["w"] * nw)))
+    budget = 60
+
+    # serial oracle
+    expect = {}
+    run = {}
+    for i, lg, text in rows:  # doc_id order
+        n = len(text.split(" "))
+        run[lg] = run.get(lg, 0) + n
+        if run[lg] <= budget:
+            expect[i] = (lg, n, run[lg])
+
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "lang": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())})
+    for parts in (1, 5):
+        for span in (4, 17, 4096):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = (token_budget_sample(ds, budget=budget, part_span=span)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            got = {int(r.doc_id): (r.lang, int(r.n_tokens), int(r.cum_tokens))
+                   for r in out.itertuples()}
+            assert got == expect, (parts, span)
+    # the budget genuinely cuts every stratum (positive exercise)
+    kept_per_lang = {lg: sum(1 for v in expect.values() if v[0] == lg)
+                     for lg in langs}
+    assert all(0 < kept_per_lang[lg] < 30 for lg in langs), kept_per_lang
+
+
+def test_source_quality_filter_vs_serial_oracle():
+    from nightcrawlercmd_ray.stages.curation import source_quality_filter
+
+    rows = [(0, "a", 100), (1, "a", 400), (2, "b", 500), (3, "b", 700),
+            (4, "c", 10), (5, "c", 20)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "n_chars": pa.array([r[2] for r in rows], pa.int64())})
+    # means: a=250, b=600, c=15 → threshold 250 keeps a (250>=250) and b
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (source_quality_filter(ds, min_mean_chars=250)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out.doc_id) == [0, 1, 2, 3]
+        assert list(out.src_docs) == [2, 2, 2, 2]
+        assert list(out.src_chars) == [500, 500, 1200, 1200]
