@@ -1146,6 +1146,20 @@ def q_token_budget_sample(sf_dir: str):
     return token_budget_sample(ds, budget=2500, part_span=64).sort("doc_id")
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR-style importance scoring (stages/textops.dsir_scores, Xie et
+    al. 2023): per-doc integer bigram-mass sums against the target
+    (lang='en') vs raw corpus distributions — the importance ratio is
+    tgt_mass/raw_mass downstream. Exact-string feature mode here (the
+    oracle joins on bigram strings); the K-bucket hashed mode is the
+    documented scale path and is pinned vs this exact mode in tests."""
+    from nightcrawlercmd_ray.stages.textops import dsir_scores
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang", "text"])
+    return dsir_scores(ds, target_lang="en").sort("doc_id")
+
+
 def q_lm_quality_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus bucketing (stages/textops.
     word_rank_buckets): integer-only word-rank LM proxy — top-10 corpus
@@ -1855,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_documents": q_substring_dedup_documents,
         "lm_quality_buckets": q_lm_quality_buckets,
         "source_quality_filter": q_source_quality_filter,
+        "dsir_scores": q_dsir_scores,
         "token_budget_sample": q_token_budget_sample,
         "gopher_quality_documents": q_gopher_quality_documents,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
@@ -2387,6 +2402,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(c.p) AS BIGINT) AS n_dup_words
             FROM w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.ord
             GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "dsir_scores": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+              FROM documents
+            ), w AS (
+              SELECT doc_id, lang, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS ord
+              FROM toks
+            ), bg AS (
+              SELECT doc_id, lang,
+                     w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                               ORDER BY ord) AS b
+              FROM w
+              QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY ord)
+                      IS NOT NULL
+            ), cnt AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS raw_n,
+                     CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS tgt_n
+              FROM bg GROUP BY b
+            ), doc AS (
+              SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(c.raw_n) AS BIGINT) AS raw_mass,
+                     CAST(sum(c.tgt_n) AS BIGINT) AS tgt_mass
+              FROM bg JOIN cnt c USING (b) GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(x.n_bigrams, 0) AS n_bigrams,
+                   coalesce(x.raw_mass, 0) AS raw_mass,
+                   coalesce(x.tgt_mass, 0) AS tgt_mass
+            FROM documents d LEFT JOIN doc x USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "source_quality_filter": """
             WITH s AS (

@@ -199,6 +199,8 @@ def run_bench() -> dict:
         "crawl_pagerank", "pii_redact_documents", "dedup_lines_documents",
         "pack_sequences_documents", "embedding_near_dups",
         "tfidf_top_terms", "jaccard_planted_pairs",
+        "substring_dedup_documents", "lm_quality_buckets",
+        "token_budget_sample", "cleanroom_exact_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

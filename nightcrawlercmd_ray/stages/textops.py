@@ -3,6 +3,7 @@ scoring, token counting, fingerprinting (engine additions, SURVEY mandate)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -337,6 +338,95 @@ def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
             "n_tokens": pa.array(nt, pa.int64()),
             "sum_rank": pa.array(sr, pa.int64()),
             "bucket": pa.array(bk, pa.string()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_scores(ds, *, target_lang: str = "en", text_col: str = "text",
+                id_col: str = "doc_id", lang_col: str = "lang",
+                n_buckets: int | None = None):
+    """DSIR-style importance scoring for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling": weight
+    raw examples by how target-like their hashed-n-gram feature counts
+    are). Features are word bigrams (the ``bigram_counts`` tokenizer:
+    ``[a-z]+`` runs of the lowercase text); the target distribution is the
+    ``lang_col == target_lang`` slice of the corpus, the raw distribution
+    is the whole corpus.
+
+    Outputs INTEGER mass sums rather than a float log-ratio so the DuckDB
+    oracle hashes bit-exact: per doc, ``tgt_mass = Σ_occurrences
+    target_count(bigram)`` and ``raw_mass = Σ_occurrences
+    raw_count(bigram)`` — the importance ratio is ``tgt_mass/raw_mass``
+    downstream, monotone in these sums.
+
+    Scale shape: ONE bigram-keyed shuffle builds (bigram, raw_n, tgt_n)
+    from per-batch combiners; scoring is a pure per-batch map against the
+    broadcast table. With ``n_buckets=None`` features are the exact bigram
+    strings (oracle mode — broadcast ∝ distinct bigrams); at the 100 TB
+    design point pass ``n_buckets=K`` (DSIR's actual construction): bigrams
+    hash into K buckets via the vectorized xxhash path so the broadcast
+    table is EXACTLY K rows regardless of corpus size.
+    → Dataset(doc_id, n_bigrams, raw_mass, tgt_mass)."""
+    import re
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z]+")
+
+    def _feats(text: str) -> list:
+        toks = word_re.findall((text or "").lower())
+        feats = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if n_buckets is None:
+            return feats
+        import polars as pl
+
+        if not feats:
+            return []
+        h = pl.Series(feats).hash(seed=0).to_numpy()
+        return (h % np.uint64(n_buckets)).astype(np.int64).tolist()
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        for lang, text in zip(t.column(lang_col).to_pylist(),
+                              t.column(text_col).to_pylist()):
+            fs = _feats(text)
+            raw.update(fs)
+            if lang == target_lang:
+                tgt.update(fs)
+        keys = list(raw.keys())
+        ftype = pa.string() if n_buckets is None else pa.int64()
+        return pa.table({
+            "f": pa.array(keys, ftype),
+            "raw_n": pa.array([raw[k] for k in keys], pa.int64()),
+            "tgt_n": pa.array([tgt[k] for k in keys], pa.int64()),
+        })
+
+    table = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("raw_n", alias_name="raw_n"),
+                   Sum("tgt_n", alias_name="tgt_n"))
+        .take_all()
+    )
+    ref = ray.put({r["f"]: (r["raw_n"], r["tgt_n"]) for r in table})
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nb, raw_mass, tgt_mass = [], [], []
+        for text in t.column(text_col).to_pylist():
+            fs = _feats(text)
+            nb.append(len(fs))
+            raw_mass.append(sum(m[f][0] for f in fs))
+            tgt_mass.append(sum(m[f][1] for f in fs))
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "raw_mass": pa.array(raw_mass, pa.int64()),
+            "tgt_mass": pa.array(tgt_mass, pa.int64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

@@ -434,3 +434,64 @@ def test_word_rank_buckets_vs_serial_oracle():
     # the crafted corpus exercises all three buckets + the zero-token edge
     assert {b for _, _, b in expect.values()} == {"head", "middle", "tail"}
     assert expect[4] == (0, 0, "head")
+
+
+def test_dsir_scores_exact_and_hashed_modes():
+    """DSIR importance masses vs a serial oracle (exact-string mode), and
+    the K-bucket hashed mode: same shuffle/broadcast shape, per-doc masses
+    must be >= the exact mode's (bucket collisions only ever merge
+    features) and equal when K is collision-free large; both modes
+    partition-count invariant."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.textops import dsir_scores
+
+    word_re = re.compile(r"[a-z]+")
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "de", "der hund sitzt auf der matte"),
+        (2, "en", "the cat ran off the mat"),
+        (3, "fr", "zz"),                      # no bigrams
+    ]
+
+    # serial oracle (exact-string features)
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    def feats(s):
+        ts = word_re.findall(s.lower())
+        return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+    for _, lg, s in docs:
+        raw.update(feats(s))
+        if lg == "en":
+            tgt.update(feats(s))
+    expect = {d: (len(feats(s)), sum(raw[f] for f in feats(s)),
+                  sum(tgt[f] for f in feats(s))) for d, _, s in docs}
+
+    t = pa.table({"doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                  "lang": pa.array([l for _, l, _ in docs], pa.string()),
+                  "text": pa.array([s for _, _, s in docs], pa.string())})
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (dsir_scores(ds, target_lang="en")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for _, r in out.iterrows():
+            assert (r.n_bigrams, r.raw_mass, r.tgt_mass) == expect[r.doc_id]
+
+    # the target slice genuinely separates: en docs carry more tgt mass
+    assert expect[0][2] > expect[1][2] and expect[3] == (0, 0, 0)
+
+    # hashed mode: masses dominate exact masses; huge K ≡ exact
+    ds = ray.data.from_arrow(t)
+    hashed = (dsir_scores(ds, target_lang="en", n_buckets=4)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for _, r in hashed.iterrows():
+        en, er, et = expect[r.doc_id]
+        assert r.n_bigrams == en and r.raw_mass >= er and r.tgt_mass >= et
+    big = (dsir_scores(ds, target_lang="en", n_buckets=1 << 61)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for _, r in big.iterrows():
+        assert (r.n_bigrams, r.raw_mass, r.tgt_mass) == expect[r.doc_id]
