@@ -472,10 +472,14 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
     hot_rows = duplicate_window_shingles(
         ds, text_col, k=k, min_docs=min_docs).take_all()
-    hot_ref = ray.put(frozenset(r["shingle"] for r in hot_rows))
+    # Broadcast the hot set as word TUPLES plus a first-word prefilter:
+    # the per-window probe is then one dict hit on a cached-hash str, and a
+    # tuple is only materialized at candidate head positions.
+    hot_tuples = frozenset(tuple(r["shingle"].split(" ")) for r in hot_rows)
+    hot_ref = ray.put((hot_tuples, frozenset(w[0] for w in hot_tuples)))
 
     def mask(t: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
+        hot, heads = ray.get(hot_ref)
         out_text, out_nw, out_nd = [], [], []
         for x in t.column(text_col).to_pylist():
             ws = (x or "").split(" ")
@@ -487,7 +491,7 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                 continue
             covered = np.zeros(n, dtype=bool)
             for i in range(n - k + 1):
-                if " ".join(ws[i:i + k]) in hot:
+                if ws[i] in heads and tuple(ws[i:i + k]) in hot:
                     covered[i:i + k] = True
             if covered.any():
                 kept = [w for w, c in zip(ws, covered) if not c]
