@@ -1815,6 +1815,38 @@ def q_pack_greedy_documents(sf_dir: str):
     return pack_greedy_bins(ds, budget=512, part_span=100)
 
 
+def q_bpe_merges_documents(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.train_bpe, Sennrich et al. 2016):
+    ONE distributed word-count shuffle (combiner-first, rows ∝ distinct
+    words, driver pull capped at max_vocab_words) + bounded driver merge
+    loop. The iterative argmax recurrence is not SQL-expressible →
+    rows-only; exact conformance vs a naive serial oracle plus partition
+    invariance are pinned in tests/test_bpe.py. Deterministic hashable
+    projection: (rank, left, right, pair_count)."""
+    from nightcrawlercmd_ray.stages.bpe import train_bpe
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return train_bpe(ds, num_merges=256)
+
+
+def q_bpe_encode_documents(sf_dir: str):
+    """Actor-pool BPE encode (stages/bpe.encode_documents) with merges trained
+    on the same corpus: ranks compiled once per actor, Zipf-memoized encode,
+    zero shuffle. Rows-only (trained-model map); serial-encode exactness and
+    partition invariance pinned in tests/test_bpe.py. Projection per doc:
+    (doc_id, n_bpe, bpe_hash) — bpe_hash is an order-sensitive FNV-1a over
+    the token stream, so any encode deviation flips it."""
+    from nightcrawlercmd_ray.stages.bpe import encode_documents, train_bpe
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=256)
+    return (
+        encode_documents(ds, merges)
+        .select_columns(["doc_id", "n_bpe", "bpe_hash"])
+        .sort("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -1892,6 +1924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_samples": q_media_frame_samples,
         "media_decoded_frames": q_media_decoded_frames,
         "wordlist_pages": q_wordlist_pages,
+        "bpe_merges_documents": q_bpe_merges_documents,
+        "bpe_encode_documents": q_bpe_encode_documents,
     }
 
 
