@@ -391,6 +391,19 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds)
 
 
+def q_inverted_index_documents(sf_dir: str):
+    """Full inverted index (stages/textops.inverted_index): word → (df,
+    complete doc_id-ascending posting list). Distinct-pair combiner → ONE
+    corpus-scaled coarse shuffle → vectorized in-partition segment build
+    (Arrow ListArray + binary_join kernels). min_df=2 matches the HAVING in
+    the SQL oracle."""
+    from nightcrawlercmd_ray.stages.textops import inverted_index
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=2, n_docs=_parquet_rows(path))
+
+
 def q_label_centroids(sf_dir: str):
     """Grouped vector aggregate (stages/similarity.group_vector_sums): the
     distributed centroid computation over the embeddings table — quantized
@@ -1867,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": q_events_rolling_sum,
         "order_price_histogram": q_order_price_histogram,
         "doc_frequency": q_doc_frequency,
+        "inverted_index_documents": q_inverted_index_documents,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2028,6 +2042,20 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "inverted_index_documents": """
+            SELECT word, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM (
+                SELECT DISTINCT doc_id, lower(w) AS word
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                    FROM documents
+                )
+            )
+            GROUP BY word
+            HAVING count(*) >= 2
         """,
         "label_centroids": """
             SELECT label, i AS dim,

@@ -336,6 +336,9 @@ def cmd_portscan(argv: list[str]) -> int:
         out = out[out["port"].isin(ports)]
     else:
         out = port_scan_pipeline(a.start, a.end, open_ports).to_pandas()
+    # block arrival order is not deterministic under load — the reference
+    # scans sequentially (mainPortScan.go:38), so emit in port order
+    out = out.sort_values("port")
     for _, r in out.iterrows():
         if r["open"] or a.show_closed:
             print(int(r["port"]), bool(r["open"]))

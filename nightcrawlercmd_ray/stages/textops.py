@@ -131,6 +131,81 @@ def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1, num_partitions: int | None = None,
+                   n_docs: int | None = None):
+    """Full inverted index: per word its document frequency and the complete
+    doc_id-ascending posting list (comma-joined string — one row per term,
+    the layout a search/retrieval stage consumes). Tokenization matches the
+    wordcount/DF family (``RE_WORD`` lowercased) so the DuckDB oracle is
+    shared machinery.
+
+    Scale shape: per-batch combiner emits DISTINCT (word, doc_id) pairs
+    (shuffle rows ∝ distinct pairs, never occurrences) tagged with a coarse
+    key crc32(word) % P where P scales with the corpus
+    (``dedup._num_coarse_partitions`` — bounded per-partition memory, groups
+    big enough to amortize dispatch). ONE coarse shuffle; inside a partition
+    the postings build is segment arithmetic over (word, doc_id)-sorted rows
+    plus Arrow C kernels (``ListArray.from_arrays`` + ``binary_join``) — no
+    per-word Python. Posting-list strings stay inside their partition until
+    written. → Dataset(word, df, postings)."""
+    import zlib
+    from collections import defaultdict
+
+    from ..functions.extractors import RE_WORD
+    from .dedup import _num_coarse_partitions
+
+    P = _num_coarse_partitions(ds, num_partitions, n_docs,
+                               rows_per_partition=4000)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        by_word: dict[str, list] = defaultdict(list)
+        ids = t.column(id_col).to_pylist()
+        for did, text in zip(ids, t.column(text_col).to_pylist()):
+            for w in {w.lower() for w in RE_WORD.findall(text or "")}:
+                by_word[w].append(did)
+        words, dids, coarse = [], [], []
+        for w, ds_ in by_word.items():
+            c = zlib.crc32(w.encode()) % P
+            words.extend([w] * len(ds_))
+            dids.extend(ds_)
+            coarse.extend([c] * len(ds_))
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "_coarse": pa.array(coarse, pa.int64()),
+        })
+
+    def build_postings(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        g = g.sort_by([("word", "ascending"), ("doc_id", "ascending")])
+        w = g.column("word").to_numpy(zero_copy_only=False)
+        new = np.empty(len(w), dtype=bool)
+        new[0] = True
+        new[1:] = w[1:] != w[:-1]
+        starts = np.nonzero(new)[0]
+        offsets = np.append(starts, len(w)).astype(np.int32)
+        df = np.diff(offsets).astype(np.int64)
+        did_str = pc.cast(g.column("doc_id").combine_chunks(), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), did_str)
+        postings = pc.binary_join(lists, ",")
+        out = pa.table({"word": pa.array(w[starts], pa.string()),
+                        "df": pa.array(df, pa.int64()),
+                        "postings": postings})
+        if min_df > 1:
+            out = out.filter(pc.field("df") >= min_df)
+        return out
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(build_postings, batch_format="pyarrow")
+    )
+
+
 def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
                     text_col: str = "text", id_col: str = "doc_id"):
     """Per-document top-k informative keywords: rank terms by TF descending
