@@ -404,6 +404,19 @@ def q_inverted_index_documents(sf_dir: str):
     return inverted_index(ds, min_df=2, n_docs=_parquet_rows(path))
 
 
+def q_heavy_hitters_bigrams(sf_dir: str):
+    """Exact bigram heavy hitters (stages/sketches.heavy_hitters_exact):
+    Misra–Gries candidate pass (per-batch trim to ≤ k, compact summary
+    shuffle, no-false-negative filter at threshold − Σdeductions) + exact
+    confirm pass over the broadcast candidate set. Bit-exact vs the SQL
+    HAVING oracle; MG trim guarantee stressed at tiny k in
+    tests/test_heavy_hitters.py."""
+    from nightcrawlercmd_ray.stages.sketches import heavy_hitters_exact
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters_exact(ds, threshold=40, ngram=2, k=512)
+
+
 def q_label_centroids(sf_dir: str):
     """Grouped vector aggregate (stages/similarity.group_vector_sums): the
     distributed centroid computation over the embeddings table — quantized
@@ -1881,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_histogram": q_order_price_histogram,
         "doc_frequency": q_doc_frequency,
         "inverted_index_documents": q_inverted_index_documents,
+        "heavy_hitters_bigrams": q_heavy_hitters_bigrams,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2042,6 +2056,21 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "heavy_hitters_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> ''
+                       ) AS ws
+                FROM documents
+            ),
+            pairs AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS key
+                FROM toks, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+            )
+            SELECT key, count(*) AS n
+            FROM pairs GROUP BY key HAVING count(*) >= 40
         """,
         "inverted_index_documents": """
             SELECT word, count(*) AS df,

@@ -119,3 +119,165 @@ def exact_distinct_by(ds, key_col: str, by_col: str):
         .groupby(by_col)
         .aggregate(Count(alias_name="n_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra–Gries candidate pass + exact confirm pass
+# ---------------------------------------------------------------------------
+
+
+def _mg_trim(counter, k: int):
+    """Misra–Gries trim of an exact batch counter to ≤ k survivors: subtract
+    the (k+1)-th largest count from everything, drop ≤0. Returns (survivors
+    dict, deduction) — every key's true batch count is understated by at most
+    ``deduction`` (Misra & Gries 1982; merge validity per Agarwal et al.
+    2013, "Mergeable Summaries")."""
+    if len(counter) <= k:
+        return counter, 0
+    vals = sorted(counter.values(), reverse=True)
+    d = vals[k]
+    return {w: c - d for w, c in counter.items() if c > d}, d
+
+
+# reserved marker keys for the in-band totals (cannot collide with real
+# keys, which are space-joined [a-z]+ tokens and so always start ≥ 'a')
+_MK_TOTAL = "\x00total"
+_MK_DEDUCT = "\x00deduct"
+
+_TOK_RE = None  # compiled lazily (keep module import light)
+
+
+def _ngram_counter(texts, ngram: int):
+    """Exact n-gram Counter over a batch: ``[a-z]+`` runs of the lowercased
+    text (the bigram_counts tokenization family), n-grams space-joined."""
+    global _TOK_RE
+    if _TOK_RE is None:
+        import re
+
+        _TOK_RE = re.compile(r"[a-z]+")
+    from collections import Counter
+
+    c: Counter = Counter()
+    for text in texts:
+        toks = _TOK_RE.findall((text or "").lower())
+        if ngram == 1:
+            c.update(toks)
+        else:
+            c.update(
+                " ".join(toks[i : i + ngram])
+                for i in range(len(toks) - ngram + 1)
+            )
+    return c
+
+
+def heavy_hitters_exact(
+    ds,
+    threshold: int,
+    *,
+    text_col: str = "text",
+    ngram: int = 1,
+    k: int = 4096,
+):
+    """EXACT n-gram heavy hitters — every n-gram with total corpus count
+    ≥ ``threshold``, with its exact count — without ever shuffling the full
+    n-gram-count table (whose size at web scale is corpus-order for n ≥ 2).
+
+    Two passes (the classic sketch-then-confirm shape):
+
+    1. **Candidate pass**: per-batch exact Counter → Misra–Gries trim to ≤ k
+       rows (plus two in-band marker rows carrying the batch's token total
+       and MG deduction) → ONE groupby(key).sum over ≤ (k+2)·num_batches
+       compact rows. Any key with true count ≥ threshold has merged count
+       ≥ threshold − D where D = Σ per-batch deductions, so filtering the
+       merged summary at ``threshold − D`` (dataset-side, BEFORE the driver
+       pull) cannot drop a true heavy hitter; the surviving candidate set is
+       mathematically ≤ n_tokens/(threshold − D) keys — tiny whenever the
+       threshold is meaningfully above the MG noise floor. If D ≥ threshold
+       (k too small for this corpus/threshold), raises — the caller must
+       raise k rather than silently lose recall.
+    2. **Confirm pass**: candidate set broadcast once via ``ray.put``;
+       per-batch combiner counts ONLY candidate keys → ONE tiny
+       groupby(key).sum → filter ≥ threshold. Output is bit-exact
+       (SQL-oracle-able: GROUP BY key HAVING count(*) ≥ threshold).
+
+    Tokenization matches the bigram_counts family (``[a-z]+`` lowercased,
+    n-grams space-joined). → Dataset(key, n).
+    """
+    import functools
+
+    import ray
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        c = _ngram_counter(t.column(text_col).to_pylist(), ngram)
+        total = sum(c.values())
+        surv, d = _mg_trim(c, k)
+        keys = list(surv.keys()) + [_MK_TOTAL, _MK_DEDUCT]
+        ns = list(surv.values()) + [total, d]
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["key", "n"]),
+                     batch_format="pyarrow")
+    ).materialize()  # SMALL post-aggregation summary (≤ (k+2)·batches rows,
+    # already reduced) — materialized so the two filters below don't each
+    # re-run the corpus pass; the corpus itself is never materialized
+    # markers are exactly 2 rows after the groupby — a bounded driver pull
+    # (filters run distributed via map_batches so the summary never reaches
+    # the driver unfiltered)
+    def only_markers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("key"), pa.scalar("a")))
+
+    marks = {r["key"]: r["n"]
+             for r in merged.map_batches(
+                 only_markers, batch_format="pyarrow").take_all()
+             if r["key"] in (_MK_TOTAL, _MK_DEDUCT)}
+    deduct = int(marks.get(_MK_DEDUCT, 0))
+    if deduct >= threshold:
+        raise ValueError(
+            f"MG noise floor {deduct} ≥ threshold {threshold}: raise k "
+            f"(currently {k}) to keep the no-false-negative guarantee"
+        )
+    floor = threshold - deduct
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("n"), pa.scalar(floor)),
+            pc.greater_equal(t.column("key"), pa.scalar("a")),
+        )
+        return t.filter(mask)
+
+    cand_rows = merged.map_batches(
+        only_candidates, batch_format="pyarrow"
+    ).take_all()  # bounded: ≤ n_tokens/(threshold − deduct) rows
+    candidates = frozenset(r["key"] for r in cand_rows)
+    cand_ref = ray.put(candidates)
+
+    def confirm_partial(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        c = _ngram_counter(t.column(text_col).to_pylist(), ngram)
+        keep = [kk for kk in c if kk in cand]
+        return pa.table({
+            "key": pa.array(keep, pa.string()),
+            "n": pa.array([c[kk] for kk in keep], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(confirm_partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .map_batches(
+            functools.partial(_finish_hh, threshold=threshold),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _finish_hh(t: pa.Table, threshold: int) -> pa.Table:
+    t = t.rename_columns(["key", "n"])
+    return t.filter(pc.greater_equal(t.column("n"), pa.scalar(threshold)))
