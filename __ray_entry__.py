@@ -404,6 +404,30 @@ def q_inverted_index_documents(sf_dir: str):
     return inverted_index(ds, min_df=2, n_docs=_parquet_rows(path))
 
 
+def q_embedding_moments(sf_dir: str):
+    """Integer-exact first+second moment sums of the embedding column
+    (stages/similarity.embedding_moments) — the one-shuffle statistics pass
+    under PCA/whitening. Quantize-before-sum makes it exactly associative,
+    so the d(d+1)/2+d+1-row output hash-matches the SQL self-join oracle
+    bit-for-bit."""
+    from nightcrawlercmd_ray.stages.similarity import embedding_moments
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_moments(ds, quant=1e4)
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (stages/similarity.pca_embeddings): integer-exact
+    moment pass → driver d×d eigendecomposition (sign-normalized) →
+    broadcast projection map. Eigendecomposition is not SQL-expressible →
+    rows-only; numpy-oracle equality and partition invariance pinned in
+    tests/test_pca.py."""
+    from nightcrawlercmd_ray.stages.similarity import pca_embeddings
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_embeddings(ds, n_components=4).sort("vec_id")
+
+
 def q_heavy_hitters_bigrams(sf_dir: str):
     """Exact bigram heavy hitters (stages/sketches.heavy_hitters_exact):
     Misra–Gries candidate pass (per-batch trim to ≤ k, compact summary
@@ -1895,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "inverted_index_documents": q_inverted_index_documents,
         "heavy_hitters_bigrams": q_heavy_hitters_bigrams,
+        "embedding_moments": q_embedding_moments,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -1952,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_samples": q_media_frame_samples,
         "media_decoded_frames": q_media_decoded_frames,
         "wordlist_pages": q_wordlist_pages,
+        "pca_embeddings": q_pca_embeddings,
         "bpe_merges_documents": q_bpe_merges_documents,
         "bpe_encode_documents": q_bpe_encode_documents,
     }
@@ -2056,6 +2082,29 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "embedding_moments": """
+            WITH comp AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT i, j, qs FROM (
+                SELECT a.i AS i, b.i AS j,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS qs
+                FROM comp a JOIN comp b
+                  ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY a.i, b.i
+                UNION ALL
+                SELECT i, CAST(0 AS BIGINT) AS j, CAST(sum(q) AS BIGINT) AS qs
+                FROM comp GROUP BY i
+                UNION ALL
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(count(DISTINCT vec_id) AS BIGINT)
+                FROM comp
+            )
         """,
         "heavy_hitters_bigrams": """
             WITH toks AS (

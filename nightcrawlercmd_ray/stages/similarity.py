@@ -271,3 +271,119 @@ def group_vector_sums(
         .groupby([group_col, "dim"])
         .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
     )
+
+
+def embedding_moments(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", quant: float = 1e4):
+    """First+second moment sums of the embedding column, integer-exact —
+    the one-shuffle statistics pass PCA / whitening / covariance analysis is
+    built on. Components are quantized to int64 (``round(x·quant)``) BEFORE
+    any summation, so results are exactly associative (identical at any
+    parallelism) and bit-comparable to a SQL oracle. int64 headroom: with
+    |x| ≤ 0.5 and quant=1e4 the per-pair product is ≤ 2.5e7, so sums stay
+    exact past 3×10^11 rows — raise/lower ``quant`` to trade precision for
+    headroom and document the bound at the call site.
+
+    Output (long form, 1-based dims): rows
+      (i, j, qs)  i ≤ j  — Σ q_i·q_j   (upper-triangle second moments)
+      (i, 0, qs)         — Σ q_i        (first moments)
+      (0, 0, n)          — row count.
+
+    Scale shape: per-batch numpy ``X.T @ X`` combiner reduces each block to
+    d(d+1)/2 + d + 1 rows → ONE tiny groupby(i, j) shuffle; nothing
+    row-count-sized ever crosses the network. → Dataset(i, j, qs).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"i": z, "j": z, "qs": z})
+        q = np.rint(vecs * quant).astype(np.int64)
+        d = q.shape[1]
+        s2 = q.T @ q  # int64 matmul, exact within the documented bound
+        iu, ju = np.triu_indices(d)
+        i_rows = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+        j_rows = np.concatenate([ju + 1, np.zeros(d, np.int64), [0]])
+        qs_rows = np.concatenate([s2[iu, ju], q.sum(axis=0), [q.shape[0]]])
+        return pa.table({
+            "i": pa.array(i_rows.astype(np.int64)),
+            "j": pa.array(j_rows.astype(np.int64)),
+            "qs": pa.array(qs_rows.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .sum("qs")
+        .map_batches(lambda t: t.rename_columns(["i", "j", "qs"]),
+                     batch_format="pyarrow")
+    )
+
+
+def _eig_from_moments(rows, quant: float, n_components: int):
+    """Driver-side finish: moment rows → (mean[d], components[d,k]).
+    Deterministic: covariance is integer-exact, eigh of a fixed matrix, and
+    each eigenvector's sign is normalized (largest-|entry| made positive,
+    first index on ties)."""
+    second = {(r["i"], r["j"]): r["qs"] for r in rows}
+    n = int(second.pop((0, 0)))
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    d = max(i for i, j in second if j == 0)
+    s1 = np.array([second.pop((i, 0)) for i in range(1, d + 1)], dtype=np.float64)
+    C = np.zeros((d, d), dtype=np.float64)
+    for (i, j), v in second.items():
+        C[i - 1, j - 1] = v
+        C[j - 1, i - 1] = v
+    # covariance from integer sums: (S2 - outer(s1,s1)/n) / ((n-1)·quant²)
+    C = (C - np.outer(s1, s1) / n) / ((n - 1) * quant * quant)
+    mean = s1 / (n * quant)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order]
+    for c in range(comps.shape[1]):
+        col = comps[:, c]
+        piv = int(np.argmax(np.abs(col)))
+        if col[piv] < 0:
+            comps[:, c] = -col
+    return mean, comps, w[order]
+
+
+def pca_embeddings(ds, *, n_components: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id", quant: float = 1e4):
+    """Distributed PCA over the embedding column: integer-exact moment pass
+    (``embedding_moments``, ONE tiny shuffle) → driver eigendecomposition of
+    the d×d covariance (d² floats — microscopic at any corpus size) →
+    broadcast (mean, components) → pure projection map. The corpus is
+    touched exactly twice and never materialized; everything driver-side is
+    O(d²), independent of row count.
+
+    Output: (id_col, pc1..pcK float64) — bit-deterministic at any
+    partitioning (the moment pass is integer-exact, the projection is
+    per-row float math on identical inputs).
+    """
+    moment_rows = embedding_moments(
+        ds, vec_col=vec_col, id_col=id_col, quant=quant
+    ).take_all()  # d(d+1)/2 + d + 1 rows — bounded by dimension, not corpus
+    mean, comps, _ = _eig_from_moments(moment_rows, quant, n_components)
+    mean_ref = ray.put(mean)
+    comp_ref = ray.put(comps)
+
+    def project(t: pa.Table) -> pa.Table:
+        m = ray.get(mean_ref)
+        W = ray.get(comp_ref)
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        out = {id_col: t.column(id_col)}
+        proj = np.zeros((len(t), W.shape[1]), dtype=np.float64)
+        if vecs.size:
+            # fixed dimension-order accumulation with elementwise kernels:
+            # BLAS dgemm blocks by matrix SHAPE, so (X-m)@W drifts by ULPs
+            # between batch sizes — this loop is bit-identical at any layout
+            for kdim in range(W.shape[0]):
+                proj += (vecs[:, kdim] - m[kdim])[:, None] * W[kdim]
+        for c in range(W.shape[1]):
+            out[f"pc{c + 1}"] = pa.array(proj[:, c], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
