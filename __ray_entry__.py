@@ -428,6 +428,26 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_percentile_rank_doclen(sf_dir: str):
+    """Global percentile rank without a global sort
+    (stages/quantiles.percentile_rank): exact value-count histogram pass →
+    broadcast exclusive-CDF → vectorized searchsorted map. Bit-exact vs
+    SQL percent_rank() (same #smaller/(n−1) single division)."""
+    import pyarrow.compute as _pc
+
+    from nightcrawlercmd_ray.stages.quantiles import percentile_rank
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_len(t):
+        return t.append_column(
+            "n_chars", _pc.cast(_pc.utf8_length(t.column("text")), pa.int64())
+        )
+
+    ds = ds.map_batches(add_len, batch_format="pyarrow")
+    return percentile_rank(ds, "n_chars", keep_cols=["doc_id", "n_chars"])
+
+
 def q_heavy_hitters_bigrams(sf_dir: str):
     """Exact bigram heavy hitters (stages/sketches.heavy_hitters_exact):
     Misra–Gries candidate pass (per-batch trim to ≤ k, compact summary
@@ -1920,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": q_inverted_index_documents,
         "heavy_hitters_bigrams": q_heavy_hitters_bigrams,
         "embedding_moments": q_embedding_moments,
+        "percentile_rank_doclen": q_percentile_rank_doclen,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2082,6 +2103,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "percentile_rank_doclen": """
+            SELECT doc_id, length(text) AS n_chars,
+                   percent_rank() OVER (ORDER BY length(text)) AS pct_rank
+            FROM documents
         """,
         "embedding_moments": """
             WITH comp AS (

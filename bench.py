@@ -201,6 +201,8 @@ def run_bench() -> dict:
         "tfidf_top_terms", "jaccard_planted_pairs",
         "substring_dedup_documents", "lm_quality_buckets",
         "token_budget_sample", "cleanroom_exact_documents",
+        "inverted_index_documents", "heavy_hitters_bigrams",
+        "embedding_moments", "pca_embeddings", "bpe_encode_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -149,3 +149,53 @@ def fixed_width_histogram(
             lambda t: t.rename_columns(["bucket", "n"]), batch_format="pyarrow"
         )
     )
+
+
+def percentile_rank(ds, value_col: str, *, out_col: str = "pct_rank",
+                    keep_cols: list[str] | None = None):
+    """Global percentile rank per row — SQL ``percent_rank() OVER (ORDER BY
+    value_col)`` = (#rows strictly smaller) / (n − 1) — WITHOUT a global
+    sort. The normalization pass a quality-score → percentile curation
+    filter needs.
+
+    Scale shape: pass 1 builds the exact value-count histogram (per-batch
+    ``group_by(value).count`` combiner → ONE groupby(value) shuffle — rows
+    ∝ distinct values, which for discrete scores/lengths is ≪ corpus);
+    the sorted histogram's exclusive cumulative counts are broadcast once
+    (``ray.put``); pass 2 is a pure vectorized ``searchsorted`` map. The
+    single rank/(n−1) float division is deterministic, so output is
+    bit-exact at any partitioning and hash-comparable to the SQL oracle.
+
+    Caveat (documented): the broadcast CDF is |distinct values| entries —
+    right for discrete columns (lengths, scores, buckets, prices in cents);
+    for high-cardinality floats quantize first or use exact_quantiles.
+    → input columns (or ``keep_cols``) + ``out_col`` float64.
+    """
+    import ray
+
+    hist_rows = (
+        ds.map_batches(_partial_hist(value_col, None), batch_format="pyarrow")
+        .groupby(value_col)
+        .sum("_cnt")
+        .take_all()
+    )  # bounded: |distinct values| rows
+    if not hist_rows:
+        raise ValueError(f"percentile_rank: no rows in {value_col!r}")
+    values = np.array([r[value_col] for r in hist_rows])
+    counts = np.array([r["sum(_cnt)"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])  # exclusive cumsum
+    n = int(counts.sum())
+    cdf_ref = ray.put((values, below, n))
+
+    def rank_map(t: pa.Table) -> pa.Table:
+        vals, blw, total = ray.get(cdf_ref)
+        x = t.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, x, side="left")
+        pr = blw[idx] / (total - 1) if total > 1 else np.zeros(len(x))
+        if keep_cols is not None:
+            t = t.select(keep_cols)
+        return t.append_column(out_col, pa.array(pr, pa.float64()))
+
+    return ds.map_batches(rank_map, batch_format="pyarrow")

@@ -495,3 +495,48 @@ def test_dsir_scores_exact_and_hashed_modes():
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     for _, r in big.iterrows():
         assert (r.n_bigrams, r.raw_mass, r.tgt_mass) == expect[r.doc_id]
+
+
+# --- percentile_rank ---------------------------------------------------------
+
+
+def test_percentile_rank_matches_serial_and_partition_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.quantiles import percentile_rank
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 40, 500)  # heavy ties on purpose
+    t = pa.table({
+        "id": pa.array(np.arange(500), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    # serial oracle: percent_rank = (#strictly smaller) / (n-1)
+    expect = {
+        i: float((vals < v).sum()) / (len(vals) - 1)
+        for i, v in enumerate(vals)
+    }
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = percentile_rank(ds, "v").to_pandas()
+        got = dict(zip(out["id"], out["pct_rank"]))
+        assert got == expect  # bit-exact (single int/int division)
+    # edges: min value ranks 0.0; max value ranks (n - ties_at_max)/(n-1)
+    assert min(expect.values()) == 0.0
+
+
+def test_percentile_rank_single_row_and_empty():
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+
+    from nightcrawlercmd_ray.stages.quantiles import percentile_rank
+
+    one = ray.data.from_arrow(pa.table({"v": pa.array([7], pa.int64())}))
+    out = percentile_rank(one, "v").to_pandas()
+    assert list(out["pct_rank"]) == [0.0]
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    with _pytest.raises(ValueError, match="no rows"):
+        percentile_rank(empty, "v")
