@@ -454,11 +454,15 @@ def q_heavy_hitters_bigrams(sf_dir: str):
     shuffle, no-false-negative filter at threshold − Σdeductions) + exact
     confirm pass over the broadcast candidate set. Bit-exact vs the SQL
     HAVING oracle; MG trim guarantee stressed at tiny k in
-    tests/test_heavy_hitters.py."""
+    tests/test_heavy_hitters.py. k is sized WELL above this synthetic
+    corpus' bigram vocabulary (916 at every sf): with a low absolute
+    threshold the noise-floor guard otherwise correctly refuses once
+    enough batches each deduct a little (observed D=258 at sf0.1, k=512) —
+    at scale, k is the knob the caller budgets against the threshold."""
     from nightcrawlercmd_ray.stages.sketches import heavy_hitters_exact
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
-    return heavy_hitters_exact(ds, threshold=40, ngram=2, k=512)
+    return heavy_hitters_exact(ds, threshold=40, ngram=2, k=16384)
 
 
 def q_label_centroids(sf_dir: str):
