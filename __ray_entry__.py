@@ -1122,6 +1122,44 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_lsh_duplicates(ds, threshold=0.8, n_docs=_parquet_rows(path))
 
 
+def q_cdc_near_dups(sf_dir: str):
+    """Content-defined-chunking near-dups (stages/cdc.cdc_duplicates):
+    rolling-hash chunk boundaries make SHIFTED copies (same article behind a
+    different header) share chunk hashes — the dup class fixed-window
+    substring dedup misses. Planted here: every 25th doc gets a copy with an
+    inserted prefix under doc_id+10_000_000; each planted copy must surface
+    with dup_of = its source or a smaller natural near-dup (min-partner
+    convention; recall positively exercised, like the embedding-dedup
+    query). Rows-only (rolling-hash recurrence is not
+    SQL-expressible); serial oracle + shift-stability + partition invariance
+    pinned in tests/test_cdc.py."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.cdc import cdc_duplicates
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+
+    def plant(t):
+        keep = [i for i, d in enumerate(t.column("doc_id").to_pylist())
+                if d % 25 == 0]
+        sub = t.take(pa.array(keep))
+        ids = pc.add(sub.column("doc_id"), pa.scalar(10_000_000, pa.int64()))
+        texts = pa.array(
+            [f"PLANTED-HEADER {d}. {x}" for d, x in
+             zip(sub.column("doc_id").to_pylist(),
+                 sub.column("text").to_pylist())],
+            pa.string(),
+        )
+        import pyarrow as _pa
+
+        return _pa.concat_tables([t, _pa.table({"doc_id": ids, "text": texts})])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    n = _parquet_rows(path)
+    return cdc_duplicates(planted, frac=0.5, n_docs=n + n // 25 + 1).sort("doc_id")
+
+
 def q_dup_clusters_documents(sf_dir: str):
     """Transitive near-dup CLUSTERS: MinHash-LSH pairwise matches →
     distributed connected components (stages/graph.py min-label
@@ -1908,8 +1946,8 @@ def q_bpe_encode_documents(sf_dir: str):
     on the same corpus: ranks compiled once per actor, Zipf-memoized encode,
     zero shuffle. Rows-only (trained-model map); serial-encode exactness and
     partition invariance pinned in tests/test_bpe.py. Projection per doc:
-    (doc_id, n_bpe, bpe_hash) — bpe_hash is an order-sensitive FNV-1a over
-    the token stream, so any encode deviation flips it."""
+    (doc_id, n_bpe, bpe_hash) — bpe_hash is an order-sensitive polynomial
+    combine of per-token FNV-1a hashes, so any encode deviation flips it."""
     from nightcrawlercmd_ray.stages.bpe import encode_documents, train_bpe
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1989,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,
         "minhash_near_dups": q_minhash_near_dups,
+        "cdc_near_dups": q_cdc_near_dups,
         "dup_clusters_documents": q_dup_clusters_documents,
         "crawl_pagerank": q_crawl_pagerank,
         "simhash_near_dups": q_simhash_near_dups,

@@ -203,6 +203,7 @@ def run_bench() -> dict:
         "token_budget_sample", "cleanroom_exact_documents",
         "inverted_index_documents", "heavy_hitters_bigrams",
         "embedding_moments", "pca_embeddings", "bpe_encode_documents",
+        "cdc_near_dups",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -33,6 +33,24 @@ import pyarrow as pa
 
 END = "</w>"  # end-of-word sentinel symbol (Sennrich-style)
 
+import numpy as np  # noqa: E402  (vectorized stream hashing in the encoder)
+
+
+def _pinv_u64(p: np.uint64) -> np.uint64:
+    """Inverse of odd p mod 2^64 (Newton iteration)."""
+    x = p
+    with np.errstate(over="ignore"):
+        for _ in range(5):
+            x = x * (np.uint64(2) - p * x)
+    return x
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
 
 # ---------------------------------------------------------------------------
 # training
@@ -194,16 +212,27 @@ class BPEEncodeStage:
 
     ``__init__`` (once per actor) compiles the rank dict and seeds the word
     memo; ``__call__`` encodes a batch. Output appends ``n_bpe`` (token count)
-    and ``bpe_hash`` (order-sensitive FNV-1a over the token strings, int64) —
+    and ``bpe_hash`` (order-sensitive polynomial combine of per-token FNV-1a
+    hashes, int64; token hashes memoized, combine vectorized) —
     a compact deterministic projection of the full encoding; pass
     ``emit_tokens=True`` to also emit the token list column (test/debug scale
     only: at 100 TB the token strings would triple the corpus bytes moved)."""
+
+    # polynomial-combine constant for the order-sensitive stream hash
+    _P = np.uint64(0x9E3779B97F4A7C15 | 1)
 
     def __init__(self, merges: list[tuple], text_col: str = "text", emit_tokens: bool = False):
         self.ranks = {(l, r): i for i, (l, r, *_rest) in enumerate(merges)}
         self.text_col = text_col
         self.emit_tokens = emit_tokens
         self.memo: dict[str, tuple] = {}
+        # token → uint64 FNV hash memo: the token vocabulary is tiny
+        # (chars + ≤ num_merges merge outputs), so each token's byte-level
+        # FNV runs once per actor and the per-doc combine is vectorized
+        self.tok_hash: dict[str, int] = {}
+        self._pows = np.multiply.accumulate(
+            np.full(4096, self._P, np.uint64)
+        ) * _pinv_u64(self._P)  # p^0..p^4095, grown on demand
 
     def _encode_text(self, text: str) -> list:
         out: list = []
@@ -217,17 +246,34 @@ class BPEEncodeStage:
             out.extend(toks)
         return out
 
+    def _stream_hash(self, toks: list) -> int:
+        """Order-sensitive hash of the token stream: per-token FNV-1a
+        (memoized — the token vocabulary is chars + merges, tiny) combined
+        as Σ fnv(tok_i)·p^i mod 2^64 (numpy-vectorized)."""
+        if not toks:
+            return 0
+        th = self.tok_hash
+        hs = np.empty(len(toks), np.uint64)
+        for i, tok in enumerate(toks):
+            h = th.get(tok)
+            if h is None:
+                h = th.setdefault(tok, _fnv1a(tok.encode()))
+            hs[i] = h
+        while len(toks) > len(self._pows):
+            with np.errstate(over="ignore"):
+                self._pows = np.concatenate(
+                    [self._pows, self._pows * self._pows[-1] * self._P]
+                )
+        with np.errstate(over="ignore"):
+            total = np.sum(hs * self._pows[: len(toks)], dtype=np.uint64)
+        return int(total) & 0x7FFFFFFFFFFFFFFF
+
     def __call__(self, t: pa.Table) -> pa.Table:
         n_col, h_col, tok_col = [], [], []
         for text in t.column(self.text_col).to_pylist():
             toks = self._encode_text(text)
             n_col.append(len(toks))
-            h = 0xCBF29CE484222325
-            for tok in toks:
-                for b in tok.encode():
-                    h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                h = ((h ^ 0x1E) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            h_col.append(h & 0x7FFFFFFFFFFFFFFF)
+            h_col.append(self._stream_hash(toks))
             if self.emit_tokens:
                 tok_col.append(list(toks))
         t = t.append_column("n_bpe", pa.array(n_col, pa.int64())).append_column(
