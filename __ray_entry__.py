@@ -428,6 +428,19 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_hll_distinct_users_by_type(sf_dir: str):
+    """Grouped HLL distinct (stages/sketches.hll_distinct_by): approximate
+    distinct users per event_type via per-batch per-group register folding +
+    one blob shuffle — nothing key-sized crosses the network (the 100-TB
+    path; the exact sibling `distinct_users_by_type` is the SQL-oracled
+    ground truth). Rows-only: <5 % error vs exact and bit-exact partition
+    invariance pinned in tests/test_quantiles_sketches_windows.py."""
+    from nightcrawlercmd_ray.stages.sketches import hll_distinct_by
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_distinct_by(ds, "user_id", "event_type", p=12).sort("event_type")
+
+
 def q_percentile_rank_doclen(sf_dir: str):
     """Global percentile rank without a global sort
     (stages/quantiles.percentile_rank): exact value-count histogram pass →
@@ -2042,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decoded_frames": q_media_decoded_frames,
         "wordlist_pages": q_wordlist_pages,
         "pca_embeddings": q_pca_embeddings,
+        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "bpe_merges_documents": q_bpe_merges_documents,
         "bpe_encode_documents": q_bpe_encode_documents,
     }

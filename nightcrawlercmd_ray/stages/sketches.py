@@ -281,3 +281,54 @@ def heavy_hitters_exact(
 def _finish_hh(t: pa.Table, threshold: int) -> pa.Table:
     t = t.rename_columns(["key", "n"])
     return t.filter(pc.greater_equal(t.column("n"), pa.scalar(threshold)))
+
+
+def hll_distinct_by(ds, key_col: str, by_col: str, *, p: int = 12):
+    """Approximate per-group COUNT(DISTINCT key_col) — the 100-TB path for
+    grouped distincts: per-batch per-group register folding (each batch
+    emits ≤ |groups-in-batch| rows of 2^p register bytes — NOTHING key-sized
+    crosses the network), ONE groupby(by) shuffle of those compact blobs,
+    elementwise-max merge per group (associative + commutative ⇒ register
+    state, and therefore the estimate, is bit-identical at any
+    partitioning). The exact sibling (``exact_distinct_by``) shuffles the
+    full (by, key) pair set; use this when keys are wide or pairs ≈ corpus.
+
+    Assumes moderate group cardinality (registers per group = 2^p bytes;
+    p=12 → 4 KB — 10^6 groups ⇒ 4 GB spread across the cluster, fine; the
+    estimator error is the standard ~1.04/√2^p ≈ 1.6 %).
+    → Dataset(by_col, n_distinct_approx float64).
+    """
+
+    def fold(t: pa.Table) -> pa.Table:
+        by = t.column(by_col).to_numpy(zero_copy_only=False)
+        keys = (
+            pc.cast(t.column(key_col), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = splitmix64(keys)
+        groups, inv = np.unique(by, return_inverse=True)
+        blobs = []
+        for gi in range(len(groups)):
+            blobs.append(_fold_registers(h[inv == gi], p).tobytes())
+        return pa.table({
+            by_col: pa.array(groups),
+            "regs": pa.array(blobs, pa.binary()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for blob in g.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                       out=merged)
+        return pa.table({
+            by_col: g.column(by_col).slice(0, 1),
+            "n_distinct_approx": pa.array([_estimate(merged)], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(by_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

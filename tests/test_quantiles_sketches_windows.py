@@ -540,3 +540,54 @@ def test_percentile_rank_single_row_and_empty():
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
     with _pytest.raises(ValueError, match="no rows"):
         percentile_rank(empty, "v")
+
+
+# --- hll_distinct_by ---------------------------------------------------------
+
+
+def test_hll_distinct_by_accuracy_and_partition_invariance():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(13)
+    groups = rng.choice([1, 2, 3], 30_000, p=[0.6, 0.3, 0.1])
+    # per-group distinct cardinality differs by an order of magnitude
+    keys = np.where(groups == 1, rng.integers(0, 8000, 30_000),
+                    np.where(groups == 2, rng.integers(0, 800, 30_000),
+                             rng.integers(0, 50, 30_000)))
+    t = pa.table({"g": pa.array(groups, pa.int64()),
+                  "k": pa.array(keys, pa.int64())})
+    exact = {
+        g: len(np.unique(keys[groups == g])) for g in (1, 2, 3)
+    }
+    results = []
+    for blocks in (1, 12):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = hll_distinct_by(ds, "k", "g", p=12).to_pandas()
+        got = dict(zip(out["g"], out["n_distinct_approx"]))
+        for g, n in exact.items():
+            assert abs(got[g] - n) / n < 0.05, (g, got[g], n)
+        results.append(got)
+    # register max-merge is associative+commutative → bit-identical estimate
+    assert results[0] == results[1]
+
+
+def test_hll_distinct_by_matches_global_hll_per_group():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.sketches import hll_distinct, hll_distinct_by
+
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 3000, 8000)
+    t = pa.table({"g": pa.array(np.ones(8000, np.int64)),
+                  "k": pa.array(keys, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    grouped = hll_distinct_by(ds, "k", "g", p=12).to_pandas()
+    solo = hll_distinct(ds, "k", p=12)
+    # one group ⇒ the grouped estimate IS the global estimate, bit-equal
+    assert float(grouped["n_distinct_approx"].iloc[0]) == solo["estimate"]
