@@ -428,6 +428,18 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_temperature_upsample(sf_dir: str):
+    """Temperature-balanced mixture upsampling
+    (stages/sampling.temperature_upsample, T=2): tail languages replicated
+    by √(n_max/n_lang) toward balance — one stratum-count shuffle,
+    broadcast factors, pure flat-map. Bit-exact vs the SQL oracle (IEEE
+    sqrt both sides; fractional replication keyed on doc_id % 10^6)."""
+    from nightcrawlercmd_ray.stages.sampling import temperature_upsample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return temperature_upsample(ds, stratum="lang", id_col="doc_id")
+
+
 def q_hll_distinct_users_by_type(sf_dir: str):
     """Grouped HLL distinct (stages/sketches.hll_distinct_by): approximate
     distinct users per event_type via per-batch per-group register folding +
@@ -1996,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_bigrams": q_heavy_hitters_bigrams,
         "embedding_moments": q_embedding_moments,
         "percentile_rank_doclen": q_percentile_rank_doclen,
+        "temperature_upsample": q_temperature_upsample,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2160,6 +2173,22 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "temperature_upsample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            mx AS (SELECT max(n) AS mn FROM c),
+            f AS (SELECT lang, sqrt(CAST(mn AS DOUBLE) / n) AS factor FROM c, mx),
+            r AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(floor(factor) AS BIGINT)
+                       + CASE WHEN (d.doc_id % 1000000)
+                                   < CAST(floor((factor - floor(factor)) * 1000000) AS BIGINT)
+                              THEN 1 ELSE 0 END AS reps
+                FROM documents d JOIN f USING (lang)
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(range(1, reps + 1)) AS BIGINT) AS replica
+            FROM r
         """,
         "percentile_rank_doclen": """
             SELECT doc_id, length(text) AS n_chars,

@@ -254,3 +254,67 @@ def token_budget_sample(ds, *, budget: int, lang_col: str = "lang",
         .groupby("part")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def temperature_upsample(ds, *, stratum: str = "lang", id_col: str = "doc_id",
+                         keep_cols: list[str] | None = None):
+    """Temperature-balanced mixture upsampling (the multilingual-LLM
+    rebalancing step, XLM-R / mT5 lineage, T=2 i.e. q ∝ √p): every stratum
+    is replicated by factor √(n_max/n_stratum) ≥ 1, so head strata stay at
+    1× and tail strata are upsampled toward balance. Deterministic and
+    bit-exact vs a SQL oracle: IEEE-754 `sqrt` is correctly rounded in both
+    numpy and DuckDB, the factor's integer part replicates every row, and
+    the fractional part replicates rows with
+    ``id % 10^6 < floor(frac·10^6)`` — a pure function of the id, no RNG.
+
+    Scale shape: ONE tiny stratum-count shuffle (rows ∝ strata) → broadcast
+    factor dict → pure flat-map replication (adds a 1-based ``replica``
+    column). Replication multiplies bytes — at 100 TB feed this AFTER
+    curation/dedup cut the corpus, or downstream of a rate-capped sample.
+    → input columns (or ``keep_cols``) + ``replica`` int64.
+    """
+    import math
+
+    import ray
+
+    counts = (
+        ds.map_batches(_partial_counts(stratum), batch_format="pyarrow")
+        .groupby(stratum)
+        .sum("_n")
+        .take_all()
+    )  # bounded: one row per stratum
+    if not counts:
+        raise ValueError("temperature_upsample: empty input")
+    n_by = {r[stratum]: int(r["sum(_n)"]) for r in counts}
+    n_max = max(n_by.values())
+    factors = {s: math.sqrt(n_max / n) for s, n in n_by.items()}
+    fac_ref = ray.put(factors)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        fac = ray.get(fac_ref)
+        strata = t.column(stratum).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        f = np.array([fac[s] for s in strata], dtype=np.float64)
+        base = np.floor(f).astype(np.int64)
+        frac_thr = np.floor((f - np.floor(f)) * 1_000_000).astype(np.int64)
+        reps = base + ((ids % 1_000_000) < frac_thr)
+        idx = np.repeat(np.arange(len(t)), reps)
+        out = t if keep_cols is None else t.select(keep_cols)
+        out = out.take(pa.array(idx))
+        # 1-based replica index within each source row (generate_series
+        # semantics in the oracle)
+        ends = np.cumsum(reps)
+        replica = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+            ends - reps, reps
+        ) + 1
+        return out.append_column("replica", pa.array(replica, pa.int64()))
+
+    return ds.map_batches(replicate, batch_format="pyarrow")
+
+
+def _partial_counts(stratum: str):
+    def fn(t: pa.Table) -> pa.Table:
+        g = t.select([stratum]).group_by([stratum]).aggregate([([], "count_all")])
+        return g.rename_columns([stratum, "_n"])
+
+    return fn

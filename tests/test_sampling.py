@@ -193,3 +193,54 @@ def test_source_quality_filter_vs_serial_oracle():
         assert list(out.doc_id) == [0, 1, 2, 3]
         assert list(out.src_docs) == [2, 2, 2, 2]
         assert list(out.src_chars) == [500, 500, 1200, 1200]
+
+
+# --- temperature_upsample ----------------------------------------------------
+
+
+def test_temperature_upsample_factors_and_partition_invariance():
+    import math
+
+    from nightcrawlercmd_ray.stages.sampling import temperature_upsample
+
+    rng = np.random.default_rng(21)
+    langs = rng.choice(["en", "de", "ja"], 6000, p=[0.7, 0.25, 0.05])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(6000), pa.int64()),
+        "lang": pa.array(langs),
+    })
+    counts = {l: int((langs == l).sum()) for l in ("en", "de", "ja")}
+    n_max = max(counts.values())
+
+    def serial_reps(did, lang):
+        f = math.sqrt(n_max / counts[lang])
+        return int(math.floor(f)) + (
+            1 if (did % 1_000_000) < math.floor((f - math.floor(f)) * 1_000_000)
+            else 0
+        )
+
+    expect = {
+        (int(did), r)
+        for did, lang in zip(t.column("doc_id").to_pylist(), langs)
+        for r in range(1, serial_reps(did, lang) + 1)
+    }
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = temperature_upsample(ds).to_pandas()
+        got = set(zip(out["doc_id"].astype(int), out["replica"].astype(int)))
+        assert got == expect
+    # head language stays 1×; the rarest is upsampled by ≥ √(1/p) ≈ 3.7
+    en = sum(1 for d, _ in expect if langs[d] == "en")
+    ja = sum(1 for d, _ in expect if langs[d] == "ja")
+    assert en == counts["en"]
+    assert ja / counts["ja"] > 3
+
+
+def test_temperature_upsample_empty_raises():
+    from nightcrawlercmd_ray.stages.sampling import temperature_upsample
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="empty"):
+        temperature_upsample(ds)
