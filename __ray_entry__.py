@@ -428,6 +428,39 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_snapshot_diff_documents(sf_dir: str):
+    """Recrawl delta (stages/joins.snapshot_diff): old = docs with
+    doc_id % 5 ≠ 0; new = docs with doc_id % 7 ≠ 0, text amended (' v2')
+    when doc_id % 3 = 0 — deterministic old/new corpus versions derived in
+    BOTH engines. Hashes (md5, identical in DuckDB) ride the three compact
+    keyed exchanges; statuses added/removed/changed/same hash-match the SQL
+    FULL OUTER JOIN oracle."""
+    from nightcrawlercmd_ray.stages.joins import content_hashes, snapshot_diff
+
+    path = f"{sf_dir}/documents.parquet"
+    n = _parquet_rows(path)
+    ds = _read_pq(path, columns=["doc_id", "text"])
+
+    def mk_old(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 0))
+
+    def mk_new(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        ids = t.column("doc_id").to_pylist()
+        texts = [
+            (x or "") + " v2" if d % 3 == 0 else (x or "")
+            for d, x in zip(ids, t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    old = content_hashes(ds.map_batches(mk_old, batch_format="pyarrow"))
+    new = content_hashes(ds.map_batches(mk_new, batch_format="pyarrow"))
+    return snapshot_diff(old, new, n_rows=n).sort("doc_id")
+
+
 def q_temperature_upsample(sf_dir: str):
     """Temperature-balanced mixture upsampling
     (stages/sampling.temperature_upsample, T=2): tail languages replicated
@@ -2009,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": q_embedding_moments,
         "percentile_rank_doclen": q_percentile_rank_doclen,
         "temperature_upsample": q_temperature_upsample,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2173,6 +2207,22 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "snapshot_diff_documents": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+            ),
+            new AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN n.h <> o.h THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
         """,
         "temperature_upsample": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -382,3 +382,62 @@ def broadcast_range_join(
         return t.append_column(out_col, labs.take(take_idx))
 
     return ds.map_batches(tag_batch, batch_format="pyarrow")
+
+
+def content_hashes(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   hash_col: str = "h"):
+    """(id, md5-hex) rows for snapshot comparison — md5 chosen because the
+    SQL oracle (DuckDB ``md5(text)``) computes the identical digest."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(((x or "")).encode("utf-8")).hexdigest()
+              for x in t.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: t.column(id_col),
+            hash_col: pa.array(hs, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snapshot_diff(old, new, *, on: str = "doc_id", hash_col: str = "h",
+                  num_partitions: int | None = None,
+                  n_rows: int | None = None):
+    """Recrawl / corpus-version delta: → Dataset(on, status) with status ∈
+    {'added', 'removed', 'changed', 'same'} — the incremental-pipeline
+    primitive that decides what a recrawl actually has to reprocess.
+
+    Both inputs are (on, hash_col) rows (use :func:`content_hashes`; hashes,
+    never text, ride the shuffles). Three keyed exchanges of compact rows,
+    all through the same skew-aware machinery: inner join (same/changed by
+    hash compare), new∖old anti (added), old∖new anti (removed), unioned.
+    A FULL OUTER join would do it in one exchange; composing the existing
+    verified inner/anti paths is preferred over a fifth merge code path —
+    the exchanged rows are id+16-byte-hash either way.
+    """
+
+    def status_map(t: pa.Table) -> pa.Table:
+        same = pc.equal(t.column(hash_col), t.column(hash_col + "_r"))
+        st = pc.if_else(same, pa.scalar("same"), pa.scalar("changed"))
+        return pa.table({on: t.column(on), "status": st})
+
+    def const_status(val):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                on: t.column(on),
+                "status": pa.array([val] * t.num_rows, pa.string()),
+            })
+
+        return fn
+
+    kw = {"num_partitions": num_partitions, "n_rows": n_rows}
+    both = hash_join(new, old, on=on, how="inner", **kw).map_batches(
+        status_map, batch_format="pyarrow")
+    added = hash_join(new, old.select_columns([on]), on=on, how="anti",
+                      **kw).map_batches(const_status("added"),
+                                        batch_format="pyarrow")
+    removed = hash_join(old, new.select_columns([on]), on=on, how="anti",
+                        **kw).map_batches(const_status("removed"),
+                                          batch_format="pyarrow")
+    return both.union(added).union(removed)

@@ -372,3 +372,43 @@ def test_detect_hot_keys_finds_planted_skew():
     uni = pa.table({"k": pa.array(np.arange(5000) % 500, pa.int64())})
     assert detect_hot_keys(ray.data.from_arrow(uni).repartition(4), "k",
                            hot_fraction=0.1) == []
+
+
+# --- snapshot_diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_all_statuses_and_partition_invariance():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import content_hashes, snapshot_diff
+
+    old_docs = [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"},
+                {"doc_id": 3, "text": "gamma"}, {"doc_id": 4, "text": "delta"}]
+    new_docs = [{"doc_id": 1, "text": "alpha"},          # same
+                {"doc_id": 2, "text": "beta CHANGED"},   # changed
+                {"doc_id": 4, "text": "delta"},          # same
+                {"doc_id": 5, "text": "epsilon"}]        # added (3 removed)
+    expect = {1: "same", 2: "changed", 3: "removed", 4: "same", 5: "added"}
+    for blocks in (1, 3):
+        old = content_hashes(ray.data.from_items(old_docs).repartition(blocks))
+        new = content_hashes(ray.data.from_items(new_docs).repartition(blocks))
+        out = snapshot_diff(old, new).to_pandas()
+        assert dict(zip(out["doc_id"], out["status"])) == expect
+        assert len(out) == 5  # every id appears exactly once
+
+
+def test_snapshot_diff_empty_sides():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import snapshot_diff
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.string())}))
+    side = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()), "h": pa.array(["x"], pa.string())}))
+    out = snapshot_diff(empty, side).to_pandas()
+    assert dict(zip(out["doc_id"], out["status"])) == {7: "added"}
+    out2 = snapshot_diff(side, empty).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["status"])) == {7: "removed"}
