@@ -428,6 +428,16 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG-prep fixed-window chunker (stages/curation.chunk_documents_fixed,
+    size=512 overlap=64): pure flat-map, zero shuffle; character windows ≡
+    SQL substr semantics so the DuckDB oracle is bit-exact."""
+    from nightcrawlercmd_ray.stages.curation import chunk_documents_fixed
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents_fixed(ds, size=512, overlap=64)
+
+
 def q_snapshot_diff_documents(sf_dir: str):
     """Recrawl delta (stages/joins.snapshot_diff): old = docs with
     doc_id % 5 ≠ 0; new = docs with doc_id % 7 ≠ 0, text amended (' v2')
@@ -2043,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank_doclen": q_percentile_rank_doclen,
         "temperature_upsample": q_temperature_upsample,
         "snapshot_diff_documents": q_snapshot_diff_documents,
+        "chunk_documents": q_chunk_documents,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2207,6 +2218,24 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id, COALESCE(text, '') AS s,
+                       length(COALESCE(text, '')) AS n
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, s,
+                       unnest(range(0, CASE WHEN n <= 512 THEN 1
+                                            ELSE CAST(ceil((n - 512) / 448.0) AS BIGINT) + 1
+                                       END)) AS chunk_id
+                FROM d
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   substr(s, CAST(chunk_id * 448 + 1 AS BIGINT), 512) AS chunk_text,
+                   CAST(length(substr(s, CAST(chunk_id * 448 + 1 AS BIGINT), 512)) AS BIGINT) AS n_chars
+            FROM k
         """,
         "snapshot_diff_documents": """
             WITH old AS (

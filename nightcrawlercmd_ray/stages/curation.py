@@ -573,3 +573,46 @@ def source_quality_filter(ds, *, min_mean_chars: int,
         })
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def chunk_documents_fixed(ds, *, size: int = 512, overlap: int = 64,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """RAG-prep chunker: fixed character windows with overlap — each doc
+    yields ceil(max(len-overlap,1) / (size-overlap)) chunks of ``size``
+    chars stepping ``size-overlap`` (the standard retrieval-index layout).
+    Pure flat-map, zero shuffle, trivially resumable. Empty docs yield one
+    empty chunk row (the doc stays addressable in the index).
+    → (id_col, chunk_id [0-based], chunk_text, n_chars).
+
+    Windows are CHARACTER-based (Python code points ≡ SQL substr semantics),
+    which is what makes the DuckDB oracle bit-exact; a token-window variant
+    would compose with the BPE encoder upstream."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, cids, texts, lens = [], [], [], []
+        for did, text in zip(t.column(id_col).to_pylist(),
+                             t.column(text_col).to_pylist()):
+            s = text or ""
+            n = len(s)
+            k = 0
+            while True:
+                start = k * step
+                piece = s[start:start + size]
+                ids.append(did)
+                cids.append(k)
+                texts.append(piece)
+                lens.append(len(piece))
+                k += 1
+                if start + size >= n:
+                    break
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_chars": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

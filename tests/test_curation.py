@@ -457,3 +457,50 @@ def test_mask_duplicate_spans_vs_serial_oracle():
     assert expect[2][2] == 0                            # intra-doc only → kept
     assert expect[3] == ("short doc", 2, 0)
     assert expect[4] == ("", 1, 0)
+
+
+# --- chunk_documents_fixed ---------------------------------------------------
+
+
+def test_chunker_reconstruction_and_overlap():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.curation import chunk_documents_fixed
+
+    texts = {1: "abcdefghij" * 100,  # 1000 chars
+             2: "short",
+             3: "",
+             4: "x" * 512,            # exactly one window
+             5: "y" * 513}            # forces a second window
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]).repartition(3)
+    out = chunk_documents_fixed(ds, size=512, overlap=64).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"])
+    step = 512 - 64
+    for did, grp in out.groupby("doc_id"):
+        s = texts[did]
+        assert list(grp["chunk_id"]) == list(range(len(grp)))
+        # reconstruction: drop each chunk's first `overlap` chars after the
+        # first chunk and concatenation re-yields the document
+        rebuilt = "".join(
+            c if i == 0 else c[64:] for i, c in enumerate(grp["chunk_text"]))
+        assert rebuilt == s
+        # consecutive chunks actually overlap by `overlap` chars
+        chunks = list(grp["chunk_text"])
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[step:] == b[: len(a) - step]
+    assert len(out[out["doc_id"] == 3]) == 1  # empty doc → one empty chunk
+    assert len(out[out["doc_id"] == 4]) == 1
+    assert len(out[out["doc_id"] == 5]) == 2
+
+
+def test_chunker_rejects_bad_overlap():
+    import pytest as _pytest
+    import ray
+
+    from nightcrawlercmd_ray.stages.curation import chunk_documents_fixed
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "abc"}])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents_fixed(ds, size=64, overlap=64)
