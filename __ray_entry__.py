@@ -428,6 +428,32 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_bloom_pushdown_orders(sf_dir: str):
+    """Bloom-filter join pushdown (stages/joins.bloom_prefilter): orders
+    (corpus side) pre-filtered against a Bloom of a 1 %-sliver customer dim
+    BEFORE the join shuffle — no false negatives ⇒ the joined result is
+    bit-identical to the plain join, which is exactly what the SQL oracle
+    checks; identity + measured pruning pinned in
+    tests/test_joins_sessions.py."""
+    from nightcrawlercmd_ray.stages.joins import bloom_prefilter, hash_join
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_name"])
+
+    def sliver(t):
+        ids = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 100 == 0))
+
+    dim = cust.map_batches(sliver, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    pruned = bloom_prefilter(orders, dim, on="o_custkey")
+    return hash_join(pruned, dim, on="o_custkey", how="inner").sort("o_orderkey")
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG-prep fixed-window chunker (stages/curation.chunk_documents_fixed,
     size=512 overlap=64): pure flat-map, zero shuffle; character windows ≡
@@ -2054,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_upsample": q_temperature_upsample,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "chunk_documents": q_chunk_documents,
+        "bloom_pushdown_orders": q_bloom_pushdown_orders,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2218,6 +2245,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "bloom_pushdown_orders": """
+            SELECT o_orderkey, o_custkey, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey % 100 = 0
         """,
         "chunk_documents": """
             WITH d AS (

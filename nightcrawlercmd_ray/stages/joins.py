@@ -441,3 +441,70 @@ def snapshot_diff(old, new, *, on: str = "doc_id", hash_col: str = "h",
                         **kw).map_batches(const_status("removed"),
                                           batch_format="pyarrow")
     return both.union(added).union(removed)
+
+
+def bloom_prefilter(left, right, *, on: str, n_right: int | None = None,
+                    bits_per_key: int = 16, k: int = 11, seed: int = 7):
+    """Bloom-filter join pushdown: drop left rows whose key CANNOT be in
+    ``right`` before the join shuffle — the classic pre-exchange pruning
+    when the left side is corpus-sized and only a sliver joins.
+
+    The filter has NO false negatives (bits only ever set), so
+    ``hash_join(bloom_prefilter(L, R, on=k), R, on=k)`` is IDENTICAL to the
+    unfiltered join for inner/semi/left-payload semantics; ~ε false-positive
+    rows (5e-4 at the 16 bits/key default) survive the filter and are
+    dropped by the join itself.
+
+    Scale shape: right keys fold into per-batch local Bloom words
+    (vectorized ``add_batch``) → word-blob rows OR-merge on the driver
+    (associative; |filter| bytes per batch) → ONE ``ray.put`` broadcast →
+    pure vectorized ``contains_batch`` map over left. The filter is
+    2 bytes/right-key at defaults: right sides up to ~10^9 keys broadcast
+    fine (2 GB); beyond that use the keyed ``hash_join`` semi path, which
+    never materializes a filter. Pass ``n_right`` (e.g. parquet metadata)
+    to avoid a counting pass.
+    """
+    import ray
+
+    from ..state.cuckoo import BloomSeenFilter
+
+    if n_right is None:
+        n_right = right.count()
+    cap = max(int(n_right), 1)
+
+    def fold(t: pa.Table) -> pa.Table:
+        f = BloomSeenFilter(capacity=cap, seed=seed,
+                            bits_per_key=bits_per_key, k=k)
+        keys = (
+            pc.cast(t.column(on), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        f.add_batch(keys)
+        return pa.table({"words": pa.array([f.words.tobytes()], pa.binary())})
+
+    proto = BloomSeenFilter(capacity=cap, seed=seed,
+                            bits_per_key=bits_per_key, k=k)
+    merged = np.zeros_like(proto.words)
+    for batch in right.select_columns([on]).map_batches(
+        fold, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch.column("words").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint64),
+                          out=merged)
+    words_ref = ray.put(merged.tobytes())
+
+    def filt(t: pa.Table) -> pa.Table:
+        f = BloomSeenFilter(capacity=cap, seed=seed,
+                            bits_per_key=bits_per_key, k=k)
+        f.words = np.frombuffer(ray.get(words_ref), dtype=np.uint64)
+        keys = (
+            pc.cast(t.column(on), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        return t.filter(pa.array(f.contains_batch(keys)))
+
+    return left.map_batches(filt, batch_format="pyarrow")

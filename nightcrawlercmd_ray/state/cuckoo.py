@@ -252,6 +252,14 @@ class BloomSeenFilter:
         w, bit = self._probes(np.array([h], dtype=np.uint64))
         return bool(((self.words[w] & bit) != 0).all())
 
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool[n] (no false negatives)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        w, bit = self._probes(h)
+        return ((self.words[w] & bit) != 0).all(axis=1)
+
     def add_if_new(self, h: int) -> bool:
         return bool(self.add_batch(np.array([h], dtype=np.uint64))[0])
 

@@ -412,3 +412,50 @@ def test_snapshot_diff_empty_sides():
     assert dict(zip(out["doc_id"], out["status"])) == {7: "added"}
     out2 = snapshot_diff(side, empty).to_pandas()
     assert dict(zip(out2["doc_id"], out2["status"])) == {7: "removed"}
+
+
+# --- bloom_prefilter ---------------------------------------------------------
+
+
+def test_bloom_prefilter_join_identity_and_pruning():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import bloom_prefilter, hash_join
+
+    rng = np.random.default_rng(31)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 100_000, 20_000), pa.int64()),
+        "v": pa.array(np.arange(20_000), pa.int64()),
+    })
+    # right holds a 1% sliver of the key space
+    right = pa.table({
+        "k": pa.array(np.arange(0, 1000, dtype=np.int64)),
+        "w": pa.array(np.arange(1000, dtype=np.int64)),
+    })
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    base = hash_join(lds, rds, on="k", how="inner").to_pandas()
+    filtered_left = bloom_prefilter(lds, rds, on="k", n_right=1000)
+    pushed = hash_join(filtered_left, rds, on="k", how="inner").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "v", "w"]].to_numpy()))
+    assert key(pushed) == key(base)  # identical join result
+
+    # the filter actually prunes: survivors ≈ matches + ε·|left|
+    n_kept = filtered_left.count()
+    n_match = (left["k"].to_numpy() < 1000).sum()
+    assert n_kept < n_match + 0.01 * len(left) + 50
+    assert n_kept >= n_match  # no false negatives
+
+
+def test_bloom_prefilter_empty_right_drops_everything():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import bloom_prefilter
+
+    lds = ray.data.from_items([{"k": 1}, {"k": 2}])
+    rds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_prefilter(lds, rds, on="k", n_right=0).count() == 0
