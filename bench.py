@@ -203,7 +203,9 @@ def run_bench() -> dict:
         "token_budget_sample", "cleanroom_exact_documents",
         "inverted_index_documents", "heavy_hitters_bigrams",
         "embedding_moments", "pca_embeddings", "bpe_encode_documents",
-        "cdc_near_dups",
+        "cdc_near_dups", "percentile_rank_doclen", "temperature_upsample",
+        "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
+        "hll_distinct_users_by_type",
     )
     for name in family:
         fn = entrymod.queries()[name]

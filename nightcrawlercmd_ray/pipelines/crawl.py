@@ -1162,3 +1162,63 @@ def run_crawl(
         run.install_robots(rules)
     run.seed()
     return run.run(max_waves=max_waves)
+
+
+# --------------------------------------------------------------------------- #
+# recrawl delta over two pagestores
+# --------------------------------------------------------------------------- #
+def pagestore_hashes(store_dir: str):
+    """(url_hash, h) rows for every page in a prepared store — one task per
+    (bucket, run) blob, so task memory is bounded by ``rows_per_run`` and the
+    read parallelism matches the store layout. url_hash is masked to 63 bits
+    (int64 join key; the crawl's identity hash is 64-bit — the diff key
+    keeps 63, collision odds ~n²/2^64, irrelevant at any real corpus)."""
+    import hashlib
+
+    runs = []
+    pages_dir = f"{store_dir}/pages"
+    for b in sorted(os.listdir(pages_dir)):
+        d = f"{pages_dir}/{b}"
+        for f in sorted(os.listdir(d)):
+            if f.startswith("index2") and f.endswith(".npz"):
+                tag = f[len("index2"):-len(".npz")]
+                runs.append({"idx": f"{d}/{f}", "blob": f"{d}/pages{tag}.blob"})
+
+    def hash_run(t: pa.Table) -> pa.Table:
+        out_h, out_md5 = [], []
+        for idx_path, blob_path in zip(t.column("idx").to_pylist(),
+                                       t.column("blob").to_pylist()):
+            with np.load(idx_path) as z:
+                h, off, ln = z["h"], z["off"], z["ln"]
+            with open(blob_path, "rb") as f:
+                blob = f.read()
+            for i in range(len(h)):
+                page = blob[off[i]:off[i] + ln[i]]
+                out_h.append(int(h[i]) & 0x7FFFFFFFFFFFFFFF)
+                out_md5.append(hashlib.md5(page).hexdigest())
+        return pa.table({
+            "url_hash": pa.array(out_h, pa.int64()),
+            "h": pa.array(out_md5, pa.string()),
+        })
+
+    import ray.data as rd
+
+    return rd.from_items(runs).map_batches(hash_run, batch_format="pyarrow",
+                                           batch_size=1)
+
+
+def pagestore_diff(old_store: str, new_store: str):
+    """Recrawl delta between two prepared stores → Dataset(url_hash, status ∈
+    {added, removed, changed, same}) — what the next crawl round actually
+    needs to refetch/reprocess. One bounded-memory hash pass per store, then
+    ``stages.joins.snapshot_diff`` over compact (url_hash, md5) rows."""
+    from ..stages.joins import snapshot_diff
+
+    with open(f"{old_store}/manifest.json") as f:
+        n_old = json.load(f)["n_pages"]
+    with open(f"{new_store}/manifest.json") as f:
+        n_new = json.load(f)["n_pages"]
+    return snapshot_diff(
+        pagestore_hashes(old_store), pagestore_hashes(new_store),
+        on="url_hash", n_rows=max(n_old, n_new),
+    )
