@@ -428,6 +428,35 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Interval overlap self-join (stages/joins.interval_self_join): pairs
+    of user sessions (≥2 events, ends padded +1800 s) that overlap in time
+    — the range×range join an equi-join can't express. Epoch-replicated,
+    one keyed shuffle, vectorized in-bucket sweep, one-epoch pair
+    attribution. Hash-exact vs the SQL non-equi self-join oracle."""
+    from nightcrawlercmd_ray.stages.joins import interval_self_join
+    from nightcrawlercmd_ray.stages.sessions import sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["event_id", "ts", "user_id", "value"])
+    sess = sessionize(ev, gap_s=1800, n_rows=_parquet_rows(path))
+
+    def prep(t):
+        ne = t.column("n_events").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ne >= 2))
+        end = t.column("end_s").to_numpy(zero_copy_only=False) + 1800
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "session_id": t.column("session_id"),
+            "start_s": t.column("start_s"),
+            "end_s": pa.array(end, pa.int64()),
+        })
+
+    iv = sess.map_batches(prep, batch_format="pyarrow")
+    return interval_self_join(iv, start_col="start_s", end_col="end_s",
+                              id_cols=["user_id", "session_id"], epoch_s=3600)
+
+
 def q_bloom_pushdown_orders(sf_dir: str):
     """Bloom-filter join pushdown (stages/joins.bloom_prefilter): orders
     (corpus side) pre-filtered against a Bloom of a 1 %-sliver customer dim
@@ -2081,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "chunk_documents": q_chunk_documents,
         "bloom_pushdown_orders": q_bloom_pushdown_orders,
+        "concurrent_sessions": q_concurrent_sessions,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2245,6 +2275,38 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "concurrent_sessions": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess
+                FROM x
+            ), s AS (
+                SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+                       count(*) AS n_events,
+                       CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+                       CAST(floor(max(epoch(ts))) AS BIGINT) + 1800 AS end_s
+                FROM y GROUP BY user_id, sess
+            ), f AS (
+                SELECT user_id, session_id, start_s, end_s
+                FROM s WHERE n_events >= 2
+            )
+            SELECT a.user_id AS user_id_a, a.session_id AS session_id_a,
+                   b.user_id AS user_id_b, b.session_id AS session_id_b,
+                   a.start_s AS start_s_a, a.end_s AS end_s_a,
+                   b.start_s AS start_s_b, b.end_s AS end_s_b
+            FROM f a JOIN f b
+              ON a.start_s <= b.end_s AND b.start_s <= a.end_s
+             AND (a.user_id < b.user_id
+                  OR (a.user_id = b.user_id AND a.session_id < b.session_id))
         """,
         "bloom_pushdown_orders": """
             SELECT o_orderkey, o_custkey, c_name

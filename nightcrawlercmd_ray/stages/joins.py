@@ -508,3 +508,93 @@ def bloom_prefilter(left, right, *, on: str, n_right: int | None = None,
         return t.filter(pa.array(f.contains_batch(keys)))
 
     return left.map_batches(filt, batch_format="pyarrow")
+
+
+def interval_self_join(ds, *, start_col: str, end_col: str,
+                       id_cols: list[str], epoch_s: int = 3600,
+                       suffixes: tuple = ("_a", "_b")):
+    """All pairs of OVERLAPPING intervals (a.start ≤ b.end ∧ b.start ≤ a.end)
+    — the range×range join (concurrent sessions, co-occurring incidents)
+    that an equi-join cannot express.
+
+    Scale shape: each interval is replicated to the epoch buckets
+    [start//E .. end//E] it touches (replication factor = span/E — pick E
+    near the median span), ONE epoch-keyed shuffle, then a vectorized
+    in-bucket sweep: sorted by start, each row's overlap partners are the
+    CONTIGUOUS run of later starts ≤ its end (searchsorted + repeat — no
+    Python pair loop). Cross-epoch double counting is eliminated without a
+    dedup shuffle by attributing each pair to exactly one epoch — the one
+    containing max(start_a, start_b). Pairs are emitted in canonical
+    orientation (lexicographically smaller id tuple first), so output is
+    partition-invariant. A single epoch holding a large share of intervals
+    is the skew case — the in-bucket sweep is O(n log n + output), so cost
+    is output-bound, and output size is the join's intrinsic size.
+    → Dataset(id_cols×2 suffixed, plus start/end pairs).
+    """
+
+    def replicate(t: pa.Table) -> pa.Table:
+        s = t.column(start_col).to_numpy(zero_copy_only=False)
+        e = t.column(end_col).to_numpy(zero_copy_only=False)
+        e0 = s // epoch_s
+        reps = (e // epoch_s - e0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), reps)
+        ends_c = np.cumsum(reps)
+        off = np.arange(int(ends_c[-1]) if len(ends_c) else 0) - np.repeat(
+            ends_c - reps, reps)
+        ep = e0[idx] + off
+        return t.take(pa.array(idx)).append_column(
+            "_epoch", pa.array(ep.astype(np.int64)))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        a_names = [c + suffixes[0] for c in id_cols]
+        b_names = [c + suffixes[1] for c in id_cols]
+        schema_cols = a_names + b_names + [
+            start_col + suffixes[0], end_col + suffixes[0],
+            start_col + suffixes[1], end_col + suffixes[1],
+        ]
+        if g.num_rows < 2:
+            return pa.table({c: pa.array([], pa.int64()) for c in schema_cols})
+        ep = int(g.column("_epoch")[0].as_py())
+        order_keys = [(start_col, "ascending")] + [
+            (c, "ascending") for c in id_cols]
+        g = g.sort_by(order_keys)
+        s = g.column(start_col).to_numpy(zero_copy_only=False)
+        e = g.column(end_col).to_numpy(zero_copy_only=False)
+        n = len(s)
+        hi = np.searchsorted(s, e, side="right")
+        counts = np.maximum(hi - np.arange(n) - 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in schema_cols})
+        i_idx = np.repeat(np.arange(n), counts)
+        ends_c = np.cumsum(counts)
+        j_idx = np.arange(total) - np.repeat(ends_c - counts, counts) + i_idx + 1
+        # one-epoch attribution: keep pairs whose later start lives here
+        keep = (s[j_idx] // epoch_s) == ep
+        i_idx, j_idx = i_idx[keep], j_idx[keep]
+        ids = [g.column(c).to_numpy(zero_copy_only=False) for c in id_cols]
+        # canonical orientation: smaller id tuple first
+        swap = np.zeros(len(i_idx), dtype=bool)
+        decided = np.zeros(len(i_idx), dtype=bool)
+        for col in ids:
+            gt = (col[i_idx] > col[j_idx]) & ~decided
+            lt = (col[i_idx] < col[j_idx]) & ~decided
+            swap |= gt
+            decided |= gt | lt
+        a_idx = np.where(swap, j_idx, i_idx)
+        b_idx = np.where(swap, i_idx, j_idx)
+        out = {}
+        for c, col in zip(id_cols, ids):
+            out[c + suffixes[0]] = pa.array(col[a_idx].astype(np.int64))
+            out[c + suffixes[1]] = pa.array(col[b_idx].astype(np.int64))
+        out[start_col + suffixes[0]] = pa.array(s[a_idx].astype(np.int64))
+        out[end_col + suffixes[0]] = pa.array(e[a_idx].astype(np.int64))
+        out[start_col + suffixes[1]] = pa.array(s[b_idx].astype(np.int64))
+        out[end_col + suffixes[1]] = pa.array(e[b_idx].astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("_epoch")
+        .map_groups(sweep, batch_format="pyarrow")
+    )

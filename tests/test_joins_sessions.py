@@ -459,3 +459,72 @@ def test_bloom_prefilter_empty_right_drops_everything():
     lds = ray.data.from_items([{"k": 1}, {"k": 2}])
     rds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert bloom_prefilter(lds, rds, on="k", n_right=0).count() == 0
+
+
+# --- interval_self_join ------------------------------------------------------
+
+
+def test_interval_self_join_matches_serial_oracle():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import interval_self_join
+
+    rng = np.random.default_rng(17)
+    n = 300
+    starts = rng.integers(0, 50_000, n)
+    spans = rng.integers(0, 15_000, n)  # many intervals span several epochs
+    t = pa.table({
+        "uid": pa.array(np.arange(n), pa.int64()),
+        "sid": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "s": pa.array(starts, pa.int64()),
+        "e": pa.array(starts + spans, pa.int64()),
+    })
+
+    def serial():
+        out = set()
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                if starts[i] <= starts[j] + spans[j] and starts[j] <= starts[i] + spans[i]:
+                    a, b = sorted([i, j])
+                    out.add((a, b))
+        return out
+
+    expect = serial()
+    for blocks, epoch in ((1, 3600), (7, 3600), (7, 1000), (7, 100_000)):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = interval_self_join(
+            ds, start_col="s", end_col="e", id_cols=["uid", "sid"],
+            epoch_s=epoch,
+        ).to_pandas()
+        pairs = set(zip(got["uid_a"], got["uid_b"]))
+        assert pairs == expect, (blocks, epoch)
+        assert len(got) == len(expect)  # exactly-once attribution
+        assert (got["uid_a"] < got["uid_b"]).all()  # canonical orientation
+
+
+def test_interval_self_join_edges():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.joins import interval_self_join
+
+    # touching endpoints overlap (closed intervals); disjoint do not
+    t = pa.table({
+        "uid": pa.array([1, 2, 3], pa.int64()),
+        "sid": pa.array([0, 0, 0], pa.int64()),
+        "s": pa.array([0, 100, 250], pa.int64()),
+        "e": pa.array([100, 200, 300], pa.int64()),
+    })
+    out = interval_self_join(ray.data.from_arrow(t), start_col="s",
+                             end_col="e", id_cols=["uid", "sid"],
+                             epoch_s=64).to_pandas()
+    assert set(zip(out["uid_a"], out["uid_b"])) == {(1, 2)}
+    one = interval_self_join(
+        ray.data.from_items([{"uid": 1, "sid": 0, "s": 5, "e": 9}]),
+        start_col="s", end_col="e", id_cols=["uid", "sid"], epoch_s=64,
+    ).to_pandas()
+    assert len(one) == 0
