@@ -87,7 +87,14 @@ def canonicalize(url: str) -> str | None:
         userinfo = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{userinfo}@{netloc}"
     path = _remove_dot_segments(parts.path) or "/"
-    return urlunsplit((scheme, netloc, path, parts.query, ""))
+    out = urlunsplit((scheme, netloc, path, parts.query, ""))
+    if out != out.rstrip():
+        # dropping the fragment can expose trailing whitespace (e.g.
+        # "a\x0c#f" → "a\x0c") that the entry strip() would then remove on a
+        # SECOND pass — re-canonicalize so the function is a fixpoint
+        # (seen-set equality across checkpoint round-trips depends on it)
+        return canonicalize(out)
+    return out
 
 
 def to_abs_url(base: str | None, link: str) -> str | None:
