@@ -428,6 +428,64 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_part_triangles(sf_dir: str):
+    """Triangle counting (stages/graph.triangle_counts) over the co-order
+    parts graph: distinct canonical edges built with a coarse keyed shuffle
+    + vectorized in-partition per-order pairing (no per-order group
+    dispatch), then the classic oriented two-join closure through the
+    skew-aware hash_join. Hash-exact vs the SQL 3-way self-join oracle."""
+    from nightcrawlercmd_ray.stages.graph import triangle_counts
+
+    path = f"{sf_dir}/lineitem.parquet"
+    li = _read_pq(path, columns=["l_orderkey", "l_partkey"])
+    n = _parquet_rows(path)
+    P = max(16, n // 65536)
+
+    def coarse(t):
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_c", pa.array((ok % P).astype(np.int64)))
+
+    def order_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"u": z, "v": z})
+        new = np.empty(len(ok), dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(starts, len(ok)))
+        seg_end = np.repeat(starts + seg_len, seg_len)  # exclusive end per row
+        counts = seg_end - np.arange(len(ok)) - 1
+        total = int(counts.sum())
+        if total == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"u": z, "v": z})
+        i_idx = np.repeat(np.arange(len(ok)), counts)
+        ends = np.cumsum(counts)
+        j_idx = np.arange(total) - np.repeat(ends - counts, counts) + i_idx + 1
+        u, v = pk[i_idx], pk[j_idx]
+        keep = u != v  # same part twice in one order is not an edge
+        lo, hi = np.minimum(u[keep], v[keep]), np.maximum(u[keep], v[keep])
+        # in-partition dedup (combiner): co-order pairs repeat heavily
+        # across orders — ship each partition's DISTINCT pairs only
+        packed = np.unique((lo.astype(np.int64) << 32) | hi.astype(np.int64))
+        return pa.table({"u": pa.array(packed >> 32),
+                         "v": pa.array(packed & 0xFFFFFFFF)})
+
+    edges = (
+        li.map_batches(coarse, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(order_pairs, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])  # distinct edges
+    )
+    return triangle_counts(edges, n_rows=n)
+
+
 def q_concurrent_sessions(sf_dir: str):
     """Interval overlap self-join (stages/joins.interval_self_join): pairs
     of user sessions (≥2 events, ends padded +1800 s) that overlap in time
@@ -2111,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "bloom_pushdown_orders": q_bloom_pushdown_orders,
         "concurrent_sessions": q_concurrent_sessions,
+        "part_triangles": q_part_triangles,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2275,6 +2334,18 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "part_triangles": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT e1.u AS u, count(*) AS n_tri
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            GROUP BY e1.u
         """,
         "concurrent_sessions": """
             WITH x AS (

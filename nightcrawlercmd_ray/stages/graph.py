@@ -338,3 +338,115 @@ def pagerank(
         ).materialize()
 
     return ranks
+
+
+def triangle_counts(edges, *, u_col: str = "u", v_col: str = "v",
+                    n_rows: int | None = None,
+                    num_partitions: int | None = None):
+    """Per-node triangle counts over an undirected graph given as DISTINCT
+    canonical edges (u < v) — each triangle {u<v<w} attributed to its
+    smallest node u → Dataset(u, n_tri). Σ n_tri = global triangle count.
+
+    Node-iterator with canonical orientation (Schank & Wagner 2005): for
+    every middle node v, wedges are (u→v) × (v→w) with u<v<w; a wedge
+    closes iff (u, w) is an edge. Shape: each edge is routed to exactly TWO
+    coarse partitions (once keyed by each endpoint, tagged in/out), so ONE
+    compact shuffle co-locates every mid-node's adjacency; wedges are
+    ENUMERATED AND COUNTED inside the partition (repeat/searchsorted, no
+    Python pair loop) against a BROADCAST sorted array of packed edge keys
+    (u·2³² + w; ids must fit 31 bits, asserted) — wedges never hit a second
+    exchange, the earlier two-hash-join layout was ~60× slower for exactly
+    that reason. Output of a partition is pre-aggregated (u, partial) rows;
+    one tiny groupby(u).sum finishes. The broadcast is 8 bytes/edge — fine
+    to ~10^9 edges; beyond that swap the probe for the semi-join-on-packed-
+    key path (the engine's hash_join supports it) at one extra exchange.
+    """
+    import ray
+
+    from .dedup import _num_coarse_partitions
+
+    P = _num_coarse_partitions(edges, num_partitions, n_rows)
+
+    # broadcast sorted packed edge keys (8 B/edge)
+    def pack_batch(t: pa.Table) -> pa.Table:
+        x = t.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        assert ((0 <= x) & (x < 1 << 31)).all() and \
+            ((0 <= y) & (y < 1 << 31)).all(), \
+            "triangle_counts packs (u,w) into one int64: ids must fit 31 bits"
+        return pa.table({"_uw": pa.array((x << 32) | y)})
+
+    key_blocks = [
+        b.column("_uw").to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(pack_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    edge_keys = np.sort(np.concatenate(key_blocks)) if key_blocks else \
+        np.zeros(0, np.int64)
+    keys_ref = ray.put(edge_keys)
+
+    def route(t: pa.Table) -> pa.Table:
+        u = t.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # one copy keyed by its v endpoint (edge arrives AT mid), one by u
+        # (edge leaves FROM mid)
+        mid = np.concatenate([v, u])
+        other = np.concatenate([u, v])
+        is_in = np.concatenate([np.ones(len(u), bool), np.zeros(len(u), bool)])
+        return pa.table({
+            "_c": pa.array((mid % P).astype(np.int64)),
+            "mid": pa.array(mid),
+            "other": pa.array(other),
+            "is_in": pa.array(is_in),
+        })
+
+    def count_wedges(g: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        g = g.sort_by([("mid", "ascending"), ("is_in", "ascending"),
+                       ("other", "ascending")])
+        mid = g.column("mid").to_numpy(zero_copy_only=False)
+        oth = g.column("other").to_numpy(zero_copy_only=False)
+        isin = g.column("is_in").to_numpy(zero_copy_only=False)
+        if len(mid) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        new = np.empty(len(mid), dtype=bool)
+        new[0] = True
+        new[1:] = mid[1:] != mid[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, len(mid))
+        us_all, ws_all = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            # within a mid segment, is_in=False (outs) sort first
+            seg_in = isin[s:e]
+            n_out = int((~seg_in).sum())
+            if n_out == 0 or n_out == e - s:
+                continue
+            ws = oth[s:s + n_out]          # v → w  (w > v)
+            us = oth[s + n_out:e]          # u → v  (u < v)
+            us_all.append(np.repeat(us, len(ws)))
+            ws_all.append(np.tile(ws, len(us)))
+        if not us_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        uu = np.concatenate(us_all)
+        ww = np.concatenate(ws_all)
+        probe = (uu << np.int64(32)) | ww
+        pos = np.searchsorted(keys, probe)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == probe)
+        if not hit.any():
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(uu[hit], return_counts=True)
+        return pa.table({"u": pa.array(uniq.astype(np.int64)),
+                         "partial": pa.array(cnt.astype(np.int64))})
+
+    return (
+        edges.map_batches(route, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(count_wedges, batch_format="pyarrow")
+        .groupby("u")
+        .sum("partial")
+        .map_batches(lambda t: t.rename_columns(["u", "n_tri"]),
+                     batch_format="pyarrow")
+    )

@@ -200,3 +200,52 @@ def test_bsp_equals_dataset_composition():
             for r in pagerank_bsp(_edge_ds(edges, 3), num_shards=5,
                                   n_iter=6).take_all()}
     assert max(abs(pr_a[v] - pr_b[v]) for v in pr_a) < 1e-12
+
+
+# --- triangle_counts ---------------------------------------------------------
+
+
+def test_triangle_counts_matches_serial_oracle():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(23)
+    n_nodes = 60
+    # dense-ish random graph → plenty of triangles
+    m = rng.random((n_nodes, n_nodes)) < 0.25
+    adj = np.triu(m, 1)
+    us, vs = np.nonzero(adj)
+    edge_set = set(zip(us.tolist(), vs.tolist()))
+
+    expect = {}
+    for a, b in edge_set:
+        for c in range(b + 1, n_nodes):
+            if (b, c) in edge_set and (a, c) in edge_set:
+                expect[a] = expect.get(a, 0) + 1
+
+    t = pa.table({"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())})
+    for blocks, parts in ((1, 1), (5, 13)):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = triangle_counts(ds, num_partitions=parts).to_pandas()
+        got = dict(zip(out["u"].astype(int), out["n_tri"].astype(int)))
+        assert got == expect, (blocks, parts)
+    assert sum(expect.values()) > 100  # fixture sanity
+
+
+def test_triangle_counts_trianglefree_and_empty():
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.graph import triangle_counts
+
+    # a path graph has no triangles
+    path = pa.table({"u": pa.array([0, 1, 2], pa.int64()),
+                     "v": pa.array([1, 2, 3], pa.int64())})
+    out = triangle_counts(ray.data.from_arrow(path), num_partitions=2).to_pandas()
+    assert len(out) == 0
+    empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out2 = triangle_counts(ray.data.from_arrow(empty), num_partitions=1).to_pandas()
+    assert len(out2) == 0
