@@ -205,7 +205,7 @@ def run_bench() -> dict:
         "embedding_moments", "pca_embeddings", "bpe_encode_documents",
         "cdc_near_dups", "percentile_rank_doclen", "temperature_upsample",
         "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
-        "hll_distinct_users_by_type",
+        "hll_distinct_users_by_type", "concurrent_sessions",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -365,6 +365,10 @@ def triangle_counts(edges, *, u_col: str = "u", v_col: str = "v",
 
     from .dedup import _num_coarse_partitions
 
+    # the edge table is consumed twice (broadcast key build + routed
+    # shuffle); it is compact int rows (16 B/edge, spillable) — materialize
+    # once instead of re-running the upstream edge build per consumer
+    edges = edges.materialize()
     P = _num_coarse_partitions(edges, num_partitions, n_rows)
 
     # broadcast sorted packed edge keys (8 B/edge)
