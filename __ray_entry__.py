@@ -428,6 +428,18 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_user_growth_curve(sf_dir: str):
+    """Cumulative distinct users per day (stages/windows.cumulative_distinct):
+    first-seen arithmetic — distinct-key combiner → ONE groupby(key).min →
+    bucket counts → driver cumsum over the (bounded) bucket axis. Bit-exact
+    vs the SQL min + cumulative-window oracle."""
+    from nightcrawlercmd_ray.stages.windows import cumulative_distinct
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cumulative_distinct(ev, key_col="user_id", ts_col="ts",
+                               bucket_s=86400)
+
+
 def q_part_triangles(sf_dir: str):
     """Triangle counting (stages/graph.triangle_counts) over the co-order
     parts graph: distinct canonical edges built with a coarse keyed shuffle
@@ -2170,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_pushdown_orders": q_bloom_pushdown_orders,
         "concurrent_sessions": q_concurrent_sessions,
         "part_triangles": q_part_triangles,
+        "user_growth_curve": q_user_growth_curve,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2334,6 +2347,19 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "user_growth_curve": """
+            WITH fs AS (
+                SELECT user_id,
+                       min(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS b
+                FROM events GROUP BY user_id
+            ), d AS (
+                SELECT b, count(*) AS n_new FROM fs GROUP BY b
+            )
+            SELECT b AS bucket_start_s, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS n_cum
+            FROM d
         """,
         "part_triangles": """
             WITH e AS (

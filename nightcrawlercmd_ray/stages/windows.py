@@ -180,3 +180,56 @@ def rolling_sum(
         .groupby("_c")
         .map_groups(roll_partition, batch_format="pyarrow")
     )
+
+
+def cumulative_distinct(ds, *, key_col: str, ts_col: str,
+                        bucket_s: int = 86400):
+    """Running distinct-key count over time — (bucket_start_s, n_new, n_cum)
+    per time bucket: how many keys (users, hosts, documents) have EVER been
+    seen by the end of each bucket. The growth-curve statistic a crawl or
+    event pipeline reports.
+
+    Exact and shuffle-light: distinct count is first-seen arithmetic —
+    per-batch (key, min bucket) combiner → ONE groupby(key).min shuffle
+    (rows ∝ distinct keys) → tiny groupby(bucket).count → driver cumsum
+    over the bucket axis (rows ∝ time buckets — bounded by timespan, never
+    data size). SQL oracle: min-over-user + cumulative window sum.
+    → sorted by bucket_start_s.
+    """
+    def first_seen(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            secs = arr.astype("datetime64[s]").astype(np.int64)
+        else:
+            secs = arr.astype(np.int64)
+        b = (secs // bucket_s) * bucket_s
+        g = pa.table({"k": t.column(key_col), "b": pa.array(b, pa.int64())})
+        return (g.group_by(["k"]).aggregate([("b", "min")])
+                 .rename_columns(["k", "b"]))
+
+    per_key = (
+        ds.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("k")
+        .min("b")
+        .map_batches(lambda t: t.rename_columns(["k", "b"]),
+                     batch_format="pyarrow")
+    )
+    counts = (
+        per_key.groupby("b").count().take_all()
+    )  # rows ∝ number of time buckets
+    counts.sort(key=lambda r: r["b"])
+    out_b, out_new, out_cum = [], [], []
+    cum = 0
+    for r in counts:
+        cum += int(r["count()"])
+        out_b.append(int(r["b"]))
+        out_new.append(int(r["count()"]))
+        out_cum.append(cum)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "bucket_start_s": pa.array(out_b, pa.int64()),
+        "n_new": pa.array(out_new, pa.int64()),
+        "n_cum": pa.array(out_cum, pa.int64()),
+    }))

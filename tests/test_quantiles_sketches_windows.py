@@ -247,6 +247,7 @@ def test_hash_join_anti_empty_right_keeps_all_left():
     "distinct_users_by_type",
     "user_event_deltas",
     "customers_without_orders",
+    "user_growth_curve",
 ])
 def test_new_queries_vs_duckdb_oracle(name):
     import duckdb
@@ -591,3 +592,33 @@ def test_hll_distinct_by_matches_global_hll_per_group():
     solo = hll_distinct(ds, "k", p=12)
     # one group ⇒ the grouped estimate IS the global estimate, bit-equal
     assert float(grouped["n_distinct_approx"].iloc[0]) == solo["estimate"]
+
+
+# --------------------------------------------------------------------------- #
+# cumulative distinct (growth curve) — round-3 addition
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_cumulative_distinct_semantics_and_partition_invariance(nparts):
+    from nightcrawlercmd_ray.stages.windows import cumulative_distinct
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = 1_700_000_000
+    ts = base + rng.integers(0, 5 * 86400, n)
+    keys = rng.integers(0, 60, n)
+    ds = _ds({"user_id": keys, "ts": ts}).repartition(nparts)
+    got = (
+        cumulative_distinct(ds, key_col="user_id", ts_col="ts", bucket_s=86400)
+        .to_pandas()
+        .sort_values("bucket_start_s")
+        .reset_index(drop=True)
+    )
+    # serial oracle: first-seen bucket per key, then cumulative counts
+    df = pd.DataFrame({"k": keys, "b": (ts // 86400) * 86400})
+    fs = df.groupby("k")["b"].min()
+    per_bucket = fs.value_counts().sort_index()
+    assert list(got["bucket_start_s"]) == list(per_bucket.index)
+    assert list(got["n_new"]) == list(per_bucket.values)
+    assert list(got["n_cum"]) == list(per_bucket.cumsum().values)
+    # monotone, ends at global distinct count
+    assert got["n_cum"].iloc[-1] == len(fs)
