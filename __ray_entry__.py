@@ -428,6 +428,19 @@ def q_pca_embeddings(sf_dir: str):
     return pca_embeddings(ds, n_components=4).sort("vec_id")
 
 
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction (stages/semistructured.json_field_stats):
+    the numeric field props.k is pulled from the JSON-string column with ONE
+    vectorized pyarrow extract_regex call per batch (no per-row json.loads),
+    then integer stats per event_type via the per-batch Arrow group_by
+    combiner → one tiny groupby shuffle. Bit-exact vs DuckDB json_extract."""
+    from nightcrawlercmd_ray.stages.semistructured import json_field_stats
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return json_field_stats(ev, col="props", field="k",
+                            by="event_type").sort("event_type")
+
+
 def q_user_growth_curve(sf_dir: str):
     """Cumulative distinct users per day (stages/windows.cumulative_distinct):
     first-seen arithmetic — distinct-key combiner → ONE groupby(key).min →
@@ -2183,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": q_concurrent_sessions,
         "part_triangles": q_part_triangles,
         "user_growth_curve": q_user_growth_curve,
+        "json_props_stats": q_json_props_stats,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "events_sliding_window": q_events_sliding_window,
@@ -2347,6 +2361,17 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY word
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_v,
+                   CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS min_v,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS max_v
+            FROM events GROUP BY event_type
         """,
         "user_growth_curve": """
             WITH fs AS (
