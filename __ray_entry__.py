@@ -1278,6 +1278,32 @@ def q_knn_embeddings(sf_dir: str):
 # --------------------------------------------------------------------------- #
 # rows-only queries (non-SQL-expressible: stateful / approximate / generative)
 # --------------------------------------------------------------------------- #
+def q_crawl_hostgraph(sf_dir: str):
+    """Weighted host-graph contraction of the crawl corpus link graph
+    (stages/webgraph.host_link_graph): one parse pass with per-batch
+    (src_host, dst_host) count combiners, one multi-key groupby-sum.
+    Rows-only for the driver (pages are not a registered SQL view);
+    value-exactness vs a serial parse oracle is pinned in
+    tests/test_webgraph.py."""
+    from nightcrawlercmd_ray.stages.webgraph import host_link_graph
+
+    c = _corpus_for(sf_dir)
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    return host_link_graph(ds).sort(["src_host", "dst_host"])
+
+
+def q_crawl_inlink_stats(sf_dir: str):
+    """Per-URL in-link authority stats (stages/webgraph.url_inlink_stats):
+    (dst_url, n_inlinks, n_src_hosts) with distinct-host counting via an
+    exact (dst, src_host) pre-aggregation and a coarse hash-keyed fold.
+    Rows-only for the driver; serial-oracle-pinned in tests."""
+    from nightcrawlercmd_ray.stages.webgraph import url_inlink_stats
+
+    c = _corpus_for(sf_dir)
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    return url_inlink_stats(ds).sort("dst_url")
+
+
 def q_crawl_bfs(sf_dir: str):
     """Full crawl of the sf-tier synthetic corpus: the north-star pipeline.
     Exact conformance vs the serial oracle is enforced in tests/."""
@@ -2244,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_near_dups": q_cdc_near_dups,
         "dup_clusters_documents": q_dup_clusters_documents,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_hostgraph": q_crawl_hostgraph,
+        "crawl_inlink_stats": q_crawl_inlink_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
