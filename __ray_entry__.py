@@ -1619,21 +1619,17 @@ def q_doc_chain_components(sf_dir: str):
     return connected_components_bsp(edges).sort("node")
 
 
-def q_crawl_pagerank(sf_dir: str):
-    """PageRank over the crawl corpus link graph (authority scoring — the
-    canonical crawl-ordering signal): pages → href edges (canonicalized,
-    url_hash node ids) → actor-BSP pagerank (state/graphbsp.py, 8 damped
-    power iterations — edges partitioned once, only rank mass moves per
-    round) → top 50 (url, rank). Exactness of the iteration vs a serial
-    numpy oracle is pinned in tests/test_graph.py."""
+def _crawl_parsed_graph(sf_dir: str):
+    """Shared link-graph build for the graph-analytics queries: ONE parse
+    pass over the corpus pages emits BOTH (src, dst) url_hash edge rows and
+    (node, url) name rows in a single materialized dataset. Returns
+    (parsed, edges)."""
     import numpy as np
-    import ray
 
     from nightcrawlercmd_ray.functions.htmlparse import parse_html
     from nightcrawlercmd_ray.functions.urlnorm import (
         canonicalize, to_abs_url, url_hash,
     )
-    from nightcrawlercmd_ray.state.graphbsp import pagerank_bsp
 
     c = _corpus_for(sf_dir)
     ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
@@ -1684,19 +1680,19 @@ def q_crawl_pagerank(sf_dir: str):
                    .select(["src", "dst"]),
         batch_format="pyarrow",
     )
-    ranks = pagerank_bsp(edges, n_iter=8)
-    top_rows = ranks.sort(
-        ["rank", "node"], descending=[True, False]
-    ).limit(50).take_all()
-    top_t = pa.table({
-        "node": pa.array([r["node"] for r in top_rows], pa.int64()),
-        "rank": pa.array([r["rank"] for r in top_rows], pa.float64()),
-    })
-    ids_ref = ray.put(top_t.column("node").combine_chunks())
+    return parsed, edges
+
+
+def _crawl_node_names(parsed, node_ids: list[int]) -> dict[int, str]:
+    """Resolve a SMALL set of url_hash node ids back to canonical urls from
+    the parsed-graph name rows: per-batch partial min(url) per wanted node
+    (≤|node_ids| rows out per batch) — the final min is a tiny driver
+    reduce, no shuffle."""
+    import ray
+
+    ids_ref = ray.put(pa.array(node_ids, pa.int64()))
 
     def name_rows(t: pa.Table) -> pa.Table:
-        # per-batch partial min(url) per top-50 node (≤50 rows out per
-        # batch) — the final min is a tiny driver reduce, no shuffle
         import ray as _ray
 
         keep = pc.is_in(t.column("node"), value_set=_ray.get(ids_ref))
@@ -1713,10 +1709,53 @@ def q_crawl_pagerank(sf_dir: str):
         prev = name_map.get(r["node"])
         if prev is None or r["url"] < prev:
             name_map[r["node"]] = r["url"]
+    return name_map
+
+
+def q_crawl_pagerank(sf_dir: str):
+    """PageRank over the crawl corpus link graph (authority scoring — the
+    canonical crawl-ordering signal): pages → href edges (canonicalized,
+    url_hash node ids) → actor-BSP pagerank (state/graphbsp.py, 8 damped
+    power iterations — edges partitioned once, only rank mass moves per
+    round) → top 50 (url, rank). Exactness of the iteration vs a serial
+    numpy oracle is pinned in tests/test_graph.py."""
+    from nightcrawlercmd_ray.state.graphbsp import pagerank_bsp
+
+    parsed, edges = _crawl_parsed_graph(sf_dir)
+    ranks = pagerank_bsp(edges, n_iter=8)
+    top_rows = ranks.sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(50).take_all()
+    top_t = pa.table({
+        "node": pa.array([r["node"] for r in top_rows], pa.int64()),
+        "rank": pa.array([r["rank"] for r in top_rows], pa.float64()),
+    })
+    name_map = _crawl_node_names(parsed, top_t.column("node").to_pylist())
     return pa.table({
         "url": pa.array([name_map[n] for n in
                          top_t.column("node").to_pylist()], pa.string()),
         "rank": top_t.column("rank"),
+    })
+
+
+def q_crawl_hits(sf_dir: str):
+    """HITS hubs/authorities over the crawl corpus link graph
+    (stages/graph.hits, 6 L2-normalized mutual-reinforcement iterations) →
+    top 25 authorities as (url, authority, hub). Exactness of the iteration
+    vs a serial numpy oracle is pinned in tests/test_graph.py."""
+    from nightcrawlercmd_ray.stages.graph import hits
+
+    parsed, edges = _crawl_parsed_graph(sf_dir)
+    scores = hits(edges, n_iter=6)
+    top_rows = scores.sort(
+        ["authority", "node"], descending=[True, False]
+    ).limit(25).take_all()
+    name_map = _crawl_node_names(parsed, [r["node"] for r in top_rows])
+    return pa.table({
+        "url": pa.array([name_map[r["node"]] for r in top_rows], pa.string()),
+        "authority": pa.array([r["authority"] for r in top_rows],
+                              pa.float64()),
+        "hub": pa.array([r["hub"] for r in top_rows], pa.float64()),
     })
 
 
@@ -2270,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_near_dups": q_cdc_near_dups,
         "dup_clusters_documents": q_dup_clusters_documents,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_hits": q_crawl_hits,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
         "simhash_near_dups": q_simhash_near_dups,

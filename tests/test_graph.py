@@ -249,3 +249,68 @@ def test_triangle_counts_trianglefree_and_empty():
     empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     out2 = triangle_counts(ray.data.from_arrow(empty), num_partitions=1).to_pandas()
     assert len(out2) == 0
+
+
+# --------------------------------------------------------------------------- #
+# HITS (hubs/authorities) vs a numpy oracle with identical update order
+# --------------------------------------------------------------------------- #
+def _numpy_hits(edges, n_iter):
+    dedup = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for e in dedup for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in dedup:
+        A[ix[a], ix[b]] = 1.0
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = h.copy()
+    for _ in range(n_iter):
+        a = A.T @ h
+        na = np.linalg.norm(a)
+        if na > 0:
+            a = a / na
+        h = A @ a
+        nh = np.linalg.norm(h)
+        if nh > 0:
+            h = h / nh
+    return ({v: h[ix[v]] for v in nodes}, {v: a[ix[v]] for v in nodes})
+
+
+@pytest.mark.parametrize("nparts", [None, 7])
+def test_hits_matches_numpy_random(nparts):
+    from nightcrawlercmd_ray.stages.graph import hits
+
+    rng = np.random.default_rng(23)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+                    if a != b})
+    # parallel edges in the input must collapse
+    noisy = edges + edges[:15]
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(_edge_ds(noisy, nparts), n_iter=6).take_all()}
+    want_h, want_a = _numpy_hits(edges, n_iter=6)
+    assert set(got) == set(want_h)
+    assert max(abs(got[v][0] - want_h[v]) for v in want_h) < 1e-12
+    assert max(abs(got[v][1] - want_a[v]) for v in want_a) < 1e-12
+
+
+def test_hits_bipartite_star_separates_roles():
+    """k sources all pointing at one sink: the sink is the pure authority
+    (authority 1, hub 0) and every source a pure hub (hub 1/sqrt(k))."""
+    from nightcrawlercmd_ray.stages.graph import hits
+
+    k = 6
+    edges = [(i, 99) for i in range(1, k + 1)]
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(_edge_ds(edges), n_iter=4).take_all()}
+    assert got[99][1] == pytest.approx(1.0, abs=1e-12)
+    assert got[99][0] == 0.0
+    for i in range(1, k + 1):
+        assert got[i][0] == pytest.approx(1.0 / np.sqrt(k), abs=1e-12)
+        assert got[i][1] == 0.0
+
+
+def test_hits_empty_graph():
+    from nightcrawlercmd_ray.stages.graph import hits
+
+    out = hits(_edge_ds([(5, 5)])).take_all()  # only self-loops → empty
+    assert out == []
