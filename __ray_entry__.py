@@ -1304,6 +1304,20 @@ def q_crawl_inlink_stats(sf_dir: str):
     return url_inlink_stats(ds).sort("dst_url")
 
 
+def q_crawl_anchor_texts(sf_dir: str):
+    """Per-target anchor-text summary over the crawl corpus
+    (stages/webgraph.top_anchor_per_url): (dst_url, top_anchor, n_top,
+    n_anchors) — most-frequent anchor string per linked-to URL, ties
+    lexicographic, built on an exact (dst, anchor) count index with a
+    coarse hash-keyed fold. Rows-only for the driver; serial-oracle-pinned
+    in tests/test_webgraph.py."""
+    from nightcrawlercmd_ray.stages.webgraph import top_anchor_per_url
+
+    c = _corpus_for(sf_dir)
+    ds = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    return top_anchor_per_url(ds).sort("dst_url")
+
+
 def q_crawl_bfs(sf_dir: str):
     """Full crawl of the sf-tier synthetic corpus: the north-star pipeline.
     Exact conformance vs the serial oracle is enforced in tests/."""
@@ -2312,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": q_crawl_hits,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
+        "crawl_anchor_texts": q_crawl_anchor_texts,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,

@@ -23,6 +23,8 @@ Scale shape (both operators):
 """
 from __future__ import annotations
 
+from html.parser import HTMLParser
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -137,4 +139,164 @@ def url_inlink_stats(pages_ds):
         per_host.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("_c")
         .map_groups(fold_hosts, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# anchor text — the classic webgraph signal the crawl's own link extraction
+# discards (mainReport.go keeps only the href). Anchor text describes the
+# TARGET page better than the target's own content (Brin & Page 1998 §2.2;
+# Craswell et al., *Effective Site Finding using Link Anchor Information*,
+# SIGIR 2001), so the aggregate is keyed by destination URL.
+# --------------------------------------------------------------------------- #
+class _AnchorExtractor(HTMLParser):
+    """(href, text) pairs per document: text is everything between an
+    ``<a href=...>`` and its close — nested inline markup included,
+    script/style content excluded — whitespace-collapsed. A new ``<a>``
+    auto-closes an open one (HTML5 'a is not nestable'); anchors with empty
+    href or empty text are dropped, matching the crawl's empty-href rule."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._skip = 0
+
+    def _close_anchor(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._buf).split())
+            if text:
+                self.anchors.append((self._href, text))
+            self._href = None
+            self._buf = []
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag in ("script", "style"):
+            self._skip += 1
+            return
+        if tag == "a":
+            self._close_anchor()
+            href = (dict(attrs).get("href") or "").strip()
+            if href:
+                self._href = href
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        if tag in ("script", "style"):  # <script src=x/> has no body to skip
+            return
+        if tag == "a":  # <a/> opens and closes empty — never emits
+            self._close_anchor()
+
+    def handle_endtag(self, tag) -> None:
+        if tag in ("script", "style"):
+            if self._skip > 0:
+                self._skip -= 1
+            return
+        if tag == "a":
+            self._close_anchor()
+
+    def handle_data(self, data) -> None:
+        if self._skip == 0 and self._href is not None:
+            self._buf.append(data)
+
+
+def extract_anchors(html: bytes | str) -> list[tuple[str, str]]:
+    """Serial (href, text) extraction for one document — the unit the
+    distributed operators and their test oracles share."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    ex = _AnchorExtractor()
+    try:
+        ex.feed(html)
+        ex.close()
+    except Exception:
+        pass  # truncated markup: keep whatever was extracted before the error
+    ex._close_anchor()
+    return ex.anchors
+
+
+def _page_anchors(t: pa.Table):
+    """Yield (dst_url, anchor_text) canonical pairs for one batch of pages."""
+    for url, html in zip(t.column("url").to_pylist(),
+                         t.column("html").to_pylist()):
+        cu = canonicalize(url)
+        if cu is None:
+            continue
+        for href, text in extract_anchors(html):
+            au = to_abs_url(cu, href)
+            if au is not None:
+                yield au, text
+
+
+def anchor_text_index(pages_ds, *, max_anchor_len: int = 256):
+    """Full inverted anchor index: (dst_url, anchor, n) — how many times
+    each exact anchor string points at each target across the corpus.
+    Anchor strings are truncated to ``max_anchor_len`` chars (adversarial
+    pages embed megabyte anchors; truncation keys the aggregate, bounded
+    exchange). Same scale shape as :func:`host_link_graph`: per-batch
+    distinct-pair count combiner, ONE multi-key groupby-sum; exchange rows
+    ∝ distinct (dst, anchor) pairs, never raw links or page bytes."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for au, text in _page_anchors(t):
+            key = (au, text[:max_anchor_len])
+            counts[key] = counts.get(key, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            "dst_url": pa.array([k[0] for k in ks], pa.string()),
+            "anchor": pa.array([k[1] for k in ks], pa.string()),
+            "_n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=128)
+        .groupby(["dst_url", "anchor"])
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+
+
+def top_anchor_per_url(pages_ds, *, max_anchor_len: int = 256,
+                       num_partitions: int = 64):
+    """Per-target anchor summary: (dst_url, top_anchor, n_top, n_anchors) —
+    the most frequent anchor string pointing at each URL (ties break to the
+    lexicographically smallest, so the result is partition-invariant), its
+    count, and the total in-anchor count. Built on the exact index with a
+    coarse hash(dst)-keyed fold — one vectorized sort + first-row-per-group
+    per partition, never a per-URL group dispatch."""
+    import polars as pl
+
+    idx = anchor_text_index(pages_ds, max_anchor_len=max_anchor_len)
+    P = num_partitions
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        h = (pl.from_arrow(t.column("dst_url").combine_chunks())
+             .hash(seed=0).to_numpy().astype(np.uint64))
+        return t.append_column(
+            "_c", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.sort_by([("dst_url", "ascending"), ("n", "descending"),
+                       ("anchor", "ascending")])
+        dst = g.column("dst_url").to_numpy(zero_copy_only=False)
+        first = np.empty(len(dst), dtype=bool)
+        if len(dst):
+            first[0] = True
+            first[1:] = dst[1:] != dst[:-1]
+        totals = g.group_by(["dst_url"]).aggregate([("n", "sum")])
+        top = g.filter(pa.array(first)).select(["dst_url", "anchor", "n"])
+        joined = top.join(totals, keys=["dst_url"])
+        return pa.table({
+            "dst_url": joined.column("dst_url"),
+            "top_anchor": joined.column("anchor"),
+            "n_top": joined.column("n"),
+            "n_anchors": pc.cast(joined.column("n_sum"), pa.int64()),
+        })
+
+    return (
+        idx.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(fold, batch_format="pyarrow")
     )

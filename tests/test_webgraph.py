@@ -101,3 +101,93 @@ def test_inlink_distinct_hosts_differ_from_counts():
     row = got[got["dst_url"] == "http://t.test/x"].iloc[0]
     assert row["n_inlinks"] == 9
     assert row["n_src_hosts"] == 2
+
+
+# --------------------------------------------------------------------------- #
+# anchor text operators vs the shared serial extractor
+# --------------------------------------------------------------------------- #
+def test_extract_anchors_semantics():
+    from nightcrawlercmd_ray.stages.webgraph import extract_anchors
+
+    h = (b'<html><body>'
+         b'<a href="/x">Click <b>here</b></a>'
+         b'<a href="/y">next<a href="/z">auto-closes prior</a>'
+         b'<script>var a="<a href=q>never</a>";</script>'
+         b'<a href="">empty href dropped</a>'
+         b'<a href="/w">  collapse&amp;   <i>entities</i> </a>'
+         b'<a href="/empty"><img src="pic.png"></a>'
+         b'</body></html>')
+    got = extract_anchors(h)
+    assert got == [
+        ("/x", "Click here"),
+        ("/y", "next"),
+        ("/z", "auto-closes prior"),
+        ("/w", "collapse& entities"),
+    ]
+
+
+def test_extract_anchors_unclosed_tail():
+    from nightcrawlercmd_ray.stages.webgraph import extract_anchors
+
+    assert extract_anchors(b'<a href="/t">dangling text') == \
+        [("/t", "dangling text")]
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_anchor_text_index_vs_serial(corpus, nparts):
+    from nightcrawlercmd_ray.stages.webgraph import (
+        anchor_text_index, extract_anchors,
+    )
+
+    pages = pd.read_parquet(f"{corpus}/pages.parquet", columns=["url", "html"])
+    exp: dict[tuple[str, str], int] = {}
+    for url, html in zip(pages["url"], pages["html"]):
+        cu = canonicalize(url)
+        if cu is None:
+            continue
+        for href, text in extract_anchors(html):
+            au = to_abs_url(cu, href)
+            if au is not None:
+                k = (au, text[:256])
+                exp[k] = exp.get(k, 0) + 1
+    assert exp, "synthetic corpus must contain anchors"
+
+    ds = ray.data.read_parquet(f"{corpus}/pages.parquet",
+                               columns=["url", "html"]).repartition(nparts)
+    got = anchor_text_index(ds).to_pandas()
+    assert {(r.dst_url, r.anchor): r.n for r in got.itertuples()} == exp
+
+
+def test_top_anchor_per_url_vs_serial(corpus):
+    from nightcrawlercmd_ray.stages.webgraph import (
+        anchor_text_index, top_anchor_per_url,
+    )
+
+    ds = ray.data.read_parquet(f"{corpus}/pages.parquet",
+                               columns=["url", "html"])
+    idx = anchor_text_index(ds).to_pandas()
+    # serial fold from the (already serially-verified) exact index
+    exp = {}
+    for dst, grp in idx.groupby("dst_url"):
+        g = grp.sort_values(["n", "anchor"], ascending=[False, True])
+        exp[dst] = (g.iloc[0]["anchor"], int(g.iloc[0]["n"]),
+                    int(grp["n"].sum()))
+    got = top_anchor_per_url(ds).to_pandas()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        ea, en, etot = exp[r.dst_url]
+        assert (r.top_anchor, r.n_top, r.n_anchors) == (ea, en, etot)
+
+
+def test_top_anchor_tie_breaks_lexicographic():
+    from nightcrawlercmd_ray.stages.webgraph import top_anchor_per_url
+
+    html = (b'<html><body>'
+            b'<a href="http://t.test/p">zeta</a>'
+            b'<a href="http://t.test/p">alpha</a>'
+            b'</body></html>')
+    rows = pa.table({"url": ["http://a.test/"], "html": [html]})
+    got = top_anchor_per_url(ray.data.from_arrow(rows)).to_pandas()
+    row = got[got["dst_url"] == "http://t.test/p"].iloc[0]
+    assert row["top_anchor"] == "alpha"
+    assert row["n_top"] == 1 and row["n_anchors"] == 2
