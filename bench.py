@@ -206,6 +206,9 @@ def run_bench() -> dict:
         "cdc_near_dups", "percentile_rank_doclen", "temperature_upsample",
         "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
         "hll_distinct_users_by_type", "concurrent_sessions",
+        "crawl_hostgraph", "crawl_inlink_stats", "crawl_anchor_texts",
+        "crawl_hits", "part_triangles", "json_props_stats",
+        "user_growth_curve",
     )
     for name in family:
         fn = entrymod.queries()[name]
