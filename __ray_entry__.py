@@ -1754,13 +1754,16 @@ def q_crawl_pagerank(sf_dir: str):
 
 def q_crawl_hits(sf_dir: str):
     """HITS hubs/authorities over the crawl corpus link graph
-    (stages/graph.hits, 6 L2-normalized mutual-reinforcement iterations) →
-    top 25 authorities as (url, authority, hub). Exactness of the iteration
-    vs a serial numpy oracle is pinned in tests/test_graph.py."""
-    from nightcrawlercmd_ray.stages.graph import hits
+    (state/graphbsp.hits_bsp, 6 L2-normalized mutual-reinforcement
+    iterations — edges partitioned once in both orientations, only score
+    arrays move per half-step) → top 25 authorities as (url, authority,
+    hub). Exactness of the iteration vs a serial numpy oracle AND vs the
+    Dataset-composed stages/graph.hits twin is pinned in
+    tests/test_graph.py."""
+    from nightcrawlercmd_ray.state.graphbsp import hits_bsp
 
     parsed, edges = _crawl_parsed_graph(sf_dir)
-    scores = hits(edges, n_iter=6)
+    scores = hits_bsp(edges, n_iter=6)
     top_rows = scores.sort(
         ["authority", "node"], descending=[True, False]
     ).limit(25).take_all()

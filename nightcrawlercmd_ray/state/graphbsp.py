@@ -67,15 +67,25 @@ class GraphShard:
         self.P = num_shards
         self._eu: list[np.ndarray] = []
         self._ev: list[np.ndarray] = []
+        self._ru: list[np.ndarray] = []  # reverse edges: this shard owns v
+        self._rv: list[np.ndarray] = []
         self._nodes: list[np.ndarray] = []
         self.eu = self.ev = self.nodes = None
+        self.ru = self.rv = None
         self.lab = self.rank = self.outdeg = None
+        self.hub = self.auth = None
         self.u_idx = None  # per-edge index of u into self.nodes
+        self.rv_idx = None  # per-reverse-edge index of v into self.nodes
 
     # ---- build ---------------------------------------------------------- #
     def add_edges(self, t: pa.Table) -> int:
         self._eu.append(t.column("u").to_numpy(zero_copy_only=False))
         self._ev.append(t.column("v").to_numpy(zero_copy_only=False))
+        return t.num_rows
+
+    def add_rev_edges(self, t: pa.Table) -> int:
+        self._ru.append(t.column("u").to_numpy(zero_copy_only=False))
+        self._rv.append(t.column("v").to_numpy(zero_copy_only=False))
         return t.num_rows
 
     def add_nodes(self, t: pa.Table) -> int:
@@ -94,11 +104,23 @@ class GraphShard:
             keep = np.r_[True, (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])]
             eu, ev = eu[keep], ev[keep]
         self.eu, self.ev = eu, ev
+        ru = (np.concatenate(self._ru) if self._ru
+              else np.array([], np.int64))
+        rv = (np.concatenate(self._rv) if self._rv
+              else np.array([], np.int64))
+        self._ru = self._rv = []
+        rorder = np.lexsort((ru, rv))
+        ru, rv = ru[rorder], rv[rorder]
+        if dedup_edges and ru.size:
+            keep = np.r_[True, (ru[1:] != ru[:-1]) | (rv[1:] != rv[:-1])]
+            ru, rv = ru[keep], rv[keep]
+        self.ru, self.rv = ru, rv
         ann = (np.concatenate(self._nodes) if self._nodes
                else np.array([], np.int64))
         self._nodes = []
         self.nodes = np.unique(ann)
         self.u_idx = np.searchsorted(self.nodes, self.eu)
+        self.rv_idx = np.searchsorted(self.nodes, self.rv)
         # out-degree of owned nodes (after dedup → distinct targets)
         self.outdeg = np.zeros(self.nodes.size, np.int64)
         if self.eu.size:
@@ -213,12 +235,69 @@ class GraphShard:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
                          "rank": pa.array(self.rank, pa.float64())})
 
+    # ---- HITS ------------------------------------------------------------ #
+    def hits_init(self, n_nodes: int) -> None:
+        self.hub = np.full(self.nodes.size, 1.0 / np.sqrt(n_nodes))
+        self.auth = np.zeros(self.nodes.size)
+
+    def hits_propagate(self, which: str):
+        """'auth': forward edges forward hub[u] to owner(v);
+        'hub': reverse edges forward auth[v] to owner(u)."""
+        if which == "auth":
+            tgt, idx, score = self.ev, self.u_idx, self.hub
+        else:
+            tgt, idx, score = self.ru, self.rv_idx, self.auth
+        if tgt.size:
+            k, m = _group_sum(tgt, score[idx])
+        else:
+            k = np.array([], np.int64)
+            m = np.array([], np.float64)
+        part = _owner(k, self.P)
+        out = [pa.table({"node": pa.array(k[part == j], pa.int64()),
+                         "mass": pa.array(m[part == j], pa.float64())})
+               for j in range(self.P)]
+        return out if self.P > 1 else out[0]
+
+    def hits_merge(self, which: str, *masses: pa.Table) -> float:
+        """Install the raw (unnormalized) vector for owned nodes; returns
+        the local sum of squares so the driver can fold the global L2."""
+        total = np.zeros(self.nodes.size)
+        ks, vs = [], []
+        for t in masses:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("mass").to_numpy(zero_copy_only=False))
+        if ks:
+            k, v = _group_sum(np.concatenate(ks), np.concatenate(vs))
+            total[np.searchsorted(self.nodes, k)] = v
+        if which == "auth":
+            self.auth = total
+        else:
+            self.hub = total
+        return float(np.dot(total, total))
+
+    def hits_scale(self, which: str, norm: float) -> None:
+        if norm <= 0.0:
+            return
+        if which == "auth":
+            self.auth = self.auth / norm
+        else:
+            self.hub = self.hub / norm
+
+    def hits_result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "hub": pa.array(self.hub, pa.float64()),
+                         "authority": pa.array(self.auth, pa.float64())})
+
 
 def _build_shards(edges, src: str, dst: str, P: int, *, undirected: bool,
-                  dedup_edges: bool):
+                  dedup_edges: bool, with_reverse: bool = False):
     """Partition an edge Dataset into P shard actors: one map_batches pass
     routes edge rows to owner(u) and node announcements to owner(n); the
-    driver consumes only per-batch row counts."""
+    driver consumes only per-batch row counts. ``with_reverse`` additionally
+    routes each edge to owner(v) (for algorithms that propagate along BOTH
+    directions, e.g. HITS) — duplicates of an edge land in the same shards
+    either way, so per-shard dedup stays global."""
     import pyarrow.compute as pc
 
     Shard = ray.remote(num_cpus=0)(GraphShard)
@@ -239,6 +318,14 @@ def _build_shards(edges, src: str, dst: str, P: int, *, undirected: bool,
                 acks.append(shards[j].add_edges.remote(
                     pa.table({"u": pa.array(u[sel], pa.int64()),
                               "v": pa.array(v[sel], pa.int64())})))
+        if with_reverse:
+            ro = _owner(v, P)
+            for j in range(P):
+                sel = ro == j
+                if sel.any():
+                    acks.append(shards[j].add_rev_edges.remote(
+                        pa.table({"u": pa.array(u[sel], pa.int64()),
+                                  "v": pa.array(v[sel], pa.int64())})))
         nodes = np.unique(np.r_[u, v]) if u.size else u
         no = _owner(nodes, P)
         for j in range(P):
@@ -333,3 +420,39 @@ def pagerank_bsp(
             for j in range(P)
         ])
     return ray.data.from_arrow_refs([s.pr_result.remote() for s in shards])
+
+
+def hits_bsp(
+    edges, *, src: str = "src", dst: str = "dst", num_shards: int = 8,
+    n_iter: int = 10,
+):
+    """Actor-BSP HITS; same contract as ``stages.graph.hits`` (directed,
+    parallel edges collapsed, each half-step L2-normalized, h₀ = 1/√n).
+    Edges are partitioned ONCE in both orientations (owner(u) forward,
+    owner(v) reverse); each half-step ships only (node, mass) arrays and
+    the driver folds one sum-of-squares scalar."""
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=False, dedup_edges=True,
+                                  with_reverse=True)
+    P = len(shards)
+    n_nodes = sum(i["nodes"] for i in infos)
+    if n_nodes == 0:
+        empty = pa.array([], pa.float64())
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "hub": empty, "authority": empty}))
+    ray.get([s.hits_init.remote(n_nodes) for s in shards])
+    for _ in range(n_iter):
+        for which in ("auth", "hub"):
+            if P > 1:
+                outs = [s.hits_propagate.options(num_returns=P).remote(which)
+                        for s in shards]
+                routed = _routed(shards, outs)
+            else:
+                routed = [[shards[0].hits_propagate.remote(which)]]
+            ss = sum(ray.get(
+                [shards[j].hits_merge.remote(which, *routed[j])
+                 for j in range(P)]))
+            norm = float(np.sqrt(ss))
+            ray.get([s.hits_scale.remote(which, norm) for s in shards])
+    return ray.data.from_arrow_refs([s.hits_result.remote() for s in shards])

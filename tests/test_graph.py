@@ -314,3 +314,32 @@ def test_hits_empty_graph():
 
     out = hits(_edge_ds([(5, 5)])).take_all()  # only self-loops → empty
     assert out == []
+
+
+@pytest.mark.parametrize("num_shards", [1, 3, 8])
+def test_hits_bsp_matches_numpy_and_dataset(num_shards):
+    from nightcrawlercmd_ray.stages.graph import hits
+    from nightcrawlercmd_ray.state.graphbsp import hits_bsp
+
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 45, (160, 2))
+                    if a != b})
+    noisy = edges + edges[:10]  # parallel edges must collapse
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits_bsp(_edge_ds(noisy, 4), num_shards=num_shards,
+                             n_iter=6).take_all()}
+    want_h, want_a = _numpy_hits(edges, n_iter=6)
+    assert set(got) == set(want_h)
+    assert max(abs(got[v][0] - want_h[v]) for v in want_h) < 1e-12
+    assert max(abs(got[v][1] - want_a[v]) for v in want_a) < 1e-12
+    ds_twin = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(_edge_ds(noisy), n_iter=6).take_all()}
+    assert set(ds_twin) == set(got)
+    assert max(abs(got[v][0] - ds_twin[v][0]) +
+               abs(got[v][1] - ds_twin[v][1]) for v in got) < 1e-12
+
+
+def test_hits_bsp_empty():
+    from nightcrawlercmd_ray.state.graphbsp import hits_bsp
+
+    assert hits_bsp(_edge_ds([(3, 3)])).take_all() == []
