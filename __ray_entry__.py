@@ -495,18 +495,30 @@ def q_part_triangles(sf_dir: str):
         keep = u != v  # same part twice in one order is not an edge
         lo, hi = np.minimum(u[keep], v[keep]), np.maximum(u[keep], v[keep])
         # in-partition dedup (combiner): co-order pairs repeat heavily
-        # across orders — ship each partition's DISTINCT pairs only
+        # across orders — ship each partition's DISTINCT pairs only,
+        # packed to ONE int64 so the global dedup is a single-key exchange
         packed = np.unique((lo.astype(np.int64) << 32) | hi.astype(np.int64))
-        return pa.table({"u": pa.array(packed >> 32),
-                         "v": pa.array(packed & 0xFFFFFFFF)})
+        return pa.table({"_uw": pa.array(packed)})
+
+    def coarse_pair(t: pa.Table) -> pa.Table:
+        w = t.column("_uw").to_numpy(zero_copy_only=False)
+        h = (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return t.append_column("_c2", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def uniq_unpack(g: pa.Table) -> pa.Table:
+        # a coarse partition holds many keys — one vectorized unique
+        # (a multi-key groupby here measured 15s vs ~2s for this shape)
+        w = np.unique(g.column("_uw").to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(w >> 32),
+                         "v": pa.array(w & 0xFFFFFFFF)})
 
     edges = (
         li.map_batches(coarse, batch_format="pyarrow")
         .groupby("_c")
         .map_groups(order_pairs, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .count()
-        .select_columns(["u", "v"])  # distinct edges
+        .map_batches(coarse_pair, batch_format="pyarrow")
+        .groupby("_c2")
+        .map_groups(uniq_unpack, batch_format="pyarrow")
     )
     return triangle_counts(edges, n_rows=n)
 
