@@ -1316,6 +1316,52 @@ def q_crawl_inlink_stats(sf_dir: str):
     return url_inlink_stats(ds).sort("dst_url")
 
 
+# 4 signup→view→click→purchase cycles: deep enough that the per-stage user
+# counts DECAY on the synthetic events (150 → ~36 at sf0.01) — a saturated
+# funnel would rubber-stamp any distinct-user-count bug
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"] * 4
+
+
+def _funnel_sql(stages: list[str]) -> str:
+    """Generate the chained-CTE funnel SQL for an arbitrary stage list —
+    stage i = MIN(ts) per user of events of type stages[i] STRICTLY after
+    the user's stage-(i-1) timestamp."""
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) t FROM events "
+        f"WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) t FROM events e "
+            f"JOIN s{i-1} p ON e.user_id = p.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{s}' GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT {i}::BIGINT AS stage, '{s}' AS event_type, "
+        f"COUNT(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(stages, start=1)
+    ]
+    return ("WITH " + ", ".join(ctes) + " " +
+            " UNION ALL ".join(selects) + " ORDER BY stage")
+
+
+def q_funnel_users(sf_dir: str):
+    """First-touch strict-order conversion funnel over events
+    (stages/sessions.funnel_counts): per user, each stage's timestamp is
+    the first event of that type strictly after the previous stage's —
+    here 4 repeated signup→view→click→purchase cycles → (stage,
+    event_type, n_users). One coarse user-keyed shuffle; stage folds
+    vectorized in-partition; counts sum exactly across disjoint user
+    partitions."""
+    from nightcrawlercmd_ray.stages.sessions import funnel_counts
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "ts", "event_type"])
+    return funnel_counts(
+        ev, stages=_FUNNEL_STAGES, n_rows=_parquet_rows(path),
+    ).sort("stage")
+
+
 def q_crawl_anchor_texts(sf_dir: str):
     """Per-target anchor-text summary over the crawl corpus
     (stages/webgraph.top_anchor_per_url): (dst_url, top_anchor, n_top,
@@ -2299,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "docs_source_lang_pivot": q_docs_source_lang_pivot,
         "user_journeys": q_user_journeys,
+        "funnel_users": q_funnel_users,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
         "order_price_outliers": q_order_price_outliers,
@@ -2694,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
             FROM events GROUP BY user_id
         """,
+        "funnel_users": _funnel_sql(_FUNNEL_STAGES),
         "latest_orders_per_customer": """
             SELECT o_custkey, o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -208,7 +208,7 @@ def run_bench() -> dict:
         "hll_distinct_users_by_type", "concurrent_sessions",
         "crawl_hostgraph", "crawl_inlink_stats", "crawl_anchor_texts",
         "crawl_hits", "part_triangles", "json_props_stats",
-        "user_growth_curve",
+        "user_growth_curve", "funnel_users",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -164,3 +164,84 @@ def user_journeys(
         .groupby("_c")
         .map_groups(join_partition, batch_format="pyarrow")
     )
+
+
+def funnel_counts(
+    events,
+    *,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """First-touch strict-order funnel: how many users performed
+    ``stages[0]``, then ``stages[1]`` STRICTLY after their first
+    ``stages[0]``, then ``stages[2]`` strictly after that, … →
+    Dataset(stage, event_type, n_users), ``stage`` 1-based, counts
+    monotone non-increasing. (The classic conversion-funnel aggregate;
+    same-timestamp events do NOT satisfy "after" — strict ``>`` on both
+    the engine and SQL sides.)
+
+    Scale shape: the single coarse ``user_hash % P`` shuffle of
+    :func:`sessionize` co-locates each user's (ts, type) rows — only rows
+    whose type participates in the funnel ride the exchange; per partition
+    the stage fold is vectorized pandas (filter → merge-on-user → min);
+    partitions hold disjoint users so per-partition stage counts SUM
+    exactly — the driver-visible result is ``len(stages)`` rows from one
+    tiny groupby-sum.
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+    wanted = list(stages)
+    if not wanted:
+        raise ValueError("funnel_counts needs at least one stage")
+
+    def prep(t: pa.Table) -> pa.Table:
+        typ = t.column(type_col)
+        keep = pc.is_in(typ, value_set=pa.array(wanted, pa.string()))
+        t = t.filter(pc.fill_null(keep, False))
+        user = pc.cast(t.column(user_col), pa.int64())
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        key = user.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "user_id": user,
+            "_ts_us": ts_us,
+            "_type": t.column(type_col),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def fold_partition(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_c"]).to_pandas()
+        counts: list[int] = []
+        prev: pd.Series | None = None  # first-reach ts per surviving user
+        for s in wanted:
+            sub = df[df["_type"] == s]
+            if prev is not None:
+                sub = sub.merge(prev.rename("_prev"), left_on="user_id",
+                                right_index=True)
+                sub = sub[sub["_ts_us"] > sub["_prev"]]
+            cur = sub.groupby("user_id")["_ts_us"].min()
+            counts.append(int(cur.size))
+            prev = cur
+        return pa.table({
+            "stage": pa.array(range(1, len(wanted) + 1), pa.int64()),
+            "event_type": pa.array(wanted, pa.string()),
+            "_n": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("_c")
+        .map_groups(fold_partition, batch_format="pyarrow")
+        .groupby(["stage", "event_type"])
+        .aggregate(Sum("_n", alias_name="n_users"))
+    )

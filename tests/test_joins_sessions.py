@@ -155,7 +155,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["events_asof_orders", "user_sessions"])
+@pytest.mark.parametrize("name", ["events_asof_orders", "user_sessions", "funnel_users"])
 def test_query_matches_duckdb_oracle(name):
     """Driver-style compare at sf0.001: same rows, columns, values."""
     import sys
@@ -528,3 +528,47 @@ def test_interval_self_join_edges():
         start_col="s", end_col="e", id_cols=["uid", "sid"], epoch_s=64,
     ).to_pandas()
     assert len(one) == 0
+
+
+# --------------------------------------------------------------------------- #
+# funnel_counts (first-touch strict-order funnel)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("P", [1, 5])
+def test_funnel_counts_semantics(P):
+    from nightcrawlercmd_ray.stages.sessions import funnel_counts
+
+    us = int(1)  # microsecond step
+    rows = {
+        # user 1: full A->B->A, reaches all 3 stages
+        # user 2: B before A only -> stops after stage 1 (A missing? no:
+        #         has A at t=10, B at t=5 BEFORE A -> fails stage 2
+        # user 3: A and B at the SAME timestamp -> strict '>' fails stage 2
+        "user_id": [1, 1, 1, 2, 2, 3, 3],
+        "ts":      [pd.Timestamp("2024-01-01 00:00:00"),
+                    pd.Timestamp("2024-01-01 00:00:01"),
+                    pd.Timestamp("2024-01-01 00:00:02"),
+                    pd.Timestamp("2024-01-01 00:00:10"),
+                    pd.Timestamp("2024-01-01 00:00:05"),
+                    pd.Timestamp("2024-01-01 00:00:07"),
+                    pd.Timestamp("2024-01-01 00:00:07")],
+        "event_type": ["A", "B", "A", "A", "B", "A", "B"],
+    }
+    ds = _ds(rows).repartition(P)
+    got = funnel_counts(ds, stages=["A", "B", "A"],
+                        num_partitions=P).to_pandas()
+    got = got.sort_values("stage").reset_index(drop=True)
+    assert got["n_users"].tolist() == [3, 1, 1]
+    assert got["event_type"].tolist() == ["A", "B", "A"]
+
+
+def test_funnel_counts_empty_and_missing_type():
+    from nightcrawlercmd_ray.stages.sessions import funnel_counts
+
+    rows = {"user_id": [1], "ts": [pd.Timestamp("2024-01-01")],
+            "event_type": ["A"]}
+    got = funnel_counts(_ds(rows), stages=["Z", "A"],
+                        num_partitions=2).to_pandas()
+    got = got.sort_values("stage")
+    assert got["n_users"].tolist() == [0, 0]
+    with pytest.raises(ValueError):
+        funnel_counts(_ds(rows), stages=[])
