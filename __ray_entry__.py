@@ -1362,6 +1362,36 @@ def q_funnel_users(sf_dir: str):
     ).sort("stage")
 
 
+def q_mirror_documents(sf_dir: str):
+    """Cross-source mirror detection (stages/dedup.cross_source_duplicates):
+    exact-duplicate text in ≥2 DISTINCT sources → (doc_id, n_copies,
+    n_sources), doc_id = min id per group. The synthetic corpus has no
+    cross-source dups, so every doc with doc_id % 7 == 0 is deterministically
+    re-emitted under source='mirror' (id + 10_000_000 keeps the original the
+    min) — the SQL oracle replays the identical plant with UNION ALL, so the
+    detector's output is value-checked end-to-end."""
+    from nightcrawlercmd_ray.stages.dedup import cross_source_duplicates
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = _read_pq(path, columns=["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 7 == 0)
+        m = t.take(pa.array(sel))
+        mirror = pa.table({
+            "doc_id": pc.add(m.column("doc_id"), pa.scalar(10_000_000)),
+            "text": m.column("text"),
+            "source": pa.array(["mirror"] * m.num_rows, pa.string()),
+        })
+        return pa.concat_tables([t.select(["doc_id", "text", "source"]),
+                                 mirror])
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return cross_source_duplicates(
+        planted, n_rows=_parquet_rows(path)).sort("doc_id")
+
+
 def q_crawl_anchor_texts(sf_dir: str):
     """Per-target anchor-text summary over the crawl corpus
     (stages/webgraph.top_anchor_per_url): (dst_url, top_anchor, n_top,
@@ -2346,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_lang_pivot": q_docs_source_lang_pivot,
         "user_journeys": q_user_journeys,
         "funnel_users": q_funnel_users,
+        "mirror_documents": q_mirror_documents,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
         "order_price_outliers": q_order_price_outliers,
@@ -2742,6 +2773,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "funnel_users": _funnel_sql(_FUNNEL_STAGES),
+        "mirror_documents": """
+            WITH docs AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text, 'mirror' FROM documents
+                WHERE doc_id % 7 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id,
+                   COUNT(*)::BIGINT AS n_copies,
+                   COUNT(DISTINCT source)::BIGINT AS n_sources
+            FROM docs GROUP BY text
+            HAVING COUNT(DISTINCT source) >= 2
+            ORDER BY doc_id
+        """,
         "latest_orders_per_customer": """
             SELECT o_custkey, o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -744,3 +744,73 @@ def latest_per_key(ds, key_col: str, order_col: str, tie_col: str | None = None)
         .groupby(key_col)
         .map_groups(local_latest, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------- #
+# cross-source (mirror) duplicate detection
+# --------------------------------------------------------------------------- #
+def cross_source_duplicates(
+    ds,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    min_sources: int = 2,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Mirror detection: exact-duplicate text appearing in ≥ ``min_sources``
+    DISTINCT sources → Dataset(doc_id, n_copies, n_sources) with one row
+    per duplicate-text group (doc_id = min id in the group — the canonical
+    copy). The cross-source dimension is what exact_dedup doesn't give you:
+    the same page syndicated/mirrored across crawls or feeds is a stronger
+    removal (and contamination) signal than an in-source repeat.
+
+    Scale shape: per batch, a vectorized group_by collapses rows to
+    distinct (hash128, source) partials (count + min id) — only combined
+    rows ride the ONE coarse hash-keyed exchange; per partition, two
+    vectorized Arrow group_bys fold partials into per-group
+    (n_copies, n_sources, min id). Never a per-group dispatch; raw text
+    never leaves the scan tasks.
+    """
+    P = _num_coarse_partitions(ds, num_partitions, n_rows,
+                               rows_per_partition=8192)
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        h1, h2 = _content_hashes(t.column(text_col))
+        ids = pc.cast(t.column(id_col), pa.int64())
+        base = pa.table({
+            "_h1": pa.array(h1), "_h2": pa.array(h2),
+            "_src": t.column(source_col), "_id": ids,
+            "_n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = base.group_by(["_h1", "_h2", "_src"]).aggregate(
+            [("_n", "sum"), ("_id", "min")])
+        coarse = (g.column("_h1").to_numpy(zero_copy_only=False)
+                  .view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "_h1": g.column("_h1"), "_h2": g.column("_h2"),
+            "_src": g.column("_src"),
+            "_n": g.column("_n_sum"), "_id": g.column("_id_min"),
+            "_coarse": pa.array(coarse),
+        })
+
+    def partition_fold(g: pa.Table) -> pa.Table:
+        per_src = g.group_by(["_h1", "_h2", "_src"]).aggregate(
+            [("_n", "sum"), ("_id", "min")])
+        grp = per_src.group_by(["_h1", "_h2"]).aggregate(
+            [("_n_sum", "sum"), ("_src", "count"), ("_id_min", "min")])
+        out = pa.table({
+            "doc_id": grp.column("_id_min_min"),
+            "n_copies": pc.cast(grp.column("_n_sum_sum"), pa.int64()),
+            "n_sources": pc.cast(grp.column("_src_count"), pa.int64()),
+        })
+        return out.filter(
+            pc.greater_equal(out.column("n_sources"),
+                             pa.scalar(min_sources)))
+
+    return (
+        ds.map_batches(local_partial, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(partition_fold, batch_format="pyarrow")
+    )

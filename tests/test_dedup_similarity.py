@@ -340,3 +340,38 @@ def test_gopher_quality_signals_hand_computed():
         assert r2["frac_bullet_lines"] == 0.2
         assert r2["frac_ellipsis_lines"] == 0.2
         assert abs(r2["frac_dup_line_chars"] - 8 / 41) < 1e-15
+
+
+# --------------------------------------------------------------------------- #
+# cross-source (mirror) duplicates
+# --------------------------------------------------------------------------- #
+def _src_docs_ds(rows, nparts=None):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    return ds.repartition(nparts) if nparts else ds
+
+
+@pytest.mark.parametrize("nparts", [None, 4])
+def test_cross_source_duplicates_semantics(nparts):
+    from nightcrawlercmd_ray.stages.dedup import cross_source_duplicates
+
+    rows = [
+        (1, "mirrored", "a"), (2, "mirrored", "b"), (3, "mirrored", "b"),
+        (4, "in-source repeat", "a"), (5, "in-source repeat", "a"),
+        (6, "unique", "a"),
+        (7, "tri", "a"), (8, "tri", "b"), (9, "tri", "c"),
+    ]
+    got = cross_source_duplicates(
+        _src_docs_ds(rows, nparts), num_partitions=3
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # "mirrored": 3 copies over {a,b}; "in-source repeat" excluded (1 source);
+    # "tri": 3 copies over 3 sources; min-id canonical winner
+    assert got.values.tolist() == [[1, 3, 2], [7, 3, 3]]
+
+    strict = cross_source_duplicates(
+        _src_docs_ds(rows, nparts), min_sources=3, num_partitions=3
+    ).to_pandas()
+    assert strict.values.tolist() == [[7, 3, 3]]
