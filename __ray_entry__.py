@@ -1362,6 +1362,27 @@ def q_funnel_users(sf_dir: str):
     ).sort("stage")
 
 
+def q_crawl_kcore(sf_dir: str):
+    """k-core of the crawl link graph (state/graphbsp.kcore_bsp, k=6,
+    undirected): the dense sub-web that survives iterative peeling — the
+    classic link-spam/importance cut. Top 50 members as (url, core_degree).
+    Exactness of the peeling vs a serial oracle is pinned in
+    tests/test_graph.py."""
+    from nightcrawlercmd_ray.state.graphbsp import kcore_bsp
+
+    parsed, edges = _crawl_parsed_graph(sf_dir)
+    core = kcore_bsp(edges, k=6)
+    top_rows = core.sort(
+        ["core_degree", "node"], descending=[True, False]
+    ).limit(50).take_all()
+    name_map = _crawl_node_names(parsed, [r["node"] for r in top_rows])
+    return pa.table({
+        "url": pa.array([name_map[r["node"]] for r in top_rows], pa.string()),
+        "core_degree": pa.array([r["core_degree"] for r in top_rows],
+                                pa.int64()),
+    })
+
+
 def q_mirror_documents(sf_dir: str):
     """Cross-source mirror detection (stages/dedup.cross_source_duplicates):
     exact-duplicate text in ≥2 DISTINCT sources → (doc_id, n_copies,
@@ -2417,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_documents": q_dup_clusters_documents,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hits": q_crawl_hits,
+        "crawl_kcore": q_crawl_kcore,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
         "crawl_anchor_texts": q_crawl_anchor_texts,

@@ -235,6 +235,50 @@ class GraphShard:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
                          "rank": pa.array(self.rank, pa.float64())})
 
+    # ---- k-core peeling ---------------------------------------------------- #
+    def kcore_init(self, k: int) -> None:
+        self._k = k
+        self.alive = np.ones(self.nodes.size, dtype=bool)
+        self.deg = self.outdeg.copy()  # undirected build → outdeg == degree
+
+    def kcore_peel(self):
+        """Kill owned alive nodes with deg < k; per incident edge of a node
+        killed THIS call, emit a degree decrement to the neighbor's owner.
+        Returns P routed tables (+ the local kill count as the last item)."""
+        newly = self.alive & (self.deg < self._k)
+        self.alive &= ~newly
+        if self.eu.size:
+            sel = newly[self.u_idx]
+            v, m = _group_sum(self.ev[sel], np.ones(int(sel.sum()), np.int64))
+        else:
+            v = np.array([], np.int64)
+            m = np.array([], np.int64)
+        part = _owner(v, self.P)
+        out = [pa.table({"node": pa.array(v[part == j], pa.int64()),
+                         "dec": pa.array(m[part == j], pa.int64())})
+               for j in range(self.P)]
+        out.append(int(newly.sum()))
+        return out if len(out) > 1 else out[0]
+
+    def kcore_apply(self, *decs: pa.Table) -> None:
+        ks, vs = [], []
+        for t in decs:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("dec").to_numpy(zero_copy_only=False))
+        if not ks:
+            return
+        k, v = _group_sum(np.concatenate(ks), np.concatenate(vs))
+        idx = np.searchsorted(self.nodes, k)
+        self.deg[idx] -= v  # dead nodes may go negative — they stay dead
+
+    def kcore_result(self) -> pa.Table:
+        sel = self.alive
+        return pa.table({
+            "node": pa.array(self.nodes[sel], pa.int64()),
+            "core_degree": pa.array(self.deg[sel], pa.int64()),
+        })
+
     # ---- HITS ------------------------------------------------------------ #
     def hits_init(self, n_nodes: int) -> None:
         self.hub = np.full(self.nodes.size, 1.0 / np.sqrt(n_nodes))
@@ -456,3 +500,40 @@ def hits_bsp(
             norm = float(np.sqrt(ss))
             ray.get([s.hits_scale.remote(which, norm) for s in shards])
     return ray.data.from_arrow_refs([s.hits_result.remote() for s in shards])
+
+
+def kcore_bsp(
+    edges, *, k: int, src: str = "src", dst: str = "dst",
+    num_shards: int = 8, max_rounds: int = 10_000,
+):
+    """Distributed k-core peeling (Matula & Beck 1983's algorithm, BSP-ified):
+    repeatedly remove nodes of degree < k until a fixpoint →
+    Dataset(node, core_degree) of the surviving k-core with each node's
+    degree WITHIN the core. Undirected simple graph (edges deduped both
+    orientations, self-loops dropped).
+
+    Shape: edges partitioned once (owner(u), both orientations via the
+    undirected build, so every node's full incidence is local to its
+    owner); per round each shard kills its under-degree nodes locally and
+    ships ONE (neighbor, decrement) array per destination shard — message
+    volume ∝ edges incident to nodes killed that round, so the whole run
+    ships each edge's decrement at most twice. The driver sees one scalar
+    (kill count) per round.
+    """
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=True, dedup_edges=True)
+    P = len(shards)
+    if sum(i["nodes"] for i in infos) == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "core_degree": pa.array([], pa.int64())}))
+    ray.get([s.kcore_init.remote(k) for s in shards])
+    for _ in range(max_rounds):
+        outs = [s.kcore_peel.options(num_returns=P + 1).remote()
+                for s in shards]
+        killed = sum(ray.get([outs[i][P] for i in range(P)]))
+        if killed == 0:
+            break
+        routed = [[outs[i][j] for i in range(P)] for j in range(P)]
+        ray.get([shards[j].kcore_apply.remote(*routed[j]) for j in range(P)])
+    return ray.data.from_arrow_refs([s.kcore_result.remote() for s in shards])

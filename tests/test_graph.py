@@ -343,3 +343,50 @@ def test_hits_bsp_empty():
     from nightcrawlercmd_ray.state.graphbsp import hits_bsp
 
     assert hits_bsp(_edge_ds([(3, 3)])).take_all() == []
+
+
+# --------------------------------------------------------------------------- #
+# k-core peeling vs a serial oracle
+# --------------------------------------------------------------------------- #
+def _serial_kcore(edges, k):
+    """Classic peeling: repeatedly drop nodes with degree < k; returns
+    {node: degree within the core}."""
+    adj = {}
+    for a, b in {(min(e), max(e)) for e in edges if e[0] != e[1]}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+@pytest.mark.parametrize("num_shards", [1, 3, 8])
+def test_kcore_bsp_matches_serial(num_shards):
+    from nightcrawlercmd_ray.state.graphbsp import kcore_bsp
+
+    rng = np.random.default_rng(17)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 60, (260, 2))
+                    if a != b})
+    noisy = edges + edges[:20] + [(b, a) for a, b in edges[:10]]
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_degree"]
+               for r in kcore_bsp(_edge_ds(noisy, 4), k=k,
+                                  num_shards=num_shards).take_all()}
+        assert got == _serial_kcore(edges, k)
+
+
+def test_kcore_clique_with_tail():
+    from nightcrawlercmd_ray.state.graphbsp import kcore_bsp
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]  # chain peels away at k=3
+    got = {r["node"]: r["core_degree"]
+           for r in kcore_bsp(_edge_ds(clique + tail), k=3).take_all()}
+    assert got == {i: 4 for i in range(5)}
+    # k above the max core → empty
+    assert kcore_bsp(_edge_ds(clique), k=5).take_all() == []
