@@ -1362,6 +1362,25 @@ def q_funnel_users(sf_dir: str):
     ).sort("stage")
 
 
+_BM25_QUERIES = [(1, "fast table scan"), (2, "hash merge batch"),
+                 (3, "window stream query")]
+
+
+def q_bm25_search_documents(sf_dir: str):
+    """BM25 ranked retrieval (stages/textops.bm25_topk) of three fixed
+    queries over documents → (query_id, rank, doc_id, score). Two passes,
+    no shuffle: a stats pass whose df partials are restricted to the query
+    vocabulary, then a broadcast-model score pass with batch-local top-k.
+    Per-doc scores are computed in fixed term order, so the result is
+    bit-identical under any partitioning — pinned vs a serial oracle in
+    tests/test_textops_bm25.py. Rows-only for the driver (float scores are
+    not SQL-hash-comparable across engines)."""
+    from nightcrawlercmd_ray.stages.textops import bm25_topk
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
 def q_crawl_kcore(sf_dir: str):
     """k-core of the crawl link graph (state/graphbsp.kcore_bsp, k=6,
     undirected): the dense sub-web that survives iterative peeling — the
@@ -2398,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": q_user_journeys,
         "funnel_users": q_funnel_users,
         "mirror_documents": q_mirror_documents,
+        "bm25_search_documents": q_bm25_search_documents,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
         "order_price_outliers": q_order_price_outliers,

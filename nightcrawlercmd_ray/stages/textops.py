@@ -505,3 +505,132 @@ def dsir_scores(ds, *, target_lang: str = "en", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------- #
+def bm25_topk(
+    ds,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi
+    formula with the +1 idf floor: idf = ln(1 + (N - df + ½)/(df + ½)))
+    for a SMALL broadcast query set → pyarrow Table(query_id, rank,
+    doc_id, score), rank 1-based, ties broken by doc_id ascending.
+    Tokenization matches the wordcount family (``RE_WORD``, lowercased).
+
+    Scale shape (two passes, no shuffle):
+    1. stats pass — per-batch combiner emits (N_docs, Σ doc_len) scalars
+       and df partials RESTRICTED to the query vocabulary (bounded by
+       |query terms|, not corpus vocabulary); driver folds a tiny table.
+    2. score pass — idf/avgdl broadcast once (``ray.put``); per batch,
+       per-doc scores are computed in fixed query-term order (so each
+       doc's float score is partition-invariant) and only the batch-local
+       top-k per query leaves the task; the driver folds blocks×k×|queries|
+       rows — the knn_brute_force pattern.
+    """
+    import ray
+
+    from collections import Counter
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+
+    qterms: dict[int, list[str]] = {
+        qid: [w.lower() for w in RE_WORD.findall(q)] for qid, q in queries
+    }
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    if not vocab:
+        raise ValueError("bm25_topk: queries contain no indexable terms")
+    vset = frozenset(vocab)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df_c: Counter = Counter()
+        n_docs = t.num_rows
+        total_len = 0
+        for text in t.column(text_col).to_pylist():
+            ws = [w.lower() for w in RE_WORD.findall(text or "")]
+            total_len += len(ws)
+            df_c.update(set(ws) & vset)
+        words = list(df_c.keys())
+        return pa.table({
+            "word": pa.array(["\0N", "\0L"] + words, pa.string()),
+            "n": pa.array([n_docs, total_len] + [df_c[w] for w in words],
+                          pa.int64()),
+        })
+
+    stats = dict(
+        (r["word"], r["n"])
+        for r in ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("word").sum("n")
+        .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                     batch_format="pyarrow")
+        .take_all()
+    )
+    n_total = int(stats.pop("\0N", 0))
+    total_len = int(stats.pop("\0L", 0))
+    if n_total == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = total_len / n_total if n_total else 1.0
+    idf = {w: float(np.log1p((n_total - stats.get(w, 0) + 0.5)
+                             / (stats.get(w, 0) + 0.5)))
+           for w in vocab}
+    model_ref = ray.put({"qterms": qterms, "idf": idf, "avgdl": avgdl,
+                         "k1": k1, "b": b, "k": k})
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        qt, idf_, avgdl_ = m["qterms"], m["idf"], m["avgdl"]
+        k1_, b_, k_ = m["k1"], m["b"], m["k"]
+        ids = pc.cast(t.column(id_col), pa.int64()).to_pylist()
+        out_q, out_d, out_s = [], [], []
+        rows: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qt}
+        for did, text in zip(ids, t.column(text_col).to_pylist()):
+            tf = Counter(w.lower() for w in RE_WORD.findall(text or ""))
+            dl = sum(tf.values())
+            norm = k1_ * (1.0 - b_ + b_ * dl / avgdl_)
+            for qid, terms in qt.items():
+                s = 0.0
+                for w in terms:  # fixed term order → partition-invariant
+                    f = tf.get(w, 0)
+                    if f:
+                        s += idf_[w] * (f * (k1_ + 1.0)) / (f + norm)
+                if s > 0.0:
+                    rows[qid].append((s, did))
+        for qid, lst in rows.items():
+            # batch-local top-k: score desc, doc_id asc
+            lst.sort(key=lambda x: (-x[0], x[1]))
+            for s, did in lst[:k_]:
+                out_q.append(qid)
+                out_d.append(did)
+                out_s.append(s)
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    # driver fold: blocks × k × |queries| rows
+    best: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qterms}
+    for r in ds.map_batches(score_partial,
+                            batch_format="pyarrow").take_all():
+        best[r["query_id"]].append((r["score"], r["doc_id"]))
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid in sorted(best):
+        lst = sorted(best[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for i, (s, did) in enumerate(lst, start=1):
+            out_q.append(qid)
+            out_r.append(i)
+            out_d.append(did)
+            out_s.append(s)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
