@@ -1362,6 +1362,31 @@ def q_funnel_users(sf_dir: str):
     ).sort("stage")
 
 
+def q_crawl_depths(sf_dir: str):
+    """Reachable-web depth profile from the corpus seed list
+    (state/graphbsp.bfs_depths_bsp): multi-source BFS over the directed
+    link graph — the unbounded, politeness-free analog of the crawl's wave
+    number — folded to a (depth, n_urls) histogram. Frontier-only
+    min-propagation: total message volume O(edges) over the whole run.
+    Serial-BFS-oracle-pinned in tests/test_graph.py."""
+    from nightcrawlercmd_ray.functions.urlnorm import canonicalize, url_hash
+    from nightcrawlercmd_ray.state.graphbsp import bfs_depths_bsp
+
+    c = _corpus_for(sf_dir)
+    raw = [url_hash(cu) for s in c["seeds"]
+           if (cu := canonicalize(s)) is not None]
+    # url_hash is uint64-ranged; edge node ids carry the same bits as int64
+    seeds = np.array(raw, dtype=np.uint64).view(np.int64).tolist()
+    _, edges = _crawl_parsed_graph(sf_dir)
+    depths = bfs_depths_bsp(edges, seeds)
+    return (
+        depths.groupby("depth").count()
+        .map_batches(lambda t: t.rename_columns(["depth", "n_urls"]),
+                     batch_format="pyarrow")
+        .sort("depth")
+    )
+
+
 _BM25_QUERIES = [(1, "fast table scan"), (2, "hash merge batch"),
                  (3, "window stream query")]
 
@@ -2459,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hits": q_crawl_hits,
         "crawl_kcore": q_crawl_kcore,
+        "crawl_depths": q_crawl_depths,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
         "crawl_anchor_texts": q_crawl_anchor_texts,

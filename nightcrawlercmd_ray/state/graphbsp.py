@@ -235,6 +235,64 @@ class GraphShard:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
                          "rank": pa.array(self.rank, pa.float64())})
 
+    # ---- multi-source BFS depths ------------------------------------------ #
+    _INF = np.int64(1) << np.int64(62)
+
+    def bfs_init(self, sources) -> int:
+        """Seed owned source nodes at depth 0; returns how many of the
+        given sources this shard owns (sources absent from the graph are
+        ignored)."""
+        self.lab = np.full(self.nodes.size, self._INF)
+        s = np.unique(np.asarray(list(sources), np.int64))
+        mine = s[_owner(s, self.P) == np.uint64(self.id)]
+        idx = np.searchsorted(self.nodes, mine)
+        ok = (idx < self.nodes.size)
+        ok[ok] = self.nodes[idx[ok]] == mine[ok]
+        self._fresh = np.zeros(self.nodes.size, dtype=bool)
+        self._fresh[idx[ok]] = True
+        self.lab[idx[ok]] = 0
+        return int(ok.sum())
+
+    def bfs_propagate(self):
+        """Frontier-only: edges whose source's depth changed last round
+        propose depth+1 to the target's owner."""
+        if self.eu.size:
+            sel = self._fresh[self.u_idx]
+            v = self.ev[sel]
+            d = self.lab[self.u_idx[sel]] + 1
+            v, m = _group_min(v, d)
+        else:
+            v = np.array([], np.int64)
+            m = np.array([], np.int64)
+        part = _owner(v, self.P)
+        out = [pa.table({"node": pa.array(v[part == j], pa.int64()),
+                         "cand": pa.array(m[part == j], pa.int64())})
+               for j in range(self.P)]
+        return out if self.P > 1 else out[0]
+
+    def bfs_merge(self, *proposals: pa.Table) -> int:
+        self._fresh = np.zeros(self.nodes.size, dtype=bool)
+        ks, vs = [], []
+        for t in proposals:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("cand").to_numpy(zero_copy_only=False))
+        if not ks:
+            return 0
+        k, v = _group_min(np.concatenate(ks), np.concatenate(vs))
+        idx = np.searchsorted(self.nodes, k)
+        better = v < self.lab[idx]
+        self.lab[idx[better]] = v[better]
+        self._fresh[idx[better]] = True
+        return int(better.sum())
+
+    def bfs_result(self) -> pa.Table:
+        sel = self.lab < self._INF
+        return pa.table({
+            "node": pa.array(self.nodes[sel], pa.int64()),
+            "depth": pa.array(self.lab[sel], pa.int64()),
+        })
+
     # ---- k-core peeling ---------------------------------------------------- #
     def kcore_init(self, k: int) -> None:
         self._k = k
@@ -537,3 +595,43 @@ def kcore_bsp(
         routed = [[outs[i][j] for i in range(P)] for j in range(P)]
         ray.get([shards[j].kcore_apply.remote(*routed[j]) for j in range(P)])
     return ray.data.from_arrow_refs([s.kcore_result.remote() for s in shards])
+
+
+def bfs_depths_bsp(
+    edges, sources, *, src: str = "src", dst: str = "dst",
+    num_shards: int = 8, undirected: bool = False, max_rounds: int = 10_000,
+):
+    """Multi-source BFS → Dataset(node, depth): shortest hop distance from
+    ANY of ``sources`` (unreachable nodes omitted; sources not present in
+    the edge set are ignored). This is the crawl-analysis primitive behind
+    "how deep is the reachable web from this seed list" — the unbounded,
+    politeness-free analog of the crawl's wave number.
+
+    Shape: frontier-only min-propagation on the sharded edge set — per
+    round, only edges whose source's depth IMPROVED last round ship a
+    (target, depth+1) proposal to the target's owner; converges in
+    eccentricity(sources) rounds with total message volume O(edges) over
+    the whole run.
+    """
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=undirected, dedup_edges=True)
+    P = len(shards)
+    if sum(i["nodes"] for i in infos) == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "depth": pa.array([], pa.int64())}))
+    n_seeded = sum(ray.get([s.bfs_init.remote(list(sources))
+                            for s in shards]))
+    if n_seeded:
+        for _ in range(max_rounds):
+            if P > 1:
+                props = [s.bfs_propagate.options(num_returns=P).remote()
+                         for s in shards]
+                routed = _routed(shards, props)
+            else:
+                routed = [[shards[0].bfs_propagate.remote()]]
+            changed = sum(ray.get(
+                [shards[j].bfs_merge.remote(*routed[j]) for j in range(P)]))
+            if changed == 0:
+                break
+    return ray.data.from_arrow_refs([s.bfs_result.remote() for s in shards])

@@ -390,3 +390,54 @@ def test_kcore_clique_with_tail():
     assert got == {i: 4 for i in range(5)}
     # k above the max core → empty
     assert kcore_bsp(_edge_ds(clique), k=5).take_all() == []
+
+
+# --------------------------------------------------------------------------- #
+# multi-source BFS depths vs a serial oracle
+# --------------------------------------------------------------------------- #
+def _serial_bfs(edges, sources, *, undirected=False):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set())
+        if undirected:
+            adj[b].add(a)
+    dist = {}
+    dq = deque()
+    for s in sources:
+        if s in adj and s not in dist:
+            dist[s] = 0
+            dq.append(s)
+    while dq:
+        n = dq.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    return dist
+
+
+@pytest.mark.parametrize("num_shards", [1, 3, 8])
+@pytest.mark.parametrize("undirected", [False, True])
+def test_bfs_depths_matches_serial(num_shards, undirected):
+    from nightcrawlercmd_ray.state.graphbsp import bfs_depths_bsp
+
+    rng = np.random.default_rng(29)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 70, (180, 2))
+                    if a != b})
+    sources = [0, 5, 999]  # 999 absent from the graph — ignored
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths_bsp(_edge_ds(edges, 4), sources,
+                                   num_shards=num_shards,
+                                   undirected=undirected).take_all()}
+    assert got == _serial_bfs(edges, sources, undirected=undirected)
+
+
+def test_bfs_depths_no_valid_sources():
+    from nightcrawlercmd_ray.state.graphbsp import bfs_depths_bsp
+
+    assert bfs_depths_bsp(_edge_ds([(1, 2)]), [42]).take_all() == []
