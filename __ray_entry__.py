@@ -1387,6 +1387,31 @@ def q_crawl_depths(sf_dir: str):
     )
 
 
+def q_crawl_ppr(sf_dir: str):
+    """Personalized PageRank from the corpus seed list
+    (state/graphbsp.ppr_bsp): random-walk-with-restart where teleports go
+    to a uniform SEED instead of a uniform page — the seed-biased crawl
+    ordering signal. Top 25 as (url, rank). Numpy-oracle-pinned in
+    tests/test_graph.py."""
+    from nightcrawlercmd_ray.functions.urlnorm import canonicalize, url_hash
+    from nightcrawlercmd_ray.state.graphbsp import ppr_bsp
+
+    c = _corpus_for(sf_dir)
+    raw = [url_hash(cu) for s in c["seeds"]
+           if (cu := canonicalize(s)) is not None]
+    seeds = np.array(raw, dtype=np.uint64).view(np.int64).tolist()
+    parsed, edges = _crawl_parsed_graph(sf_dir)
+    ranks = ppr_bsp(edges, seeds, n_iter=8)
+    top_rows = ranks.sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(25).take_all()
+    name_map = _crawl_node_names(parsed, [r["node"] for r in top_rows])
+    return pa.table({
+        "url": pa.array([name_map[r["node"]] for r in top_rows], pa.string()),
+        "rank": pa.array([r["rank"] for r in top_rows], pa.float64()),
+    })
+
+
 _BM25_QUERIES = [(1, "fast table scan"), (2, "hash merge batch"),
                  (3, "window stream query")]
 
@@ -2485,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": q_crawl_hits,
         "crawl_kcore": q_crawl_kcore,
         "crawl_depths": q_crawl_depths,
+        "crawl_ppr": q_crawl_ppr,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
         "crawl_anchor_texts": q_crawl_anchor_texts,

@@ -235,6 +235,42 @@ class GraphShard:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
                          "rank": pa.array(self.rank, pa.float64())})
 
+    # ---- personalized pagerank -------------------------------------------- #
+    def ppr_init(self, seeds) -> int:
+        """Teleport-set variant: rank starts (and teleports) uniformly over
+        the SEED set instead of all nodes. Returns owned-seed count."""
+        s = np.unique(np.asarray(list(seeds), np.int64))
+        mine = s[_owner(s, self.P) == np.uint64(self.id)]
+        idx = np.searchsorted(self.nodes, mine)
+        ok = (idx < self.nodes.size)
+        ok[ok] = self.nodes[idx[ok]] == mine[ok]
+        self._seed_idx = idx[ok]
+        self.rank = np.zeros(self.nodes.size)
+        return int(ok.sum())
+
+    def ppr_set_nseeds(self, n_seeds: int) -> None:
+        self._n_seeds = n_seeds
+        self.rank[:] = 0.0
+        if self._seed_idx.size:
+            self.rank[self._seed_idx] = 1.0 / n_seeds
+
+    def ppr_update(self, damping: float, dangle: float,
+                   *masses: pa.Table) -> None:
+        """next = d·(in-mass) + (1-d + d·dangle)·teleport(seed)."""
+        total = np.zeros(self.nodes.size)
+        ks, vs = [], []
+        for t in masses:
+            if t.num_rows:
+                ks.append(t.column("node").to_numpy(zero_copy_only=False))
+                vs.append(t.column("mass").to_numpy(zero_copy_only=False))
+        if ks:
+            k, v = _group_sum(np.concatenate(ks), np.concatenate(vs))
+            total[np.searchsorted(self.nodes, k)] = v
+        self.rank = damping * total
+        if self._seed_idx.size:
+            self.rank[self._seed_idx] += (
+                (1.0 - damping) + damping * dangle) / self._n_seeds
+
     # ---- multi-source BFS depths ------------------------------------------ #
     _INF = np.int64(1) << np.int64(62)
 
@@ -635,3 +671,36 @@ def bfs_depths_bsp(
             if changed == 0:
                 break
     return ray.data.from_arrow_refs([s.bfs_result.remote() for s in shards])
+
+
+def ppr_bsp(
+    edges, seeds, *, src: str = "src", dst: str = "dst",
+    num_shards: int = 8, damping: float = 0.85, n_iter: int = 10,
+):
+    """Personalized PageRank (teleport restricted to ``seeds``; Page et al.
+    1999 §6 'personalized' vector; the seed-biased crawl-ordering signal):
+    random walk restarts at a uniform seed instead of a uniform page, so
+    rank mass concentrates around the seed neighborhood. Dangling mass
+    teleports back to the seeds; ranks sum to 1. Seeds absent from the
+    graph are ignored; raises if none remain. Same propagate machinery and
+    message shape as :func:`pagerank_bsp`."""
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=False, dedup_edges=True)
+    P = len(shards)
+    if sum(i["nodes"] for i in infos) == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())}))
+    n_seeds = sum(ray.get([s.ppr_init.remote(list(seeds)) for s in shards]))
+    if n_seeds == 0:
+        raise ValueError("ppr_bsp: no seed is a node of the edge set")
+    ray.get([s.ppr_set_nseeds.remote(n_seeds) for s in shards])
+    for _ in range(n_iter):
+        outs = [s.pr_propagate.options(num_returns=P + 1).remote()
+                for s in shards]
+        emitted = sum(ray.get([outs[i][P] for i in range(P)]))
+        dangle = max(1.0 - emitted, 0.0)
+        routed = [[outs[i][j] for i in range(P)] for j in range(P)]
+        ray.get([shards[j].ppr_update.remote(damping, dangle, *routed[j])
+                 for j in range(P)])
+    return ray.data.from_arrow_refs([s.pr_result.remote() for s in shards])

@@ -441,3 +441,60 @@ def test_bfs_depths_no_valid_sources():
     from nightcrawlercmd_ray.state.graphbsp import bfs_depths_bsp
 
     assert bfs_depths_bsp(_edge_ds([(1, 2)]), [42]).take_all() == []
+
+
+# --------------------------------------------------------------------------- #
+# personalized pagerank vs a numpy oracle
+# --------------------------------------------------------------------------- #
+def _numpy_ppr(edges, seeds, n_iter, damping=0.85):
+    dedup = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for e in dedup for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in dedup:
+        outdeg[ix[a]] += 1
+    e = np.zeros(n)
+    sset = [s for s in seeds if s in ix]
+    for s in sset:
+        e[ix[s]] = 1.0 / len(sset)
+    r = e.copy()
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        for a, b in dedup:
+            nxt[ix[b]] += damping * r[ix[a]] / outdeg[ix[a]]
+        dangle = float(r[outdeg == 0].sum())
+        nxt += ((1.0 - damping) + damping * dangle) * e
+        r = nxt
+    return {v: r[ix[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("num_shards", [1, 3, 8])
+def test_ppr_bsp_matches_numpy(num_shards):
+    from nightcrawlercmd_ray.state.graphbsp import ppr_bsp
+
+    rng = np.random.default_rng(47)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 55, (170, 2))
+                    if a != b})
+    seeds = [0, 3, 888]  # 888 not in the graph — ignored
+    got = {r["node"]: r["rank"]
+           for r in ppr_bsp(_edge_ds(edges + edges[:9], 4), seeds,
+                            num_shards=num_shards, n_iter=7).take_all()}
+    want = _numpy_ppr(edges, seeds, n_iter=7)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_concentrates_near_seed():
+    """Two disjoint 3-cycles: all rank must stay in the seed's component."""
+    from nightcrawlercmd_ray.state.graphbsp import ppr_bsp
+
+    cyc1 = [(1, 2), (2, 3), (3, 1)]
+    cyc2 = [(10, 11), (11, 12), (12, 10)]
+    got = {r["node"]: r["rank"]
+           for r in ppr_bsp(_edge_ds(cyc1 + cyc2), [1], n_iter=12).take_all()}
+    assert sum(v for n, v in got.items() if n < 10) == pytest.approx(1.0)
+    assert all(got[n] == 0.0 for n in (10, 11, 12))
+    with pytest.raises(ValueError):
+        ppr_bsp(_edge_ds(cyc1), [999]).take_all()
