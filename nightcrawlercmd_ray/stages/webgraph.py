@@ -86,57 +86,49 @@ def url_inlink_stats(pages_ds):
     hosts (the anti-spam authority signal: 1000 links from one host ≠ 1000
     hosts).
 
-    Two-level combiner: each batch collapses to distinct
-    (dst, src_host, partial_count) rows; groupby(dst, src_host) sums to the
-    exact per-host in-count; a second COARSE hash(dst)-keyed exchange folds
-    host rows into (n_inlinks, n_src_hosts) with one vectorized Arrow
-    group_by per partition — never a per-URL group dispatch (the
-    per-singleton-group trap; see stages/dedup.py exact_dedup). Both
-    exchanges carry distinct keys only.
+    ONE coarse hash(dst)-keyed exchange: each batch collapses to distinct
+    (dst, src_host, partial_count) rows (the combiner); because the
+    exchange key is a function of dst alone, ALL partials for a dst land
+    in one partition, so the exact two-level fold — sum per (dst, src),
+    then (n_inlinks, n_src_hosts) per dst — runs as two vectorized Arrow
+    group_bys in-partition. Never a per-URL group dispatch (the
+    per-singleton-group trap; see stages/dedup.py exact_dedup), and no
+    multi-key string sort shuffle (measured ~2× the whole query).
     """
     import polars as pl
+
+    P = 64
+
     def partial(t: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
         for cu, au in _page_edges(t):
             key = (au, host_of(cu))
             counts[key] = counts.get(key, 0) + 1
         ks = list(counts.keys())
+        dst = pa.array([k[0] for k in ks], pa.string())
+        h = pl.from_arrow(dst).hash(seed=0).to_numpy().astype(np.uint64)
         return pa.table({
-            "dst_url": pa.array([k[0] for k in ks], pa.string()),
+            "dst_url": dst,
             "src_host": pa.array([k[1] for k in ks], pa.string()),
             "_n": pa.array([counts[k] for k in ks], pa.int64()),
+            "_c": pa.array((h % np.uint64(P)).astype(np.int64)),
         })
 
-    P = 64
-
-    def add_coarse(t: pa.Table) -> pa.Table:
-        h = (pl.from_arrow(t.column("dst_url").combine_chunks())
-             .hash(seed=0).to_numpy().astype(np.uint64))
-        return t.append_column(
-            "_c", pa.array((h % np.uint64(P)).astype(np.int64)))
-
     def fold_hosts(t: pa.Table) -> pa.Table:
-        # a coarse partition holds MANY dst_urls — one vectorized group_by
-        agg = t.group_by(["dst_url"]).aggregate(
-            [("n_per_host", "sum"), ("src_host", "count")]
+        # a coarse partition holds MANY dst_urls — vectorized group_bys
+        per_src = t.group_by(["dst_url", "src_host"]).aggregate(
+            [("_n", "sum")])
+        agg = per_src.group_by(["dst_url"]).aggregate(
+            [("_n_sum", "sum"), ("src_host", "count")]
         )
         return pa.table({
             "dst_url": agg.column("dst_url"),
-            "n_inlinks": pc.cast(agg.column("n_per_host_sum"), pa.int64()),
+            "n_inlinks": pc.cast(agg.column("_n_sum_sum"), pa.int64()),
             "n_src_hosts": pc.cast(agg.column("src_host_count"), pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
-
-    per_host = (
-        pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=128)
-        .groupby(["dst_url", "src_host"])
-        .aggregate(Sum("_n", alias_name="n_per_host"))
-    )
-    # second exchange is keyed on hash(dst_url) % P; rows ∝ distinct
-    # (dst, src_host) pairs — already combined, no raw links
     return (
-        per_host.map_batches(add_coarse, batch_format="pyarrow")
+        pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=128)
         .groupby("_c")
         .map_groups(fold_hosts, batch_format="pyarrow")
     )
@@ -263,21 +255,37 @@ def top_anchor_per_url(pages_ds, *, max_anchor_len: int = 256,
     """Per-target anchor summary: (dst_url, top_anchor, n_top, n_anchors) —
     the most frequent anchor string pointing at each URL (ties break to the
     lexicographically smallest, so the result is partition-invariant), its
-    count, and the total in-anchor count. Built on the exact index with a
-    coarse hash(dst)-keyed fold — one vectorized sort + first-row-per-group
-    per partition, never a per-URL group dispatch."""
+    count, and the total in-anchor count. ONE coarse hash(dst)-keyed
+    exchange of per-batch (dst, anchor, count) combiners (the key is a
+    function of dst alone, so a dst's rows co-locate and the exact
+    anchor-count fold is in-partition); per partition one vectorized
+    group_by + sort + first-row-per-group — never a per-URL group dispatch
+    and no multi-key string sort shuffle."""
     import polars as pl
 
-    idx = anchor_text_index(pages_ds, max_anchor_len=max_anchor_len)
     P = num_partitions
 
-    def add_coarse(t: pa.Table) -> pa.Table:
-        h = (pl.from_arrow(t.column("dst_url").combine_chunks())
-             .hash(seed=0).to_numpy().astype(np.uint64))
-        return t.append_column(
-            "_c", pa.array((h % np.uint64(P)).astype(np.int64)))
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for au, text in _page_anchors(t):
+            key = (au, text[:max_anchor_len])
+            counts[key] = counts.get(key, 0) + 1
+        ks = list(counts.keys())
+        dst = pa.array([k[0] for k in ks], pa.string())
+        h = pl.from_arrow(dst).hash(seed=0).to_numpy().astype(np.uint64)
+        return pa.table({
+            "dst_url": dst,
+            "anchor": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+            "_c": pa.array((h % np.uint64(P)).astype(np.int64)),
+        })
 
     def fold(t: pa.Table) -> pa.Table:
+        # exact per-(dst, anchor) counts are local to the partition
+        t = t.group_by(["dst_url", "anchor"]).aggregate([("n", "sum")])
+        t = pa.table({"dst_url": t.column("dst_url"),
+                      "anchor": t.column("anchor"),
+                      "n": pc.cast(t.column("n_sum"), pa.int64())})
         g = t.sort_by([("dst_url", "ascending"), ("n", "descending"),
                        ("anchor", "ascending")])
         dst = g.column("dst_url").to_numpy(zero_copy_only=False)
@@ -296,7 +304,7 @@ def top_anchor_per_url(pages_ds, *, max_anchor_len: int = 256,
         })
 
     return (
-        idx.map_batches(add_coarse, batch_format="pyarrow")
+        pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=128)
         .groupby("_c")
         .map_groups(fold, batch_format="pyarrow")
     )
