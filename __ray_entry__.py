@@ -1452,6 +1452,63 @@ def q_crawl_kcore(sf_dir: str):
     })
 
 
+def q_host_authority(sf_dir: str):
+    """Weighted PageRank over the CONTRACTED host graph
+    (stages/webgraph.host_link_graph → state/graphbsp.pagerank_bsp with
+    weight=n_links): host-level authority where rank mass splits
+    proportionally to URL-level link counts — the budget-allocation signal
+    a crawl scheduler consumes. Top 25 as (host, rank). Weighted iteration
+    numpy-oracle-pinned in tests/test_graph.py."""
+    import ray
+
+    from nightcrawlercmd_ray.functions.urlnorm import host_hash
+    from nightcrawlercmd_ray.stages.webgraph import host_link_graph
+    from nightcrawlercmd_ray.state.graphbsp import pagerank_bsp
+
+    c = _corpus_for(sf_dir)
+    pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    hg = host_link_graph(pages).materialize()
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        s = [host_hash(h) for h in t.column("src_host").to_pylist()]
+        d = [host_hash(h) for h in t.column("dst_host").to_pylist()]
+
+        def s64(v):
+            return pa.array(np.array(v, dtype=np.uint64).view(np.int64)
+                            if v else np.array([], np.int64))
+
+        return pa.table({"src": s64(s), "dst": s64(d),
+                         "w": pc.cast(t.column("n_links"), pa.float64())})
+
+    ranks = pagerank_bsp(hg.map_batches(to_ids, batch_format="pyarrow"),
+                         n_iter=8, weight="w")
+    top_rows = ranks.sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(25).take_all()
+    ids_ref = ray.put(pa.array([r["node"] for r in top_rows], pa.int64()))
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        h = [host_hash(x) for x in t.column("src_host").to_pylist()]
+        hh = pa.array(np.array(h, dtype=np.uint64).view(np.int64)
+                      if h else np.array([], np.int64))
+        tt = pa.table({"node": hh, "host": t.column("src_host")})
+        keep = pc.is_in(tt.column("node"), value_set=_ray.get(ids_ref))
+        sub = tt.filter(pc.fill_null(keep, False))
+        return pa.TableGroupBy(sub, "node").aggregate(
+            [("host", "min")]).rename_columns(["node", "host"])
+
+    name_map: dict[int, str] = {}
+    for r in hg.map_batches(name_rows, batch_format="pyarrow").take_all():
+        name_map.setdefault(r["node"], r["host"])
+    return pa.table({
+        "host": pa.array([name_map[r["node"]] for r in top_rows],
+                         pa.string()),
+        "rank": pa.array([r["rank"] for r in top_rows], pa.float64()),
+    })
+
+
 def q_mirror_documents(sf_dir: str):
     """Cross-source mirror detection (stages/dedup.cross_source_duplicates):
     exact-duplicate text in ≥2 DISTINCT sources → (doc_id, n_copies,
@@ -2511,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": q_crawl_kcore,
         "crawl_depths": q_crawl_depths,
         "crawl_ppr": q_crawl_ppr,
+        "host_authority": q_host_authority,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,
         "crawl_anchor_texts": q_crawl_anchor_texts,

@@ -67,8 +67,10 @@ class GraphShard:
         self.P = num_shards
         self._eu: list[np.ndarray] = []
         self._ev: list[np.ndarray] = []
+        self._ew: list[np.ndarray] = []  # optional per-edge weights
         self._ru: list[np.ndarray] = []  # reverse edges: this shard owns v
         self._rv: list[np.ndarray] = []
+        self.ew = self.wsum = None
         self._nodes: list[np.ndarray] = []
         self.eu = self.ev = self.nodes = None
         self.ru = self.rv = None
@@ -81,6 +83,9 @@ class GraphShard:
     def add_edges(self, t: pa.Table) -> int:
         self._eu.append(t.column("u").to_numpy(zero_copy_only=False))
         self._ev.append(t.column("v").to_numpy(zero_copy_only=False))
+        if "w" in t.column_names:
+            self._ew.append(t.column("w").to_numpy(zero_copy_only=False)
+                            .astype(np.float64))
         return t.num_rows
 
     def add_rev_edges(self, t: pa.Table) -> int:
@@ -97,13 +102,19 @@ class GraphShard:
               else np.array([], np.int64))
         ev = (np.concatenate(self._ev) if self._ev
               else np.array([], np.int64))
-        self._eu = self._ev = []
+        ew = np.concatenate(self._ew) if self._ew else None
+        self._eu = self._ev = self._ew = []
         order = np.lexsort((ev, eu))
         eu, ev = eu[order], ev[order]
+        if ew is not None:
+            ew = ew[order]
         if dedup_edges and eu.size:
             keep = np.r_[True, (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])]
+            if ew is not None:  # parallel weighted edges SUM their weights
+                ew = np.add.reduceat(ew, np.flatnonzero(keep))
             eu, ev = eu[keep], ev[keep]
         self.eu, self.ev = eu, ev
+        self.ew = ew
         ru = (np.concatenate(self._ru) if self._ru
               else np.array([], np.int64))
         rv = (np.concatenate(self._rv) if self._rv
@@ -125,6 +136,9 @@ class GraphShard:
         self.outdeg = np.zeros(self.nodes.size, np.int64)
         if self.eu.size:
             np.add.at(self.outdeg, self.u_idx, 1)
+        if self.ew is not None:
+            self.wsum = np.zeros(self.nodes.size)
+            np.add.at(self.wsum, self.u_idx, self.ew)
         return {"edges": int(self.eu.size), "nodes": int(self.nodes.size)}
 
     # ---- connected components ------------------------------------------ #
@@ -202,9 +216,14 @@ class GraphShard:
 
     def pr_propagate(self):
         """Per-target-owner partial mass sums; last element of the return
-        is the scalar mass emitted (driver derives dangling mass)."""
+        is the scalar mass emitted (driver derives dangling mass). With
+        edge weights, mass splits ∝ w(u,v)/Σw(u,·) instead of 1/outdeg."""
         if self.eu.size:
-            contrib = self.rank[self.u_idx] / self.outdeg[self.u_idx]
+            if self.ew is not None:
+                contrib = (self.rank[self.u_idx] * self.ew
+                           / self.wsum[self.u_idx])
+            else:
+                contrib = self.rank[self.u_idx] / self.outdeg[self.u_idx]
             v, m = _group_sum(self.ev, contrib)
             emitted = float(contrib.sum())
         else:
@@ -429,7 +448,8 @@ class GraphShard:
 
 
 def _build_shards(edges, src: str, dst: str, P: int, *, undirected: bool,
-                  dedup_edges: bool, with_reverse: bool = False):
+                  dedup_edges: bool, with_reverse: bool = False,
+                  weight: str | None = None):
     """Partition an edge Dataset into P shard actors: one map_batches pass
     routes edge rows to owner(u) and node announcements to owner(n); the
     driver consumes only per-batch row counts. ``with_reverse`` additionally
@@ -444,18 +464,26 @@ def _build_shards(edges, src: str, dst: str, P: int, *, undirected: bool,
     def push(t: pa.Table) -> pa.Table:
         u = pc.cast(t.column(src), pa.int64()).to_numpy(zero_copy_only=False)
         v = pc.cast(t.column(dst), pa.int64()).to_numpy(zero_copy_only=False)
+        w = (pc.cast(t.column(weight), pa.float64())
+             .to_numpy(zero_copy_only=False) if weight else None)
         keep = u != v
         u, v = u[keep], v[keep]
+        if w is not None:
+            w = w[keep]
         if undirected and u.size:
             u, v = np.r_[u, v], np.r_[v, u]
+            if w is not None:
+                w = np.r_[w, w]
         acks = []
         eo = _owner(u, P)
         for j in range(P):
             sel = eo == j
             if sel.any():
-                acks.append(shards[j].add_edges.remote(
-                    pa.table({"u": pa.array(u[sel], pa.int64()),
-                              "v": pa.array(v[sel], pa.int64())})))
+                cols = {"u": pa.array(u[sel], pa.int64()),
+                        "v": pa.array(v[sel], pa.int64())}
+                if w is not None:
+                    cols["w"] = pa.array(w[sel], pa.float64())
+                acks.append(shards[j].add_edges.remote(pa.table(cols)))
         if with_reverse:
             ro = _owner(v, P)
             for j in range(P):
@@ -532,13 +560,18 @@ def connected_components_bsp(
 
 def pagerank_bsp(
     edges, *, src: str = "src", dst: str = "dst", num_shards: int = 8,
-    damping: float = 0.85, n_iter: int = 10,
+    damping: float = 0.85, n_iter: int = 10, weight: str | None = None,
 ):
     """Actor-BSP PageRank; same contract as ``stages.graph.pagerank``
     (directed, parallel edges collapsed, dangling mass redistributed,
-    ranks sum to 1)."""
+    ranks sum to 1). With ``weight``, rank mass splits proportionally to
+    edge weight instead of uniformly over distinct targets (parallel
+    weighted edges SUM their weights at the shard seal) — the host-graph
+    authority variant, where an edge's weight is its URL-level link
+    count."""
     shards, infos = _build_shards(edges, src, dst, num_shards,
-                                  undirected=False, dedup_edges=True)
+                                  undirected=False, dedup_edges=True,
+                                  weight=weight)
     P = len(shards)
     n_nodes = sum(i["nodes"] for i in infos)
     if n_nodes == 0:

@@ -498,3 +498,64 @@ def test_ppr_concentrates_near_seed():
     assert all(got[n] == 0.0 for n in (10, 11, 12))
     with pytest.raises(ValueError):
         ppr_bsp(_edge_ds(cyc1), [999]).take_all()
+
+
+# --------------------------------------------------------------------------- #
+# weighted pagerank vs a numpy oracle
+# --------------------------------------------------------------------------- #
+def _numpy_weighted_pagerank(wedges, n_iter, damping=0.85):
+    """wedges: {(a, b): w} with parallel weights pre-summed."""
+    nodes = sorted({x for e in wedges for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wsum = np.zeros(n)
+    for (a, _), w in wedges.items():
+        wsum[ix[a]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        for (a, b), w in wedges.items():
+            nxt[ix[b]] += damping * r[ix[a]] * w / wsum[ix[a]]
+        dangle = float(r[wsum == 0].sum())
+        nxt += (1.0 - damping) / n + damping * dangle / n
+        r = nxt
+    return {v: r[ix[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("num_shards", [1, 4])
+def test_weighted_pagerank_bsp_matches_numpy(num_shards):
+    rng = np.random.default_rng(53)
+    raw = [(int(a), int(b), float(w)) for (a, b), w in zip(
+        rng.integers(0, 40, (140, 2)), rng.integers(1, 9, 140)) if a != b]
+    wedges: dict = {}
+    for a, b, w in raw:  # parallel edges must SUM weights
+        wedges[(a, b)] = wedges.get((a, b), 0.0) + w
+    t = pa.table({
+        "src": pa.array([r[0] for r in raw], pa.int64()),
+        "dst": pa.array([r[1] for r in raw], pa.int64()),
+        "w": pa.array([r[2] for r in raw], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = {r["node"]: r["rank"]
+           for r in pagerank_bsp(ds, num_shards=num_shards, n_iter=7,
+                                 weight="w").take_all()}
+    want = _numpy_weighted_pagerank(wedges, n_iter=7)
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_equal_weights():
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([5.0] * len(edges), pa.float64()),
+    })
+    got_w = {r["node"]: r["rank"]
+             for r in pagerank_bsp(ray.data.from_arrow(t), n_iter=6,
+                                   weight="w").take_all()}
+    got_u = {r["node"]: r["rank"]
+             for r in pagerank_bsp(_edge_ds(edges), n_iter=6).take_all()}
+    assert got_w.keys() == got_u.keys()
+    assert all(abs(got_w[k] - got_u[k]) < 1e-15 for k in got_u)
