@@ -878,6 +878,32 @@ def q_orders_rollup(sf_dir: str):
     )
 
 
+def q_orders_cube(sf_dir: str):
+    """CUBE over (o_orderstatus, order year) (stages/rollup.cube_sum_count):
+    all 4 grouping sets — finest, by status, by year, grand total. Same
+    single-data-pass shape as the ROLLUP; the year-only grouping set is
+    what CUBE adds over ROLLUP's prefixes."""
+    from nightcrawlercmd_ray.stages.rollup import cube_sum_count
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": pc.cast(t.column("o_orderstatus"), pa.string()),
+            "yr": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    return cube_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_orderstatus", "yr"],
+        value_col="cents",
+    )
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed ANTI join (stages/joins.hash_join how='anti'): customers
     with no order above $400k (the filter keeps the result non-vacuous on
@@ -2516,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": q_json_props_stats,
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
         "label_centroids": q_label_centroids,
@@ -3031,6 +3058,16 @@ def oracle_sql() -> dict[str, str]:
                          o_totalprice
                   FROM orders)
             GROUP BY ROLLUP(o_orderpriority, yr)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, yr,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total,
+                   count(*) AS n
+            FROM (SELECT o_orderstatus,
+                         CAST(year(o_orderdate) AS BIGINT) AS yr,
+                         o_totalprice
+                  FROM orders)
+            GROUP BY CUBE(o_orderstatus, yr)
         """,
         "customers_without_orders": """
             SELECT c_custkey,

@@ -204,3 +204,44 @@ def test_rollup_levels_are_consistent(rows):
     want = df.groupby(["a", "b"])["cents"].sum()
     got = finest.set_index(["a", "b"])["total"].astype("int64")
     assert got.sort_index().to_dict() == want.sort_index().to_dict()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 3),
+                  st.integers(-100, 100)),
+        min_size=1, max_size=50,
+    )
+)
+def test_cube_grouping_sets_are_consistent(rows):
+    """CUBE = ROLLUP levels PLUS the b-only grouping set; every grouping
+    set must sum to the grand total and the finest level must equal a
+    direct pandas groupby."""
+    import ray
+
+    from nightcrawlercmd_ray.stages.rollup import cube_sum_count
+
+    df = pd.DataFrame({"a": [r[0] for r in rows],
+                       "b": [r[1] for r in rows],
+                       "cents": [r[2] for r in rows]})
+    out = cube_sum_count(
+        ray.data.from_pandas(df).repartition(2), keys=["a", "b"],
+        value_col="cents",
+    ).to_pandas()
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert len(grand) == 1
+    assert grand["total"].iloc[0] == df["cents"].sum()
+    for mask in (out["a"].notna() & out["b"].isna(),     # by a
+                 out["a"].isna() & out["b"].notna()):    # by b (CUBE-only)
+        lvl = out[mask]
+        assert lvl["total"].sum() == df["cents"].sum()
+        assert lvl["n"].sum() == len(df)
+    by_b = out[out["a"].isna() & out["b"].notna()]
+    want_b = df.groupby("b")["cents"].sum()
+    assert (by_b.set_index("b")["total"].astype("int64").sort_index()
+            .to_dict() == want_b.sort_index().to_dict())
+    finest = out[out["a"].notna() & out["b"].notna()]
+    want = df.groupby(["a", "b"])["cents"].sum()
+    got = finest.set_index(["a", "b"])["total"].astype("int64")
+    assert got.sort_index().to_dict() == want.sort_index().to_dict()
