@@ -1535,6 +1535,40 @@ def q_host_authority(sf_dir: str):
     })
 
 
+def q_similarity_join_documents(sf_dir: str):
+    """EXACT set-similarity self-join (stages/dedup.similarity_join_exact,
+    Vernica/Carey/Li SIGMOD 2010 prefix-filtering shape): every document
+    pair with word-5-shingle Jaccard ≥ 0.5 → (doc_id, dup_of, jaccard).
+    Near-dup pairs are planted as in jaccard_planted_pairs (tail-truncated
+    copy of every 10th doc, id + 10^9) so recall is positively exercised;
+    the SQL oracle replays the plant and computes the full co-shingle pair
+    join. Jaccard doubles are exact-int divisions — hash-identical across
+    engines."""
+    from nightcrawlercmd_ray.stages.dedup import similarity_join_exact
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = _read_pq(path, columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 10 == 0)
+        m = t.take(pa.array(sel))
+        cut = pa.array(
+            [" ".join((x or "").split(" ")[5:])
+             for x in m.column("text").to_pylist()], pa.string())
+        return pa.concat_tables([
+            t.select(["doc_id", "text"]),
+            pa.table({"doc_id": pc.add(m.column("doc_id"),
+                                       pa.scalar(1_000_000_000)),
+                      "text": cut}),
+        ])
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return similarity_join_exact(
+        planted, threshold=0.5, k=5, n_rows=_parquet_rows(path),
+    ).sort(["doc_id", "dup_of"])
+
+
 def q_mirror_documents(sf_dir: str):
     """Cross-source mirror detection (stages/dedup.cross_source_duplicates):
     exact-duplicate text in ≥2 DISTINCT sources → (doc_id, n_copies,
@@ -2551,6 +2585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": q_user_journeys,
         "funnel_users": q_funnel_users,
         "mirror_documents": q_mirror_documents,
+        "similarity_join_documents": q_similarity_join_documents,
         "bm25_search_documents": q_bm25_search_documents,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
@@ -2952,6 +2987,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "funnel_users": _funnel_sql(_FUNNEL_STAGES),
+        "similarity_join_documents": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000,
+                     array_to_string(string_split(text, ' ')[6:], ' ')
+              FROM documents WHERE doc_id % 10 = 0
+            ), ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM corpus
+            ), words AS (
+              SELECT doc_id, unnest(wl) AS w, generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), sh AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                     AS shingle
+              FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(w, 4) OVER win IS NOT NULL
+            ), dsh AS (
+              SELECT DISTINCT doc_id, shingle FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+            ), inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
+              FROM dsh s1
+              JOIN dsh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.d1 AS doc_id, i.d2 AS dup_of,
+                   CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes n1 ON n1.doc_id = i.d1
+            JOIN sizes n2 ON n2.doc_id = i.d2
+            WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5
+            ORDER BY doc_id, dup_of
+        """,
         "mirror_documents": """
             WITH docs AS (
                 SELECT doc_id, text, source FROM documents

@@ -208,7 +208,10 @@ def run_bench() -> dict:
         "hll_distinct_users_by_type", "concurrent_sessions",
         "crawl_hostgraph", "crawl_inlink_stats", "crawl_anchor_texts",
         "crawl_hits", "part_triangles", "json_props_stats",
-        "user_growth_curve", "funnel_users",
+        "user_growth_curve", "funnel_users", "mirror_documents",
+        "similarity_join_documents", "orders_cube", "host_authority",
+        "crawl_ppr", "crawl_depths",
+        "crawl_kcore", "bm25_search_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -814,3 +814,171 @@ def cross_source_duplicates(
         .groupby("_coarse")
         .map_groups(partition_fold, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------- #
+# exact set-similarity self-join (AllPairs / prefix filtering)
+# --------------------------------------------------------------------------- #
+def similarity_join_exact(
+    ds,
+    *,
+    threshold: float,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """EXACT word-k-shingle Jaccard self-join: every pair with
+    J(shingles(a), shingles(b)) ≥ ``threshold`` → Dataset(doc_id, dup_of,
+    jaccard) with doc_id < dup_of. The exact complement to the LSH family:
+    no probabilistic recall loss (candidate generation is provably complete
+    modulo a 64-bit shingle-hash collision on a SHARED shingle, ~2⁻⁶⁴·n²).
+
+    Shape (the MapReduce set-similarity join of Vernica, Carey & Li,
+    SIGMOD 2010, re-expressed over Ray Data): per-doc DISTINCT shingle
+    hashes → (1) ONE exchange keyed on shingle hash computes global
+    shingle frequency in-partition and re-emits rows with df attached; (2)
+    ONE exchange keyed on doc selects each doc's PREFIX — its
+    |S| - ⌈θ·|S|⌉ + 1 globally-rarest shingles (rare-first total order
+    (df, shingle)), the classic prefix filter: any pair with J ≥ θ shares
+    a prefix shingle; (3) ONE exchange keyed on shingle pairs docs within
+    a prefix-shingle group (canonical d1 < d2, vectorized pairing, length
+    filter θ·|B| ≤ |A| applied before emitting) and dedups candidates
+    in-partition; a final packed-key exchange dedups globally. Exact
+    verification then rides :func:`ngram_jaccard_pairs` (texts co-located
+    by TWO coarse keyed shuffles, never on the driver). Hot boilerplate
+    shingles stay out of prefixes by construction (rare-first order) —
+    the documented skew story.
+    """
+    import polars as pl
+
+    P = _num_coarse_partitions(ds, num_partitions, n_rows,
+                               rows_per_partition=4096)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_pylist()
+        out_d, out_s, out_n = [], [], []
+        for did, text in zip(ids, t.column(text_col).to_pylist()):
+            sh = shingles(text or "", k)
+            if not sh:
+                continue
+            hs = pl.Series(sorted(sh)).hash(seed=0).to_numpy()
+            hs = np.unique(hs.astype(np.uint64).view(np.int64))
+            out_d.extend([did] * len(hs))
+            out_s.extend(hs.tolist())
+            out_n.extend([len(hs)] * len(hs))
+        return pa.table({
+            "_d": pa.array(out_d, pa.int64()),
+            "_s": pa.array(out_s, pa.int64()),
+            "_n": pa.array(out_n, pa.int64()),
+            "_c": pa.array((np.array(out_s, np.int64).view(np.uint64)
+                            % np.uint64(P)).astype(np.int64)
+                           if out_s else np.array([], np.int64)),
+        })
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        # all copies of a shingle hash co-locate → df is local & exact
+        s = g.column("_s").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        ss = s[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        counts = np.diff(np.append(starts, len(ss)))
+        df_sorted = np.repeat(counts, counts)
+        df = np.empty(len(s), np.int64)
+        df[order] = df_sorted
+        d = g.column("_d").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_d": g.column("_d"), "_s": g.column("_s"),
+            "_n": g.column("_n"), "_df": pa.array(df),
+            "_c2": pa.array((d.view(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def prefix_rows(g: pa.Table) -> pa.Table:
+        # a doc's rows co-locate → per-doc rare-first sort + prefix take
+        g = g.sort_by([("_d", "ascending"), ("_df", "ascending"),
+                       ("_s", "ascending")])
+        d = g.column("_d").to_numpy(zero_copy_only=False)
+        n = g.column("_n").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({"_d": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.int64()),
+                             "_n": pa.array([], pa.int64()),
+                             "_c3": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        pos = np.arange(len(d)) - np.repeat(starts,
+                                            np.diff(np.append(starts, len(d))))
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = pos < plen
+        s = g.column("_s").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "_d": pa.array(d[keep]), "_s": pa.array(s),
+            "_n": pa.array(n[keep]),
+            "_c3": pa.array((s.view(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def pair_rows(g: pa.Table) -> pa.Table:
+        # docs sharing a prefix shingle pair up (d1 < d2 canonical);
+        # vectorized per-shingle-group pairing + length filter
+        g = g.sort_by([("_s", "ascending"), ("_d", "ascending")])
+        s = g.column("_s").to_numpy(zero_copy_only=False)
+        d = g.column("_d").to_numpy(zero_copy_only=False)
+        n = g.column("_n").to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return pa.table({"_p1": pa.array([], pa.int64()),
+                             "_p2": pa.array([], pa.int64()),
+                             "_cp": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        lens = np.diff(np.append(starts, len(s)))
+        p1s, p2s = [], []
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            dd, nn = d[st:st + ln], n[st:st + ln]
+            i_idx = np.repeat(np.arange(ln), ln - 1 - np.arange(ln))
+            j_idx = (np.arange(len(i_idx))
+                     - np.repeat(np.cumsum(ln - 1 - np.arange(ln))
+                                 - (ln - 1 - np.arange(ln)),
+                                 ln - 1 - np.arange(ln)) + i_idx + 1)
+            a, b = dd[i_idx], dd[j_idx]
+            na, nb = nn[i_idx], nn[j_idx]
+            lo = np.minimum(na, nb).astype(np.float64)
+            hi = np.maximum(na, nb).astype(np.float64)
+            ok = (a != b) & (threshold * hi <= lo)  # length filter
+            p1s.append(np.minimum(a[ok], b[ok]))
+            p2s.append(np.maximum(a[ok], b[ok]))
+        if not p1s:
+            return pa.table({"_p1": pa.array([], pa.int64()),
+                             "_p2": pa.array([], pa.int64()),
+                             "_cp": pa.array([], pa.int64())})
+        p1 = np.concatenate(p1s)
+        p2 = np.concatenate(p2s)
+        # in-partition candidate dedup before the global one
+        both = np.unique(np.stack([p1, p2], axis=1), axis=0)
+        h = ((both[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ both[:, 1].view(np.uint64))
+        return pa.table({
+            "_p1": pa.array(both[:, 0]), "_p2": pa.array(both[:, 1]),
+            "_cp": pa.array((h % np.uint64(P)).astype(np.int64)),
+        })
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        p1 = g.column("_p1").to_numpy(zero_copy_only=False)
+        p2 = g.column("_p2").to_numpy(zero_copy_only=False)
+        both = np.unique(np.stack([p1, p2], axis=1), axis=0)
+        return pa.table({"doc_id": pa.array(both[:, 0]),
+                         "dup_of": pa.array(both[:, 1])})
+
+    candidates = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("_c").map_groups(attach_df, batch_format="pyarrow")
+        .groupby("_c2").map_groups(prefix_rows, batch_format="pyarrow")
+        .groupby("_c3").map_groups(pair_rows, batch_format="pyarrow")
+        .groupby("_cp").map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+    scored = ngram_jaccard_pairs(ds, candidates, text_col, id_col, k=k)
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"),
+                                            pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )

@@ -375,3 +375,60 @@ def test_cross_source_duplicates_semantics(nparts):
         _src_docs_ds(rows, nparts), min_sources=3, num_partitions=3
     ).to_pandas()
     assert strict.values.tolist() == [[7, 3, 3]]
+
+
+# --------------------------------------------------------------------------- #
+# exact set-similarity self-join (prefix filtering)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_similarity_join_exact_vs_bruteforce(nparts):
+    import pandas as pd
+
+    from nightcrawlercmd_ray.functions.textstats import jaccard, shingles
+    from nightcrawlercmd_ray.stages.dedup import similarity_join_exact
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    plant = docs[docs.doc_id % 10 == 0].copy()
+    plant["doc_id"] += 1_000_000_000
+    plant["text"] = plant["text"].str.split(" ").str[5:].str.join(" ")
+    all_docs = pd.concat([docs, plant], ignore_index=True)
+
+    TH, K = 0.5, 5
+    sh = {r.doc_id: shingles(r.text, K) for r in all_docs.itertuples()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if sh[a] and sh[b]:
+                j = jaccard(sh[a], sh[b])
+                if j >= TH:
+                    want[(a, b)] = j
+
+    ds = ray.data.from_pandas(all_docs).repartition(nparts)
+    got = {(r["doc_id"], r["dup_of"]): r["jaccard"]
+           for r in similarity_join_exact(ds, threshold=TH, k=K).take_all()}
+    assert set(got) == set(want)  # complete AND tight — no missed/extra pair
+    assert all(got[p] == want[p] for p in want)  # bit-exact scores
+
+
+def test_similarity_join_micro_semantics():
+    from nightcrawlercmd_ray.stages.dedup import similarity_join_exact
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            base,                              # 6 shingles
+            base,                              # identical -> j = 1.0
+            base + " lam",                     # superset -> j = 6/7
+            "totally different words here now from another vocabulary set",
+        ],
+    })
+    got = {(r["doc_id"], r["dup_of"]): r["jaccard"]
+           for r in similarity_join_exact(
+               ray.data.from_arrow(rows), threshold=0.8).take_all()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == got[(2, 3)] == pytest.approx(6 / 7)
+    assert all(4 not in p for p in got)
+    assert len(got) == 3
