@@ -1189,6 +1189,24 @@ def q_sample_documents_stratified(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stages/sampling.weighted_sample_k, priority-sampling lineage): the
+    100 documents winning ``n_chars / (knuth_hash(doc_id)+1)`` — longer
+    docs proportionally likelier, membership a pure function of the id so
+    the draw is reproducible at any parallelism and the priority double is
+    bit-identical to the SQL oracle (exact-int IEEE division). Per-batch
+    top-k combiner + one tiny residue sort."""
+    from nightcrawlercmd_ray.stages.sampling import weighted_sample_k
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return weighted_sample_k(ds, key="doc_id", weight="n_chars", k=100).sort(
+        "doc_id"
+    )
+
+
 def q_wordcount_documents(sf_dir: str):
     """The report tool's word→(count, exemplar) aggregation (A1) over the
     documents table, exemplar pinned min(doc_id)."""
@@ -2558,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_per_brand": q_top_parts_per_brand,
         "sample_documents_stratified": q_sample_documents_stratified,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "user_event_deltas": q_user_event_deltas,
         "events_rolling_sum": q_events_rolling_sum,
         "order_price_histogram": q_order_price_histogram,
@@ -3196,6 +3215,19 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'de' THEN 1073741824
                             ELSE 536870912 END
             ORDER BY doc_id
+        """,
+        "weighted_sample_documents": """
+            WITH sel AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(n_chars AS DOUBLE) /
+                       (((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) + 1)
+                       AS priority
+                FROM documents
+                WHERE n_chars > 0
+                ORDER BY priority DESC, doc_id
+                LIMIT 100
+            )
+            SELECT doc_id, lang, n_chars, priority FROM sel ORDER BY doc_id
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price

@@ -256,6 +256,52 @@ def token_budget_sample(ds, *, budget: int, lang_col: str = "lang",
     )
 
 
+def weighted_sample_k(ds, *, key: str, weight: str, k: int, salt: int = 0):
+    """Deterministic weighted sampling WITHOUT replacement (priority
+    sampling, Duffield–Lund–Thorup / Efraimidis–Spirakis lineage): each
+    row gets priority ``weight / (hash_u32(key, salt) + 1)`` and the k
+    rows with the LARGEST priority win (ties broken by key ascending).
+    Inclusion probability is ∝ weight in expectation over salts, and —
+    because the hash IS the random draw — membership is reproducible at
+    any parallelism and expressible verbatim in ANSI SQL:
+    ``weight / (((key*2654435761 + salt) % 4294967296) + 1)``.
+
+    Bit-exactness of the double: weight (int64 ≤ 2^53) and hash+1
+    (≤ 2^32) are both exactly representable, and IEEE-754 division is
+    correctly rounded in numpy and DuckDB alike, so the priority column
+    hash-matches the SQL oracle bit for bit.
+
+    Scale shape: per-batch local top-k combiner (each block emits ≤ k
+    rows), then ONE sort+limit over the ≤ k·num_blocks residue — no
+    full-corpus sort, no RNG stream to coordinate. Rows with weight ≤ 0
+    are never sampled (guard matches the oracle's WHERE).
+
+    Requires non-negative integer keys < 2^32 (doc ids): numpy's uint64
+    wraparound and SQL's ``%`` agree only there.
+    → input columns + ``priority`` float64, the k winners.
+    """
+    kk = int(k)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column(weight), 0))
+        keys = pc.cast(t.column(key), pa.int64()).to_numpy(zero_copy_only=False)
+        w = t.column(weight).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = hash_u32(keys, salt).astype(np.float64)
+        t = t.append_column("priority", pa.array(w / (h + 1.0), pa.float64()))
+        if t.num_rows > kk:
+            idx = pc.sort_indices(
+                t, sort_keys=[("priority", "descending"), (key, "ascending")]
+            )
+            t = t.take(idx[:kk])
+        return t
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["priority", key], descending=[True, False])
+        .limit(kk)
+    )
+
+
 def temperature_upsample(ds, *, stratum: str = "lang", id_col: str = "doc_id",
                          keep_cols: list[str] | None = None):
     """Temperature-balanced mixture upsampling (the multilingual-LLM

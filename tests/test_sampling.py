@@ -244,3 +244,59 @@ def test_temperature_upsample_empty_raises():
     }))
     with pytest.raises(ValueError, match="empty"):
         temperature_upsample(ds)
+
+
+@pytest.mark.parametrize("blocks", [1, 9])
+def test_weighted_sample_k_vs_serial_and_partition_invariance(blocks):
+    """Priority sampling: the k winners and their priority doubles are a
+    pure function of (key, weight) — bit-equal to a serial numpy draw at
+    any partitioning; weight ≤ 0 rows never win."""
+    from nightcrawlercmd_ray.stages.sampling import hash_u32, weighted_sample_k
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(np.arange(n)), pa.int64()),
+        "w": pa.array(rng.integers(-5, 5000, n), pa.int64()),
+    })
+    ids = t.column("doc_id").to_numpy()
+    w = t.column("w").to_numpy().astype(np.float64)
+    prio = w / (hash_u32(ids.astype(np.int64)).astype(np.float64) + 1.0)
+    ok = w > 0
+    order = np.lexsort((ids[ok], -prio[ok]))
+    exp_ids = ids[ok][order][:50]
+    exp_prio = prio[ok][order][:50]
+
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    out = weighted_sample_k(ds, key="doc_id", weight="w", k=50).to_pandas()
+    assert len(out) == 50
+    got = out.sort_values("doc_id")
+    exp = pd.DataFrame({"doc_id": exp_ids, "priority": exp_prio}).sort_values(
+        "doc_id"
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    # bit-exact priorities (exact-int IEEE division)
+    assert np.array_equal(
+        got["priority"].to_numpy().view(np.int64),
+        exp["priority"].to_numpy().view(np.int64),
+    )
+    assert (got.set_index("doc_id")["w"] > 0).all()
+
+
+def test_weighted_sample_k_weight_bias():
+    """Heavier rows are sampled proportionally more often (statistical
+    sanity over many salts is overkill — one draw with a 10× weight class
+    suffices at this size)."""
+    from nightcrawlercmd_ray.stages.sampling import weighted_sample_k
+
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        # ids < 1000 weigh 10, the rest weigh 1
+        "w": pa.array(np.where(np.arange(n) < 1000, 10, 1), pa.int64()),
+    })
+    out = weighted_sample_k(
+        ray.data.from_arrow(t), key="doc_id", weight="w", k=200
+    ).to_pandas()
+    heavy = (out["doc_id"] < 1000).sum()
+    assert heavy > 140, heavy  # ≈ 10/11 of 200 in expectation
