@@ -1207,6 +1207,21 @@ def q_weighted_sample_documents(sf_dir: str):
     )
 
 
+def q_classifier_scores_documents(sf_dir: str):
+    """Linear text-classifier inference over every document
+    (stages/textops.linear_classifier_scores, fastText shape): 3-class
+    scores from a broadcast (rank×class) weight table over the top-256
+    corpus vocabulary, integer-exact so the SQL oracle (vocab CTE + join +
+    per-class sums + argmax CASE) hash-matches. One bounded word-count
+    shuffle; scoring is a pure per-batch map."""
+    from nightcrawlercmd_ray.stages.textops import linear_classifier_scores
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return linear_classifier_scores(ds, n_classes=3, vocab_size=256).sort(
+        "doc_id"
+    )
+
+
 def q_wordcount_documents(sf_dir: str):
     """The report tool's word→(count, exemplar) aggregation (A1) over the
     documents table, exemplar pinned min(doc_id)."""
@@ -2577,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "sample_documents_stratified": q_sample_documents_stratified,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "classifier_scores_documents": q_classifier_scores_documents,
         "user_event_deltas": q_user_event_deltas,
         "events_rolling_sum": q_events_rolling_sum,
         "order_price_histogram": q_order_price_histogram,
@@ -3228,6 +3244,41 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 100
             )
             SELECT doc_id, lang, n_chars, priority FROM sel ORDER BY doc_id
+        """,
+        "classifier_scores_documents": """
+            WITH words AS (
+                SELECT doc_id, lower(w) AS word
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '[a-zA-Z][a-z]{3,}')) AS w
+                      FROM documents)
+            ),
+            vocab AS (
+                SELECT word,
+                       row_number() OVER (ORDER BY n DESC, word) AS r
+                FROM (SELECT word, count(*) AS n FROM words GROUP BY word)
+                QUALIFY r <= 256
+            ),
+            hits AS (
+                SELECT w.doc_id,
+                       count(*) AS n_hits,
+                       SUM(((v.r*3 + 0) * 2654435761) % 4294967296 % 201 - 100) AS s0,
+                       SUM(((v.r*3 + 1) * 2654435761) % 4294967296 % 201 - 100) AS s1,
+                       SUM(((v.r*3 + 2) * 2654435761) % 4294967296 % 201 - 100) AS s2
+                FROM words w JOIN vocab v USING (word)
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.s0, 0) AS s0,
+                   COALESCE(h.s1, 0) AS s1,
+                   COALESCE(h.s2, 0) AS s2,
+                   CASE WHEN COALESCE(h.s0,0) >= COALESCE(h.s1,0)
+                         AND COALESCE(h.s0,0) >= COALESCE(h.s2,0) THEN 0
+                        WHEN COALESCE(h.s1,0) >= COALESCE(h.s2,0) THEN 1
+                        ELSE 2 END AS pred
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price

@@ -418,6 +418,88 @@ def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def linear_classifier_scores(ds, *, n_classes: int = 3, vocab_size: int = 256,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             weight_mod: int = 201):
+    """fastText-style linear text-classifier INFERENCE at corpus scale —
+    the "run a quality/topic classifier over every document" stage of a
+    training-data pipeline (Joulin et al. 2017 shape: bag-of-words →
+    weight-table lookup → per-class sum → argmax).
+
+    The weight table here is a deterministic integer function of each
+    word's corpus-frequency rank, standing in for trained weights:
+    ``W[r, c] = ((r·C + c)·2654435761) mod 2^32 mod weight_mod − offset``
+    with ``offset = (weight_mod−1)//2``. The broadcast + vectorized-scoring
+    plumbing is the real operator (a trained weight matrix drops in
+    unchanged); the synthetic weights make every score integer-exact and
+    the whole pipeline SQL-replicable for the value oracle.
+
+    Semantics: vocabulary = top ``vocab_size`` words by (count desc, word
+    asc) over the RE_WORD-lowercased token stream, ranked r = 1..V; OOV
+    tokens contribute nothing; ``score(doc, c) = Σ_occurrences W[rank, c]``;
+    ``pred`` = argmax with ties to the lowest class.
+
+    Scale shape: ONE word-keyed count shuffle (per-batch Counter combiner),
+    rank table capped at ``vocab_size`` BY CONSTRUCTION (sort+limit before
+    ``take_all``) so driver pull + broadcast are bounded; scoring is a pure
+    per-batch map (bincount over ranks × a (V+1)×C numpy matmul per doc).
+    → Dataset(doc_id, n_hits, s0..s{C-1}, pred)."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.extractors import RE_WORD
+
+    C, V, mod = int(n_classes), int(vocab_size), int(weight_mod)
+    offset = (mod - 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(w.lower() for w in RE_WORD.findall(text or ""))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(V)
+        .take_all()
+    )
+    top.sort(key=lambda r: (-r["n"], r["word"]))  # driver re-sort: determinism
+    rank_ref = ray.put({r["word"]: i + 1 for i, r in enumerate(top)})
+    # W[0] is the OOV row and stays 0 (OOV contributes nothing)
+    r_idx = np.arange(1, V + 1, dtype=np.uint64)[:, None]
+    c_idx = np.arange(C, dtype=np.uint64)[None, :]
+    W = np.zeros((V + 1, C), dtype=np.int64)
+    W[1:] = (((r_idx * np.uint64(C) + c_idx) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)).astype(np.int64) % mod - offset
+
+    def score(t: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        n_rows = t.num_rows
+        hits = np.zeros(n_rows, dtype=np.int64)
+        scores = np.zeros((n_rows, C), dtype=np.int64)
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            ranks = [rank.get(w.lower(), 0) for w in RE_WORD.findall(text or "")]
+            if not ranks:
+                continue
+            counts = np.bincount(ranks, minlength=V + 1).astype(np.int64)
+            hits[i] = len(ranks) - counts[0]
+            scores[i] = counts @ W
+        cols = {id_col: pc.cast(t.column(id_col), pa.int64()),
+                "n_hits": pa.array(hits, pa.int64())}
+        for c in range(C):
+            cols[f"s{c}"] = pa.array(scores[:, c], pa.int64())
+        cols["pred"] = pa.array(np.argmax(scores, axis=1), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dsir_scores(ds, *, target_lang: str = "en", text_col: str = "text",
                 id_col: str = "doc_id", lang_col: str = "lang",
                 n_buckets: int | None = None):

@@ -1,0 +1,84 @@
+"""Linear classifier inference (stages/textops.linear_classifier_scores) vs
+a serial oracle computing the identical rank-derived integer weights, plus
+partition invariance and OOV/zero-token edges."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.functions.extractors import RE_WORD
+from nightcrawlercmd_ray.stages.textops import linear_classifier_scores
+
+
+def _serial(docs: list[tuple[int, str]], n_classes: int, vocab_size: int,
+            mod: int = 201):
+    offset = (mod - 1) // 2
+    cnt: Counter = Counter()
+    for _, text in docs:
+        cnt.update(w.lower() for w in RE_WORD.findall(text))
+    vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    rank = {w: i + 1 for i, (w, _) in enumerate(vocab)}
+
+    def weight(r, c):
+        return ((r * n_classes + c) * 2654435761) % (1 << 32) % mod - offset
+
+    rows = []
+    for did, text in docs:
+        ranks = [rank.get(w.lower(), 0) for w in RE_WORD.findall(text)]
+        hits = [r for r in ranks if r]
+        s = [sum(weight(r, c) for r in hits) for c in range(n_classes)]
+        rows.append((did, len(hits), *s, int(np.argmax(s))))
+    cols = ["doc_id", "n_hits"] + [f"s{c}" for c in range(n_classes)] + ["pred"]
+    return pd.DataFrame(rows, columns=cols).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+         "hotel", "india", "juliet", "kilo", "lima"]
+
+
+def _mk_docs(n=300, seed=7):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        k = int(rng.integers(0, 30))
+        docs.append((i, " ".join(rng.choice(WORDS, k))))
+    docs.append((n, ""))            # zero-token doc
+    docs.append((n + 1, "zz 9 !"))  # tokens below the RE_WORD length floor
+    return docs
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_classifier_matches_serial(nparts):
+    docs = _mk_docs()
+    exp = _serial(docs, n_classes=3, vocab_size=8)
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs], pa.string())})
+    ds = ray.data.from_arrow(t).repartition(nparts)
+    got = (
+        linear_classifier_scores(ds, n_classes=3, vocab_size=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the empty / sub-threshold docs score 0 everywhere and predict class 0
+    tail = got[got["doc_id"] >= len(docs) - 2]
+    assert (tail[["n_hits", "s0", "s1", "s2"]].to_numpy() == 0).all()
+    assert (tail["pred"] == 0).all()
+
+
+def test_classifier_tie_breaks_to_lowest_class():
+    # single-word corpus: rank 1; weights W[1,c] differ per class, so force
+    # a tie by using 1 class only — argmax over one column is class 0
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["alpha alpha"], pa.string())})
+    out = linear_classifier_scores(
+        ray.data.from_arrow(t), n_classes=1, vocab_size=4
+    ).to_pandas()
+    assert list(out["pred"]) == [0] and out["n_hits"][0] == 2
