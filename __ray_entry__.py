@@ -2159,6 +2159,67 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (stages/similarity.kmeans_embeddings): integer-quantized assignment +
+    update keep the whole run bit-deterministic at any parallelism (pinned
+    vs a serial numpy oracle in tests/test_kmeans_semdedup.py — float
+    k-means could not be driver-checked rows-only). Per iteration: one
+    streaming pass + a k·d-row shuffle. Returns (vec_id, cluster, qsim)."""
+    from nightcrawlercmd_ray.stages.similarity import kmeans_embeddings
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    _, assigned = kmeans_embeddings(ds, k=8, iters=4)
+    return assigned.sort("vec_id")
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    clusters confine the pairwise cosine check to within-cluster pairs;
+    a row is a dup iff a smaller-id same-cluster row is ≥0.995 quantized
+    cosine. The synthetic embeddings carry no natural dups at that bar, so
+    every 25th vector gets a deterministically-perturbed copy (id+10^9,
+    perturbation a pure function of (id, dim) — partition-invariant)
+    planted BEFORE dedup; the driver's rows-only check therefore positively
+    asserts recall. Exactness pinned in tests/test_kmeans_semdedup.py."""
+    from nightcrawlercmd_ray.stages.similarity import semdedup
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _read_pq(path, columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        pick = ids % 25 == 0
+        base = t.select(["vec_id", "embedding"])
+        if not pick.any():
+            return base
+        sel = np.nonzero(pick)[0]
+        vecs = np.array(
+            t.column("embedding").take(pa.array(sel)).to_pylist(),
+            dtype=np.float64,
+        )
+        d = vecs.shape[1]
+        # perturbation = pure function of (id, dim): reproducible at any
+        # batch boundary, ~1e-3 relative → cosine ≥ ~0.9999
+        pid = ids[sel].astype(np.uint64)[:, None]
+        dim = np.arange(d, dtype=np.uint64)[None, :]
+        u = ((pid * np.uint64(d) + dim) * np.uint64(2654435761)
+             & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+        vecs = vecs + (u - 0.5) * 2e-3
+        dup = pa.table({
+            "vec_id": pa.array((ids[sel] + 1_000_000_000).astype(np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        })
+        return pa.concat_tables([base.cast(dup.schema), dup])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    n = _parquet_rows(path)
+    return semdedup(
+        planted, threshold=0.995, k=8, iters=3, n_rows=n + n // 25 + 1
+    ).sort("vec_id")
+
+
 def q_cleanroom_documents(sf_dir: str):
     """Composed training-data prep: exact dedup → MinHash near-dedup →
     annotate → quality filter → resumable partitioned parquet
@@ -2671,6 +2732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": q_crawl_anchor_texts,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "cleanroom_documents": q_cleanroom_documents,
         "cleanroom_exact_documents": q_cleanroom_exact_documents,

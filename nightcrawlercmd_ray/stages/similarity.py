@@ -16,6 +16,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -387,3 +388,217 @@ def pca_embeddings(ds, *, n_components: int = 4, vec_col: str = "embedding",
         return pa.table(out)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# full-corpus k-means + SemDeDup
+# --------------------------------------------------------------------------- #
+
+def _quantize_unit(vecs: np.ndarray, quant: float) -> np.ndarray:
+    """Per-row L2-normalize in float64, then quantize to int64. Every op is
+    per-row (no cross-row BLAS accumulation), so the result is bit-identical
+    at any batch shape / partitioning — the foundation of the exactness
+    guarantees below. Zero vectors map to zero."""
+    norms = np.sqrt((vecs * vecs).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return np.rint(vecs / norms * quant).astype(np.int64)
+
+
+def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      quant: float = 1e6, keep_vec: bool = False):
+    """Full-corpus spherical k-means (Lloyd's), deterministic at ANY
+    parallelism — unlike ``train_centroids`` (a sampled, driver-local
+    trainer for IVF bucketing), this is the distributed clustering operator
+    itself (the SemDeDup / semantic-curation building block).
+
+    Exactness design (why it is parallelism-invariant, which float k-means
+    is not):
+    - assignment scores are INTEGER dot products ``q(x) · q(c)`` of
+      per-row-normalized quantized vectors (``_quantize_unit``) — int64
+      matmul is exact and associative, so no BLAS batch-shape ULP drift
+      (the pca_embeddings lesson); argmax ties break to the lowest
+      cluster index;
+    - centroid updates sum the SAME quantized vectors (integer, exactly
+      associative) via a (cluster, dim)-keyed shuffle of per-batch
+      combiner partials — ≤ k·d rows cross the network per iteration;
+    - the driver renormalizes (float64 on identical inputs) and broadcasts
+      re-quantized centroids for the next round. Empty clusters keep their
+      previous centroid.
+    - init: the k vectors with the smallest ``(knuth_hash(id), id)`` — a
+      deterministic spread sample, no RNG stream.
+
+    int64 headroom: |q| ≤ quant=1e6 ⇒ per-dim product ≤ 1e12, a d=1024 dot
+    ≤ 1e15; centroid qsums stay exact past 9×10^12 rows/cluster.
+
+    Each iteration is one streaming pass + one k·d-row shuffle; the corpus
+    is never materialized. → (centroids float64 (k,d) ndarray,
+    Dataset(id_col, cluster, qsim) final assignments).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sampling import hash_u32
+
+    kk = int(k)
+
+    def local_init(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        h = hash_u32(ids).astype(np.int64)
+        order = np.lexsort((ids, h))[:kk]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "_h": pa.array(h[order]),
+            vec_col: t.column(vec_col).take(pa.array(order)),
+        })
+
+    seeds = (
+        ds.map_batches(local_init, batch_format="pyarrow")
+        .sort(["_h", id_col]).limit(kk).take_all()
+    )
+    x0 = np.asarray([r[vec_col] for r in seeds], dtype=np.float64)
+    cents = x0 / np.maximum(np.sqrt((x0 * x0).sum(axis=1, keepdims=True)), 1e-300)
+    k_eff, d = cents.shape
+
+    for _ in range(int(iters)):
+        qc = np.rint(cents * quant).astype(np.int64)
+        qc_ref = ray.put(qc)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            qcm = ray.get(qc_ref)
+            vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                z = pa.array([], pa.int64())
+                return pa.table({"_c": z, "_dim": z, "_qsum": z, "_n": z})
+            qx = _quantize_unit(vecs, quant)
+            a = np.argmax(qx @ qcm.T, axis=1)
+            sums = np.zeros((len(qcm), qx.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, qx)
+            counts = np.bincount(a, minlength=len(qcm)).astype(np.int64)
+            c_out = np.repeat(np.arange(len(qcm), dtype=np.int64), qx.shape[1])
+            return pa.table({
+                "_c": pa.array(c_out),
+                "_dim": pa.array(np.tile(np.arange(qx.shape[1], dtype=np.int64),
+                                         len(qcm))),
+                "_qsum": pa.array(sums.reshape(-1)),
+                "_n": pa.array(np.repeat(counts, qx.shape[1])),
+            })
+
+        rows = (
+            ds.map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(["_c", "_dim"])
+            .aggregate(Sum("_qsum", alias_name="_qsum"),
+                       Sum("_n", alias_name="_n"))
+            .take_all()
+        )  # ≤ k·d rows by construction
+        sums = np.zeros((k_eff, d), dtype=np.float64)
+        counts = np.zeros(k_eff, dtype=np.int64)
+        for r in rows:
+            sums[r["_c"], r["_dim"]] = r["_qsum"]
+            counts[r["_c"]] = r["_n"]
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / (counts[nz, None] * quant)
+        norms = np.sqrt((new * new).sum(axis=1, keepdims=True))
+        norms[norms == 0] = 1.0
+        cents = new / norms
+
+    qc = np.rint(cents * quant).astype(np.int64)
+    qc_ref = ray.put(qc)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        qcm = ray.get(qc_ref)
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = pc.cast(t.column(id_col), pa.int64())
+        if vecs.size == 0:
+            a = np.zeros(0, dtype=np.int64)
+            scores = np.zeros((0, len(qcm)), dtype=np.int64)
+        else:
+            qx = _quantize_unit(vecs, quant)
+            scores = qx @ qcm.T
+            a = np.argmax(scores, axis=1).astype(np.int64)
+        cols = {id_col: ids,
+                "cluster": pa.array(a),
+                "qsim": pa.array(
+                    scores[np.arange(len(a)), a].astype(np.int64)
+                    if len(a) else np.zeros(0, np.int64))}
+        if keep_vec:
+            cols[vec_col] = t.column(vec_col)
+        return pa.table(cols)
+
+    return cents, ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def semdedup(ds, *, threshold: float = 0.97, k: int | None = None,
+             iters: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", quant: float = 1e6,
+             group_cap: int = 8192, n_rows: int | None = None):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings, then comparing pairs ONLY within a cluster —
+    the k-means partition turns the O(n²) all-pairs problem into
+    Σ O(|cluster|²) with |cluster| ≈ n/k.
+
+    A row is a duplicate iff some SAME-CLUSTER row with a smaller id has
+    quantized cosine ≥ threshold (``dup_of`` = the smallest such id) — the
+    keep-lowest-id greedy, deterministic at any parallelism because both
+    the clustering (``kmeans_embeddings``) and the integer similarity are.
+
+    Scale shape: k defaults to ~sqrt(n) so expected cluster size is
+    ~sqrt(n); the per-cluster work is one int64 matmul. Clusters larger
+    than ``group_cap`` (degenerate corpora) fall back to an O(|cluster|)
+    rep-only verify against the min-id member — recall loss is confined to
+    that cluster and the cap event is the signal to raise k. Candidates
+    within a cluster never leave it: ONE cluster-keyed shuffle total.
+    → Dataset(id_col, dup_of, cluster), the duplicate rows only.
+    """
+    if n_rows is None:
+        n_rows = ds.count()
+    if k is None:
+        k = int(min(1 << 16, max(4, round(np.sqrt(max(1, n_rows))))))
+    thr_q = int(round(threshold * quant * quant))
+
+    _, with_vec = kmeans_embeddings(
+        ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant,
+        keep_vec=True,
+    )
+
+    def find_dups(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.asarray(g.column(vec_col).take(pa.array(order)).to_pylist(),
+                          dtype=np.float64)
+        qx = _quantize_unit(vecs, quant)
+        cluster = int(g.column("cluster")[0].as_py())
+        n = len(ids)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        if n > group_cap:
+            # degenerate hot cluster: rep-only verify, O(n) not O(n²)
+            sims = qx @ qx[0]
+            dup = (sims >= thr_q) & (ids != ids[0])
+            src = ids[dup]
+            return pa.table({
+                id_col: pa.array(src),
+                "dup_of": pa.array(np.full(len(src), ids[0], dtype=np.int64)),
+                "cluster": pa.array(np.full(len(src), cluster, np.int64)),
+            })
+        sims = qx @ qx.T
+        hit = sims >= thr_q
+        hit[np.tril_indices(n)] = False  # j>i only: ids sorted → j has bigger id
+        j_idx, found = hit.T.argmax(axis=1), hit.T.any(axis=1)
+        # for each column j (the later id), the FIRST i with a hit is the
+        # smallest similar id (rows sorted ascending)
+        src = ids[found]
+        dup_of = ids[j_idx[found]]
+        return pa.table({
+            id_col: pa.array(src),
+            "dup_of": pa.array(dup_of),
+            "cluster": pa.array(np.full(len(src), cluster, np.int64)),
+        })
+
+    return with_vec.groupby("cluster").map_groups(
+        find_dups, batch_format="pyarrow"
+    )

@@ -1,0 +1,115 @@
+"""Distributed spherical k-means (stages/similarity.kmeans_embeddings) and
+SemDeDup (semdedup): bit-exact vs a serial oracle running the identical
+integer-quantized algorithm, partition invariance, planted-dup recall, and
+the hot-cluster rep-only fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.sampling import hash_u32
+from nightcrawlercmd_ray.stages.similarity import (
+    _quantize_unit,
+    kmeans_embeddings,
+    semdedup,
+)
+
+
+def _serial_kmeans(ids, X, k, iters, quant=1e6):
+    """The exact same algorithm, single-process numpy."""
+    h = hash_u32(ids.astype(np.int64)).astype(np.int64)
+    order = np.lexsort((ids, h))[:k]
+    x0 = X[order].astype(np.float64)
+    cents = x0 / np.maximum(np.sqrt((x0 * x0).sum(1, keepdims=True)), 1e-300)
+    for _ in range(iters):
+        qc = np.rint(cents * quant).astype(np.int64)
+        qx = _quantize_unit(X.astype(np.float64), quant)
+        a = np.argmax(qx @ qc.T, axis=1)
+        sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, qx)
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / (counts[nz, None] * quant)
+        norms = np.sqrt((new * new).sum(1, keepdims=True))
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    qc = np.rint(cents * quant).astype(np.int64)
+    qx = _quantize_unit(X.astype(np.float64), quant)
+    scores = qx @ qc.T
+    a = np.argmax(scores, axis=1)
+    return cents, a, scores[np.arange(len(a)), a]
+
+
+def _blobs(n=900, d=12, k=3, seed=2):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 6
+    X = np.stack([centers[i % k] + rng.normal(size=d) * 0.4 for i in range(n)])
+    ids = rng.permutation(n).astype(np.int64)
+    return ids, X
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_kmeans_bit_exact_vs_serial(nparts):
+    ids, X = _blobs()
+    exp_c, exp_a, exp_q = _serial_kmeans(ids, X, k=3, iters=5)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(X.tolist(), pa.list_(pa.float64()))})
+    cents, assigned = kmeans_embeddings(
+        ray.data.from_arrow(t).repartition(nparts), k=3, iters=5
+    )
+    assert np.array_equal(cents.view(np.int64), exp_c.view(np.int64))
+    got = assigned.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(got["cluster"].to_numpy(), exp_a[order])
+    assert np.array_equal(got["qsim"].to_numpy(), exp_q[order])
+    # blob recovery: each true blob lands in a single cluster
+    true = np.arange(len(ids)) % 3
+    for b in range(3):
+        assert len(set(exp_a[true == b])) == 1
+
+
+def test_semdedup_planted_recall_and_invariance():
+    ids, X = _blobs(n=600)
+    dup_src = ids[:40]
+    pert = X[:40] + 1e-4  # ≥0.9999 cosine
+    t = pa.table({
+        "vec_id": pa.array(np.concatenate([ids, dup_src + 1_000_000])),
+        "embedding": pa.array(np.concatenate([X, pert]).tolist(),
+                              pa.list_(pa.float64())),
+    })
+    outs = []
+    for nparts in (1, 5):
+        dups = semdedup(
+            ray.data.from_arrow(t).repartition(nparts),
+            threshold=0.9995, k=3, iters=3,
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        outs.append(dups)
+        flagged = set(dups["vec_id"])
+        # every planted pair has one member flagged, with the OTHER member
+        # (or an even closer original) as its dup_of
+        for s in dup_src:
+            assert (int(s) in flagged) or (int(s) + 1_000_000 in flagged)
+        # dup_of is always a smaller id in the same cluster
+        assert (dups["dup_of"] < dups["vec_id"]).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_semdedup_hot_cluster_rep_only_fallback():
+    # one tight cluster larger than group_cap → rep-only path: everything
+    # similar to the min-id member is flagged against it, O(n) not O(n²)
+    n = 64
+    ids = np.arange(n, dtype=np.int64)
+    X = np.tile(np.array([1.0, 2.0, 3.0, 4.0]), (n, 1)) + \
+        np.linspace(0, 1e-5, n)[:, None]
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(X.tolist(), pa.list_(pa.float64()))})
+    dups = semdedup(
+        ray.data.from_arrow(t), threshold=0.999, k=2, iters=2, group_cap=16
+    ).to_pandas()
+    assert set(dups["dup_of"]) <= {0}  # rep is the min id
+    assert len(dups) >= n - 2  # all near-identical rows flagged against it
