@@ -2159,6 +2159,20 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_jl_project_embeddings(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 random projection to 8 dims
+    (stages/similarity.jl_project): the sign matrix is a pure hash of
+    (input dim, output dim) — regenerated identically on every worker, no
+    broadcast, no shuffle — and components are quantized to int64 before
+    the matmul so the projection hash-matches the SQL oracle
+    (generate_subscripts + conditional sign sum) bit for bit."""
+    from nightcrawlercmd_ray.stages.similarity import jl_project
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return jl_project(ds, out_dim=8).sort(["vec_id", "j"])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (stages/similarity.kmeans_embeddings): integer-quantized assignment +
@@ -2732,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": q_crawl_anchor_texts,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "jl_project_embeddings": q_jl_project_embeddings,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -2977,6 +2992,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    percent_rank() OVER (ORDER BY length(text)) AS pct_rank
             FROM documents
+        """,
+        "jl_project_embeddings": """
+            WITH comp AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT vec_id, j,
+                   CAST(SUM(q * (CASE WHEN ((i*8 + j) * 2654435761)
+                                      % 4294967296 < 2147483648
+                                 THEN 1 ELSE -1 END)) AS BIGINT) AS y
+            FROM comp, (SELECT unnest(range(8)) AS j)
+            GROUP BY vec_id, j
+            ORDER BY vec_id, j
         """,
         "embedding_moments": """
             WITH comp AS (

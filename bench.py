@@ -212,6 +212,8 @@ def run_bench() -> dict:
         "similarity_join_documents", "orders_cube", "host_authority",
         "crawl_ppr", "crawl_depths",
         "crawl_kcore", "bm25_search_documents",
+        "weighted_sample_documents", "classifier_scores_documents",
+        "kmeans_embeddings", "semdedup_embeddings", "jl_project_embeddings",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -602,3 +602,50 @@ def semdedup(ds, *, threshold: float = 0.97, k: int | None = None,
     return with_vec.groupby("cluster").map_groups(
         find_dups, batch_format="pyarrow"
     )
+
+
+def jl_project(ds, *, out_dim: int = 8, vec_col: str = "embedding",
+               id_col: str = "vec_id", quant: float = 1e4):
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1 variant)
+    — the dimensionality-reduction step in front of ANN / clustering at
+    scale. The sign matrix is NOT stored or broadcast: entry (i, j) is a
+    pure hash ``+1 if ((i·K + j)·2654435761) mod 2^32 < 2^31 else −1``
+    (i = 1-based input dim, j = 0-based output dim) — the HIGH bit of the
+    Knuth hash: the low bit would be parity of (i·K + j) because the
+    multiplier is odd, collapsing the matrix to per-column constants. Every
+    worker regenerates the matrix identically, so the operator is a
+    stateless per-batch map with zero shuffle.
+
+    Components are quantized to int64 (``round(x·quant)``) BEFORE the
+    matmul, so projections are integer-exact — identical at any
+    parallelism and SQL-replicable (``generate_subscripts`` + ``unnest`` +
+    conditional sign sum). int64 headroom: |q| ≤ quant and d dims give
+    |y| ≤ d·quant — exact far past d = 10^6.
+
+    → Dataset(id_col, j, y) long form: output component j ∈ [0, out_dim).
+    """
+    K = int(out_dim)
+
+    def project(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if vecs.size == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "j": z, "y": z})
+        q = np.rint(vecs * quant).astype(np.int64)
+        d = q.shape[1]
+        i_idx = np.arange(1, d + 1, dtype=np.uint64)[:, None]
+        j_idx = np.arange(K, dtype=np.uint64)[None, :]
+        h = ((i_idx * np.uint64(K) + j_idx) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        S = np.where(h < np.uint64(1 << 31), 1, -1).astype(np.int64)  # (d, K)
+        y = q @ S  # exact int64
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, K)),
+            "j": pa.array(np.tile(np.arange(K, dtype=np.int64), len(ids))),
+            "y": pa.array(y.reshape(-1)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -113,3 +113,46 @@ def test_semdedup_hot_cluster_rep_only_fallback():
     ).to_pandas()
     assert set(dups["dup_of"]) <= {0}  # rep is the min id
     assert len(dups) >= n - 2  # all near-identical rows flagged against it
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_jl_project_serial_and_separation(nparts):
+    """JL ±1 projection: bit-equal to a serial rebuild of the hashed sign
+    matrix at any partitioning; preserves blob separation (within-blob
+    projected distances stay below cross-blob ones)."""
+    from nightcrawlercmd_ray.stages.similarity import jl_project
+
+    rng = np.random.default_rng(9)
+    d, K = 24, 8
+    a = rng.normal(size=d)
+    b = a + 10.0
+    X = np.concatenate([
+        a + rng.normal(size=(50, d)) * 0.1,
+        b + rng.normal(size=(50, d)) * 0.1,
+    ])
+    ids = np.arange(100, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(X.tolist(), pa.list_(pa.float64()))})
+    out = (
+        jl_project(ray.data.from_arrow(t).repartition(nparts), out_dim=K)
+        .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    )
+    # serial rebuild
+    q = np.rint(X * 1e4).astype(np.int64)
+    i_idx = np.arange(1, d + 1, dtype=np.uint64)[:, None]
+    j_idx = np.arange(K, dtype=np.uint64)[None, :]
+    h = ((i_idx * np.uint64(K) + j_idx) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    S = np.where(h < np.uint64(1 << 31), 1, -1).astype(np.int64)
+    exp = (q @ S).reshape(-1)
+    assert np.array_equal(out["y"].to_numpy(), exp)
+    # sign matrix must not be column-degenerate (the odd-multiplier parity
+    # trap: low bit of knuth_hash(i*K+j) is parity(i*K+j))
+    assert (np.abs(S.sum(axis=0)) < d).all()
+    wide = out.pivot(index="vec_id", columns="j", values="y").to_numpy(float)
+    blob = ids < 50
+    within = np.linalg.norm(wide[blob][:10, None] - wide[blob][None, 10:20],
+                            axis=2).max()
+    across = np.linalg.norm(wide[blob][:10, None] - wide[~blob][None, :10],
+                            axis=2).min()
+    assert across > 2 * within
