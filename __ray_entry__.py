@@ -2159,6 +2159,34 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_sorted_docs_by_len(sf_dir: str):
+    """Range-partitioned globally-sorted resumable sink
+    (stages/sortedsink.write_sorted_partitioned): documents sorted by
+    (n_chars, doc_id) across 8 range parts — boundaries from a bounded
+    deterministic key sample, ONE range-keyed exchange, per-part local
+    sort, atomic done-markers. The emitted ``pos`` column is the exact
+    global rank, so the SQL oracle (row_number window) value-checks the
+    sortedness end-to-end through the write+read-back."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_sorted/{tag}"
+    shutil.rmtree(out, ignore_errors=True)  # fresh run; resume covered in tests
+    ds = _read_pq(path, columns=["doc_id", "n_chars"])
+    write_sorted_partitioned(
+        ds, out, key_col="n_chars", tie_col="doc_id", num_partitions=8,
+        n_rows=_parquet_rows(path),
+    )
+    return read_sorted(out).sort("pos")
+
+
 def q_jl_project_embeddings(sf_dir: str):
     """Johnson–Lindenstrauss ±1 random projection to 8 dims
     (stages/similarity.jl_project): the sign matrix is a pure hash of
@@ -2747,6 +2775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "jl_project_embeddings": q_jl_project_embeddings,
+        "sorted_docs_by_len": q_sorted_docs_by_len,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -2992,6 +3021,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    percent_rank() OVER (ORDER BY length(text)) AS pct_rank
             FROM documents
+        """,
+        "sorted_docs_by_len": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM documents
+            ORDER BY pos
         """,
         "jl_project_embeddings": """
             WITH comp AS (

@@ -1,0 +1,174 @@
+"""Range-partitioned, globally-sorted, resumable Parquet sink.
+
+Engine addition beyond the reference (whose sinks are single files —
+SURVEY §2.1): the output-layout operator a 100-TB corpus needs for
+sorted exports (id-ordered shards, score-ordered curricula). Global sort
+WITHOUT ``ds.sort``'s all-to-all of full rows happening twice: boundaries
+come from a bounded deterministic key sample, rows shuffle ONCE into key
+ranges, each range sorts locally and writes one file with an atomic
+``_DONE`` marker — reading the parts in range order is the globally
+sorted dataset. Every row also gets its exact global rank (``pos``)
+computed from the per-partition counts, so sortedness is value-checkable
+(and SQL-oracle-able via ``row_number() OVER (ORDER BY ...)``).
+
+Determinism: the boundary sample keeps keys with
+``hash_u32(key) < rate·2^32`` — a pure function of the key, identical at
+any parallelism — and the composite sort key packs (key, tie) into one
+int64, so ranks are total and reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .sampling import hash_u32
+
+_PACK = np.int64(1) << np.int64(32)
+
+
+def _packed(t: pa.Table, key_col: str, tie_col: str) -> np.ndarray:
+    """Total-order composite key ``key·2^32 + tie`` (documented domain:
+    0 ≤ key < 2^31, 0 ≤ tie < 2^32 — doc lengths / ids)."""
+    k = pc.cast(t.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
+    tie = pc.cast(t.column(tie_col), pa.int64()).to_numpy(zero_copy_only=False)
+    return k * _PACK + tie
+
+
+def write_sorted_partitioned(
+    ds, out_dir: str, *, key_col: str, tie_col: str,
+    num_partitions: int, n_rows: int | None = None,
+    max_sample: int = 65536, skip_done: bool = True,
+) -> dict:
+    """Write ``ds`` sorted by (key_col, tie_col) as ``num_partitions`` range
+    parts, each ``part-K/data.parquet`` + ``_DONE``, plus a ``_MANIFEST``
+    with boundaries and per-part counts. Adds a ``pos`` int64 column: the
+    row's exact 0-based global rank.
+
+    Scale shape: boundary sampling is a bounded pure map (≤ max_sample keys
+    reach the driver regardless of corpus size); partition counts are a
+    per-batch bincount + one P-row shuffle; data moves in exactly ONE
+    range-keyed exchange; each part sorts ~n/P rows locally. A resumed run
+    reloads boundaries/offsets from the manifest and rewrites only parts
+    missing their marker (rows of done parts are filtered before the
+    exchange). Returns the manifest dict.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = f"{out_dir}/_MANIFEST"
+    if skip_done and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        bounds = np.array(man["boundaries"], dtype=np.int64)
+        offsets = np.array(man["offsets"], dtype=np.int64)
+        counts = np.array(man["counts"], dtype=np.int64)
+    else:
+        if n_rows is None:
+            n_rows = ds.count()
+        rate = min(1.0, max_sample / max(1, n_rows))
+        thr = np.uint64(min(1 << 32, max(1, round(rate * (1 << 32)))))
+
+        def sample_keys(t: pa.Table) -> pa.Table:
+            k = _packed(t, key_col, tie_col)
+            keep = hash_u32(k) < thr
+            return pa.table({"_k": pa.array(k[keep], pa.int64())})
+
+        sample = np.sort(np.array(
+            [r["_k"] for r in
+             ds.map_batches(sample_keys, batch_format="pyarrow").take_all()],
+            dtype=np.int64,
+        ))
+        cuts = [sample[(len(sample) * j) // num_partitions]
+                for j in range(1, num_partitions)] if len(sample) else []
+        bounds = np.unique(np.array(cuts, dtype=np.int64))
+
+        def part_counts(t: pa.Table) -> pa.Table:
+            p = np.searchsorted(bounds, _packed(t, key_col, tie_col),
+                                side="right")
+            c = np.bincount(p, minlength=len(bounds) + 1).astype(np.int64)
+            return pa.table({
+                "_part": pa.array(np.arange(len(c), dtype=np.int64)),
+                "_n": pa.array(c),
+            })
+
+        rows = (
+            ds.map_batches(part_counts, batch_format="pyarrow")
+            .groupby("_part").sum("_n").take_all()
+        )
+        counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+        for r in rows:
+            counts[r["_part"]] = r["sum(_n)"]
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        man = {
+            "key_col": key_col, "tie_col": tie_col,
+            "boundaries": bounds.tolist(),
+            "counts": counts.tolist(), "offsets": offsets.tolist(),
+            "rows": int(counts.sum()),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, manifest_path)
+
+    done = {
+        int(d.split("-", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/_DONE")
+    } if skip_done else set()
+    offsets_arr = offsets
+
+    def add_part(t: pa.Table) -> pa.Table:
+        p = np.searchsorted(bounds, _packed(t, key_col, tie_col),
+                            side="right").astype(np.int64)
+        t = t.append_column("_part", pa.array(p))
+        if done:
+            mask = ~np.isin(p, np.fromiter(done, np.int64, count=len(done)))
+            t = t.filter(pa.array(mask))
+        return t
+
+    def write_part(g: pa.Table) -> pa.Table:
+        part = int(g.column("_part")[0].as_py())
+        k = _packed(g, key_col, tie_col)
+        order = np.argsort(k, kind="stable")
+        body = g.drop_columns(["_part"]).take(pa.array(order))
+        pos = offsets_arr[part] + np.arange(len(order), dtype=np.int64)
+        body = body.append_column("pos", pa.array(pos))
+        d = f"{out_dir}/part-{part:05d}"
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{d}/data.parquet.tmp-{os.getpid()}"
+        pq.write_table(body, tmp)
+        os.replace(tmp, f"{d}/data.parquet")
+        with open(f"{d}/_DONE.tmp", "w") as f:
+            json.dump({"rows": body.num_rows}, f)
+        os.replace(f"{d}/_DONE.tmp", f"{d}/_DONE")
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([body.num_rows], pa.int64())})
+
+    written = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .take_all()
+    )
+    man["written"] = sorted(int(r["part"]) for r in written)
+    man["skipped"] = sorted(done)
+    return man
+
+
+def read_sorted(out_dir: str):
+    """Read a ``write_sorted_partitioned`` directory back as a Dataset.
+    Parts are listed in range order, so consuming files in path order IS
+    the global sort; the ``pos`` column carries the exact global rank for
+    order-insensitive consumers."""
+    from ..util import read_parquet_clean
+
+    paths = sorted(
+        f"{out_dir}/{d}/data.parquet"
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/_DONE")
+    )
+    return read_parquet_clean(paths)

@@ -1,0 +1,109 @@
+"""Range-partitioned globally-sorted resumable sink
+(stages/sortedsink.write_sorted_partitioned): exact global ranks at any
+partitioning, range-ordered read-back, and resume that rewrites only the
+missing parts bit-identically."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.sortedsink import (
+    read_sorted,
+    write_sorted_partitioned,
+)
+
+OUT = "/tmp/ncrawler_test_sorted"
+
+
+def _data(n=2500, seed=4):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "n_chars": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+        "lang": pa.array(rng.choice(["en", "de"], n)),
+    })
+
+
+def _expected(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas().sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    df["pos"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_sorted_sink_global_ranks(nparts):
+    t = _data()
+    shutil.rmtree(OUT, ignore_errors=True)
+    ds = ray.data.from_arrow(t).repartition(nparts)
+    man = write_sorted_partitioned(
+        ds, OUT, key_col="n_chars", tie_col="doc_id", num_partitions=6,
+        n_rows=t.num_rows,
+    )
+    assert man["rows"] == t.num_rows and len(man["written"]) >= 1
+    got = read_sorted(OUT).to_pandas().sort_values("pos").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars", "lang", "pos"]],
+        _expected(t)[["doc_id", "n_chars", "lang", "pos"]],
+    )
+    # file order IS the sort order: per-part key ranges are disjoint+ordered
+    parts = sorted(d for d in os.listdir(OUT) if d.startswith("part-"))
+    last_hi = -1
+    for d in parts:
+        df = pd.read_parquet(f"{OUT}/{d}/data.parquet")
+        if df.empty:
+            continue
+        k = df["n_chars"] * (1 << 32) + df["doc_id"]
+        assert k.is_monotonic_increasing
+        assert k.iloc[0] > last_hi
+        last_hi = int(k.iloc[-1])
+
+
+def test_sorted_sink_resume_rewrites_only_missing():
+    t = _data(1400, seed=9)
+    shutil.rmtree(OUT, ignore_errors=True)
+    ds = ray.data.from_arrow(t).repartition(3)
+    write_sorted_partitioned(ds, OUT, key_col="n_chars", tie_col="doc_id",
+                             num_partitions=5, n_rows=t.num_rows)
+    before = {
+        d: open(f"{OUT}/{d}/data.parquet", "rb").read()
+        for d in os.listdir(OUT) if d.startswith("part-")
+    }
+    victim = sorted(before)[2]
+    os.remove(f"{OUT}/{victim}/_DONE")
+    os.remove(f"{OUT}/{victim}/data.parquet")
+    man2 = write_sorted_partitioned(ds, OUT, key_col="n_chars",
+                                    tie_col="doc_id", num_partitions=5,
+                                    n_rows=t.num_rows)
+    assert man2["written"] == [int(victim.split("-")[1])]
+    assert len(man2["skipped"]) == len(before) - 1
+    after = {
+        d: open(f"{OUT}/{d}/data.parquet", "rb").read()
+        for d in os.listdir(OUT) if d.startswith("part-")
+    }
+    assert after == before  # bit-identical, including the rewritten part
+    got = read_sorted(OUT).to_pandas().sort_values("pos").reset_index(drop=True)
+    assert np.array_equal(got["pos"].to_numpy(), np.arange(t.num_rows))
+
+
+def test_sorted_sink_duplicate_keys_and_tiny_sample():
+    # heavy key ties + sample smaller than partitions: boundaries dedup,
+    # empty parts allowed, ranks still exact
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_chars": pa.array(np.zeros(n, dtype=np.int64)),  # all-equal keys
+    })
+    shutil.rmtree(OUT, ignore_errors=True)
+    write_sorted_partitioned(ray.data.from_arrow(t), OUT, key_col="n_chars",
+                             tie_col="doc_id", num_partitions=8,
+                             n_rows=n, max_sample=16)
+    got = read_sorted(OUT).to_pandas().sort_values("pos")
+    assert np.array_equal(got["doc_id"].to_numpy(), np.arange(n))
