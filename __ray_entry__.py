@@ -360,6 +360,37 @@ def q_user_event_deltas(sf_dir: str):
     return lag_deltas(ev, n_rows=_parquet_rows(path))
 
 
+def q_late_events(sf_dir: str):
+    """Streaming watermark / late-data detection over the events table
+    (stages/windows.late_events, Beam/Flink semantics): watermark = max
+    event-time over earlier ARRIVALS (event_id order), late iff
+    ts + 60 s < watermark. The synthetic events arrive perfectly in-order
+    (zero natural lateness), so every 50th event's ts is shifted back 2 h
+    by a pure function of its id — replicated verbatim in the SQL oracle —
+    making the late flag fire positively (the round-1 "0 rows also passes"
+    trap). Distributed prefix-scan shape (bounded partials → driver
+    prefix-max → one bounded keyed shuffle); integer microseconds
+    end-to-end so it hash-matches the SQL window oracle."""
+    from nightcrawlercmd_ray.stages.windows import late_events
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def disorder(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        shifted = ts - (ids % 50 == 0) * 7_200_000_000
+        return pa.table({
+            "event_id": pa.array(ids),
+            "ts": pa.array(shifted).cast(pa.timestamp("us")),
+        })
+
+    return late_events(
+        ds.map_batches(disorder, batch_format="pyarrow"),
+        allowed_lateness_us=60_000_000,
+    ).sort("event_id")
+
+
 def q_events_rolling_sum(sf_dir: str):
     """Per-key moving-window sum (stages/windows.rolling_sum): 3-row rolling
     value total per user in (ts, event_id) order — one keyed shuffle,
@@ -2776,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "jl_project_embeddings": q_jl_project_embeddings,
         "sorted_docs_by_len": q_sorted_docs_by_len,
+        "late_events": q_late_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -3021,6 +3053,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    percent_rank() OVER (ORDER BY length(text)) AS pct_rank
             FROM documents
+        """,
+        "late_events": """
+            WITH shifted AS (
+                SELECT event_id,
+                       CAST(epoch_us(ts) AS BIGINT)
+                       - CASE WHEN event_id % 50 = 0
+                              THEN 7200000000 ELSE 0 END AS ts_us
+                FROM events
+            ),
+            base AS (
+                SELECT event_id, ts_us,
+                       CAST(COALESCE(max(ts_us) OVER (
+                               ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                            AS BIGINT) AS watermark_us
+                FROM shifted
+            )
+            SELECT event_id, ts_us, watermark_us,
+                   (ts_us + 60000000 < watermark_us) AS late
+            FROM base ORDER BY event_id
         """,
         "sorted_docs_by_len": """
             SELECT doc_id, n_chars,

@@ -233,3 +233,87 @@ def cumulative_distinct(ds, *, key_col: str, ts_col: str,
         "n_new": pa.array(out_new, pa.int64()),
         "n_cum": pa.array(out_cum, pa.int64()),
     }))
+
+
+def late_events(ds, *, id_col: str = "event_id", ts_col: str = "ts",
+                allowed_lateness_us: int = 60_000_000,
+                part_span: int = 4096):
+    """Streaming watermark / late-data detection: the watermark before a row
+    is the maximum event-time seen over all EARLIER-ARRIVING rows
+    (arrival order = ``id_col``), and a row is late iff
+    ``ts + allowed_lateness < watermark`` — the flag a streaming window
+    operator uses to route updates to side output (Beam/Flink semantics).
+
+    Scale shape — the distributed prefix-scan recipe (same as
+    ``sampling.token_budget_sample``): pass A reduces each batch to
+    ``(part = id // part_span, max ts)`` partials → one ≤⌈N/span⌉-row
+    shuffle → driver exclusive prefix-max (bounded, NOT corpus-sized) →
+    broadcast; pass B is ONE bounded keyed shuffle where each ≤span-row
+    group computes its local shifted cummax vectorized and merges the
+    carried prefix. Timestamps are integer microseconds end-to-end, so the
+    result hash-matches the SQL window oracle exactly (watermark floor 0 =
+    "none yet").
+    → Dataset(id_col, ts_us, watermark_us, late).
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    span = int(part_span)
+    late_us = int(allowed_lateness_us)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        part = ids // span
+        uniq, inv = np.unique(part, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"_part": pa.array(uniq), "_mx": pa.array(mx)})
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_part")
+        .aggregate(Max("_mx", alias_name="_mx"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["_part"])
+    prefix: dict[int, int] = {}
+    run = 0  # watermark floor: epoch ts are positive, 0 = "nothing yet"
+    for r in rows:
+        prefix[r["_part"]] = run
+        run = max(run, r["_mx"])
+    pre_ref = ray.put(prefix)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            id_col: ids,
+            "ts_us": ts,
+            "_part": pc.divide(ids, pa.scalar(span, pa.int64())),
+        })
+
+    def flag(g: pa.Table) -> pa.Table:
+        pre = ray.get(pre_ref)
+        part = int(g.column("_part")[0].as_py())
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ts = ids[order], ts[order]
+        local = np.maximum.accumulate(
+            np.concatenate([[0], ts[:-1]])
+        ) if len(ts) else ts
+        wm = np.maximum(local, np.int64(pre.get(part, 0)))
+        return pa.table({
+            id_col: pa.array(ids),
+            "ts_us": pa.array(ts),
+            "watermark_us": pa.array(wm.astype(np.int64)),
+            "late": pa.array(ts + late_us < wm),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(flag, batch_format="pyarrow")
+    )

@@ -622,3 +622,37 @@ def test_cumulative_distinct_semantics_and_partition_invariance(nparts):
     assert list(got["n_cum"]) == list(per_bucket.cumsum().values)
     # monotone, ends at global distinct count
     assert got["n_cum"].iloc[-1] == len(fs)
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_late_events_vs_serial_with_cross_part_carry(nparts):
+    """Watermark/late-data flag (stages/windows.late_events): equal to the
+    serial shifted-cummax at any partitioning, including watermarks carried
+    ACROSS part_span boundaries (a huge early timestamp must flag rows in
+    later parts)."""
+    from nightcrawlercmd_ray.stages.windows import late_events
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    base = 1_700_000_000_000_000
+    ts = base + ids * 1_000_000 + rng.integers(0, 500_000, n)
+    ts[7] += 3_600_000_000  # an early outlier: everything within the next
+    # hour of arrivals (across many 256-row parts) is late at 60s lateness
+    ts[2000:2010] -= 7_200_000_000  # a late burst far from the outlier
+    perm = rng.permutation(n)  # shuffled row order, (id, ts) pairing intact
+    t = pa.table({
+        "event_id": pa.array(ids[perm]),
+        "ts": pa.array(ts[perm]).cast(pa.timestamp("us")),
+    })
+    lateness = 60_000_000
+    wm = np.maximum.accumulate(np.concatenate([[0], ts[:-1]]))
+    exp_late = ts + lateness < wm
+    assert exp_late.sum() > 100  # the outlier makes a real late cohort
+
+    out = late_events(
+        ray.data.from_arrow(t).repartition(nparts),
+        allowed_lateness_us=lateness, part_span=256,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(out["watermark_us"].to_numpy(), wm)
+    assert np.array_equal(out["late"].to_numpy(), exp_late)
