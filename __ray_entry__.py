@@ -360,6 +360,32 @@ def q_user_event_deltas(sf_dir: str):
     return lag_deltas(ev, n_rows=_parquet_rows(path))
 
 
+def q_cm_user_counts(sf_dir: str):
+    """Count-min sketch frequency estimates for every distinct user over
+    the events table (stages/sketches.count_min_sketch): bounded-memory
+    mergeable counts — the exchange carries pre-aggregated sketch cells,
+    never raw keys. Deterministic; the ≥-true / ≤-true+εN guarantee is
+    pinned in tests/test_quantiles_sketches_windows.py. Returns
+    (user_id, est_n) rows-only (sketches are approximate by design, like
+    hll_distinct_users)."""
+    from nightcrawlercmd_ray.stages.sketches import (
+        cm_estimate,
+        count_min_sketch,
+    )
+    from nightcrawlercmd_ray.util import distinct
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sketch = count_min_sketch(ds, "user_id", width=1024, depth=4)
+    users = sorted(
+        r["user_id"] for r in distinct(ds, "user_id").take_all()
+    )  # bounded: distinct users
+    ests = cm_estimate(sketch, np.asarray(users, dtype=np.int64))
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "est_n": pa.array(ests.astype(np.int64)),
+    })
+
+
 def q_late_events(sf_dir: str):
     """Streaming watermark / late-data detection over the events table
     (stages/windows.late_events, Beam/Flink semantics): watermark = max
@@ -2808,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_project_embeddings": q_jl_project_embeddings,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
+        "cm_user_counts": q_cm_user_counts,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,

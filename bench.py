@@ -214,7 +214,7 @@ def run_bench() -> dict:
         "crawl_kcore", "bm25_search_documents",
         "weighted_sample_documents", "classifier_scores_documents",
         "kmeans_embeddings", "semdedup_embeddings", "jl_project_embeddings",
-        "sorted_docs_by_len", "late_events",
+        "sorted_docs_by_len", "late_events", "cm_user_counts",
     )
     for name in family:
         fn = entrymod.queries()[name]

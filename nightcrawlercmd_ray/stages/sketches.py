@@ -332,3 +332,77 @@ def hll_distinct_by(ds, key_col: str, by_col: str, *, p: int = 12):
         .groupby(by_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------- #
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------- #
+
+_CM_SEEDS = np.uint64(0xA076_1D64_78BD_642F)  # xxh64 prime as the row-seed base
+
+
+def _cm_rows(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: row d hashes key via splitmix64(key ^
+    seed_d) mod width — independent-enough rows, fully deterministic."""
+    k = keys.astype(np.uint64, copy=False)
+    out = np.empty((depth, len(k)), dtype=np.int64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            out[d] = (splitmix64(k ^ (_CM_SEEDS * np.uint64(d + 1)))
+                      % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def count_min_sketch(ds, key_col: str, *, width: int = 2048,
+                     depth: int = 4) -> np.ndarray:
+    """Build a count-min frequency sketch of an int64 key column — the
+    mergeable bounded-memory alternative to an exact groupby count when
+    only approximate per-key frequencies are needed (heavy-hitter
+    prefilters, frequency-capped sampling at 100 TB). Guarantee (pinned in
+    tests): estimate ≥ true count, and ≤ true + ε·N with ε = e/width per
+    row, amplified across ``depth`` independent rows.
+
+    Scale shape: per-batch combiner scatters into a local (depth, width)
+    int64 matrix and emits only its NONZERO cells in long form → ONE
+    groupby(cell).sum bounded by depth·width distinct keys → the final
+    ≤ depth·width rows assemble the matrix driver-side. The shuffle
+    carries pre-aggregated cells, never raw keys; sketches from disjoint
+    data merge by addition (the partials ARE merged sketches).
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(key_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = np.zeros((depth, width), dtype=np.int64)
+        if len(keys):
+            rows = _cm_rows(keys, depth, width)
+            for d in range(depth):
+                np.add.at(m[d], rows[d], 1)
+        flat = m.reshape(-1)
+        nz = np.flatnonzero(flat)
+        return pa.table({"_cell": pa.array(nz.astype(np.int64)),
+                         "_n": pa.array(flat[nz])})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_cell")
+        .aggregate(Sum("_n", alias_name="_n"))
+        .take_all()
+    )
+    m = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        m[r["_cell"]] = r["_n"]
+    return m.reshape(depth, width)
+
+
+def cm_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for ``keys``: min over rows of the hashed
+    cell — the classic CM upper-bound-minimizing read."""
+    depth, width = sketch.shape
+    rows = _cm_rows(np.asarray(keys, dtype=np.int64), depth, width)
+    ests = np.stack([sketch[d, rows[d]] for d in range(depth)])
+    return ests.min(axis=0)

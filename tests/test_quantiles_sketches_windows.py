@@ -656,3 +656,43 @@ def test_late_events_vs_serial_with_cross_part_carry(nparts):
     ).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert np.array_equal(out["watermark_us"].to_numpy(), wm)
     assert np.array_equal(out["late"].to_numpy(), exp_late)
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_count_min_guarantees_and_merge_invariance(nparts):
+    """CM sketch: estimate ≥ exact always; ≤ exact + εN for every probed
+    key (deterministic hashes, so this is checkable exactly); identical
+    sketch at any partitioning (integer cell sums are associative)."""
+    from nightcrawlercmd_ray.stages.sketches import (
+        cm_estimate,
+        count_min_sketch,
+    )
+
+    rng = np.random.default_rng(21)
+    # zipf-ish: few heavy keys, long tail
+    keys = np.concatenate([
+        np.repeat(np.arange(5, dtype=np.int64), 400),
+        rng.integers(100, 5000, 4000),
+    ])
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    width, depth = 512, 4
+    sketches = []
+    for p in (1, nparts):
+        sk = count_min_sketch(
+            ray.data.from_arrow(t).repartition(p), "k",
+            width=width, depth=depth,
+        )
+        sketches.append(sk)
+    assert np.array_equal(sketches[0], sketches[1])
+    sk = sketches[0]
+    probe = np.unique(keys)
+    est = cm_estimate(sk, probe)
+    exact = pd.Series(keys).value_counts()
+    ex = exact.reindex(probe).to_numpy()
+    n = len(keys)
+    eps = np.e / width
+    assert (est >= ex).all()
+    assert (est <= ex + eps * n * depth).all()  # loose union bound
+    # the heavy keys are near-exact (min-row read kills most collisions)
+    heavy = cm_estimate(sk, np.arange(5, dtype=np.int64))
+    assert (heavy - 400 <= 0.02 * n).all()
