@@ -1903,6 +1903,82 @@ def q_dsir_scores(sf_dir: str):
     return dsir_scores(ds, target_lang="en").sort("doc_id")
 
 
+def q_curation_verdicts(sf_dir: str):
+    """Composed multi-signal curation verdict — the keep/drop decision a
+    real pipeline makes by COMBINING independent quality signals (Gopher
+    repetition rules + CCNet LM bucket + length bounds) instead of any one
+    of them. Deterministic plants make EVERY reject rule fire on a
+    disjoint doc class (id%3==0 → duplicated lines, id%3==1 → ellipsis
+    lines, id%30==2 → 240 OOV tokens forcing the LM tail — sized so the
+    planted word never nears the top-10 rank cutoff); the first failing
+    rule (fixed order) is the recorded reason. Signals join on doc_id via the distributed hash
+    join; the verdict itself is a pure vectorized map. All comparisons are
+    int or exact-IEEE-division doubles, so the full composition
+    hash-matches the SQL oracle (both CTE chains + CASE)."""
+    import pyarrow.compute as _pc
+
+    from nightcrawlercmd_ray.stages.joins import hash_join
+    from nightcrawlercmd_ray.stages.textops import (
+        gopher_quality_signals,
+        word_rank_buckets,
+    )
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, tx in zip(ids, texts):
+            s = tx or ""
+            if i % 3 == 0:
+                s += "\nrepeat line\nrepeat line"
+            elif i % 3 == 1:
+                s += "\ntrails off ...\nalso trails ..."
+            if i % 30 == 2:
+                w = " zq" + chr(97 + int(i) % 26) \
+                    + chr(97 + (int(i) // 26) % 26) + "q"
+                s += w * 240
+            out.append(s)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(out, pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    sig = gopher_quality_signals(planted).select_columns(
+        ["doc_id", "n_words", "frac_dup_lines", "frac_ellipsis_lines"]
+    )
+    buck = word_rank_buckets(planted, top_v=10, head_max=9,
+                             middle_max=10).select_columns(
+        ["doc_id", "bucket"]
+    )
+    joined = hash_join(sig, buck, on="doc_id", how="inner")
+
+    def verdict(t: pa.Table) -> pa.Table:
+        nw = t.column("n_words").to_numpy(zero_copy_only=False)
+        dup = t.column("frac_dup_lines").to_numpy(zero_copy_only=False)
+        ell = t.column("frac_ellipsis_lines").to_numpy(zero_copy_only=False)
+        bucket = np.asarray(t.column("bucket").to_pylist(), dtype=object)
+        reason = np.full(len(nw), "", dtype=object)
+        # fixed rule order — later rules never overwrite an earlier reason
+        for cond, name in [
+            (nw < 20, "too_short"),
+            (nw > 100_000, "too_long"),
+            (dup > 0.2, "dup_lines"),
+            (ell > 0.2, "ellipsis"),
+            (bucket == "tail", "tail_lm"),
+        ]:
+            reason = np.where((reason == "") & cond, name, reason)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+            "reason": pa.array(reason.tolist(), pa.string()),
+            "keep": pa.array((reason == "").tolist(), pa.bool_()),
+        })
+
+    return joined.map_batches(verdict, batch_format="pyarrow").sort("doc_id")
+
+
 def q_lm_quality_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus bucketing (stages/textops.
     word_rank_buckets): integer-only word-rank LM proxy — top-10 corpus
@@ -2807,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines_documents": q_boilerplate_lines_documents,
         "substring_dedup_documents": q_substring_dedup_documents,
         "lm_quality_buckets": q_lm_quality_buckets,
+        "curation_verdicts": q_curation_verdicts,
         "source_quality_filter": q_source_quality_filter,
         "dsir_scores": q_dsir_scores,
         "token_budget_sample": q_token_budget_sample,
@@ -3833,6 +3910,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, n_lines_dropped, n_emails, n_ipv4,
                    n_phones, n_tokens_ws
             FROM final WHERE n_tokens_ws >= 30 ORDER BY doc_id
+        """,
+        "curation_verdicts": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || 'repeat line' || chr(10) ||
+                               'repeat line'
+                          WHEN doc_id % 3 = 1
+                          THEN text || chr(10) || 'trails off ...' ||
+                               chr(10) || 'also trails ...'
+                          ELSE text END
+                     || CASE WHEN doc_id % 30 = 2
+                             THEN repeat(' zq' ||
+                                  chr(97 + CAST(doc_id % 26 AS INTEGER)) ||
+                                  chr(97 + CAST((doc_id // 26) % 26
+                                                AS INTEGER)) || 'q', 240)
+                             ELSE '' END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM corpus
+            ), wstat AS (
+              SELECT doc_id, count(*) AS n_words
+              FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id
+            ), lstat AS (
+              SELECT doc_id,
+                     (count(*) - count(DISTINCT l))::DOUBLE / count(*)
+                         AS frac_dup_lines,
+                     sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) AS frac_ellipsis_lines
+              FROM (SELECT doc_id, unnest(ls) AS l FROM base) GROUP BY doc_id
+            ), w AS (
+              SELECT doc_id, unnest(list_transform(
+                         regexp_extract_all(text, '[a-zA-Z][a-z]{3,}'),
+                         x -> lower(x))) AS w
+              FROM corpus
+            ), cnt AS (
+              SELECT w, count(*) AS n FROM w GROUP BY w
+            ), ranked AS (
+              SELECT w, r FROM (
+                SELECT w, row_number() OVER (ORDER BY n DESC, w) AS r
+                FROM cnt
+              ) t WHERE r <= 10
+            ), scored AS (
+              SELECT w.doc_id, count(*) AS n_tokens,
+                     sum(coalesce(r.r, 11)) AS sum_rank
+              FROM w LEFT JOIN ranked r USING (w) GROUP BY w.doc_id
+            ), buck AS (
+              SELECT d.doc_id,
+                     CASE WHEN coalesce(s.sum_rank, 0)
+                               <= 9 * coalesce(s.n_tokens, 0) THEN 'head'
+                          WHEN coalesce(s.sum_rank, 0)
+                               <= 10 * coalesce(s.n_tokens, 0) THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ), verdict AS (
+              SELECT w.doc_id,
+                     CAST(w.n_words AS BIGINT) AS n_words,
+                     b.bucket,
+                     CASE WHEN w.n_words < 20 THEN 'too_short'
+                          WHEN w.n_words > 100000 THEN 'too_long'
+                          WHEN l.frac_dup_lines > 0.2 THEN 'dup_lines'
+                          WHEN l.frac_ellipsis_lines > 0.2 THEN 'ellipsis'
+                          WHEN b.bucket = 'tail' THEN 'tail_lm'
+                          ELSE '' END AS reason
+              FROM wstat w JOIN lstat l USING (doc_id)
+              JOIN buck b USING (doc_id)
+            )
+            SELECT doc_id, n_words, bucket, reason, (reason = '') AS keep
+            FROM verdict ORDER BY doc_id
         """,
         "lm_quality_buckets": """
             WITH toks AS (

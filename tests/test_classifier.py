@@ -82,3 +82,30 @@ def test_classifier_tie_breaks_to_lowest_class():
         ray.data.from_arrow(t), n_classes=1, vocab_size=4
     ).to_pandas()
     assert list(out["pred"]) == [0] and out["n_hits"][0] == 2
+
+
+def test_curation_verdicts_all_rules_fire_and_partition_invariant():
+    """The composed curation verdict (queries()['curation_verdicts']):
+    every reject rule fires on its planted doc class, keeps exist, and the
+    result is identical to the DuckDB oracle composition at sf0.001 (the
+    entry-contract suite re-checks this; here we pin rule coverage so a
+    threshold drift can't silently make a rule vacuous)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    res = entry.queries()["curation_verdicts"](sf).to_pandas()
+    assert set(res["reason"]) == {"", "too_short", "dup_lines", "ellipsis",
+                                  "tail_lm"}
+    assert res["keep"].sum() > 50
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    odf = con.execute(entry.oracle_sql()["curation_verdicts"]).df()
+    pd.testing.assert_frame_equal(
+        res[sorted(res.columns)].reset_index(drop=True),
+        odf[sorted(odf.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
