@@ -360,6 +360,18 @@ def q_user_event_deltas(sf_dir: str):
     return lag_deltas(ev, n_rows=_parquet_rows(path))
 
 
+def q_token_offsets_documents(sf_dir: str):
+    """Global token-offset index over the documents table
+    (stages/windows.token_offsets): exclusive prefix sum of token counts
+    in doc_id order — the random-access map into a packed token stream.
+    Two-pass distributed prefix scan; integer-exact, hash-matches the SQL
+    SUM-window oracle."""
+    from nightcrawlercmd_ray.stages.windows import token_offsets
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_offsets(ds).sort("doc_id")
+
+
 def q_cm_user_counts(sf_dir: str):
     """Count-min sketch frequency estimates for every distinct user over
     the events table (stages/sketches.count_min_sketch): bounded-memory
@@ -2912,6 +2924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
+        "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -3157,6 +3170,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars,
                    percent_rank() OVER (ORDER BY length(text)) AS pct_rank
             FROM documents
+        """,
+        "token_offsets_documents": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(sum(len(string_split(text, ' '))) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                       AS token_start
+            FROM documents
+            ORDER BY doc_id
         """,
         "late_events": """
             WITH shifted AS (

@@ -215,7 +215,7 @@ def run_bench() -> dict:
         "weighted_sample_documents", "classifier_scores_documents",
         "kmeans_embeddings", "semdedup_embeddings", "jl_project_embeddings",
         "sorted_docs_by_len", "late_events", "cm_user_counts",
-        "curation_verdicts",
+        "curation_verdicts", "token_offsets_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

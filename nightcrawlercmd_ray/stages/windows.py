@@ -317,3 +317,79 @@ def late_events(ds, *, id_col: str = "event_id", ts_col: str = "ts",
         .groupby("_part")
         .map_groups(flag, batch_format="pyarrow")
     )
+
+
+def token_offsets(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  part_span: int = 4096):
+    """Global token-offset index: for each document, the exclusive prefix
+    sum of whitespace-token counts over all LOWER-id docs — the
+    (doc → byte/token offset) map a packed training corpus needs for
+    O(1) random access into concatenated token streams. Tokens =
+    ``len(text.split(' '))``, matching the packing family and the SQL
+    oracle's ``len(string_split(text, ' '))``.
+
+    Scale shape: the same two-pass distributed prefix scan as
+    ``late_events`` / ``token_budget_sample`` with SUM as the monoid —
+    bounded per-span partials → driver exclusive prefix → one bounded
+    keyed shuffle with a vectorized in-part cumsum.
+    → Dataset(id_col, n_tokens, token_start).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    span = int(part_span)
+
+    def _ntok(texts) -> np.ndarray:
+        return np.fromiter((len((x or "").split(" ")) for x in texts),
+                           dtype=np.int64, count=len(texts))
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ntok = _ntok(t.column(text_col).to_pylist())
+        part = ids // span
+        uniq, inv = np.unique(part, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, ntok)
+        return pa.table({"_part": pa.array(uniq), "_s": pa.array(s)})
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_part")
+        .aggregate(Sum("_s", alias_name="_s"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["_part"])
+    prefix: dict[int, int] = {}
+    run = 0
+    for r in rows:
+        prefix[r["_part"]] = run
+        run += r["_s"]
+    pre_ref = ray.put(prefix)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        return pa.table({
+            id_col: ids,
+            "_n": pa.array(_ntok(t.column(text_col).to_pylist())),
+            "_part": pc.divide(ids, pa.scalar(span, pa.int64())),
+        })
+
+    def offsets(g: pa.Table) -> pa.Table:
+        pre = ray.get(pre_ref)
+        part = int(g.column("_part")[0].as_py())
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        n = g.column("_n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        start = pre.get(part, 0) + np.concatenate([[0], np.cumsum(n[:-1])])
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n),
+            "token_start": pa.array(start.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(offsets, batch_format="pyarrow")
+    )

@@ -696,3 +696,25 @@ def test_count_min_guarantees_and_merge_invariance(nparts):
     # the heavy keys are near-exact (min-row read kills most collisions)
     heavy = cm_estimate(sk, np.arange(5, dtype=np.int64))
     assert (heavy - 400 <= 0.02 * n).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_token_offsets_vs_serial(nparts):
+    """Token-offset index: exclusive prefix sums equal the serial cumsum in
+    id order at any partitioning, including carry across part_span."""
+    from nightcrawlercmd_ray.stages.windows import token_offsets
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    ntok = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+    perm = rng.permutation(n)
+    t = pa.table({"doc_id": pa.array(ids[perm]),
+                  "text": pa.array([texts[i] for i in perm], pa.string())})
+    out = token_offsets(
+        ray.data.from_arrow(t).repartition(nparts), part_span=128
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp_start = np.concatenate([[0], np.cumsum(ntok[:-1])])
+    assert np.array_equal(out["n_tokens"].to_numpy(), ntok)
+    assert np.array_equal(out["token_start"].to_numpy(), exp_start)
