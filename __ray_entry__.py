@@ -1927,8 +1927,6 @@ def q_curation_verdicts(sf_dir: str):
     join; the verdict itself is a pure vectorized map. All comparisons are
     int or exact-IEEE-division doubles, so the full composition
     hash-matches the SQL oracle (both CTE chains + CASE)."""
-    import pyarrow.compute as _pc
-
     from nightcrawlercmd_ray.stages.joins import hash_join
     from nightcrawlercmd_ray.stages.textops import (
         gopher_quality_signals,
@@ -3192,10 +3190,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             base AS (
                 SELECT event_id, ts_us,
-                       CAST(COALESCE(max(ts_us) OVER (
+                       CAST(GREATEST(COALESCE(max(ts_us) OVER (
                                ORDER BY event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING), 0)
+                                        AND 1 PRECEDING), 0), 0)
                             AS BIGINT) AS watermark_us
                 FROM shifted
             )

@@ -214,12 +214,14 @@ def token_budget_sample(ds, *, budget: int, lang_col: str = "lang",
 
     def add_part(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64())
-        part = pc.divide(ids, pa.scalar(span, pa.int64()))
+        # numpy // (floors) to match the pass-A partials — Arrow's divide
+        # truncates toward zero and would split negative ids across passes
+        part = ids.to_numpy(zero_copy_only=False) // span
         return pa.table({
             id_col: ids,
             lang_col: pc.cast(t.column(lang_col), pa.string()),
             text_col: t.column(text_col),
-            "part": part,
+            "part": pa.array(part),
         })
 
     def pick(g: pa.Table) -> pa.Table:

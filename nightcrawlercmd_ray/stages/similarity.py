@@ -464,37 +464,44 @@ def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
         qc_ref = ray.put(qc)
 
         def partial_sums(t: pa.Table) -> pa.Table:
+            # sparse long form: only NONZERO qsum cells plus one count row
+            # per non-empty cluster (_dim = -1) cross the network — absent
+            # cells default to 0 in the driver fold, so a batch touching
+            # few clusters ships few rows instead of always k·d
             qcm = ray.get(qc_ref)
             vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
             if vecs.size == 0:
                 z = pa.array([], pa.int64())
-                return pa.table({"_c": z, "_dim": z, "_qsum": z, "_n": z})
+                return pa.table({"_c": z, "_dim": z, "_v": z})
             qx = _quantize_unit(vecs, quant)
             a = np.argmax(qx @ qcm.T, axis=1)
             sums = np.zeros((len(qcm), qx.shape[1]), dtype=np.int64)
             np.add.at(sums, a, qx)
             counts = np.bincount(a, minlength=len(qcm)).astype(np.int64)
-            c_out = np.repeat(np.arange(len(qcm), dtype=np.int64), qx.shape[1])
+            flat = sums.reshape(-1)
+            nz = np.flatnonzero(flat)
+            live = np.flatnonzero(counts)
             return pa.table({
-                "_c": pa.array(c_out),
-                "_dim": pa.array(np.tile(np.arange(qx.shape[1], dtype=np.int64),
-                                         len(qcm))),
-                "_qsum": pa.array(sums.reshape(-1)),
-                "_n": pa.array(np.repeat(counts, qx.shape[1])),
+                "_c": pa.array(np.concatenate([nz // qx.shape[1], live])),
+                "_dim": pa.array(np.concatenate(
+                    [nz % qx.shape[1],
+                     np.full(len(live), -1, dtype=np.int64)])),
+                "_v": pa.array(np.concatenate([flat[nz], counts[live]])),
             })
 
         rows = (
             ds.map_batches(partial_sums, batch_format="pyarrow")
             .groupby(["_c", "_dim"])
-            .aggregate(Sum("_qsum", alias_name="_qsum"),
-                       Sum("_n", alias_name="_n"))
+            .aggregate(Sum("_v", alias_name="_v"))
             .take_all()
-        )  # ≤ k·d rows by construction
+        )  # ≤ k·(d+1) rows by construction
         sums = np.zeros((k_eff, d), dtype=np.float64)
         counts = np.zeros(k_eff, dtype=np.int64)
         for r in rows:
-            sums[r["_c"], r["_dim"]] = r["_qsum"]
-            counts[r["_c"]] = r["_n"]
+            if r["_dim"] < 0:
+                counts[r["_c"]] = r["_v"]
+            else:
+                sums[r["_c"], r["_dim"]] = r["_v"]
         nz = counts > 0
         new = cents.copy()
         new[nz] = sums[nz] / (counts[nz, None] * quant)

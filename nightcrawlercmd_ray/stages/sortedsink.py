@@ -21,13 +21,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .sampling import hash_u32
+from .sampling import hash_u32, threshold_for
 
 _PACK = np.int64(1) << np.int64(32)
 
@@ -56,7 +57,11 @@ def write_sorted_partitioned(
     range-keyed exchange; each part sorts ~n/P rows locally. A resumed run
     reloads boundaries/offsets from the manifest and rewrites only parts
     missing their marker (rows of done parts are filtered before the
-    exchange). Returns the manifest dict.
+    exchange). On resume the ``_MANIFEST`` is authoritative: its
+    boundaries/offsets are reused and ``num_partitions``/``max_sample``
+    arguments are ignored (a changed partitioning requires a fresh dir or
+    ``skip_done=False``, which wipes stale parts first). Returns the
+    manifest dict.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = f"{out_dir}/_MANIFEST"
@@ -67,10 +72,18 @@ def write_sorted_partitioned(
         offsets = np.array(man["offsets"], dtype=np.int64)
         counts = np.array(man["counts"], dtype=np.int64)
     else:
+        # fresh boundaries: any part-* leftovers belong to a DIFFERENT
+        # partitioning (other boundaries/num_partitions) — remove them, or
+        # read_sorted would union stale ranges with the new ones
+        for d in os.listdir(out_dir):
+            if d.startswith("part-"):
+                shutil.rmtree(f"{out_dir}/{d}", ignore_errors=True)
         if n_rows is None:
             n_rows = ds.count()
         rate = min(1.0, max_sample / max(1, n_rows))
-        thr = np.uint64(min(1 << 32, max(1, round(rate * (1 << 32)))))
+        # max(1, ...): always sample SOMETHING (the canonical threshold_for
+        # maps microscopic rates to 0, which would leave zero boundaries)
+        thr = np.uint64(max(1, threshold_for(rate)))
 
         def sample_keys(t: pa.Table) -> pa.Table:
             k = _packed(t, key_col, tie_col)
@@ -171,4 +184,7 @@ def read_sorted(out_dir: str):
         for d in os.listdir(out_dir)
         if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/_DONE")
     )
+    if not paths:
+        raise ValueError(f"read_sorted: no completed parts in {out_dir!r} "
+                         "(no part-*/_DONE markers)")
     return read_parquet_clean(paths)

@@ -350,30 +350,16 @@ def gopher_quality_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
-def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
-                      top_v: int = 10, head_max: int = 9,
-                      middle_max: int = 10):
-    """CCNet-style corpus quality bucketing (Wenzek et al. 2020: score each
-    doc with a language model trained on trusted text, split the corpus
-    into head/middle/tail by perplexity). The LM here is an integer-only
-    proxy so the DuckDB oracle hashes bit-exact: words are ranked 1..top_v
-    by corpus frequency (count desc, word asc — a total order), words
-    outside the top-``top_v`` score ``top_v+1``, a doc's score is the SUM
-    of its words' ranks, and buckets come from integer cross-multiplied
-    mean-rank thresholds (``sum_rank <= head_max * n_tokens`` → head, ...
-    ``<= middle_max * n_tokens`` → middle, else tail; zero-token docs are
-    head by the same comparison). Tokenization = the wordcount family
-    (``RE_WORD`` lowercased).
-
-    Scale shape: ONE word-keyed shuffle (per-batch Counter combiner →
-    ``groupby(word).sum``); the rank table is capped at ``top_v`` rows BY
-    CONSTRUCTION (sort+limit before ``take_all``) so the driver pull and
-    broadcast are bounded regardless of corpus size; scoring is a pure
-    per-batch map — zero further shuffle.
-    → Dataset(doc_id, n_tokens, sum_rank, bucket)."""
+def top_word_ranks(ds, text_col: str, top_v: int) -> dict[str, int]:
+    """Top-``top_v`` corpus vocabulary by (count desc, word asc — a total
+    order) → {word: 1-based rank}. The shared vocabulary pass of
+    ``word_rank_buckets`` and ``linear_classifier_scores`` (their SQL
+    oracles replicate this exact ranking, so the total order lives in ONE
+    place). ONE word-keyed shuffle with per-batch Counter combiners; the
+    driver pull is capped at ``top_v`` rows BY CONSTRUCTION (sort+limit
+    before ``take_all``) regardless of corpus size."""
     from collections import Counter
 
-    import ray
     from ray.data.aggregate import Sum
 
     from ..functions.extractors import RE_WORD
@@ -394,7 +380,33 @@ def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
         .take_all()
     )
     top.sort(key=lambda r: (-r["n"], r["word"]))  # driver re-sort: determinism
-    rank_ref = ray.put({r["word"]: i + 1 for i, r in enumerate(top)})
+    return {r["word"]: i + 1 for i, r in enumerate(top)}
+
+
+def word_rank_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                      top_v: int = 10, head_max: int = 9,
+                      middle_max: int = 10):
+    """CCNet-style corpus quality bucketing (Wenzek et al. 2020: score each
+    doc with a language model trained on trusted text, split the corpus
+    into head/middle/tail by perplexity). The LM here is an integer-only
+    proxy so the DuckDB oracle hashes bit-exact: words are ranked 1..top_v
+    by corpus frequency (count desc, word asc — a total order), words
+    outside the top-``top_v`` score ``top_v+1``, a doc's score is the SUM
+    of its words' ranks, and buckets come from integer cross-multiplied
+    mean-rank thresholds (``sum_rank <= head_max * n_tokens`` → head, ...
+    ``<= middle_max * n_tokens`` → middle, else tail; zero-token docs are
+    head by the same comparison). Tokenization = the wordcount family
+    (``RE_WORD`` lowercased).
+
+    Scale shape: the shared ``top_word_ranks`` vocabulary pass (ONE
+    word-keyed shuffle, bounded broadcast); scoring is a pure per-batch
+    map — zero further shuffle.
+    → Dataset(doc_id, n_tokens, sum_rank, bucket)."""
+    import ray
+
+    from ..functions.extractors import RE_WORD
+
+    rank_ref = ray.put(top_word_ranks(ds, text_col, top_v))
     unk = top_v + 1
 
     def score(t: pa.Table) -> pa.Table:
@@ -439,38 +451,18 @@ def linear_classifier_scores(ds, *, n_classes: int = 3, vocab_size: int = 256,
     tokens contribute nothing; ``score(doc, c) = Σ_occurrences W[rank, c]``;
     ``pred`` = argmax with ties to the lowest class.
 
-    Scale shape: ONE word-keyed count shuffle (per-batch Counter combiner),
-    rank table capped at ``vocab_size`` BY CONSTRUCTION (sort+limit before
-    ``take_all``) so driver pull + broadcast are bounded; scoring is a pure
-    per-batch map (bincount over ranks × a (V+1)×C numpy matmul per doc).
+    Scale shape: the shared ``top_word_ranks`` vocabulary pass (ONE
+    word-keyed shuffle, bounded broadcast); scoring is a pure per-batch
+    map (bincount over ranks × a (V+1)×C numpy matmul per doc).
     → Dataset(doc_id, n_hits, s0..s{C-1}, pred)."""
-    from collections import Counter
-
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.extractors import RE_WORD
 
     C, V, mod = int(n_classes), int(vocab_size), int(weight_mod)
     offset = (mod - 1) // 2
 
-    def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in t.column(text_col).to_pylist():
-            c.update(w.lower() for w in RE_WORD.findall(text or ""))
-        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
-
-    top = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "word"], descending=[True, False])
-        .limit(V)
-        .take_all()
-    )
-    top.sort(key=lambda r: (-r["n"], r["word"]))  # driver re-sort: determinism
-    rank_ref = ray.put({r["word"]: i + 1 for i, r in enumerate(top)})
+    rank_ref = ray.put(top_word_ranks(ds, text_col, V))
     # W[0] is the OOV row and stays 0 (OOV contributes nothing)
     r_idx = np.arange(1, V + 1, dtype=np.uint64)[:, None]
     c_idx = np.arange(C, dtype=np.uint64)[None, :]

@@ -235,6 +235,52 @@ def cumulative_distinct(ds, *, key_col: str, ts_col: str,
     }))
 
 
+
+# --------------------------------------------------------------------------- #
+# two-pass distributed prefix scans over arrival order
+# --------------------------------------------------------------------------- #
+
+def _part_of(ids: np.ndarray, span: int) -> np.ndarray:
+    """Floored part key — numpy ``//`` in BOTH passes (Arrow's divide
+    truncates toward zero, which would split negative ids across passes)."""
+    return ids // span
+
+
+def _part_prefix(ds, *, id_col: str, value_fn, monoid: str, identity: int,
+                 span: int) -> dict[int, int]:
+    """Pass A of a distributed prefix scan: reduce each ``id // span`` part
+    to one value with the given monoid ('max' or 'sum'), shuffle the
+    ≤⌈N/span⌉ partials, and fold the driver-side EXCLUSIVE prefix — the
+    shared scaffolding of late_events / token_offsets (and the shape of
+    sampling.token_budget_sample). ``value_fn(table) -> int64 ndarray``."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    scatter = np.maximum.at if monoid == "max" else np.add.at
+    agg = (Max if monoid == "max" else Sum)("_v", alias_name="_v")
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = value_fn(t)
+        part = _part_of(ids, span)
+        uniq, inv = np.unique(part, return_inverse=True)
+        acc = np.full(len(uniq), identity, dtype=np.int64)
+        scatter(acc, inv, vals)
+        return pa.table({"_part": pa.array(uniq), "_v": pa.array(acc)})
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_part").aggregate(agg).take_all()
+    )
+    rows.sort(key=lambda r: r["_part"])
+    prefix: dict[int, int] = {}
+    run = identity
+    for r in rows:
+        prefix[r["_part"]] = run
+        run = max(run, r["_v"]) if monoid == "max" else run + r["_v"]
+    return prefix
+
+
 def late_events(ds, *, id_col: str = "event_id", ts_col: str = "ts",
                 allowed_lateness_us: int = 60_000_000,
                 part_span: int = 4096):
@@ -243,55 +289,37 @@ def late_events(ds, *, id_col: str = "event_id", ts_col: str = "ts",
     (arrival order = ``id_col``), and a row is late iff
     ``ts + allowed_lateness < watermark`` — the flag a streaming window
     operator uses to route updates to side output (Beam/Flink semantics).
+    The watermark is floored at 0 ("nothing seen yet"), so the intended
+    domain is non-negative (post-epoch) event times; the SQL oracle
+    mirrors the floor with GREATEST(COALESCE(...), 0).
 
-    Scale shape — the distributed prefix-scan recipe (same as
-    ``sampling.token_budget_sample``): pass A reduces each batch to
-    ``(part = id // part_span, max ts)`` partials → one ≤⌈N/span⌉-row
-    shuffle → driver exclusive prefix-max (bounded, NOT corpus-sized) →
-    broadcast; pass B is ONE bounded keyed shuffle where each ≤span-row
-    group computes its local shifted cummax vectorized and merges the
-    carried prefix. Timestamps are integer microseconds end-to-end, so the
-    result hash-matches the SQL window oracle exactly (watermark floor 0 =
-    "none yet").
+    Scale shape — the distributed prefix scan (``_part_prefix``, max
+    monoid): bounded pass-A partials → driver exclusive prefix-max →
+    pass B is ONE bounded keyed shuffle where each ≤span-row group
+    computes its local shifted cummax vectorized and merges the carried
+    prefix. Integer microseconds end-to-end → hash-exact vs the oracle.
     → Dataset(id_col, ts_us, watermark_us, late).
     """
     import ray
-    from ray.data.aggregate import Max
 
     span = int(part_span)
     late_us = int(allowed_lateness_us)
 
-    def partials(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
-        ts = pc.cast(t.column(ts_col), pa.timestamp("us")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        part = ids // span
-        uniq, inv = np.unique(part, return_inverse=True)
-        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
-        np.maximum.at(mx, inv, ts)
-        return pa.table({"_part": pa.array(uniq), "_mx": pa.array(mx)})
+    def ts_vals(t: pa.Table) -> np.ndarray:
+        return pc.cast(t.column(ts_col), pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
 
-    rows = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("_part")
-        .aggregate(Max("_mx", alias_name="_mx"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["_part"])
-    prefix: dict[int, int] = {}
-    run = 0  # watermark floor: epoch ts are positive, 0 = "nothing yet"
-    for r in rows:
-        prefix[r["_part"]] = run
-        run = max(run, r["_mx"])
-    pre_ref = ray.put(prefix)
+    pre_ref = ray.put(_part_prefix(
+        ds, id_col=id_col, value_fn=ts_vals, monoid="max", identity=0,
+        span=span,
+    ))
 
     def add_part(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.int64())
-        ts = pc.cast(t.column(ts_col), pa.timestamp("us")).cast(pa.int64())
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
-            id_col: ids,
-            "ts_us": ts,
-            "_part": pc.divide(ids, pa.scalar(span, pa.int64())),
+            id_col: pa.array(ids),
+            "ts_us": pa.array(ts_vals(t)),
+            "_part": pa.array(_part_of(ids, span)),
         })
 
     def flag(g: pa.Table) -> pa.Table:
@@ -301,9 +329,7 @@ def late_events(ds, *, id_col: str = "event_id", ts_col: str = "ts",
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids, ts = ids[order], ts[order]
-        local = np.maximum.accumulate(
-            np.concatenate([[0], ts[:-1]])
-        ) if len(ts) else ts
+        local = np.maximum.accumulate(np.concatenate([[0], ts[:-1]]))
         wm = np.maximum(local, np.int64(pre.get(part, 0)))
         return pa.table({
             id_col: pa.array(ids),
@@ -328,50 +354,30 @@ def token_offsets(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ``len(text.split(' '))``, matching the packing family and the SQL
     oracle's ``len(string_split(text, ' '))``.
 
-    Scale shape: the same two-pass distributed prefix scan as
-    ``late_events`` / ``token_budget_sample`` with SUM as the monoid —
-    bounded per-span partials → driver exclusive prefix → one bounded
-    keyed shuffle with a vectorized in-part cumsum.
+    Scale shape: the distributed prefix scan (``_part_prefix``, sum
+    monoid) with a vectorized in-part cumsum in pass B.
     → Dataset(id_col, n_tokens, token_start).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     span = int(part_span)
 
-    def _ntok(texts) -> np.ndarray:
+    def ntok_vals(t: pa.Table) -> np.ndarray:
+        texts = t.column(text_col).to_pylist()
         return np.fromiter((len((x or "").split(" ")) for x in texts),
                            dtype=np.int64, count=len(texts))
 
-    def partials(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
-        ntok = _ntok(t.column(text_col).to_pylist())
-        part = ids // span
-        uniq, inv = np.unique(part, return_inverse=True)
-        s = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(s, inv, ntok)
-        return pa.table({"_part": pa.array(uniq), "_s": pa.array(s)})
-
-    rows = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("_part")
-        .aggregate(Sum("_s", alias_name="_s"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["_part"])
-    prefix: dict[int, int] = {}
-    run = 0
-    for r in rows:
-        prefix[r["_part"]] = run
-        run += r["_s"]
-    pre_ref = ray.put(prefix)
+    pre_ref = ray.put(_part_prefix(
+        ds, id_col=id_col, value_fn=ntok_vals, monoid="sum", identity=0,
+        span=span,
+    ))
 
     def add_part(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.int64())
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
-            id_col: ids,
-            "_n": pa.array(_ntok(t.column(text_col).to_pylist())),
-            "_part": pc.divide(ids, pa.scalar(span, pa.int64())),
+            id_col: pa.array(ids),
+            "_n": pa.array(ntok_vals(t)),
+            "_part": pa.array(_part_of(ids, span)),
         })
 
     def offsets(g: pa.Table) -> pa.Table:

@@ -718,3 +718,33 @@ def test_token_offsets_vs_serial(nparts):
     exp_start = np.concatenate([[0], np.cumsum(ntok[:-1])])
     assert np.array_equal(out["n_tokens"].to_numpy(), ntok)
     assert np.array_equal(out["token_start"].to_numpy(), exp_start)
+
+
+def test_prefix_scan_negative_ids_consistent_parts():
+    """Regression: pass A and pass B must assign NEGATIVE ids to the same
+    part (Arrow divide truncates toward zero; numpy // floors — a split
+    would fold a row's own value into its 'earlier arrivals' prefix)."""
+    from nightcrawlercmd_ray.stages.windows import late_events, token_offsets
+
+    n = 600
+    ids = np.arange(-300, 300, dtype=np.int64)
+    base = 1_700_000_000_000_000
+    ts = base + (ids + 300) * 1_000_000
+    ts[100] += 3_600_000_000  # outlier among the negative-id rows
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n)
+    t = pa.table({"event_id": pa.array(ids[perm]),
+                  "ts": pa.array(ts[perm]).cast(pa.timestamp("us")),
+                  "text": pa.array(["a b c"] * n)})
+    wm = np.maximum.accumulate(np.concatenate([[0], ts[:-1]]))
+    out = late_events(ray.data.from_arrow(t), part_span=128) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(out["watermark_us"].to_numpy(), wm)
+    assert out["late"].sum() > 100  # the outlier flags the following hour
+
+    off = token_offsets(
+        ray.data.from_arrow(t.select(["event_id", "text"])),
+        id_col="event_id", part_span=128,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(off["token_start"].to_numpy(),
+                          np.arange(n, dtype=np.int64) * 3)
