@@ -973,6 +973,33 @@ def q_orders_cube(sf_dir: str):
     )
 
 
+def q_orders_grouping_sets(sf_dir: str):
+    """Arbitrary GROUPING SETS ((status, yr), (yr), ()) — the caller-chosen
+    grains CUBE/ROLLUP can't express (year-only plus grand total WITHOUT
+    the status-only set). Same one-data-pass shape
+    (stages/rollup.grouping_sets_sum_count)."""
+    from nightcrawlercmd_ray.stages.rollup import grouping_sets_sum_count
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": pc.cast(t.column("o_orderstatus"), pa.string()),
+            "yr": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    return grouping_sets_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_orderstatus", "yr"],
+        value_col="cents",
+        sets=[("o_orderstatus", "yr"), ("yr",), ()],
+    )
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed ANTI join (stages/joins.hash_join how='anti'): customers
     with no order above $400k (the filter keeps the result non-vacuous on
@@ -2858,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
+        "orders_grouping_sets": q_orders_grouping_sets,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_quantity_tiers": q_lineitem_quantity_tiers,
         "label_centroids": q_label_centroids,
@@ -3484,6 +3512,16 @@ def oracle_sql() -> dict[str, str]:
                          o_totalprice
                   FROM orders)
             GROUP BY CUBE(o_orderstatus, yr)
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, yr,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total,
+                   count(*) AS n
+            FROM (SELECT o_orderstatus,
+                         CAST(year(o_orderdate) AS BIGINT) AS yr,
+                         o_totalprice
+                  FROM orders)
+            GROUP BY GROUPING SETS ((o_orderstatus, yr), (yr), ())
         """,
         "customers_without_orders": """
             SELECT c_custkey,

@@ -140,3 +140,72 @@ def cube_sum_count(
         .groupby("_all")
         .map_groups(expand, batch_format="pyarrow")
     )
+
+
+def grouping_sets_sum_count(
+    ds,
+    keys: list[str],
+    value_col: str,
+    sets: list[tuple[str, ...]],
+):
+    """SQL ``GROUP BY GROUPING SETS ((...), ...)``: arbitrary grouping-set
+    list (each a subset of ``keys``, in any order; duplicates emit twice,
+    per SQL). Completes the ROLLUP (prefixes) / CUBE (all subsets) family
+    with caller-chosen grains. Identical scale shape: ONE data-sized pass
+    at the finest grain, every requested set derived from that bounded
+    result inside one constant-key ``map_groups``.
+    → Dataset(*keys, total, n).
+    """
+    from ray.data.aggregate import Sum
+
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} has keys not in {keys}: "
+                             f"{sorted(unknown)}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(keys + ["total", "n"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_all"]).combine_chunks()
+        out = []
+        for s in sets:
+            kept = [k for k in keys if k in s]  # canonical key order
+            if kept == keys:
+                g = t
+            else:
+                g = (
+                    t.select(kept + ["total", "n"])
+                    .group_by(kept)
+                    .aggregate([("total", "sum"), ("n", "sum")])
+                    .rename_columns(kept + ["total", "n"])
+                )
+            cols = {}
+            for k in keys:
+                cols[k] = g.column(k) if k in kept else \
+                    pa.nulls(len(g), t.schema.field(k).type)
+            cols["total"] = g.column("total")
+            cols["n"] = g.column("n")
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+    return (
+        finest.map_batches(
+            lambda t: t.append_column("_all", pa.array([0] * len(t), pa.int8())),
+            batch_format="pyarrow",
+        )
+        .groupby("_all")
+        .map_groups(expand, batch_format="pyarrow")
+    )

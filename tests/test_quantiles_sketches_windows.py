@@ -748,3 +748,38 @@ def test_prefix_scan_negative_ids_consistent_parts():
     ).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert np.array_equal(off["token_start"].to_numpy(),
                           np.arange(n, dtype=np.int64) * 3)
+
+
+def test_grouping_sets_vs_duckdb_with_duplicate_set():
+    """grouping_sets_sum_count: arbitrary grains match DuckDB GROUPING SETS
+    including a DUPLICATED set (SQL emits it twice); unknown keys raise."""
+    import duckdb
+
+    from nightcrawlercmd_ray.stages.rollup import grouping_sets_sum_count
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 3000),
+        "b": rng.integers(0, 4, 3000),
+        "v": rng.integers(1, 100, 3000),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouping_sets_sum_count(
+        ds, keys=["a", "b"], value_col="v",
+        sets=[("a", "b"), ("b",), (), ("b",)],
+    ).to_pandas()
+    con = duckdb.connect()
+    exp = con.sql(
+        "SELECT a, b, CAST(sum(v) AS BIGINT) total, count(*) n FROM df "
+        "GROUP BY GROUPING SETS ((a, b), (b), (), (b))"
+    ).df()
+    canon = lambda d: d.sort_values(
+        ["a", "b", "total"], na_position="first"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        canon(got)[["a", "b", "total", "n"]],
+        canon(exp)[["a", "b", "total", "n"]], check_dtype=False)
+
+    with pytest.raises(ValueError, match="not in"):
+        grouping_sets_sum_count(ds, keys=["a"], value_col="v",
+                                sets=[("zz",)])
