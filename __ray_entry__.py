@@ -2357,6 +2357,48 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_epoch_shuffle_documents(sf_dir: str):
+    """Deterministic epoch-seeded global shuffle — the training-order
+    shuffle a data loader needs, WITHOUT ``random_shuffle``'s
+    run-to-run nondeterminism: order = rank of
+    ``shuffle_hash(doc_id, epoch) // 2`` (31-bit key for the sink's
+    packed composite; ties by doc_id). The xor-shift inside shuffle_hash
+    is what makes epochs re-deal the order — an additive salt would only
+    shift every hash (see stages/sampling.shuffle_hash). Implemented as the globally-sorted
+    range-partitioned sink keyed by the hash — one range exchange, per-part
+    local sort, resumable — so "shuffle" costs exactly one sorted write.
+    pos is the exact global shuffle rank; the SQL row_number oracle
+    value-checks it end-to-end. Changing ``epoch`` re-deals the order."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.stages.sampling import shuffle_hash
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    epoch = 1
+    path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(f"{sf_dir}:{epoch}".encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_shuffle/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read_pq(path, columns=["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (shuffle_hash(ids.astype(np.int64), epoch)
+             // np.uint64(2)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "_shuf": pa.array(h)})
+
+    write_sorted_partitioned(
+        ds.map_batches(add_key, batch_format="pyarrow"), out,
+        key_col="_shuf", tie_col="doc_id", num_partitions=8,
+        n_rows=_parquet_rows(path),
+    )
+    return read_sorted(out).select_columns(["doc_id", "pos"]).sort("pos")
+
+
 def q_jl_project_embeddings(sf_dir: str):
     """Johnson–Lindenstrauss ±1 random projection to 8 dims
     (stages/similarity.jl_project): the sign matrix is a pure hash of
@@ -2947,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "jl_project_embeddings": q_jl_project_embeddings,
+        "epoch_shuffle_documents": q_epoch_shuffle_documents,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
@@ -3234,6 +3277,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
                         AS BIGINT) AS pos
             FROM documents
+            ORDER BY pos
+        """,
+        "epoch_shuffle_documents": """
+            WITH h AS (
+                SELECT doc_id,
+                       (CAST(doc_id AS HUGEINT) * 2654435761 + 1)
+                       % 4294967296 AS h1
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY (xor(h1, h1 // 65536) * 2654435761)
+                                % 4294967296 // 2,
+                                doc_id) - 1 AS BIGINT) AS pos
+            FROM h
             ORDER BY pos
         """,
         "jl_project_embeddings": """

@@ -216,7 +216,7 @@ def run_bench() -> dict:
         "kmeans_embeddings", "semdedup_embeddings", "jl_project_embeddings",
         "sorted_docs_by_len", "late_events", "cm_user_counts",
         "curation_verdicts", "token_offsets_documents",
-        "orders_grouping_sets",
+        "orders_grouping_sets", "epoch_shuffle_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -33,6 +33,19 @@ def hash_u32(key: np.ndarray, salt: int = 0) -> np.ndarray:
     return (k * _KNUTH + np.uint64(salt)) & _MASK32
 
 
+def shuffle_hash(key: np.ndarray, epoch: int) -> np.ndarray:
+    """Order-scrambling epoch hash for deterministic global shuffles:
+    ``h1 = (key·2654435761 + epoch) mod 2^32;
+    h = ((h1 XOR (h1 // 65536)) · 2654435761) mod 2^32``.
+    The xor-shift between the two multiplies is essential: a purely
+    additive salt (``hash_u32(key, salt=epoch)``) only SHIFTS every hash
+    by a constant, so different epochs would produce the SAME order —
+    sampling membership tolerates that; a shuffle does not. Every step is
+    ANSI-SQL-expressible (``xor``, ``//``, ``%``)."""
+    h1 = hash_u32(key, epoch)
+    return ((h1 ^ (h1 >> np.uint64(16))) * _KNUTH) & _MASK32
+
+
 def threshold_for(rate: float) -> int:
     """Inclusive-exclusive uint32 threshold for a keep-rate in [0, 1]."""
     return min(1 << 32, max(0, int(round(rate * (1 << 32)))))

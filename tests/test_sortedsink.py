@@ -107,3 +107,36 @@ def test_sorted_sink_duplicate_keys_and_tiny_sample():
                              n_rows=n, max_sample=16)
     got = read_sorted(OUT).to_pandas().sort_values("pos")
     assert np.array_equal(got["doc_id"].to_numpy(), np.arange(n))
+
+
+def test_epoch_shuffle_query_epochs_differ():
+    """epoch_shuffle (registry query shape): rank by hashed id — shuffled
+    vs id order, deterministic per epoch, different across epochs."""
+    from nightcrawlercmd_ray.stages.sampling import shuffle_hash
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    n = 1200
+    ids = np.arange(n, dtype=np.int64)
+
+    def run(epoch):
+        out = f"{OUT}-epoch{epoch}"
+        shutil.rmtree(out, ignore_errors=True)
+        h = (shuffle_hash(ids, epoch) // np.uint64(2)).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "_shuf": pa.array(h)})
+        write_sorted_partitioned(
+            ray.data.from_arrow(t).repartition(4), out,
+            key_col="_shuf", tie_col="doc_id", num_partitions=5, n_rows=n,
+        )
+        got = read_sorted(out).to_pandas().sort_values("pos")
+        # serial expectation
+        exp = ids[np.lexsort((ids, h))]
+        assert np.array_equal(got["doc_id"].to_numpy(), exp)
+        return tuple(got["doc_id"])
+
+    e1, e1b, e2 = run(1), run(1), run(2)
+    assert e1 == e1b          # deterministic within an epoch
+    assert e1 != e2           # re-dealt across epochs
+    assert e1 != tuple(ids)   # actually shuffled
