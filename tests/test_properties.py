@@ -245,3 +245,62 @@ def test_cube_grouping_sets_are_consistent(rows):
     want = df.groupby(["a", "b"])["cents"].sum()
     got = finest.set_index(["a", "b"])["total"].astype("int64")
     assert got.sort_index().to_dict() == want.sort_index().to_dict()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=1, max_size=200, unique=True),
+       st.integers(min_value=0, max_value=1000))
+@settings(max_examples=50, deadline=None)
+def test_shuffle_hash_sql_equivalence_and_hash_u32_consistency(keys, epoch):
+    """Pure-helper contracts: hash_u32 / shuffle_hash equal their documented
+    integer formulas (the SQL oracles' exact expressions) for any key."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sampling import hash_u32, shuffle_hash
+
+    k = np.array(keys, dtype=np.int64)
+    h = hash_u32(k, epoch)
+    expect = [(x * 2654435761 + epoch) % (2**32) for x in keys]
+    assert h.tolist() == expect
+    s = shuffle_hash(k, epoch)
+    expect_s = [((e ^ (e >> 16)) * 2654435761) % (2**32) for e in expect]
+    assert s.tolist() == expect_s
+
+
+@given(st.lists(st.floats(min_value=-10, max_value=10,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=32))
+@settings(max_examples=50, deadline=None)
+def test_quantize_unit_is_per_row_deterministic(vec):
+    """_quantize_unit must be a pure per-row function: the same row
+    quantizes identically regardless of which batch carries it."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.similarity import _quantize_unit
+
+    row = np.array(vec, dtype=np.float64)
+    alone = _quantize_unit(row[None, :], 1e6)[0]
+    stacked = _quantize_unit(np.vstack([row, row * 2 + 1, row]), 1e6)
+    assert np.array_equal(stacked[0], alone)
+    assert np.array_equal(stacked[2], alone)
+    norm = np.sqrt((row * row).sum())
+    if norm > 0:
+        assert np.abs(alone).max() <= 1e6 + 1
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_cm_rows_in_range_and_deterministic(keys):
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sketches import _cm_rows
+
+    k = np.array(keys, dtype=np.int64)
+    a = _cm_rows(k, 4, 512)
+    b = _cm_rows(k, 4, 512)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < 512
+    # rows differ (seeded independently) unless trivially tiny domain
+    if len(set(keys)) > 10:
+        assert any(not np.array_equal(a[0], a[d]) for d in range(1, 4))
