@@ -1942,6 +1942,40 @@ def q_dsir_scores(sf_dir: str):
     return dsir_scores(ds, target_lang="en").sort("doc_id")
 
 
+def q_normalize_documents(sf_dir: str):
+    """Unicode + whitespace canonicalization
+    (stages/curation.normalize_text): NFC, control-char strip, space-run
+    collapse, trim — the pass before hashing/dedup. The ASCII synthetic
+    corpus would make it vacuous, so deterministic plants add decomposed
+    accents (id%4==0: 'cafe'+combining acute), a control byte (id%4==1)
+    and a tab run (id%4==2), replicated verbatim in the SQL oracle
+    (chr(769)/chr(7)/chr(9)); string outputs hash-match because Python
+    unicodedata NFC and DuckDB nfc_normalize agree."""
+    from nightcrawlercmd_ray.stages.curation import normalize_text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, tx in zip(ids, texts):
+            s = tx or ""
+            if i % 4 == 0:
+                s += " cafe\u0301"  # decomposed: e + combining acute
+            elif i % 4 == 1:
+                s += " x\x07y"
+            elif i % 4 == 2:
+                s += " a\t\t b"
+            out.append(s)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(out, pa.string())})
+
+    return normalize_text(
+        ds.map_batches(plant, batch_format="pyarrow")
+    ).sort("doc_id")
+
+
 def q_curation_verdicts(sf_dir: str):
     """Composed multi-signal curation verdict — the keep/drop decision a
     real pipeline makes by COMBINING independent quality signals (Gopher
@@ -2964,6 +2998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_documents": q_substring_dedup_documents,
         "lm_quality_buckets": q_lm_quality_buckets,
         "curation_verdicts": q_curation_verdicts,
+        "normalize_documents": q_normalize_documents,
         "source_quality_filter": q_source_quality_filter,
         "dsir_scores": q_dsir_scores,
         "token_budget_sample": q_token_budget_sample,
@@ -4028,6 +4063,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, n_lines_dropped, n_emails, n_ipv4,
                    n_phones, n_tokens_ws
             FROM final WHERE n_tokens_ws >= 30 ORDER BY doc_id
+        """,
+        "normalize_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 4 = 0
+                                    THEN ' cafe' || chr(769)
+                                    WHEN doc_id % 4 = 1
+                                    THEN ' x' || chr(7) || 'y'
+                                    WHEN doc_id % 4 = 2
+                                    THEN ' a' || chr(9) || chr(9) || ' b'
+                                    ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t]+', ' ', 'g')) AS text_norm,
+                   CAST(length(trim(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+            FROM planted
+            ORDER BY doc_id
         """,
         "curation_verdicts": """
             WITH corpus AS (

@@ -616,3 +616,40 @@ def chunk_documents_fixed(ds, *, size: int = 512, overlap: int = 64,
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+RE_CONTROL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+RE_SPACERUN = re.compile(r"[ \t]+")
+
+
+def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode + whitespace normalization — the canonicalization pass a
+    web-text pipeline runs before hashing/dedup so that byte-different,
+    render-identical documents (NFD vs NFC accents, fullwidth forms typed
+    raw, stray control bytes, tab runs) collapse to one form:
+
+    1. NFC normalize (composed forms; Python ``unicodedata`` and DuckDB
+       ``nfc_normalize`` agree — pinned by the SQL oracle);
+    2. strip control characters except ``\\n`` / ``\\r`` / ``\\t``;
+    3. collapse space/tab runs to a single space;
+    4. strip the ends.
+
+    Pure stateless per-batch map: zero shuffle, trivially scale-safe.
+    → Dataset(id_col, text_norm, n_chars_norm).
+    """
+    import unicodedata
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column(text_col).to_pylist():
+            s = unicodedata.normalize("NFC", s or "")
+            s = RE_CONTROL.sub("", s)
+            s = RE_SPACERUN.sub(" ", s).strip()
+            out.append(s)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "text_norm": pa.array(out, pa.string()),
+            "n_chars_norm": pa.array([len(s) for s in out], pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")

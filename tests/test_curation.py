@@ -504,3 +504,45 @@ def test_chunker_rejects_bad_overlap():
     ds = ray.data.from_items([{"doc_id": 1, "text": "abc"}])
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents_fixed(ds, size=64, overlap=64)
+
+
+def test_normalize_text_nfc_control_and_spaceruns():
+    """normalize_text: NFC composition, control strip (tab/newline kept as
+    separators then runs collapsed), end-trim — matches a serial
+    unicodedata reference on adversarial strings."""
+    import unicodedata
+
+    from nightcrawlercmd_ray.stages.curation import (
+        RE_CONTROL,
+        RE_SPACERUN,
+        normalize_text,
+    )
+
+    cases = [
+        "cafe\u0301 au lait",       # decomposed accent -> composed
+        "x\x00y\x07z",                 # control bytes stripped
+        "a\t\t  b\tc",                 # tab/space runs → single space
+        "  padded  ",                  # trimmed
+        "keep\nnewlines\nintact",      # \n survives
+        "",                            # empty
+        "ﬁ ＡＢ",                      # ligature/fullwidth: NFC keeps them
+    ]
+    ids = list(range(len(cases)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(cases, pa.string())})
+    out = (
+        normalize_text(ray.data.from_arrow(t).repartition(2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def serial(s):
+        s = unicodedata.normalize("NFC", s)
+        s = RE_CONTROL.sub("", s)
+        return RE_SPACERUN.sub(" ", s).strip()
+
+    assert list(out["text_norm"]) == [serial(s) for s in cases]
+    assert out.loc[0, "text_norm"] == "café au lait"
+    assert out.loc[1, "text_norm"] == "xyz"
+    assert out.loc[2, "text_norm"] == "a b c"
+    assert "\n" in out.loc[4, "text_norm"]
+    assert (out["n_chars_norm"] == out["text_norm"].str.len()).all()
