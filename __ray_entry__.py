@@ -2391,6 +2391,22 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining (stages/similarity.hard_negatives, DPR/SimCSE
+    data prep): for each of the 10 lowest-id vectors, the corpus row with
+    the highest integer inner product among rows of a DIFFERENT label.
+    Broadcast query matrix, one int64 matmul + masked argmax per batch,
+    blocks×10 driver fold, zero shuffle; quantized components keep it
+    exact and SQL-replicable (generate_subscripts dot-product join)."""
+    from nightcrawlercmd_ray.stages.similarity import hard_negatives
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    qt = pa.Table.from_pandas(
+        ds.sort("vec_id").limit(10).to_pandas(), preserve_index=False
+    )
+    return hard_negatives(ds, qt)
+
+
 def q_epoch_shuffle_documents(sf_dir: str):
     """Deterministic epoch-seeded global shuffle — the training-order
     shuffle a data loader needs, WITHOUT ``random_shuffle``'s
@@ -3025,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "jl_project_embeddings": q_jl_project_embeddings,
         "epoch_shuffle_documents": q_epoch_shuffle_documents,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
@@ -3313,6 +3330,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "hard_negatives_embeddings": """
+            WITH comp AS (
+                SELECT vec_id, label,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ),
+            qv AS (SELECT * FROM comp WHERE vec_id IN (
+                       SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+            dots AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+                       CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+                FROM qv a JOIN comp b USING (i)
+                WHERE a.label <> b.label AND a.vec_id <> b.vec_id
+                GROUP BY a.vec_id, b.vec_id
+            )
+            SELECT query_id, neg_id, dot FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY dot DESC, neg_id) = 1
+            ORDER BY query_id
         """,
         "epoch_shuffle_documents": """
             WITH h AS (

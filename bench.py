@@ -217,7 +217,7 @@ def run_bench() -> dict:
         "sorted_docs_by_len", "late_events", "cm_user_counts",
         "curation_verdicts", "token_offsets_documents",
         "orders_grouping_sets", "epoch_shuffle_documents",
-        "normalize_documents",
+        "normalize_documents", "hard_negatives_embeddings",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -656,3 +656,79 @@ def jl_project(ds, *, out_dim: int = 8, vec_col: str = "embedding",
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def hard_negatives(ds, query_table: pa.Table, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", label_col: str = "label",
+                   quant: float = 1e4) -> pa.Table:
+    """Hard-negative mining for contrastive training (the DPR / SimCSE
+    data-prep step): for each query vector, the corpus row with the
+    HIGHEST inner product among rows of a DIFFERENT label (and different
+    id). Scores are integer dot products of ``round(x·quant)`` components
+    (raw, not unit-normalized — MIPS semantics), so results are exact,
+    parallelism-invariant, and SQL-replicable via the
+    ``generate_subscripts`` join (the embedding_moments pattern; a unit
+    normalization would re-introduce float sum-order ULPs).
+
+    Scale shape: the query matrix (``query_table``: id, label, vec — a
+    bounded training batch) is broadcast once; each data batch does ONE
+    int64 matmul + masked argmax and emits ≤ |queries| candidate rows; the
+    driver folds blocks×|queries| rows. Zero shuffle.
+    → Table(query_id, neg_id, dot), ties broken by smallest neg_id.
+    """
+    q_ids = np.asarray(query_table.column(id_col).to_pylist(), dtype=np.int64)
+    q_labels = np.asarray(query_table.column(label_col).to_pylist(),
+                          dtype=np.int64)
+    q_mat = np.rint(np.asarray(query_table.column(vec_col).to_pylist(),
+                               dtype=np.float64) * quant).astype(np.int64)
+    q_ref = ray.put((q_ids, q_labels, q_mat))
+
+    def local_best(t: pa.Table) -> pa.Table:
+        qi, ql, qm = ray.get(q_ref)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        labels = pc.cast(t.column(label_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neg_id": pa.array([], pa.int64()),
+                          "dot": pa.array([], pa.int64())})
+        if vecs.size == 0:
+            return empty
+        x = np.rint(vecs * quant).astype(np.int64)
+        dots = qm @ x.T  # (n_q, n_batch) exact int64
+        ok = (ql[:, None] != labels[None, :]) & (qi[:, None] != ids[None, :])
+        out_q, out_id, out_dot = [], [], []
+        for k in range(len(qi)):
+            m = ok[k]
+            if not m.any():
+                continue
+            d = dots[k]
+            best = np.iinfo(np.int64).min
+            # max dot, ties to smallest candidate id — vectorized
+            cand = np.flatnonzero(m)
+            dd = d[cand]
+            best = dd.max()
+            winners = cand[dd == best]
+            j = winners[np.argmin(ids[winners])]
+            out_q.append(qi[k])
+            out_id.append(int(ids[j]))
+            out_dot.append(int(d[j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neg_id": pa.array(out_id, pa.int64()),
+                         "dot": pa.array(out_dot, pa.int64())})
+
+    rows = ds.map_batches(local_best, batch_format="pyarrow").take_all()
+    best: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        cur = best.get(r["query_id"])
+        key = (-r["dot"], r["neg_id"])
+        if cur is None or key < cur:
+            best[r["query_id"]] = key
+    return pa.table({
+        "query_id": pa.array(sorted(best), pa.int64()),
+        "neg_id": pa.array([best[q][1] for q in sorted(best)], pa.int64()),
+        "dot": pa.array([-best[q][0] for q in sorted(best)], pa.int64()),
+    })

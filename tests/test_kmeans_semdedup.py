@@ -156,3 +156,47 @@ def test_jl_project_serial_and_separation(nparts):
     across = np.linalg.norm(wide[blob][:10, None] - wide[~blob][None, :10],
                             axis=2).min()
     assert across > 2 * within
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_hard_negatives_vs_serial(nparts):
+    """Hard-negative mining: equals the serial masked-argmax (max integer
+    dot among different-label rows, ties to smallest id) at any
+    partitioning; a query whose label covers the whole corpus gets no row."""
+    from nightcrawlercmd_ray.stages.similarity import hard_negatives
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 8
+    X = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 3).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "label": pa.array(labels[ids], pa.int32()),
+                  "embedding": pa.array(X[ids].tolist(), pa.list_(pa.float64()))})
+    qt = pa.table({"vec_id": pa.array(ids[:5]),
+                   "label": pa.array(labels[ids[:5]], pa.int32()),
+                   "embedding": pa.array(X[ids[:5]].tolist(),
+                                         pa.list_(pa.float64()))})
+    out = hard_negatives(
+        ray.data.from_arrow(t).repartition(nparts), qt
+    ).to_pandas()
+
+    q = np.rint(X[ids[:5]] * 1e4).astype(np.int64)
+    c = np.rint(X[ids] * 1e4).astype(np.int64)
+    dots = q @ c.T
+    for row, (qid, qlab) in zip(range(5), zip(ids[:5], labels[ids[:5]])):
+        mask = (labels[ids] != qlab) & (ids != qid)
+        dd = dots[row][mask]
+        cand = ids[mask]
+        best = dd.max()
+        exp_neg = cand[dd == best].min()
+        got = out[out["query_id"] == qid]
+        assert int(got["neg_id"].iloc[0]) == exp_neg
+        assert int(got["dot"].iloc[0]) == best
+
+    # single-label corpus → no negatives exist → empty result
+    t1 = pa.table({"vec_id": pa.array(np.arange(10, dtype=np.int64)),
+                   "label": pa.array(np.zeros(10, np.int32)),
+                   "embedding": pa.array(X[:10].tolist(), pa.list_(pa.float64()))})
+    out1 = hard_negatives(ray.data.from_arrow(t1), t1.slice(0, 2)).to_pandas()
+    assert len(out1) == 0
