@@ -2391,6 +2391,19 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_rocchio_classify_embeddings(sf_dir: str):
+    """Nearest-centroid (Rocchio) classification over the embeddings table
+    (stages/similarity.nearest_centroid_classify): per-label integer-exact
+    centroid sums → broadcast → per-batch matmul + argmax on
+    dot/count scores (single exact-int IEEE division, bit-identical across
+    engines). One bounded (label,dim) shuffle + a pure map; hash-matches
+    the SQL dot-product-join oracle including the correct flag."""
+    from nightcrawlercmd_ray.stages.similarity import nearest_centroid_classify
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    return nearest_centroid_classify(ds).sort("vec_id")
+
+
 def q_hard_negatives_embeddings(sf_dir: str):
     """Hard-negative mining (stages/similarity.hard_negatives, DPR/SimCSE
     data prep): for each of the 10 lowest-id vectors, the corpus row with
@@ -3042,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_project_embeddings": q_jl_project_embeddings,
         "epoch_shuffle_documents": q_epoch_shuffle_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "rocchio_classify_embeddings": q_rocchio_classify_embeddings,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
@@ -3330,6 +3344,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "rocchio_classify_embeddings": """
+            WITH cents AS (
+                SELECT label, i AS dim,
+                       CAST(sum(CAST(round(CAST(e AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS qsum,
+                       count(*) AS n
+                FROM (SELECT label, unnest(embedding) AS e,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings)
+                GROUP BY label, i
+            ),
+            comp AS (
+                SELECT vec_id, label AS true_label,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT c.vec_id,
+                       any_value(c.true_label) AS true_label,
+                       k.label AS cand,
+                       CAST(CAST(SUM(c.q * k.qsum) AS BIGINT) AS DOUBLE)
+                       / CAST(any_value(k.n) AS DOUBLE) AS score
+                FROM comp c JOIN cents k ON c.i = k.dim
+                GROUP BY c.vec_id, k.label
+            )
+            SELECT vec_id,
+                   CAST(true_label AS BIGINT) AS label,
+                   CAST(cand AS BIGINT) AS pred_label,
+                   (cand = true_label) AS correct
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cand) = 1
+            ORDER BY vec_id
         """,
         "hard_negatives_embeddings": """
             WITH comp AS (

@@ -732,3 +732,62 @@ def hard_negatives(ds, query_table: pa.Table, *, vec_col: str = "embedding",
         "neg_id": pa.array([best[q][1] for q in sorted(best)], pa.int64()),
         "dot": pa.array([-best[q][0] for q in sorted(best)], pa.int64()),
     })
+
+
+def nearest_centroid_classify(ds, *, label_col: str = "label",
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              cent_quant: float = 1e6,
+                              vec_quant: float = 1e4):
+    """Nearest-centroid (Rocchio) classification — the label-propagation /
+    weak-supervision pass: build per-label mean vectors, assign every row
+    to the label whose centroid has the highest mean inner product.
+
+    Exactness: centroids come from ``group_vector_sums`` (quantized int64
+    component sums — exactly associative); scores are
+    ``(qx · qsum_l) / n_l`` where the dot is exact int64 and the single
+    IEEE division of exact ints is bit-identical across engines, so the
+    whole operator is SQL-replicable. int64/double headroom: |dot| ≤
+    d·vec_quant·cent_quant·n_l — keep below 2^53 (documented; holds to
+    ~10^7 rows/label at d=64 with the defaults).
+
+    Scale shape: ONE (label, dim)-keyed shuffle bounded by |labels|·d for
+    the centroids (driver pull bounded the same), broadcast, then a pure
+    per-batch matmul+argmax map. Ties break to the smallest label.
+    → Dataset(id_col, label_col, pred_label, correct).
+    """
+    cents_rows = group_vector_sums(
+        ds.select_columns([label_col, vec_col]),
+        group_col=label_col, vec_col=vec_col, quant=cent_quant,
+    ).take_all()  # ≤ |labels|·d rows by construction
+    labels = sorted({r[label_col] for r in cents_rows})
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    d = max(r["dim"] for r in cents_rows)
+    qsum = np.zeros((len(labels), d), dtype=np.int64)
+    n_l = np.zeros(len(labels), dtype=np.int64)
+    for r in cents_rows:
+        qsum[lab_idx[r[label_col]], r["dim"] - 1] = r["qsum"]
+        n_l[lab_idx[r[label_col]]] = r["n"]
+    model_ref = ray.put((np.asarray(labels, dtype=np.int64), qsum, n_l))
+
+    def classify(t: pa.Table) -> pa.Table:
+        labs, qs, nl = ray.get(model_ref)
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        true = pc.cast(t.column(label_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = pc.cast(t.column(id_col), pa.int64())
+        if vecs.size == 0:
+            pred = np.zeros(0, dtype=np.int64)
+        else:
+            qx = np.rint(vecs * vec_quant).astype(np.int64)
+            scores = (qx @ qs.T).astype(np.float64) / nl.astype(np.float64)
+            pred = labs[np.argmax(scores, axis=1)]
+        return pa.table({
+            id_col: ids,
+            label_col: pa.array(true),
+            "pred_label": pa.array(pred),
+            "correct": pa.array(pred == true),
+        })
+
+    return ds.map_batches(classify, batch_format="pyarrow")

@@ -200,3 +200,36 @@ def test_hard_negatives_vs_serial(nparts):
                    "embedding": pa.array(X[:10].tolist(), pa.list_(pa.float64()))})
     out1 = hard_negatives(ray.data.from_arrow(t1), t1.slice(0, 2)).to_pandas()
     assert len(out1) == 0
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_nearest_centroid_classify_blobs(nparts):
+    """Rocchio classification: recovers well-separated blob labels nearly
+    perfectly and equals the serial integer-exact computation at any
+    partitioning."""
+    from nightcrawlercmd_ray.stages.similarity import nearest_centroid_classify
+
+    rng = np.random.default_rng(29)
+    n, d, L = 600, 10, 3
+    centers = rng.normal(size=(L, d)) * 8
+    labels = (np.arange(n) % L).astype(np.int64)
+    X = centers[labels] + rng.normal(size=(n, d)) * 0.5
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "label": pa.array(labels[ids], pa.int32()),
+                  "embedding": pa.array(X[ids].tolist(), pa.list_(pa.float64()))})
+    out = nearest_centroid_classify(
+        ray.data.from_arrow(t).repartition(nparts)
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["correct"].mean() > 0.98
+
+    # serial reference: same quantization path
+    qsum = np.zeros((L, d), dtype=np.int64)
+    for l in range(L):
+        qsum[l] = np.rint(X[labels == l] * 1e6).astype(np.int64).sum(axis=0)
+    n_l = np.bincount(labels)
+    qx = np.rint(X * 1e4).astype(np.int64)
+    scores = (qx @ qsum.T).astype(np.float64) / n_l
+    exp_pred = np.argmax(scores, axis=1)
+    got = out.set_index("vec_id").loc[np.arange(n)]["pred_label"].to_numpy()
+    assert np.array_equal(got, exp_pred[np.arange(n)])
