@@ -2391,6 +2391,18 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-100 collocations by PMI ratio (stages/textops.pmi_bigrams):
+    (c_xy·N)/(c_x·c_y) over the bigram_counts tokenizer, min_count 5.
+    Two count passes + bounded pruned-vocabulary broadcast; the double is
+    two multiplies + one divide of exact ints in the same tree both
+    engines, so the score hash-matches the SQL oracle bit for bit."""
+    from nightcrawlercmd_ray.stages.textops import pmi_bigrams
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, min_count=5, k=100)
+
+
 def q_rocchio_classify_embeddings(sf_dir: str):
     """Nearest-centroid (Rocchio) classification over the embeddings table
     (stages/similarity.nearest_centroid_classify): per-label integer-exact
@@ -3056,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_documents": q_epoch_shuffle_documents,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
         "rocchio_classify_embeddings": q_rocchio_classify_embeddings,
+        "pmi_bigrams": q_pmi_bigrams,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
@@ -3344,6 +3357,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "pmi_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            uni AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            big AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2,
+                       CAST(count(*) AS BIGINT) AS cxy
+                FROM toks, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            )
+            SELECT b.w1 || ' ' || b.w2 AS bigram,
+                   b.cxy AS c_xy,
+                   (CAST(b.cxy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                   / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+                       AS pmi_ratio
+            FROM big b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            CROSS JOIN tot
+            ORDER BY pmi_ratio DESC, bigram
+            LIMIT 100
         """,
         "rocchio_classify_embeddings": """
             WITH cents AS (

@@ -708,3 +708,74 @@ def bm25_topk(
                      "rank": pa.array(out_r, pa.int64()),
                      "doc_id": pa.array(out_d, pa.int64()),
                      "score": pa.array(out_s, pa.float64())})
+
+
+def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
+                k: int = 100):
+    """Top-k word pairs by pointwise mutual information ratio
+    ``(c_xy · N) / (c_x · c_y)`` — the collocation statistic (word2vec /
+    phrase-mining lineage; the log is monotone, so ranking by the ratio IS
+    ranking by PMI and keeps the score SQL-replicable: every factor is an
+    exact-int double and the two multiplies + one divide happen in the
+    same tree shape in both engines → bit-identical doubles).
+
+    Scale shape: unigram + bigram counts are the standard per-batch-Counter
+    → one-keyed-shuffle passes; N folds to a driver scalar. The unigram
+    table broadcast is pruned to words with ``c ≥ min_count`` — SOUND,
+    because a bigram with ``c_xy ≥ min_count`` implies both words have
+    ``c ≥ min_count`` — which keeps it vocabulary-sized (the tfidf
+    broadcast argument; swap for a keyed join if a corpus outgrows it).
+    → Table(bigram, c_xy, pmi_ratio) — top k by (ratio desc, bigram asc).
+    """
+    import re
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z]+")
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(word_re.findall((text or "").lower()))
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    total = uni.sum("c")  # driver scalar: total token occurrences
+    mc = pa.scalar(int(min_count), pa.int64())
+    pruned = uni.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("c"), mc)),
+        batch_format="pyarrow",
+    ).take_all()
+    counts_ref = ray.put({r["w"]: r["c"] for r in pruned})
+
+    bg = bigram_counts(ds, text_col=text_col)
+
+    def score(t: pa.Table) -> pa.Table:
+        cdict = ray.get(counts_ref)
+        keep = pc.greater_equal(t.column("n"), pa.scalar(int(min_count)))
+        t = t.filter(keep)
+        w1 = t.column("w1").to_pylist()
+        w2 = t.column("w2").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = np.array([cdict[w] for w in w1], dtype=np.float64)
+        c2 = np.array([cdict[w] for w in w2], dtype=np.float64)
+        ratio = (n * float(total)) / (c1 * c2) if len(n) else n
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in zip(w1, w2)],
+                               pa.string()),
+            "c_xy": pa.array(n.astype(np.int64)),
+            "pmi_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return (
+        bg.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_ratio", "bigram"], descending=[True, False])
+        .limit(int(k))
+    )

@@ -109,3 +109,24 @@ def test_curation_verdicts_all_rules_fire_and_partition_invariant():
         odf[sorted(odf.columns)].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_pmi_bigrams_designed_collocation(nparts):
+    """PMI ranking: a pair that ONLY occurs together outranks pairs of
+    independently-frequent words; scores equal the serial ratio."""
+    from nightcrawlercmd_ray.stages.textops import pmi_bigrams
+
+    rng = np.random.default_rng(37)
+    common = ["the", "cat", "dog", "runs", "fast"]
+    docs = [" ".join(rng.choice(common, 30)) for _ in range(80)]
+    docs += ["zig zag"] * 6  # exclusive collocation
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    out = pmi_bigrams(
+        ray.data.from_arrow(t).repartition(nparts), min_count=5, k=10
+    ).to_pandas()
+    assert out.iloc[0]["bigram"] == "zig zag"
+    # serial ratio for the planted pair: c_xy=6, c_zig=c_zag=6, N=80*30+12
+    n_total = 80 * 30 + 12
+    assert out.iloc[0]["pmi_ratio"] == (6.0 * n_total) / (6.0 * 6.0)
+    assert (out["c_xy"] >= 5).all()
