@@ -2391,6 +2391,37 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_trending_terms(sf_dir: str):
+    """Term drift between two snapshot versions of the corpus
+    (stages/textops.trending_terms): old = docs with id % 4 ≠ 0; new = all
+    docs, with ' trending boost boost boost' appended when id % 6 = 0 —
+    deterministic versions derived identically in both engines, so the
+    planted risers dominate the top-50 and the smoothed rise double
+    (one exact-int division) hash-matches the FULL-OUTER-join SQL oracle.
+    Both versions share ONE word-keyed shuffle (tagged count columns)."""
+    from nightcrawlercmd_ray.stages.textops import trending_terms
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 4 != 0)).select(["text"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [
+            (tx or "") + (" trending boost boost boost" if i % 6 == 0 else "")
+            for i, tx in zip(ids, t.column("text").to_pylist())
+        ]
+        return pa.table({"text": pa.array(texts, pa.string())})
+
+    return trending_terms(
+        ds.map_batches(mk_old, batch_format="pyarrow"),
+        ds.map_batches(mk_new, batch_format="pyarrow"),
+        k=50,
+    )
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Top-100 collocations by PMI ratio (stages/textops.pmi_bigrams):
     (c_xy·N)/(c_x·c_y) over the bigram_counts tokenizer, min_count 5.
@@ -3069,6 +3100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
         "rocchio_classify_embeddings": q_rocchio_classify_embeddings,
         "pmi_bigrams": q_pmi_bigrams,
+        "trending_terms": q_trending_terms,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "cm_user_counts": q_cm_user_counts,
@@ -3357,6 +3389,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "trending_terms": """
+            WITH old_t AS (
+                SELECT text FROM documents WHERE doc_id % 4 <> 0
+            ),
+            new_t AS (
+                SELECT text || CASE WHEN doc_id % 6 = 0
+                                    THEN ' trending boost boost boost'
+                                    ELSE '' END AS text
+                FROM documents
+            ),
+            wo AS (
+                SELECT lower(w) AS w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                                 text, '[a-zA-Z][a-z]{3,}')) AS w
+                      FROM old_t)
+                GROUP BY 1
+            ),
+            wn AS (
+                SELECT lower(w) AS w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                                 text, '[a-zA-Z][a-z]{3,}')) AS w
+                      FROM new_t)
+                GROUP BY 1
+            )
+            SELECT COALESCE(wo.w, wn.w) AS word,
+                   COALESCE(wo.c, 0) AS c_old,
+                   COALESCE(wn.c, 0) AS c_new,
+                   CAST(COALESCE(wn.c, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(wo.c, 0) + 1 AS DOUBLE) AS rise
+            FROM wo FULL OUTER JOIN wn ON wo.w = wn.w
+            ORDER BY rise DESC, word
+            LIMIT 50
         """,
         "pmi_bigrams": """
             WITH toks AS (

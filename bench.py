@@ -218,7 +218,7 @@ def run_bench() -> dict:
         "curation_verdicts", "token_offsets_documents",
         "orders_grouping_sets", "epoch_shuffle_documents",
         "normalize_documents", "hard_negatives_embeddings",
-        "rocchio_classify_embeddings", "pmi_bigrams",
+        "rocchio_classify_embeddings", "pmi_bigrams", "trending_terms",
     )
     for name in family:
         fn = entrymod.queries()[name]

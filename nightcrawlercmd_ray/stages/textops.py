@@ -779,3 +779,58 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
         .sort(["pmi_ratio", "bigram"], descending=[True, False])
         .limit(int(k))
     )
+
+
+def trending_terms(old_ds, new_ds, *, text_col: str = "text", k: int = 50):
+    """Term drift between two corpus snapshots — the "what changed since
+    the last crawl" statistic: per-word counts in each version, ranked by
+    the smoothed rise ratio ``(c_new+1)/(c_old+1)`` (one exact-int IEEE
+    division → bit-identical across engines; words absent from a version
+    count 0). Tokenization = the wordcount family (RE_WORD lowercased).
+
+    Scale shape: both versions stream through per-batch Counter combiners
+    into ONE shared word-keyed shuffle (old emits (word, c, 0), new emits
+    (word, 0, c) — the groupby's column sums ARE the full-outer join);
+    ranking is a sort+limit over |vocabulary| rows.
+    → Dataset(word, c_old, c_new, rise) — top k by (rise desc, word asc).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.extractors import RE_WORD
+
+    def partial(which: int):
+        def fn(t: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for text in t.column(text_col).to_pylist():
+                c.update(w.lower() for w in RE_WORD.findall(text or ""))
+            vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            zero = np.zeros(len(c), dtype=np.int64)
+            return pa.table({
+                "word": pa.array(list(c.keys()), pa.string()),
+                "c_old": pa.array(vals if which == 0 else zero),
+                "c_new": pa.array(vals if which == 1 else zero),
+            })
+
+        return fn
+
+    merged = (
+        old_ds.map_batches(partial(0), batch_format="pyarrow")
+        .union(new_ds.map_batches(partial(1), batch_format="pyarrow"))
+        .groupby("word")
+        .aggregate(Sum("c_old", alias_name="c_old"),
+                   Sum("c_new", alias_name="c_new"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        co = t.column("c_old").to_numpy(zero_copy_only=False).astype(np.float64)
+        cn = t.column("c_new").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("rise", pa.array((cn + 1.0) / (co + 1.0),
+                                                pa.float64()))
+
+    return (
+        merged.map_batches(score, batch_format="pyarrow")
+        .sort(["rise", "word"], descending=[True, False])
+        .limit(int(k))
+    )

@@ -130,3 +130,36 @@ def test_pmi_bigrams_designed_collocation(nparts):
     n_total = 80 * 30 + 12
     assert out.iloc[0]["pmi_ratio"] == (6.0 * n_total) / (6.0 * 6.0)
     assert (out["c_xy"] >= 5).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_trending_terms_vs_serial(nparts):
+    """Trending terms: FULL-OUTER word counts via one tagged shuffle; rise
+    ratios equal the serial smoothed computation; new-only words dominate."""
+    from collections import Counter
+
+    from nightcrawlercmd_ray.functions.extractors import RE_WORD
+    from nightcrawlercmd_ray.stages.textops import trending_terms
+
+    old_docs = ["alpha bravo charlie"] * 10 + ["delta echo"] * 5
+    new_docs = ["alpha bravo"] * 10 + ["foxtrot golf foxtrot"] * 4
+    t_old = pa.table({"text": pa.array(old_docs)})
+    t_new = pa.table({"text": pa.array(new_docs)})
+    out = trending_terms(
+        ray.data.from_arrow(t_old).repartition(nparts),
+        ray.data.from_arrow(t_new).repartition(nparts), k=20,
+    ).to_pandas()
+
+    co, cn = Counter(), Counter()
+    for d in old_docs:
+        co.update(w.lower() for w in RE_WORD.findall(d))
+    for d in new_docs:
+        cn.update(w.lower() for w in RE_WORD.findall(d))
+    vocab = sorted(set(co) | set(cn))
+    exp = sorted(
+        ((cn[w] + 1) / (co[w] + 1), w) for w in vocab
+    )
+    exp = sorted(exp, key=lambda x: (-x[0], x[1]))[:20]
+    got = list(zip(out["rise"], out["word"]))
+    assert got == exp
+    assert out.iloc[0]["word"] == "foxtrot" and out.iloc[0]["c_old"] == 0
