@@ -406,7 +406,8 @@ def _quantize_unit(vecs: np.ndarray, quant: float) -> np.ndarray:
 
 def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      quant: float = 1e6, keep_vec: bool = False):
+                      quant: float = 1e6, keep_vec: bool = False,
+                      materialize_input: bool = True):
     """Full-corpus spherical k-means (Lloyd's), deterministic at ANY
     parallelism — unlike ``train_centroids`` (a sampled, driver-local
     trainer for IVF bucketing), this is the distributed clustering operator
@@ -431,8 +432,15 @@ def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
     int64 headroom: |q| ≤ quant=1e6 ⇒ per-dim product ≤ 1e12, a d=1024 dot
     ≤ 1e15; centroid qsums stay exact past 9×10^12 rows/cluster.
 
-    Each iteration is one streaming pass + one k·d-row shuffle; the corpus
-    is never materialized. → (centroids float64 (k,d) ndarray,
+    Each iteration is one pass + one k·d-row shuffle. With
+    ``materialize_input`` (default) the PROJECTED (id, vec) columns are
+    materialized into the object store once, so Lloyd's iterations re-read
+    cached blocks instead of re-executing the upstream pipeline
+    (parquet scan, planted maps, …) ``iters``+2 times — the standard Ray
+    Data iteration pattern; blocks spill to disk rather than pinning
+    memory. Pass False to keep the fully streaming re-execution when the
+    projected input is larger than cluster storage.
+    → (centroids float64 (k,d) ndarray,
     Dataset(id_col, cluster, qsim) final assignments).
     """
     from ray.data.aggregate import Sum
@@ -440,6 +448,12 @@ def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
     from .sampling import hash_u32
 
     kk = int(k)
+    cols = [id_col, vec_col]
+    names = ds.schema().names
+    if set(cols) <= set(names) and sorted(names) != sorted(cols):
+        ds = ds.select_columns(cols)  # prune before caching/iterating
+    if materialize_input:
+        ds = ds.materialize()
 
     def local_init(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
