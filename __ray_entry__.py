@@ -690,6 +690,84 @@ def q_snapshot_diff_documents(sf_dir: str):
     return snapshot_diff(old, new, n_rows=n).sort("doc_id")
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling priority per source — the "which hosts changed
+    most since last crawl" ordering a crawl scheduler feeds on: compose
+    snapshot_diff (same old/new derivation as ``snapshot_diff_documents``)
+    → hash_join statuses onto each doc's source → per-source counts →
+    priority = (changed+added)/current-docs (one exact-int division).
+    Statuses ride compact keyed exchanges; raw text never moves past the
+    hash pass. Hash-matches the FULL-OUTER-join SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from nightcrawlercmd_ray.stages.joins import (
+        content_hashes,
+        hash_join,
+        snapshot_diff,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    n = _parquet_rows(path)
+    ds = _read_pq(path, columns=["doc_id", "text", "source"])
+
+    def mk_old(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 0)).select(["doc_id", "text"])
+
+    def mk_new(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        ids2 = t.column("doc_id").to_pylist()
+        texts = [
+            (x or "") + " v2" if d % 3 == 0 else (x or "")
+            for d, x in zip(ids2, t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    old = content_hashes(ds.map_batches(mk_old, batch_format="pyarrow"))
+    new = content_hashes(ds.map_batches(mk_new, batch_format="pyarrow"))
+    diff = snapshot_diff(old, new, n_rows=n)
+    joined = hash_join(
+        diff, ds.select_columns(["doc_id", "source"]), on="doc_id",
+        how="inner",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "status": t.column("status").to_pylist(),
+        })
+        g = df.groupby("source")["status"].agg(
+            n_new=lambda s: s.isin(["same", "changed", "added"]).sum(),
+            n_hot=lambda s: s.isin(["changed", "added"]).sum(),
+        ).reset_index()
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n_new": pa.array(g["n_new"].astype("int64")),
+            "n_hot": pa.array(g["n_hot"].astype("int64")),
+        })
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_new", alias_name="n_new"),
+                   Sum("n_hot", alias_name="n_hot"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        nn = t.column("n_new").to_numpy(zero_copy_only=False).astype(np.float64)
+        nh = t.column("n_hot").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("priority", pa.array(nh / nn, pa.float64()))
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["priority", "source"], descending=[True, False])
+    )
+
+
 def q_temperature_upsample(sf_dir: str):
     """Temperature-balanced mixture upsampling
     (stages/sampling.temperature_upsample, T=2): tail languages replicated
@@ -3024,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank_doclen": q_percentile_rank_doclen,
         "temperature_upsample": q_temperature_upsample,
         "snapshot_diff_documents": q_snapshot_diff_documents,
+        "recrawl_priority": q_recrawl_priority,
         "chunk_documents": q_chunk_documents,
         "bloom_pushdown_orders": q_bloom_pushdown_orders,
         "concurrent_sessions": q_concurrent_sessions,
@@ -3389,6 +3468,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "recrawl_priority": """
+            WITH old_t AS (
+                SELECT doc_id, md5(text) AS h
+                FROM documents WHERE doc_id % 5 <> 0
+            ),
+            new_t AS (
+                SELECT doc_id,
+                       md5(text || CASE WHEN doc_id % 3 = 0
+                                        THEN ' v2' ELSE '' END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+            ),
+            st AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.h <> n.h THEN 'changed'
+                            ELSE 'same' END AS status
+                FROM old_t o FULL OUTER JOIN new_t n ON o.doc_id = n.doc_id
+            ),
+            j AS (SELECT s.status, d.source
+                  FROM st s JOIN documents d USING (doc_id))
+            SELECT source,
+                   CAST(count(*) FILTER (
+                       status IN ('same','changed','added')) AS BIGINT)
+                       AS n_new,
+                   CAST(count(*) FILTER (
+                       status IN ('changed','added')) AS BIGINT) AS n_hot,
+                   CAST(count(*) FILTER (status IN ('changed','added'))
+                        AS DOUBLE)
+                   / CAST(count(*) FILTER (
+                         status IN ('same','changed','added')) AS DOUBLE)
+                       AS priority
+            FROM j GROUP BY source
+            ORDER BY priority DESC, source
         """,
         "trending_terms": """
             WITH old_t AS (
