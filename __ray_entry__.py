@@ -1363,6 +1363,20 @@ def q_sample_documents_stratified(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_balanced_sample_documents(sf_dir: str):
+    """Class-balanced downsampling (stages/sampling.balanced_sample): every
+    language kept at rate n_min/n_lang toward the smallest class — one tiny
+    stratum-count shuffle to derive rates, then the pure stratified-sample
+    map. Membership is a pure function of (doc_id, counts); the SQL oracle
+    recomputes the same window counts and threshold arithmetic."""
+    from nightcrawlercmd_ray.stages.sampling import balanced_sample
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return balanced_sample(ds, key="doc_id", stratum="lang").sort("doc_id")
+
+
 def q_weighted_sample_documents(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (stages/sampling.weighted_sample_k, priority-sampling lineage): the
@@ -3091,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "sample_documents_stratified": q_sample_documents_stratified,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "balanced_sample_documents": q_balanced_sample_documents,
         "classifier_scores_documents": q_classifier_scores_documents,
         "user_event_deltas": q_user_event_deltas,
         "events_rolling_sum": q_events_rolling_sum,
@@ -3983,6 +3998,19 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'de' THEN 1073741824
                             ELSE 536870912 END
             ORDER BY doc_id
+        """,
+        "balanced_sample_documents": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ),
+            m AS (SELECT min(n) AS mn FROM c)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN c USING (lang) CROSS JOIN m
+            WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  < round(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
+                          * 4294967296)
+            ORDER BY d.doc_id
         """,
         "weighted_sample_documents": """
             WITH sel AS (

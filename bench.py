@@ -219,7 +219,7 @@ def run_bench() -> dict:
         "orders_grouping_sets", "epoch_shuffle_documents",
         "normalize_documents", "hard_negatives_embeddings",
         "rocchio_classify_embeddings", "pmi_bigrams", "trending_terms",
-        "recrawl_priority",
+        "recrawl_priority", "balanced_sample_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -379,3 +379,32 @@ def _partial_counts(stratum: str):
         return g.rename_columns([stratum, "_n"])
 
     return fn
+
+
+def balanced_sample(ds, *, key: str, stratum: str, salt: int = 0):
+    """Class-balanced downsampling: every stratum is kept at rate
+    ``n_min / n_stratum`` (hash-thresholded on ``key``), so all strata
+    shrink toward the SMALLEST class in expectation — the dataset-balancing
+    step before training a classifier on skewed labels (the downsampling
+    dual of ``temperature_upsample``).
+
+    Scale shape: ONE tiny stratum-count shuffle (rows ∝ strata, pulled to
+    the driver bounded) to derive the rates, then the
+    ``stratified_sample`` pure map — membership is a pure function of
+    (key, salt) and the stratum counts, reproducible at any parallelism
+    and SQL-replicable (window counts + the same threshold arithmetic).
+    → the sampled rows, input columns unchanged.
+    """
+    counts = (
+        ds.map_batches(_partial_counts(stratum), batch_format="pyarrow")
+        .groupby(stratum)
+        .sum("_n")
+        .take_all()
+    )
+    if not counts:
+        raise ValueError("balanced_sample: empty input")
+    n_by = {r[stratum]: int(r["sum(_n)"]) for r in counts}
+    mn = min(n_by.values())
+    rates = {s: mn / n for s, n in n_by.items()}
+    return stratified_sample(ds, key=key, stratum=stratum, rates=rates,
+                             default_rate=0.0, salt=salt)

@@ -300,3 +300,33 @@ def test_weighted_sample_k_weight_bias():
     ).to_pandas()
     heavy = (out["doc_id"] < 1000).sum()
     assert heavy > 140, heavy  # ≈ 10/11 of 200 in expectation
+
+
+def test_balanced_sample_shrinks_to_min_class():
+    """balanced_sample: every stratum lands near the smallest class size;
+    the smallest class is kept whole (rate 1.0); partition-invariant."""
+    from nightcrawlercmd_ray.stages.sampling import balanced_sample
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    langs = rng.choice(["en", "de", "fr"], n, p=[0.7, 0.2, 0.1])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs)})
+    outs = []
+    for parts in (1, 6):
+        out = balanced_sample(
+            ray.data.from_arrow(t).repartition(parts),
+            key="doc_id", stratum="lang",
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    kept = outs[0]["lang"].value_counts()
+    n_min = pd.Series(langs).value_counts().min()
+    assert kept["fr"] == n_min  # rate 1.0 keeps the smallest class whole
+    for lang in ("en", "de"):
+        assert abs(kept[lang] - n_min) / n_min < 0.25
+
+    with pytest.raises(ValueError, match="empty"):
+        balanced_sample(
+            ray.data.from_arrow(t.slice(0, 0)), key="doc_id", stratum="lang"
+        )
