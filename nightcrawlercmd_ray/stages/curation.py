@@ -632,7 +632,9 @@ def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
        ``nfc_normalize`` agree — pinned by the SQL oracle);
     2. strip control characters except ``\\n`` / ``\\r`` / ``\\t``;
     3. collapse space/tab runs to a single space;
-    4. strip the ends.
+    4. strip SPACES from the ends (``strip(' ')`` — exactly DuckDB's
+       ``trim``; newlines are document structure and survive at the ends
+       too, so the engine and the oracle agree on multi-line text).
 
     Pure stateless per-batch map: zero shuffle, trivially scale-safe.
     → Dataset(id_col, text_norm, n_chars_norm).
@@ -644,7 +646,9 @@ def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         for s in t.column(text_col).to_pylist():
             s = unicodedata.normalize("NFC", s or "")
             s = RE_CONTROL.sub("", s)
-            s = RE_SPACERUN.sub(" ", s).strip()
+            # strip(' ') — not strip(): bare strip removes \n/unicode ws,
+            # diverging from the oracle's trim() on multi-line text
+            s = RE_SPACERUN.sub(" ", s).strip(" ")
             out.append(s)
         return pa.table({
             id_col: pc.cast(t.column(id_col), pa.int64()),

@@ -25,59 +25,16 @@ def rollup_sum_count(
     keys: list[str],
     value_col: str,
 ):
-    """SQL ``GROUP BY ROLLUP(k1, k2, …)`` with ``sum(value) AS total`` and
-    ``count(*) AS n``: emits one row per finest-grain group plus each
-    prefix level with the rolled-out keys NULL, down to the grand total.
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)`` with ``sum(value) AS total`` and
+    ``count(*) AS n``: one row per finest-grain group plus each prefix
+    level with the rolled-out keys NULL, down to the grand total.
     ``value_col`` must already be integer (cents policy) so sums are exact.
-    → Dataset(*keys, total, n).
+    ROLLUP is GROUPING SETS over the key prefixes — a one-line wrapper so
+    the partial/finest/expand scaffolding lives once in
+    :func:`grouping_sets_sum_count`. → Dataset(*keys, total, n).
     """
-    from ray.data.aggregate import Count, Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = (
-            t.select(keys + [value_col])
-            .group_by(keys)
-            .aggregate([(value_col, "sum"), ([], "count_all")])
-        )
-        return g.rename_columns(keys + ["total", "n"])
-
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
-    )
-
-    def expand(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["_all"]).combine_chunks()
-        out = [t]
-        for level in range(len(keys) - 1, -1, -1):
-            kept = keys[:level]
-            g = (
-                t.select(kept + ["total", "n"])
-                .group_by(kept)
-                .aggregate([("total", "sum"), ("n", "sum")])
-                .rename_columns(kept + ["total", "n"])
-            )
-            cols = {}
-            for k in keys:
-                if k in kept:
-                    cols[k] = g.column(k)
-                else:
-                    cols[k] = pa.nulls(len(g), t.schema.field(k).type)
-            cols["total"] = g.column("total")
-            cols["n"] = g.column("n")
-            out.append(pa.table(cols))
-        return pa.concat_tables(out)
-
-    # constant-key map_groups = bring the (small) finest result together once
-    return (
-        finest.map_batches(
-            lambda t: t.append_column("_all", pa.array([0] * len(t), pa.int8())),
-            batch_format="pyarrow",
-        )
-        .groupby("_all")
-        .map_groups(expand, batch_format="pyarrow")
-    )
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_sum_count(ds, keys, value_col, sets=sets)
 
 
 def cube_sum_count(
@@ -85,61 +42,18 @@ def cube_sum_count(
     keys: list[str],
     value_col: str,
 ):
-    """SQL ``GROUP BY CUBE(k1, k2, …)``: like :func:`rollup_sum_count` but
-    emits EVERY subset of the keys (2^k grouping sets), not just prefixes.
-    Identical scale shape — the data-sized pass happens once at the finest
-    grain; every grouping set derives from that small result inside one
-    constant-key ``map_groups``. → Dataset(*keys, total, n).
+    """SQL ``GROUP BY CUBE(k1, k2, ...)``: every subset of the keys (2^k
+    grouping sets), not just prefixes. CUBE is GROUPING SETS over all
+    subsets — same single-scaffolding wrapper as ROLLUP.
+    → Dataset(*keys, total, n).
     """
     from itertools import combinations
 
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = (
-            t.select(keys + [value_col])
-            .group_by(keys)
-            .aggregate([(value_col, "sum"), ([], "count_all")])
-        )
-        return g.rename_columns(keys + ["total", "n"])
-
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
-    )
-
-    def expand(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["_all"]).combine_chunks()
-        out = [t]
-        for r in range(len(keys) - 1, -1, -1):
-            for kept in combinations(keys, r):
-                kept = list(kept)
-                g = (
-                    t.select(kept + ["total", "n"])
-                    .group_by(kept)
-                    .aggregate([("total", "sum"), ("n", "sum")])
-                    .rename_columns(kept + ["total", "n"])
-                )
-                cols = {}
-                for k in keys:
-                    if k in kept:
-                        cols[k] = g.column(k)
-                    else:
-                        cols[k] = pa.nulls(len(g), t.schema.field(k).type)
-                cols["total"] = g.column("total")
-                cols["n"] = g.column("n")
-                out.append(pa.table(cols))
-        return pa.concat_tables(out)
-
-    return (
-        finest.map_batches(
-            lambda t: t.append_column("_all", pa.array([0] * len(t), pa.int8())),
-            batch_format="pyarrow",
-        )
-        .groupby("_all")
-        .map_groups(expand, batch_format="pyarrow")
-    )
+    sets = [tuple(keys)] + [
+        kept for r in range(len(keys) - 1, -1, -1)
+        for kept in combinations(keys, r)
+    ]
+    return grouping_sets_sum_count(ds, keys, value_col, sets=sets)
 
 
 def grouping_sets_sum_count(

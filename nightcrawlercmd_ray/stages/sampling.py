@@ -74,14 +74,17 @@ def stratified_sample(
     """Per-stratum keep-rates (mixture weighting): row kept iff
     hash(key, salt) < rates[stratum]·2^32, with ``default_rate`` for strata
     not listed. Vectorized threshold lookup via ``pc.index_in`` against the
-    (tiny) rate table — closure-captured, no broadcast needed."""
-    strata = pa.array(list(rates.keys()), pa.string())
+    (tiny) rate table — closure-captured, no broadcast needed. Stratum
+    values may be strings OR integers (class labels): the lookup array's
+    type is inferred and the column cast to it."""
+    strata = pa.array(list(rates.keys()))  # type inferred: string or int
     thrs = np.array([threshold_for(r) for r in rates.values()], dtype=np.uint64)
     default_thr = np.uint64(threshold_for(default_rate))
 
     def keep(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
-        idx = pc.index_in(t.column(stratum), value_set=strata)
+        col = pc.cast(t.column(stratum), strata.type)
+        idx = pc.index_in(col, value_set=strata)
         idx_np = idx.to_numpy(zero_copy_only=False)
         miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
         safe = np.where(miss, 0, idx_np).astype(np.int64)

@@ -552,7 +552,8 @@ def kmeans_embeddings(ds, *, k: int = 16, iters: int = 8,
 def semdedup(ds, *, threshold: float = 0.97, k: int | None = None,
              iters: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", quant: float = 1e6,
-             group_cap: int = 8192, n_rows: int | None = None):
+             group_cap: int = 8192, n_rows: int | None = None,
+             materialize_input: bool = True):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     clustering embeddings, then comparing pairs ONLY within a cluster —
     the k-means partition turns the O(n²) all-pairs problem into
@@ -579,7 +580,7 @@ def semdedup(ds, *, threshold: float = 0.97, k: int | None = None,
 
     _, with_vec = kmeans_embeddings(
         ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col, quant=quant,
-        keep_vec=True,
+        keep_vec=True, materialize_input=materialize_input,
     )
 
     def find_dups(g: pa.Table) -> pa.Table:
@@ -720,7 +721,6 @@ def hard_negatives(ds, query_table: pa.Table, *, vec_col: str = "embedding",
             if not m.any():
                 continue
             d = dots[k]
-            best = np.iinfo(np.int64).min
             # max dot, ties to smallest candidate id — vectorized
             cand = np.flatnonzero(m)
             dd = d[cand]

@@ -746,6 +746,8 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
         ds.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # vocabulary-sized; consumed twice below — without
+        # this the full corpus tokenization would re-execute per consumer
     )
     total = uni.sum("c")  # driver scalar: total token occurrences
     mc = pa.scalar(int(min_count), pa.int64())

@@ -524,6 +524,7 @@ def test_normalize_text_nfc_control_and_spaceruns():
         "a\t\t  b\tc",                 # tab/space runs → single space
         "  padded  ",                  # trimmed
         "keep\nnewlines\nintact",      # \n survives
+        "\nleading and trailing\n ",   # end-\n survives (trim ≡ strip(' '))
         "",                            # empty
         "ﬁ ＡＢ",                      # ligature/fullwidth: NFC keeps them
     ]
@@ -538,7 +539,7 @@ def test_normalize_text_nfc_control_and_spaceruns():
     def serial(s):
         s = unicodedata.normalize("NFC", s)
         s = RE_CONTROL.sub("", s)
-        return RE_SPACERUN.sub(" ", s).strip()
+        return RE_SPACERUN.sub(" ", s).strip(" ")
 
     assert list(out["text_norm"]) == [serial(s) for s in cases]
     assert out.loc[0, "text_norm"] == "café au lait"

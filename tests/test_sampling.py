@@ -330,3 +330,13 @@ def test_balanced_sample_shrinks_to_min_class():
         balanced_sample(
             ray.data.from_arrow(t.slice(0, 0)), key="doc_id", stratum="lang"
         )
+
+    # integer class labels (the classifier-balancing case) must work too
+    ti = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "label": pa.array((np.arange(n) % 4).astype(np.int32)),
+    })
+    out_i = balanced_sample(
+        ray.data.from_arrow(ti), key="doc_id", stratum="label"
+    ).to_pandas()
+    assert set(out_i["label"]) == {0, 1, 2, 3}
