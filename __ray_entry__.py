@@ -398,6 +398,21 @@ def q_cm_user_counts(sf_dir: str):
     })
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Unique users per sliding 1-hour window advancing every 15 minutes,
+    per event type (stages/slidingwindow.sliding_distinct): the distinct
+    form the sum/count sliding aggregate can't express. Hop expansion with
+    batch-local triple dedup combiners → one global-dedup shuffle → tiny
+    count. Hash-matches the COUNT(DISTINCT) SQL oracle."""
+    from nightcrawlercmd_ray.stages.slidingwindow import sliding_distinct
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "ts", "user_id"])
+    return sliding_distinct(
+        ds, window_s=3600, slide_s=900
+    ).sort(["key", "win_start_s"])
+
+
 def q_late_events(sf_dir: str):
     """Streaming watermark / late-data detection over the events table
     (stages/windows.late_events, Beam/Flink semantics): watermark = max
@@ -3197,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": q_trending_terms,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "cm_user_counts": q_cm_user_counts,
         "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -3865,6 +3881,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS total_cents
             FROM c
             WHERE cents > (SELECT quantile_disc(cents, 0.99) FROM c)
+        """,
+        "sliding_distinct_users": """
+            SELECT key, win_start_s,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (
+                SELECT event_type AS key, user_id,
+                       unnest(generate_series(latest - 2700, latest, 900))
+                           AS win_start_s
+                FROM (
+                    SELECT event_type, user_id,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
+                               AS latest
+                    FROM events
+                )
+            )
+            GROUP BY key, win_start_s
+            ORDER BY key, win_start_s
         """,
         "events_sliding_window": """
             SELECT key, win_start_s, count(*) AS n_events,

@@ -87,3 +87,68 @@ def sliding_window_agg(
             Sum("sum_value_cents", alias_name="sum_value_cents"),
         )
     )
+
+
+def sliding_distinct(
+    events,
+    *,
+    window_s: int,
+    slide_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Per-(key, window) EXACT distinct-user count over sliding windows —
+    the "unique visitors per trailing hour" statistic, which the
+    sum/count ``sliding_window_agg`` cannot express (distinct is not a
+    per-window additive merge).
+
+    Scale shape (the ``exact_distinct_by`` recipe applied to the hop
+    expansion): each event expands to its ``window/slide`` windows and the
+    batch PRE-DEDUPES (key, window, user) triples, so the first shuffle
+    carries at most the triple cardinality per block — never
+    occurrences; one ``groupby(key, win, user)`` global-dedup, then a
+    tiny ``groupby(key, win)`` count. ``slide_s`` must divide
+    ``window_s``. → Dataset(key, win_start_s, n_users).
+    """
+    if window_s % slide_s:
+        raise ValueError("slide_s must divide window_s")
+    k = window_s // slide_s
+
+    def triples(t: pa.Table) -> pa.Table:
+        ts_s = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(
+                        pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()
+                    ),
+                    1_000_000,
+                )
+            ),
+            pa.int64(),
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        latest = (ts_s // slide_s) * slide_s
+        n = len(latest)
+        ws = np.repeat(latest, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_s, n
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return (
+            pa.table({
+                "key": t.column(key_col).take(idx),
+                "win_start_s": pa.array(ws, pa.int64()),
+                "user": pc.cast(t.column(user_col), pa.int64()).take(idx),
+            })
+            .group_by(["key", "win_start_s", "user"])
+            .aggregate([])  # batch-local dedup: the combiner
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        events.map_batches(triples, batch_format="pyarrow")
+        .groupby(["key", "win_start_s", "user"])
+        .count()
+        .groupby(["key", "win_start_s"])
+        .aggregate(Count(alias_name="n_users"))
+    )

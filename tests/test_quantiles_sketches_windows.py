@@ -783,3 +783,37 @@ def test_grouping_sets_vs_duckdb_with_duplicate_set():
     with pytest.raises(ValueError, match="not in"):
         grouping_sets_sum_count(ds, keys=["a"], value_col="v",
                                 sets=[("zz",)])
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_sliding_distinct_vs_serial(nparts):
+    """Sliding distinct users: equals the serial expansion + set count at
+    any partitioning; a user appearing twice in one window counts once."""
+    from collections import defaultdict
+
+    from nightcrawlercmd_ray.stages.slidingwindow import sliding_distinct
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    ts_s = 1_700_000_000 + rng.integers(0, 6 * 3600, n)
+    users = rng.integers(0, 40, n)
+    types = rng.choice(["a", "b"], n)
+    t = pa.table({
+        "event_type": pa.array(types),
+        "ts": pa.array(ts_s * 1_000_000).cast(pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })
+    out = sliding_distinct(
+        ray.data.from_arrow(t).repartition(nparts), window_s=3600, slide_s=900
+    ).to_pandas().sort_values(["key", "win_start_s"]).reset_index(drop=True)
+
+    exp: dict = defaultdict(set)
+    for ty, s, u in zip(types, ts_s, users):
+        latest = (s // 900) * 900
+        for j in range(4):
+            exp[(ty, latest - j * 900)].add(u)
+    exp_df = pd.DataFrame(
+        [(k, w, len(us)) for (k, w), us in sorted(exp.items())],
+        columns=["key", "win_start_s", "n_users"],
+    )
+    pd.testing.assert_frame_equal(out, exp_df, check_dtype=False)
