@@ -398,6 +398,95 @@ def q_cm_user_counts(sf_dir: str):
     })
 
 
+def q_profile_documents(sf_dir: str):
+    """Data-quality profile of the documents table — the audit pass a
+    pipeline runs before training ingestion (row count, null/empty text,
+    null lang, length extremes). Per-batch partials fold through ONE
+    constant-key groupby with mixed Sum/Min/Max aggregates; nulls and
+    empties are planted deterministically (id%37 → NULL text, id%31 → '')
+    since the synthetic corpus has none — replicated in the SQL oracle."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "lang", "n_chars"])
+
+    def plant_and_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [
+            None if i % 37 == 0 else ("" if i % 31 == 0 else tx)
+            for i, tx in zip(ids, t.column("text").to_pylist())
+        ]
+        langs = t.column("lang").to_pylist()
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_k": pa.array([0], pa.int8()),
+            "n_rows": pa.array([len(ids)], pa.int64()),
+            "n_null_text": pa.array(
+                [sum(1 for x in texts if x is None)], pa.int64()),
+            "n_empty_text": pa.array(
+                [sum(1 for x in texts if x == "")], pa.int64()),
+            "n_null_lang": pa.array(
+                [sum(1 for x in langs if x is None)], pa.int64()),
+            "min_chars": pa.array([int(chars.min())], pa.int64()),
+            "max_chars": pa.array([int(chars.max())], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(plant_and_partial, batch_format="pyarrow")
+        .groupby("_k")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null_text", alias_name="n_null_text"),
+            Sum("n_empty_text", alias_name="n_empty_text"),
+            Sum("n_null_lang", alias_name="n_null_lang"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+    return out.drop_columns(["_k"])
+
+
+def q_hourly_deltas(sf_dir: str):
+    """Window-over-window deltas: per event type, each occupied hour's
+    event count minus the PREVIOUS occupied hour's (LAG semantics — the
+    trend feed on top of the tumbling aggregate; first hour NULL). The
+    hourly aggregate is the one corpus-sized shuffle; the delta pass
+    groups per type over occupied-hours rows (bounded by the time range,
+    not the corpus) with a vectorized sorted diff."""
+    from ray.data.aggregate import Count
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        hour = pc.cast(
+            pc.floor(pc.divide(pc.cast(us, pa.float64()), 3.6e9)), pa.int64()
+        )
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour_bucket": hour})
+
+    hourly = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def deltas(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("hour_bucket", "ascending")])
+        g = g.take(order)
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        # None for the first occupied hour (no predecessor), ints after
+        vals = [None] + (n[1:] - n[:-1]).tolist()
+        return g.append_column("delta_n", pa.array(vals, pa.int64()))
+
+    return (
+        hourly.groupby("event_type")
+        .map_groups(deltas, batch_format="pyarrow")
+        .sort(["event_type", "hour_bucket"])
+    )
+
+
 def q_sliding_distinct_users(sf_dir: str):
     """Unique users per sliding 1-hour window advancing every 15 minutes,
     per event type (stages/slidingwindow.sliding_distinct): the distinct
@@ -3213,6 +3302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "hourly_deltas": q_hourly_deltas,
+        "profile_documents": q_profile_documents,
         "cm_user_counts": q_cm_user_counts,
         "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -3881,6 +3972,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS total_cents
             FROM c
             WHERE cents > (SELECT quantile_disc(cents, 0.99) FROM c)
+        """,
+        "profile_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 37 = 0 THEN NULL
+                            WHEN doc_id % 31 = 0 THEN ''
+                            ELSE text END AS text,
+                       lang, n_chars
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (text IS NULL) AS BIGINT)
+                       AS n_null_text,
+                   CAST(count(*) FILTER (text = '') AS BIGINT)
+                       AS n_empty_text,
+                   CAST(count(*) FILTER (lang IS NULL) AS BIGINT)
+                       AS n_null_lang,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM planted
+        """,
+        "hourly_deltas": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, hour_bucket, n_events,
+                   CAST(n_events - lag(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour_bucket)
+                       AS BIGINT) AS delta_n
+            FROM hourly ORDER BY event_type, hour_bucket
         """,
         "sliding_distinct_users": """
             SELECT key, win_start_s,

@@ -220,7 +220,7 @@ def run_bench() -> dict:
         "normalize_documents", "hard_negatives_embeddings",
         "rocchio_classify_embeddings", "pmi_bigrams", "trending_terms",
         "recrawl_priority", "balanced_sample_documents",
-        "sliding_distinct_users",
+        "sliding_distinct_users", "hourly_deltas", "profile_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]
