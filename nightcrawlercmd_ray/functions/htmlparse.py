@@ -92,13 +92,14 @@ class _Extractor(HTMLParser):
 
     # -- text assembly ------------------------------------------------------
     def _break_line(self) -> None:
-        if self._cur:
+        cur = self._cur
+        if cur:
             # equivalent to _WS_RE.sub(" ", s).strip() (the pinned spec),
             # ~1.8× faster: map each class char to " " via guarded C-level
             # replace, collapse runs, default-strip. Equivalence over the
             # full bench corpus + adversarial unicode is pinned in
             # tests/test_htmlparse.py::test_break_line_equivalence.
-            s = "".join(self._cur)
+            s = cur[0] if len(cur) == 1 else "".join(cur)
             if "\t" in s:
                 s = s.replace("\t", " ")
             if "\r" in s:
@@ -115,7 +116,7 @@ class _Extractor(HTMLParser):
             if line:
                 self._lines.append(line)
             # clear IN PLACE: _fast_parse holds a bound .append to this list
-            self._cur.clear()
+            cur.clear()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth > 0:
@@ -446,10 +447,167 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
     return True
 
 
+# --------------------------------------------------------------------------- #
+# split tokenizer — tier 0, above _fast_parse. One C-level re.split fractures
+# the document into alternating [data, tag, data, tag, ...] tokens at every
+# complete `<...>` span containing no nested angle bracket; the hot loop is
+# then ONE dict lookup per tag token (memoized classification) plus a plain
+# append per data token — no per-tag find()/slice/regex at all on the memo-hit
+# path. Soundness of token-local classification:
+#   * a tag token is accepted ONLY when _parse_starttag_fast consumes it
+#     exactly to its final '>' — a tag whose quoted attribute value contains
+#     '>' (so the real tag extends past the token) leaves a dangling quote
+#     that locatestarttagend_tolerant cannot consume, so such truncations are
+#     rejected and the page bails to the positional tiers;
+#   * any '<' left inside a data token means the split tokenization disagrees
+#     with stdlib's scan (bare '<', comment/decl bodies containing markup,
+#     attr values containing '<') — detected by a C-level scan, page bails;
+#   * script/style CDATA is consumed token-wise: content tokens are dropped
+#     (handle_data is a guaranteed no-op at skip_depth>0) and the close tag
+#     must match stdlib's `</\s*tag` rule exactly; a '</' inside a CDATA data
+#     token (mis-tokenized close candidate) bails.
+# Any bail falls to _fast_parse and then stdlib, so parse_html's contract —
+# byte-identical results vs the stdlib reference path on EVERY input — is
+# unchanged; the differential tests (quirks + hypothesis + corpus) enforce it.
+# --------------------------------------------------------------------------- #
+_SPLIT_RE = re.compile(r"(<[^<>]*>)")
+_TOK_CACHE: dict[str, tuple] = {}
+_TOK_CACHE_MAX = 16384
+
+
+def _classify_token(tok: str):
+    """Memoizable (code, ...) classification of one `<...>` token, or None
+    to bail. Codes: 0 no-op; 1 href append; 2 resource append; 3 block
+    break; 5 stateful start (tag, attrs, selfclosing, enters_cdata);
+    6 stateful end (tag)."""
+    c = tok[1]
+    if "a" <= c <= "z" or "A" <= c <= "Z":
+        st = _parse_starttag_fast(tok, 0)
+        if st is None or st[0] != len(tok):
+            return None
+        _, tag, attrs, selfclosing = st
+        if tag in _STATEFUL_START:
+            return (5, tag, attrs, selfclosing,
+                    not selfclosing and tag in _CDATA_CLOSE)
+        action, payload = _classify_start(tag, attrs)
+        if action == _ACT_HREF:
+            return (1, payload)
+        if action == _ACT_RES:
+            return (2, payload)
+        return (3,) if tag in _BLOCK_TAGS else (0,)
+    if c == "/":
+        m = _END_RE.match(tok)
+        if m is None or m.end() != len(tok):
+            return None  # '</>', '</ >', '</div x>': stdlib bogus paths
+        tg = m.group(1).lower()
+        if tg in _STATEFUL_END:
+            return (6, tg)
+        return (3,) if tg in _BLOCK_TAGS else (0,)
+    if c == "!":
+        if tok.startswith("<!--"):
+            # valid iff the lax close `--\s*>` lands exactly on the token's
+            # final '>' (an earlier close would need another '>', which the
+            # split excludes); else the real comment extends past the token
+            m = _COMMENT_CLOSE.search(tok, 4)
+            return (0,) if m is not None and m.end() == len(tok) else None
+        seg = tok[2:-1]
+        if '"' in seg or "'" in seg or "[" in seg:
+            return None  # stdlib tracks quotes / marked sections — bail
+        return (0,)
+    if c == "?":
+        return (0,)  # PI ends at the first '>' in stdlib too
+    return None  # '<>', '< x>': stdlib emits '<' as data — bail
+
+
+def _split_parse(html: str, ex: _Extractor) -> bool:
+    """Tier-0 parse over re.split tokens; True on success, False to bail."""
+    toks = _SPLIT_RE.split(html)
+    n = len(toks)
+    cache = _TOK_CACHE
+    cur_append = ex._cur.append
+    hrefs_append = ex.hrefs.append
+    res_append = ex.resources.append
+    break_line = ex._break_line
+    hd = ex.handle_data
+    plain = True  # == (skip_depth == 0 and not _in_title); fresh extractor
+    i = 0
+    while True:
+        seg = toks[i]
+        if seg:
+            if "<" in seg:
+                return False  # tokenization disagrees with stdlib's scan
+            if plain:
+                cur_append(_unescape(seg) if "&" in seg else seg)
+            elif ex._skip_depth == 0:  # title mode: route through the handler
+                hd(_unescape(seg) if "&" in seg else seg)
+            # else skip mode: handle_data is a no-op — drop without unescape
+        i += 1
+        if i >= n:
+            return True
+        tok = toks[i]
+        i += 1
+        e = cache.get(tok)
+        if e is None:
+            e = _classify_token(tok)
+            if e is None:
+                return False
+            if len(cache) >= _TOK_CACHE_MAX:
+                cache.clear()
+            if len(tok) <= 256:
+                cache[tok] = e
+        code = e[0]
+        if code == 0:
+            continue
+        if code == 3:
+            break_line()
+        elif code == 1:
+            hrefs_append(e[1])
+        elif code == 2:
+            res_append(e[1])
+        elif code == 5:
+            tag, attrs, selfclosing, cdata = e[1], e[2], e[3], e[4]
+            if selfclosing:
+                ex.handle_startendtag(tag, attrs)
+            else:
+                ex.handle_starttag(tag, attrs)
+                if cdata:
+                    # raw until stdlib's `</\s*tag` — content tokens dropped
+                    # (skip_depth > 0 makes handle_data a no-op)
+                    close_re = _CDATA_CLOSE[tag]
+                    while True:
+                        if i >= n:
+                            return True  # unterminated: rest is skipped raw
+                        if "</" in toks[i]:
+                            return False  # close candidate inside data: bail
+                        i += 1
+                        if i >= n:
+                            return True
+                        ttok = toks[i]
+                        i += 1
+                        if ttok[1] == "/" and close_re.match(ttok):
+                            em = _END_RE.match(ttok)
+                            if (em is None or em.end() != len(ttok)
+                                    or em.group(1).lower() != tag):
+                                return False  # '</scriptx>' oddities
+                            ex.handle_endtag(tag)
+                            break
+                        # else: raw content token ('<b>' inside a script)
+            plain = ex._skip_depth == 0 and not ex._in_title
+        else:  # code == 6: stateful end (script/style/noscript/…, form, title)
+            ex.handle_endtag(e[1])
+            plain = ex._skip_depth == 0 and not ex._in_title
+
+
 def parse_html(html: bytes | str) -> ParsedPage:
     """Parse one HTML document; never raises on malformed input."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
+    p = _Extractor()
+    try:
+        if _split_parse(html, p):
+            return p.result()
+    except Exception:
+        pass  # fall through to the positional fast path
     p = _Extractor()
     try:
         if _fast_parse(html, p):

@@ -166,6 +166,104 @@ def test_fast_parse_differential_corpus(tiny_corpus):
             b.hrefs, b.resources, b.title, b.text)
 
 
+def _tier_results(s: str):
+    """Run each tier directly: (split_ok, split_result, fast_ok, fast_result).
+
+    parse_html tries split → positional-fast → stdlib, so a split-tier bug
+    that the positional tier masks would be invisible to the parse_html
+    differential — this drives each tier on its own extractor."""
+    from nightcrawlercmd_ray.functions.htmlparse import (
+        _Extractor,
+        _fast_parse,
+        _split_parse,
+    )
+
+    def run(tier):
+        ex = _Extractor()
+        try:
+            ok = tier(s, ex)
+        except Exception:
+            return False, None
+        return ok, ex.result() if ok else None
+
+    sok, sres = run(_split_parse)
+    fok, fres = run(_fast_parse)
+    return sok, sres, fok, fres
+
+
+def test_split_tier_differential_quirks():
+    """Each tier, when it claims success, must equal stdlib exactly."""
+    from nightcrawlercmd_ray.functions.htmlparse import _parse_html_stdlib
+
+    n_split = 0
+    for s in _QUIRKS:
+        b = _parse_html_stdlib(s)
+        sok, sres, fok, fres = _tier_results(s)
+        for ok, res in ((sok, sres), (fok, fres)):
+            if not ok:
+                continue
+            assert (res.hrefs, res.resources, res.title, res.text) == (
+                b.hrefs, b.resources, b.title, b.text), repr(s)
+        n_split += sok
+    # the split tier must actually handle the plain well-formed quirks
+    assert n_split >= 10
+
+
+def test_split_tier_differential_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nightcrawlercmd_ray.functions.htmlparse import _parse_html_stdlib
+
+    frag = st.sampled_from([
+        "<a href=", "x", ">", "</a>", "<div>", "</div>", "'", '"', "&amp;",
+        "&", ";", " ", "\n", "<script>", "</script>", "<!--", "-->", "<!",
+        "<?", "<br/>", "=", "/", "<img src=i>", "q<p", "]]>", "<![",
+        "<title>", "</title>", "<form action=f>", "</form>", "<input name=n>",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=12))
+    def inner(parts):
+        s = "".join(parts)
+        b = _parse_html_stdlib(s)
+        sok, sres, fok, fres = _tier_results(s)
+        for ok, res in ((sok, sres), (fok, fres)):
+            if not ok:
+                continue
+            assert (res.hrefs, res.resources, res.title, res.text) == (
+                b.hrefs, b.resources, b.title, b.text), repr(s)
+            fa = [(f.url, f.method,
+                   [(i.name, i.type, i.value) for i in f.inputs])
+                  for f in res.forms]
+            fb = [(f.url, f.method,
+                   [(i.name, i.type, i.value) for i in f.inputs])
+                  for f in b.forms]
+            assert fa == fb, repr(s)
+
+    inner()
+
+
+def test_split_tier_handles_corpus(tiny_corpus):
+    """The split tier must not silently bail on normal corpus pages — it is
+    the hot path; a regression to 0% coverage would be a silent slowdown."""
+    import pyarrow.parquet as pq
+
+    from nightcrawlercmd_ray.functions.htmlparse import (
+        _Extractor,
+        _split_parse,
+    )
+
+    t = pq.read_table(f"{tiny_corpus['dir']}/pages.parquet", columns=["html"])
+    rows = t.column("html").to_pylist()
+    n_ok = 0
+    for h in rows:
+        s = bytes(h).decode("utf-8", "replace")
+        if _split_parse(s, _Extractor()):
+            n_ok += 1
+    assert n_ok >= 0.9 * len(rows)
+
+
 def test_break_line_equivalence():
     """The replace-based whitespace collapse in _Extractor._break_line must
     equal the pinned spec `_WS_RE.sub(" ", s).strip()` on every input."""
