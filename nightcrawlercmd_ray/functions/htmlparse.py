@@ -475,6 +475,16 @@ _TOK_CACHE: dict[str, tuple] = {}
 _TOK_CACHE_MAX = 16384
 
 
+def _unescape_fast(seg: str) -> str:
+    """= html.unescape(seg) for segments whose every '&' opens exactly
+    '&amp;' — the overwhelmingly common entity — via one C-level replace;
+    anything else takes stdlib unescape. ('&amp;amp;' has ONE '&', so the
+    count guard routes it correctly: replace yields '&amp;' = unescape.)"""
+    if seg.count("&") == seg.count("&amp;"):
+        return seg.replace("&amp;", "&")
+    return _unescape(seg)
+
+
 def _classify_token(tok: str):
     """Memoizable (code, ...) classification of one `<...>` token, or None
     to bail. Codes: 0 no-op; 1 href append; 2 resource append; 3 block
@@ -537,9 +547,9 @@ def _split_parse(html: str, ex: _Extractor) -> bool:
             if "<" in seg:
                 return False  # tokenization disagrees with stdlib's scan
             if plain:
-                cur_append(_unescape(seg) if "&" in seg else seg)
+                cur_append(_unescape_fast(seg) if "&" in seg else seg)
             elif ex._skip_depth == 0:  # title mode: route through the handler
-                hd(_unescape(seg) if "&" in seg else seg)
+                hd(_unescape_fast(seg) if "&" in seg else seg)
             # else skip mode: handle_data is a no-op — drop without unescape
         i += 1
         if i >= n:

@@ -26,9 +26,27 @@ checkpoint/resume equality).
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
+
+# Already-canonical fast path: lowercase http(s) scheme, lowercase ASCII host
+# with no trailing dot / port / userinfo / brackets, a non-empty path whose
+# segments are never exactly "." or "..", an optional query, no fragment, no
+# ASCII control/space characters anywhere. A URL matching this is a fixpoint
+# of canonicalize() (differentially pinned in tests/test_urlnorm.py), so the
+# whole urlsplit → normalize → urlunsplit round trip can be skipped. The
+# match is deliberately conservative — anything unusual falls to the full
+# path, never the other way.
+_CANONICAL_RE = re.compile(
+    r"https?://"
+    r"[a-z0-9-]+(?:\.[a-z0-9-]+)*"                 # host (structure bars trailing '.')
+    r"(?:/(?!\.\.?(?:[/?#]|$))[^\x00-\x20/?#]*)+"  # path, no '.'/'..' segments
+    r"(?:\?[^\x00-\x20#]+)?"                       # non-empty query (a bare '?'
+    r"$"                                           #  is dropped by urlunsplit)
+)
+_NETLOC_END_RE = re.compile(r"[/?#]")
 
 
 def _remove_dot_segments(path: str) -> str:
@@ -65,6 +83,13 @@ def canonicalize(url: str) -> str | None:
     """
     if not url:
         return None
+    if url.isascii() and _CANONICAL_RE.match(url) is not None:
+        return url  # already canonical — skip the split/normalize round trip
+    return _canonicalize_full(url)
+
+
+def _canonicalize_full(url: str) -> str | None:
+    """The full split → normalize → unsplit path (fast-path reference)."""
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -76,7 +101,10 @@ def canonicalize(url: str) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
-    netloc = host
+    # urlsplit().hostname strips IPv6 brackets — re-add them, else the
+    # rebuilt netloc re-parses as (host "::1" → port error) and the function
+    # loses its fixpoint property (canonicalize(canonicalize(u)) == c(u))
+    netloc = f"[{host}]" if ":" in host else host
     try:
         port = parts.port
     except ValueError:
@@ -93,7 +121,7 @@ def canonicalize(url: str) -> str | None:
         # "a\x0c#f" → "a\x0c") that the entry strip() would then remove on a
         # SECOND pass — re-canonicalize so the function is a fixpoint
         # (seen-set equality across checkpoint round-trips depends on it)
-        return canonicalize(out)
+        return _canonicalize_full(out)
     return out
 
 
@@ -107,15 +135,42 @@ def to_abs_url(base: str | None, link: str) -> str | None:
     if not link:
         return None
     if base:
-        try:
-            link = urljoin(base, link)
-        except ValueError:
-            return None
+        # fast path: an absolute http(s) link with a real netloc comes out of
+        # the RFC 3986 join canonicalize-equivalent, so the join is skipped.
+        # Excluded (they take the full join): scheme-prefixed relative forms
+        # ("http:x"), and empty-netloc forms ("http://", "http:///p",
+        # "http://?q") where urljoin substitutes the BASE's netloc.
+        j = (7 if link.startswith("http://")
+             else 8 if link.startswith("https://") else 0)
+        if j == 0 or link[j : j + 1] in ("", "/", "?", "#"):
+            try:
+                link = urljoin(base, link)
+            except ValueError:
+                return None
     return canonicalize(link)
 
 
 def host_of(canonical_url: str) -> str:
     """Hostname (lowercased, port stripped) of an already-canonical URL."""
+    u = canonical_url
+    # fast path: slice the netloc out directly for the overwhelmingly common
+    # plain shape — no userinfo ('@'), no IPv6 bracket; port (last ':') is
+    # stripped like urlsplit().hostname. Equivalence pinned differentially
+    # in tests/test_urlnorm.py.
+    i = u.find("://")
+    # the prefix must be a plain alphabetic scheme, else urlsplit doesn't
+    # treat what follows as a netloc at all (e.g. ':://h' has no scheme)
+    if 0 < i and u.isascii() and u[:i].isalpha():
+        m = _NETLOC_END_RE.search(u, i + 3)
+        netloc = u[i + 3 : m.start()] if m else u[i + 3 :]
+        if "@" not in netloc and "[" not in netloc:
+            k = netloc.find(":")  # hostname ends at the FIRST ':' (urlsplit)
+            return (netloc if k < 0 else netloc[:k]).lower()
+    return _host_of_full(canonical_url)
+
+
+def _host_of_full(canonical_url: str) -> str:
+    """The full urlsplit path (fast-path reference)."""
     try:
         return urlsplit(canonical_url).hostname or ""
     except ValueError:

@@ -291,3 +291,31 @@ def test_break_line_equivalence():
         assert via_extractor(s) == _WS_RE.sub(" ", s).strip(), repr(s)
 
     prop()
+
+
+def test_unescape_fast_equivalence():
+    """_unescape_fast must equal html.unescape on every input (it fast-paths
+    segments whose every '&' opens '&amp;')."""
+    from html import unescape
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nightcrawlercmd_ray.functions.htmlparse import _unescape_fast
+
+    cases = ["", "a", "&amp;", "a&amp;b", "&amp;amp;", "&amp", "&AMP;",
+             "&lt;", "&amp;&lt;", "&amp;&amp;", "&", "&&amp;", "&#x41;",
+             "&nbsp;", "&lang", "&notarealentity;", "a&b", "&amp;x&amp;"]
+    for s in cases:
+        assert _unescape_fast(s) == unescape(s), repr(s)
+
+    piece = st.sampled_from(["&", "amp", ";", "a", "&amp;", "#x41", "lt",
+                             "nbsp", " ", "&#", "38"])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(piece, max_size=8))
+    def prop(parts):
+        s = "".join(parts)
+        assert _unescape_fast(s) == unescape(s), repr(s)
+
+    prop()
