@@ -512,20 +512,18 @@ def plan_wave(
     order = np.argsort(buckets, kind="stable")
     wave_t = wave_t.take(pa.array(order))
     bsorted = buckets[order]
-    # two-tier chunking: ~70% of rows in 2×CPU big chunks, the rest in 4×CPU
-    # small chunks. Workers pull chunks as they free up, so the wave's tail
-    # runs on the small chunks and the end-of-wave straggler is bounded by
-    # ONE small chunk's parse time (equal chunks measured ~15% wall slack
-    # from task-duration variance; 16-row floor keeps dispatch amortized)
-    if n <= 32 * cpus:
-        target_tasks = max(1, min(3 * cpus, (n + 15) // 16))
-        edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
-    else:
-        head = int(n * 0.7)
-        edges = np.concatenate([
-            np.linspace(0, head, 2 * cpus + 1).astype(np.int64),
-            np.linspace(head, n, 4 * cpus + 1).astype(np.int64)[1:],
-        ])
+    # row-count-aware equal chunks. Each task carries a fixed cost (dispatch,
+    # bucket-index load, a meta-sidecar scan per touched bucket), so the old
+    # fixed 6×CPU fan-out gave ~9-row tasks on ramp/tail waves and made them
+    # read-overhead-bound (measured 1.3 ms/row point reads at 192 tasks vs
+    # 0.096 in big waves). Aim ≥ ~128 rows per task while still filling the
+    # machine; cap at 3×CPU so workers pull ~3 chunks each and the
+    # end-of-wave straggler is bounded by ONE chunk's parse time (the old
+    # 70/30 two-tier split guarded the same tail but its extra task count
+    # cost more than the tail it saved: 10.2 s → 9.3 s at 32 CPUs, sf0.1).
+    floor_tasks = min(cpus, (n + 15) // 16)  # fill the machine if possible
+    target_tasks = max(1, floor_tasks, min(3 * cpus, n // 128))
+    edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
     groups = []
     for i in range(len(edges) - 1):
         s, e = int(edges[i]), int(edges[i + 1])
