@@ -1894,6 +1894,44 @@ def q_similarity_join_documents(sf_dir: str):
     ).sort(["doc_id", "dup_of"])
 
 
+def q_incremental_dedup_documents(sf_dir: str):
+    """Bipartite incremental near-dedup (stages/dedup.incremental_dedup):
+    a NEW crawl snapshot is deduped against the EXISTING corpus without
+    pairing old docs with each other — the recurring refresh operation of a
+    production pipeline. Snapshots derive deterministically from documents
+    (old = doc_id%5≠0 raw; new = doc_id%7≠0 with every %3==0 doc's first 5
+    words dropped — the established snapshot/plant conventions), so
+    unchanged docs yield J=1 cross pairs and edited docs yield partial-J
+    pairs, exercising the threshold both ways. The SQL oracle replays both
+    snapshots and computes the full cross-side co-shingle join. Jaccard
+    doubles are exact-int divisions — hash-identical across engines."""
+    from nightcrawlercmd_ray.stages.dedup import incremental_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = _read_pq(path, columns=["doc_id", "text"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 0)).select(["doc_id", "text"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        texts = [
+            " ".join((x or "").split(" ")[5:]) if d % 3 == 0 else (x or "")
+            for d, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    old = docs.map_batches(mk_old, batch_format="pyarrow")
+    new = docs.map_batches(mk_new, batch_format="pyarrow")
+    return incremental_dedup(
+        old, new, threshold=0.5, k=5, n_rows=_parquet_rows(path),
+    ).sort(["doc_id", "dup_of"])
+
+
 def q_mirror_documents(sf_dir: str):
     """Cross-source mirror detection (stages/dedup.cross_source_duplicates):
     exact-duplicate text in ≥2 DISTINCT sources → (doc_id, n_copies,
@@ -3241,6 +3279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": q_funnel_users,
         "mirror_documents": q_mirror_documents,
         "similarity_join_documents": q_similarity_join_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "bm25_search_documents": q_bm25_search_documents,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
@@ -3916,6 +3955,50 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT i.d1 AS doc_id, i.d2 AS dup_of,
+                   CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes n1 ON n1.doc_id = i.d1
+            JOIN sizes n2 ON n2.doc_id = i.d2
+            WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5
+            ORDER BY doc_id, dup_of
+        """,
+        "incremental_dedup_documents": """
+            WITH oldc AS (
+              SELECT doc_id * 2 AS doc_id, text FROM documents
+              WHERE doc_id % 5 != 0
+            ), newc AS (
+              SELECT doc_id * 2 + 1 AS doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN array_to_string(string_split(text, ' ')[6:], ' ')
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 != 0
+            ), corpus AS (
+              SELECT * FROM oldc UNION ALL SELECT * FROM newc
+            ), ws AS (
+              SELECT doc_id, string_split(text, ' ') AS wl FROM corpus
+            ), words AS (
+              SELECT doc_id, unnest(wl) AS w, generate_subscripts(wl, 1) AS ord
+              FROM ws
+            ), sh AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                     AS shingle
+              FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(w, 4) OVER win IS NOT NULL
+            ), dsh AS (
+              SELECT DISTINCT doc_id, shingle FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+            ), inter AS (
+              SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
+              FROM dsh s1
+              JOIN dsh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+                         AND (s1.doc_id + s2.doc_id) % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT CASE WHEN i.d1 % 2 = 1 THEN i.d1 ELSE i.d2 END // 2 AS doc_id,
+                   CASE WHEN i.d1 % 2 = 1 THEN i.d2 ELSE i.d1 END // 2 AS dup_of,
                    CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) AS jaccard
             FROM inter i
             JOIN sizes n1 ON n1.doc_id = i.d1

@@ -828,6 +828,7 @@ def similarity_join_exact(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     n_rows: int | None = None,
+    cross_parity_only: bool = False,
 ):
     """EXACT word-k-shingle Jaccard self-join: every pair with
     J(shingles(a), shingles(b)) ≥ ``threshold`` → Dataset(doc_id, dup_of,
@@ -945,6 +946,11 @@ def similarity_join_exact(
             lo = np.minimum(na, nb).astype(np.float64)
             hi = np.maximum(na, nb).astype(np.float64)
             ok = (a != b) & (threshold * hi <= lo)  # length filter
+            if cross_parity_only:
+                # bipartite mode (incremental_dedup): ids carry their side in
+                # the low bit, so same-side pairs are dropped HERE — before
+                # candidate dedup and jaccard verification ever see them
+                ok &= ((a ^ b) & 1) == 1
             p1s.append(np.minimum(a[ok], b[ok]))
             p2s.append(np.maximum(a[ok], b[ok]))
         if not p1s:
@@ -982,3 +988,60 @@ def similarity_join_exact(
                                             pa.scalar(threshold))),
         batch_format="pyarrow",
     )
+
+
+def incremental_dedup(
+    old_ds,
+    new_ds,
+    *,
+    threshold: float,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Bipartite exact near-dedup of a NEW snapshot against an EXISTING
+    corpus — the incremental-refresh operation a production pipeline runs on
+    every recrawl: flag each new document whose word-k-shingle Jaccard vs
+    ANY old document is ≥ ``threshold``, without ever pairing old docs with
+    each other. → Dataset(doc_id [new id], dup_of [old id], jaccard).
+
+    Shape: both sides' ids are re-encoded with their side in the LOW BIT
+    (old → 2·id, new → 2·id+1 — ids must fit 62 bits), the union rides the
+    :func:`similarity_join_exact` prefix-filter machinery, and the pairing
+    stage drops same-side pairs before candidate dedup / verification, so
+    the (dominant at 100 TB) old×old pair volume is never generated. The
+    old side contributes shingle/prefix rows only — its texts are never
+    re-verified against each other.
+    """
+
+    def _tag(bit: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column(id_col), pa.int64())
+            return pa.table({
+                id_col: pc.add(pc.multiply(ids, pa.scalar(2, pa.int64())),
+                               pa.scalar(bit, pa.int64())),
+                text_col: t.column(text_col),
+            })
+        return f
+
+    u = (old_ds.map_batches(_tag(0), batch_format="pyarrow")
+         .union(new_ds.map_batches(_tag(1), batch_format="pyarrow")))
+    pairs = similarity_join_exact(
+        u, threshold=threshold, k=k, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions, n_rows=n_rows, cross_parity_only=True,
+    )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        p1 = t.column("doc_id").to_numpy(zero_copy_only=False)
+        p2 = t.column("dup_of").to_numpy(zero_copy_only=False)
+        new_id = np.where(p1 & 1 == 1, p1, p2) >> 1
+        old_id = np.where(p1 & 1 == 1, p2, p1) >> 1
+        return pa.table({
+            "doc_id": pa.array(new_id, pa.int64()),
+            "dup_of": pa.array(old_id, pa.int64()),
+            "jaccard": t.column("jaccard"),
+        })
+
+    return pairs.map_batches(_decode, batch_format="pyarrow")

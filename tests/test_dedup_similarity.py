@@ -432,3 +432,45 @@ def test_similarity_join_micro_semantics():
     assert got[(1, 3)] == got[(2, 3)] == pytest.approx(6 / 7)
     assert all(4 not in p for p in got)
     assert len(got) == 3
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_incremental_dedup_vs_bruteforce(nparts):
+    """Bipartite incremental dedup: complete and tight vs a serial
+    cross-side brute force; same-side near-dups must NOT be reported."""
+    import pandas as pd
+
+    from nightcrawlercmd_ray.functions.textstats import jaccard, shingles
+    from nightcrawlercmd_ray.stages.dedup import incremental_dedup
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(150)
+    old = docs[docs.doc_id % 5 != 0].copy()
+    new = docs[docs.doc_id % 7 != 0].copy()
+    new["text"] = [
+        " ".join((x or "").split(" ")[5:]) if d % 3 == 0 else (x or "")
+        for d, x in zip(new.doc_id, new.text)
+    ]
+
+    TH, K = 0.5, 5
+    osh = {r.doc_id: shingles(r.text, K) for r in old.itertuples()}
+    nsh = {r.doc_id: shingles(r.text, K) for r in new.itertuples()}
+    want = {}
+    for nd, s_new in nsh.items():
+        for od, s_old in osh.items():
+            if s_new and s_old:
+                j = jaccard(s_new, s_old)
+                if j >= TH:
+                    want[(nd, od)] = j
+    assert want, "plant produced no cross pairs — test would be vacuous"
+
+    got_rows = incremental_dedup(
+        ray.data.from_pandas(old).repartition(nparts),
+        ray.data.from_pandas(new).repartition(nparts),
+        threshold=TH, k=K,
+    ).take_all()
+    got = {(r["doc_id"], r["dup_of"]): r["jaccard"] for r in got_rows}
+    assert set(got) == set(want)  # complete AND tight, cross-side only
+    assert all(got[p] == want[p] for p in want)  # bit-exact scores
+    # every reported pair is (new id, old id) — decode really is side-aware
+    assert all(nd in nsh and od in osh for nd, od in got)
