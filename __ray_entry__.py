@@ -1894,6 +1894,27 @@ def q_similarity_join_documents(sf_dir: str):
     ).sort(["doc_id", "dup_of"])
 
 
+def q_bigram_fluency_documents(sf_dir: str):
+    """LM-fluency scoring (stages/textops.bigram_fluency): average
+    next-word probability under a bigram model trained on the even-id
+    snapshot with stupid-backoff to unigrams, scoring the FULL corpus —
+    the KenLM-shaped signal of a CCNet-style curation stack. All integer
+    arithmetic ((scale·c_xy)//c_x per pair; (400000·c_y)//N backoff), so
+    the DuckDB oracle hash-matches bit-for-bit; training on a snapshot
+    makes both backoff branches fire positively."""
+    from nightcrawlercmd_ray.stages.textops import bigram_fluency
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = _read_pq(path, columns=["doc_id", "text"])
+
+    def mk_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    train = docs.map_batches(mk_train, batch_format="pyarrow")
+    return bigram_fluency(train, docs).sort("doc_id")
+
+
 def q_incremental_dedup_documents(sf_dir: str):
     """Bipartite incremental near-dedup (stages/dedup.incremental_dedup):
     a NEW crawl snapshot is deduped against the EXISTING corpus without
@@ -3280,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_documents": q_mirror_documents,
         "similarity_join_documents": q_similarity_join_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "bigram_fluency_documents": q_bigram_fluency_documents,
         "bm25_search_documents": q_bm25_search_documents,
         "latest_orders_per_customer": q_latest_orders_per_customer,
         "sample_docs_per_lang": q_sample_docs_per_lang,
@@ -3961,6 +3983,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes n2 ON n2.doc_id = i.d2
             WHERE CAST(i.i AS DOUBLE) / (n1.n + n2.n - i.i) >= 0.5
             ORDER BY doc_id, dup_of
+        """,
+        "bigram_fluency_documents": """
+            WITH train AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 2 = 0
+            ), bg AS (
+              SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c
+              FROM train, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+              GROUP BY 1, 2
+            ), ug AS (
+              SELECT u AS w, count(*) AS c
+              FROM train, LATERAL UNNEST(ws) AS s(u) GROUP BY 1
+            ), nt AS (
+              SELECT count(*) AS n FROM train, LATERAL UNNEST(ws) AS s(u)
+            ), dt AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM dt, LATERAL UNNEST(range(1, len(ws))) AS t(i)
+            ), scored AS (
+              SELECT p.doc_id,
+                     CASE WHEN bg.c IS NOT NULL
+                            THEN (1000000 * bg.c) // ugx.c
+                          WHEN ugy.c IS NOT NULL
+                            THEN (400000 * ugy.c) // nt.n
+                          ELSE 0 END AS s
+              FROM pairs p
+              LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+              LEFT JOIN ug ugx ON ugx.w = p.w1
+              LEFT JOIN ug ugy ON ugy.w = p.w2
+              CROSS JOIN nt
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                   CAST(sum(s) AS BIGINT) AS fluency_sum,
+                   CAST(sum(s) // count(*) AS BIGINT) AS avg_fluency
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "incremental_dedup_documents": """
             WITH oldc AS (

@@ -220,7 +220,7 @@ def run_bench() -> dict:
         "crawl_hits", "part_triangles", "json_props_stats",
         "user_growth_curve", "funnel_users", "mirror_documents",
         "similarity_join_documents", "incremental_dedup_documents",
-        "orders_cube", "host_authority",
+        "bigram_fluency_documents", "orders_cube", "host_authority",
         "crawl_ppr", "crawl_depths",
         "crawl_kcore", "bm25_search_documents",
         "weighted_sample_documents", "classifier_scores_documents",

@@ -504,7 +504,20 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
         pa.int64(),
     )
     want_ref = ray.put(want_ids)
-    P = int(max(1, min(1 << 18, n_pairs // 2000 + 1)))
+    # the candidate chain was just executed by take_all — rebuild the pairs
+    # dataset from the collected rows so the (possibly expensive: the exact
+    # similarity join runs FOUR shuffles to produce it) lazy chain is not
+    # re-executed when `pairs` is consumed again below
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in pair_rows], pa.int64()),
+        "dup_of": pa.array([r["dup_of"] for r in pair_rows], pa.int64()),
+    }))
+    # coarse partitions sized by BOTH pair count and distinct-text count: a
+    # small pair set over many distinct docs (the incremental-dedup shape —
+    # most new docs pair with exactly one old doc) otherwise lands the whole
+    # corpus text in one or two partitions
+    P = int(max(1, min(1 << 18,
+                       max(n_pairs // 2000, len(want_ids) // 500) + 1)))
 
     UNION_FIELDS = {
         "_key": pa.int64(), "_side": pa.int8(),
@@ -583,8 +596,22 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
         b = df[df["_side"] == 1][["_p_doc", "_p_dup", "_text"]].rename(
             columns={"_text": "_tb"})
         m = a.merge(b, on=["_p_doc", "_p_dup"], how="inner")
+        # identical texts are J=1.0 exactly (identical shingle sets; and
+        # jaccard(∅,∅) is defined 1.0) — the dominant case in incremental /
+        # recrawl workloads, short-circuited to a C-level string compare.
+        # Non-identical pairs memoize shingle sets per distinct text: a hub
+        # doc in p pairs is shingled once, not p times.
+        sh_cache: dict[str, set] = {}
+
+        def _sh(text: str) -> set:
+            s = sh_cache.get(text)
+            if s is None:
+                s = shingles(text, k)
+                sh_cache[text] = s
+            return s
+
         js = [
-            jaccard(shingles(x or "", k), shingles(y or "", k))
+            1.0 if x == y else jaccard(_sh(x or ""), _sh(y or ""))
             for x, y in zip(m["_ta"], m["_tb"])
         ]
         return pa.table({

@@ -836,3 +836,103 @@ def trending_terms(old_ds, new_ds, *, text_col: str = "text", k: int = 50):
         .sort(["rise", "word"], descending=[True, False])
         .limit(int(k))
     )
+
+
+def bigram_fluency(
+    train_ds,
+    score_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    backoff_num: int = 2,
+    backoff_den: int = 5,
+):
+    """Average next-word probability under a corpus-trained bigram model
+    with stupid-backoff to unigrams (Brants et al. 2007 shape) — the cheap
+    LM-fluency signal of a CCNet-style curation stack, in EXACT integer
+    arithmetic so the SQL oracle hash-matches bit-for-bit:
+
+    per adjacent token pair (x, y) of a scored doc (``[a-z]+`` runs of the
+    lowercased text — the pinned bigram-family tokenizer)::
+
+        s = (scale · c_xy) // c_x                 if bigram (x,y) in train
+          = (scale·bn//bd · c_y) // N             elif unigram y in train
+          = 0                                     otherwise
+
+    where c are TRAIN-side counts, N the train token total; per doc emit
+    ``n_pairs``, ``fluency_sum`` = Σs and ``avg_fluency`` = Σs // n_pairs
+    (docs with no pair are dropped). Training on a snapshot and scoring the
+    full corpus makes both backoff branches fire.
+
+    Scale shape: both count passes are per-batch Counter combiners → ONE
+    ``groupby.sum`` each (exchanges carry distinct n-grams only); the count
+    tables are vocabulary-sized and broadcast once (``ray.put``) to a pure
+    scoring map — the tfidf keyed-join fallback applies if a corpus's
+    bigram table ever outgrows a broadcast. → Dataset(doc_id, n_pairs,
+    fluency_sum, avg_fluency), all int64.
+    """
+    import re
+    from collections import Counter
+
+    import ray
+
+    word_re = re.compile(r"[a-z]+")
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        for text in t.column(text_col).to_pylist():
+            toks = word_re.findall((text or "").lower())
+            total += len(toks)
+            c.update(toks)
+        return pa.table({
+            "w": pa.array(list(c.keys()) + [""], pa.string()),
+            "n": pa.array(list(c.values()) + [total], pa.int64()),
+        })  # "" row carries the batch's token total through the same shuffle
+
+    ug_rows = (
+        train_ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("w").sum("n")
+        .take_all()
+    )
+    ug = {r["w"]: r["sum(n)"] for r in ug_rows}
+    n_total = ug.pop("", 0)
+    bg_rows = bigram_counts(train_ds, text_col=text_col).take_all()
+    bg = {(r["w1"], r["w2"]): r["n"] for r in bg_rows}
+    ug_ref, bg_ref = ray.put(ug), ray.put(bg)
+    backoff_scale = scale * backoff_num // backoff_den
+
+    def score(t: pa.Table) -> pa.Table:
+        ug_d = ray.get(ug_ref)  # broadcast once; local-store read
+        bg_d = ray.get(bg_ref)
+        ids, nps, sums, avgs = [], [], [], []
+        for did, text in zip(
+            pc.cast(t.column(id_col), pa.int64()).to_pylist(),
+            t.column(text_col).to_pylist(),
+        ):
+            toks = word_re.findall((text or "").lower())
+            if len(toks) < 2:
+                continue
+            s_sum = 0
+            for x, y in zip(toks, toks[1:]):
+                cxy = bg_d.get((x, y))
+                if cxy is not None:
+                    s_sum += (scale * cxy) // ug_d[x]
+                else:
+                    cy = ug_d.get(y)
+                    if cy is not None:
+                        s_sum += (backoff_scale * cy) // n_total
+            n_pairs = len(toks) - 1
+            ids.append(did)
+            nps.append(n_pairs)
+            sums.append(s_sum)
+            avgs.append(s_sum // n_pairs)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pairs": pa.array(nps, pa.int64()),
+            "fluency_sum": pa.array(sums, pa.int64()),
+            "avg_fluency": pa.array(avgs, pa.int64()),
+        })
+
+    return score_ds.map_batches(score, batch_format="pyarrow")

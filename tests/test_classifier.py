@@ -163,3 +163,65 @@ def test_trending_terms_vs_serial(nparts):
     got = list(zip(out["rise"], out["word"]))
     assert got == exp
     assert out.iloc[0]["word"] == "foxtrot" and out.iloc[0]["c_old"] == 0
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_bigram_fluency_vs_serial(nparts):
+    """bigram_fluency must equal a serial recomputation of the integer
+    stupid-backoff formula at any parallelism, with both backoff branches
+    (seen bigram / unseen bigram with seen unigram) exercised."""
+    import re
+    from collections import Counter
+
+    from nightcrawlercmd_ray.stages.textops import bigram_fluency
+
+    word_re = re.compile(r"[a-z]+")
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown dog sleeps",          # 'brown dog' unseen, 'dog' seen
+        "quick dog runs over the fox",         # in train: all bigrams seen
+        "zebra quokka unseen words entirely",  # unseen unigrams too
+        "the the the",                         # repeated-token bigrams
+        "solo",                                # 1 token -> dropped
+    ]
+    ids = list(range(len(docs)))
+    train_mask = [i % 2 == 0 for i in ids]
+
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    train_t = t.filter(pa.array(train_mask))
+    out = bigram_fluency(
+        ray.data.from_arrow(train_t).repartition(nparts),
+        ray.data.from_arrow(t).repartition(nparts),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # serial reference
+    ug, bg = Counter(), Counter()
+    n_total = 0
+    for i, d in zip(ids, docs):
+        if i % 2 == 0:
+            toks = word_re.findall(d.lower())
+            ug.update(toks)
+            bg.update(zip(toks, toks[1:]))
+            n_total += len(toks)
+    expect = {}
+    for i, d in zip(ids, docs):
+        toks = word_re.findall(d.lower())
+        if len(toks) < 2:
+            continue
+        s = 0
+        for x, y in zip(toks, toks[1:]):
+            if (x, y) in bg:
+                s += (1_000_000 * bg[(x, y)]) // ug[x]
+            elif y in ug:
+                s += (400_000 * ug[y]) // n_total
+        expect[i] = (len(toks) - 1, s, s // (len(toks) - 1))
+
+    got = {r.doc_id: (r.n_pairs, r.fluency_sum, r.avg_fluency)
+           for r in out.itertuples()}
+    assert got == expect
+    assert 5 not in got  # 1-token doc dropped
+    # the middle branch really fired: scored doc 1 (odd → not in train) has
+    # an unseen bigram whose second word IS a train unigram
+    d1 = "the quick brown dog sleeps".split()
+    assert any((x, y) not in bg and y in ug for x, y in zip(d1, d1[1:]))
