@@ -371,7 +371,13 @@ def anti_join_ids(ds, dup_ids, id_col: str = "doc_id", *,
                 pa.chunked_array([dup_ids]) if isinstance(dup_ids, pa.Array)
                 else dup_ids, pa.int64())}))
     else:
-        n = dup_ids.count() if n_dups is None else n_dups
+        if n_dups is None:
+            # count() would execute the (LSH) candidate chain once and the
+            # consume below would re-execute it — materialize to run it ONCE
+            dup_ids = dup_ids.materialize()
+            n = dup_ids.count()
+        else:
+            n = n_dups
         if n == 0:
             return ds
         if n <= broadcast_limit:
