@@ -431,6 +431,13 @@ def snapshot_diff(old, new, *, on: str = "doc_id", hash_col: str = "h",
 
         return fn
 
+    # Each side is consumed by three joins below; a lazy input (typically a
+    # content_hashes chain hashing the full corpus) would re-execute per
+    # consumer. Materialize once — compact (id, hash) rows in the object
+    # store, never driver memory.
+    old = old.materialize()
+    new = new.materialize()
+
     kw = {"num_partitions": num_partitions, "n_rows": n_rows}
     both = hash_join(new, old, on=on, how="inner", **kw).map_batches(
         status_map, batch_format="pyarrow")
