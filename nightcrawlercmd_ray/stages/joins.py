@@ -476,6 +476,10 @@ def bloom_prefilter(left, right, *, on: str, n_right: int | None = None,
     from ..state.cuckoo import BloomSeenFilter
 
     if n_right is None:
+        # count() would execute a lazy right chain once and the fold below
+        # would re-execute it; right is the small side by contract, so
+        # materializing it once is bounded (anti_join_ids/snapshot_diff class)
+        right = right.materialize()
         n_right = right.count()
     cap = max(int(n_right), 1)
 
