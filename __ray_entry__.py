@@ -2789,6 +2789,33 @@ def q_kmeans_embeddings(sf_dir: str):
     return assigned.sort("vec_id")
 
 
+def q_pq_ann_embeddings(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011; stages/similarity.pq_*):
+    m=8 sub-codebooks of k=16 codewords trained distributed (integer-exact
+    Lloyd's — one scan + one ≤k·(d+m)-row shuffle per iteration), corpus
+    encoded to 8 uint8 codes/vector (the 10^10-vector memory story: m bytes
+    vs 4d), then asymmetric-distance top-5 for the first 3 vectors as
+    queries. Integer ADC ⇒ deterministic ranking at any partitioning
+    (rows-only: the argmin recurrence is not SQL-expressible; serial-oracle
+    bit-exactness, the m=1/k=n ≡ exact-L2 pin, planted-near-dup recall and
+    partition invariance in tests/test_pq.py)."""
+    from nightcrawlercmd_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
+    q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    books = pq_train(ds, m=8, k=16, iters=4)
+    codes = pq_encode(ds, books)
+    return pq_topk(codes, books, q, k=5)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     clusters confine the pairwise cosine check to within-cluster pairs;
@@ -3368,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_user_counts": q_cm_user_counts,
         "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "pq_ann_embeddings": q_pq_ann_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "cleanroom_documents": q_cleanroom_documents,

@@ -805,3 +805,226 @@ def nearest_centroid_classify(ds, *, label_col: str = "label",
         })
 
     return ds.map_batches(classify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# product quantization (PQ) — the memory-bound ANN scale path
+# --------------------------------------------------------------------------- #
+def pq_train(ds, *, m: int = 8, k: int = 16, iters: int = 6,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             quant: float = 1e6, materialize_input: bool = True) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the ``d`` dimensions into ``m`` contiguous subspaces and run
+    k-means with ``k`` codewords INDEPENDENTLY in each — all ``m`` trainings
+    share every corpus pass (one scan + one ≤ k·(d+m)-row shuffle per Lloyd's
+    iteration, not ``m`` scans). At 10^10 vectors the encoded corpus is
+    ``m`` bytes/vector (vs 4·d float32), which is what lets the ANN index
+    stay in cluster RAM — the scale rationale.
+
+    Determinism (the ``kmeans_embeddings`` design, adapted to L2): raw
+    subvectors are quantized to int64 (``rint(x·quant)``); assignment is
+    ``argmin(‖c‖² − 2·x·c)`` in EXACT integer arithmetic (the dropped ‖x‖²
+    is constant per row), ties to the lowest codeword index; updates sum the
+    same int64 subvectors through a (subspace, codeword, dim)-keyed combiner
+    shuffle; the driver renormalizes and re-broadcasts. Init: the ``k``
+    vectors with smallest ``(knuth_hash(id), id)``, split across subspaces —
+    no RNG. Bit-identical at any partitioning.
+
+    → float64 codebooks of shape ``(m, k_eff, d/m)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sampling import hash_u32
+
+    cols = [id_col, vec_col]
+    names = ds.schema().names
+    if set(cols) <= set(names) and sorted(names) != sorted(cols):
+        ds = ds.select_columns(cols)
+    if materialize_input:
+        ds = ds.materialize()
+
+    kk = int(k)
+
+    def local_init(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        h = hash_u32(ids).astype(np.int64)
+        order = np.lexsort((ids, h))[:kk]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "_h": pa.array(h[order]),
+            vec_col: t.column(vec_col).take(pa.array(order)),
+        })
+
+    seeds = (
+        ds.map_batches(local_init, batch_format="pyarrow")
+        .sort(["_h", id_col]).limit(kk).take_all()
+    )
+    x0 = np.asarray([r[vec_col] for r in seeds], dtype=np.float64)
+    k_eff, d = x0.shape
+    if d % int(m):
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // int(m)
+    # (m, k_eff, dsub): subspace s's codebook init = seed rows' s-th slice
+    books = np.ascontiguousarray(
+        x0.reshape(k_eff, m, dsub).transpose(1, 0, 2))
+
+    for _ in range(int(iters)):
+        qb = np.rint(books * quant).astype(np.int64)  # (m, k, dsub)
+        qb_ref = ray.put(qb)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            qbm = ray.get(qb_ref)
+            mm, kc, dsb = qbm.shape
+            vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                z = pa.array([], pa.int64())
+                return pa.table({"_s": z, "_c": z, "_dim": z, "_v": z})
+            qx = np.rint(vecs * quant).astype(np.int64).reshape(
+                len(vecs), mm, dsb)
+            cnorm = (qbm * qbm).sum(axis=2)  # (m, k) exact int64
+            sums = np.zeros((mm, kc, dsb), dtype=np.int64)
+            counts = np.zeros((mm, kc), dtype=np.int64)
+            for s in range(mm):
+                # exact-integer L2 argmin; np.argmin ties → lowest index
+                a = np.argmin(cnorm[s] - 2 * (qx[:, s, :] @ qbm[s].T), axis=1)
+                np.add.at(sums[s], a, qx[:, s, :])
+                counts[s] += np.bincount(a, minlength=kc)
+            flat = sums.reshape(-1)
+            nz = np.flatnonzero(flat)
+            live = np.flatnonzero(counts.reshape(-1))
+            return pa.table({
+                "_s": pa.array(np.concatenate(
+                    [nz // (kc * dsb), live // kc])),
+                "_c": pa.array(np.concatenate(
+                    [(nz // dsb) % kc, live % kc])),
+                "_dim": pa.array(np.concatenate(
+                    [nz % dsb, np.full(len(live), -1, dtype=np.int64)])),
+                "_v": pa.array(np.concatenate(
+                    [flat[nz], counts.reshape(-1)[live]])),
+            })
+
+        rows = (
+            ds.map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(["_s", "_c", "_dim"])
+            .aggregate(Sum("_v", alias_name="_v"))
+            .take_all()
+        )  # ≤ m·k·(dsub+1) = k·(d+m) rows by construction
+        sums = np.zeros((m, k_eff, dsub), dtype=np.float64)
+        counts = np.zeros((m, k_eff), dtype=np.int64)
+        for r in rows:
+            if r["_dim"] < 0:
+                counts[r["_s"], r["_c"]] = r["_v"]
+            else:
+                sums[r["_s"], r["_c"], r["_dim"]] = r["_v"]
+        nzm = counts > 0  # empty codewords keep their previous value
+        books = books.copy()
+        books[nzm] = sums[nzm] / (counts[nzm, None] * quant)
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", quant: float = 1e6):
+    """Encode every vector to its ``m`` nearest-codeword indices (uint8 —
+    ``k ≤ 256`` by design). Pure map, zero shuffle; the broadcast is the
+    codebook (m·k·d/m floats). → Dataset(id_col, codes list<uint8>)."""
+    qb = np.rint(np.asarray(books, dtype=np.float64) * quant).astype(np.int64)
+    if qb.shape[1] > 256:
+        raise ValueError("PQ codes are uint8: k must be ≤ 256")
+    qb_ref = ray.put(qb)
+
+    def encode(t: pa.Table) -> pa.Table:
+        qbm = ray.get(qb_ref)
+        mm, kc, dsb = qbm.shape
+        ids = pc.cast(t.column(id_col), pa.int64())
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            codes = np.zeros((0, mm), dtype=np.uint8)
+        else:
+            qx = np.rint(vecs * quant).astype(np.int64).reshape(
+                len(vecs), mm, dsb)
+            cnorm = (qbm * qbm).sum(axis=2)
+            codes = np.empty((len(vecs), mm), dtype=np.uint8)
+            for s in range(mm):
+                codes[:, s] = np.argmin(
+                    cnorm[s] - 2 * (qx[:, s, :] @ qbm[s].T), axis=1)
+        return pa.table({
+            id_col: ids,
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), mm),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, *,
+            k: int = 10, id_col: str = "vec_id",
+            quant: float = 1e6) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: per query,
+    an (m, k) integer lookup table of ``‖c‖² − 2·q_s·c`` (the dropped ‖q‖²
+    is rank-invariant); each batch sums ``m`` table lookups per row — no
+    float vector is ever touched after encoding, which is the whole point
+    at 10^10 codes. Integer distances ⇒ deterministic ranking at any
+    partitioning, ties by (distance, vec_id). → Table(query_id, rank,
+    vec_id, adc_dist) — distances in the quantized integer metric."""
+    qb = np.rint(np.asarray(books, dtype=np.float64) * quant).astype(np.int64)
+    mm, kc, dsb = qb.shape
+    q = np.rint(np.asarray(queries, dtype=np.float64) * quant).astype(np.int64)
+    q = q.reshape(len(q), mm, dsb)
+    cnorm = (qb * qb).sum(axis=2)  # (m, k)
+    # (n_q, m, k) exact-integer ADC tables, broadcast once
+    tables = np.stack(
+        [cnorm[s] - 2 * (q[:, s, :] @ qb[s].T) for s in range(mm)], axis=1)
+    t_ref = ray.put(tables)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        tbl = ray.get(t_ref)  # (n_q, m, k)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = t.column("codes").combine_chunks()
+        codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(len(ids), mm)
+        if len(ids) == 0:
+            z32 = pa.array([], pa.int32())
+            return pa.table({"query_id": z32,
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.int64())})
+        nq = tbl.shape[0]
+        dist = np.zeros((nq, len(ids)), dtype=np.int64)
+        for s in range(mm):
+            dist += tbl[:, s, codes[:, s]]
+        n_take = min(k, dist.shape[1])
+        part = np.argpartition(dist, n_take - 1, axis=1)[:, :n_take]
+        out_q, out_id, out_d = [], [], []
+        for qi in range(nq):
+            for j in part[qi]:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_d.append(int(dist[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "adc_dist": pa.array(out_d, pa.int64()),
+        })
+
+    partials = codes_ds.map_batches(
+        partial_topk, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        # max-heap on (-dist, -vec_id): keep the k smallest (dist, vec_id)
+        heapq.heappush(heaps.setdefault(r["query_id"], []),
+                       (-r["adc_dist"], -r["vec_id"]))
+        if len(heaps[r["query_id"]]) > k:
+            heapq.heappop(heaps[r["query_id"]])
+    out_q, out_rank, out_id, out_d = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted((-nd, -nv) for nd, nv in heaps[qi])
+        for rank, (dist, vid) in enumerate(best):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(vid)
+            out_d.append(dist)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_rank, pa.int32()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "adc_dist": pa.array(out_d, pa.int64()),
+    })
