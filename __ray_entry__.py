@@ -2646,6 +2646,50 @@ def q_sorted_docs_by_len(sf_dir: str):
     return read_sorted(out).sort("pos")
 
 
+def q_compact_sorted_docs(sf_dir: str):
+    """LSM-style compaction of a sorted corpus
+    (stages/sortedsink.compact_sorted): base = docs with id % 3 ≠ 0 written
+    through the range-partitioned sorted sink; delta = the id % 3 = 0 docs
+    merged in WITHOUT re-sorting the base — boundaries inherited, only the
+    delta shuffles, untouched offset-stable parts are hard-linked. The
+    read-back's ``pos`` must be the exact global rank over the UNION, so
+    the row_number SQL oracle value-checks the whole merge end-to-end
+    (equality with a from-scratch rewrite + zero-IO link proof in
+    tests/test_sortedsink.py)."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        compact_sorted,
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_out = f"/tmp/ncrawler_compact/{tag}/base"
+    out = f"/tmp/ncrawler_compact/{tag}/merged"
+    shutil.rmtree(base_out, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read_pq(path, columns=["doc_id", "n_chars"])
+
+    def _side(keep_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            is_delta = ids % 3 == 0
+            return t.filter(pa.array(is_delta if keep_delta else ~is_delta))
+        return f
+
+    base = ds.map_batches(_side(False), batch_format="pyarrow")
+    delta = ds.map_batches(_side(True), batch_format="pyarrow")
+    write_sorted_partitioned(
+        base, base_out, key_col="n_chars", tie_col="doc_id",
+        num_partitions=8,
+    )
+    compact_sorted(base_out, delta, out)
+    return read_sorted(out).sort("pos")
+
+
 def q_trending_terms(sf_dir: str):
     """Term drift between two snapshot versions of the corpus
     (stages/textops.trending_terms): old = docs with id % 4 ≠ 0; new = all
@@ -3388,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "trending_terms": q_trending_terms,
         "sorted_docs_by_len": q_sorted_docs_by_len,
+        "compact_sorted_docs": q_compact_sorted_docs,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -3674,6 +3719,13 @@ def oracle_sql() -> dict[str, str]:
             FROM base ORDER BY event_id
         """,
         "sorted_docs_by_len": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM documents
+            ORDER BY pos
+        """,
+        "compact_sorted_docs": """
             SELECT doc_id, n_chars,
                    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
                         AS BIGINT) AS pos

@@ -254,7 +254,8 @@ def run_bench() -> dict:
         "weighted_sample_documents", "classifier_scores_documents",
         "kmeans_embeddings", "pq_ann_embeddings", "semdedup_embeddings",
         "jl_project_embeddings",
-        "sorted_docs_by_len", "late_events", "cm_user_counts",
+        "sorted_docs_by_len", "compact_sorted_docs", "late_events",
+        "cm_user_counts",
         "curation_verdicts", "token_offsets_documents",
         "orders_grouping_sets", "epoch_shuffle_documents",
         "normalize_documents", "hard_negatives_embeddings",

@@ -188,3 +188,175 @@ def read_sorted(out_dir: str):
         raise ValueError(f"read_sorted: no completed parts in {out_dir!r} "
                          "(no part-*/_DONE markers)")
     return read_parquet_clean(paths)
+
+
+def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
+                   skip_done: bool = True) -> dict:
+    """LSM-style compaction: merge a sorted base (a
+    ``write_sorted_partitioned`` directory) with a DELTA dataset into a new
+    sorted directory WITHOUT re-sorting or even re-reading the whole base —
+    the incremental-corpus maintenance step (recrawl appends, snapshot
+    upserts) that pairs with ``snapshot_diff`` / ``incremental_dedup``.
+
+    Scale shape: the base's range boundaries are reused, so the only
+    exchange is the DELTA routed to its base parts (one keyed shuffle of
+    delta rows; the base never moves); each touched part merges its sorted
+    base file with its locally-sorted delta rows (stable: base rows precede
+    delta rows on exact (key, tie) ties) and rewrites with fresh global
+    ranks; an untouched part whose global offset is unchanged (every part
+    BEFORE the first touched one — the whole base for an append-at-tail
+    delta, the classic LSM case) is HARD-LINKED (zero IO); untouched parts
+    whose offset shifted rewrite only to refresh ``pos``. A uniformly
+    spread delta therefore degrades to a full rewrite — which is exactly
+    what a major compaction is. Resumable like the writer: parts with a
+    ``_DONE`` in ``out_dir`` are skipped, ``_MANIFEST`` written last.
+
+    Boundaries are inherited, so a heavily skewed delta can fatten one
+    range; rerun ``write_sorted_partitioned`` (fresh boundaries) when part
+    sizes drift — the documented re-balance path. Returns the new manifest.
+    """
+    with open(f"{base_dir}/_MANIFEST") as f:
+        man = json.load(f)
+    key_col, tie_col = man["key_col"], man["tie_col"]
+    bounds = np.array(man["boundaries"], dtype=np.int64)
+    base_counts = np.array(man["counts"], dtype=np.int64)
+    base_offsets = np.array(man["offsets"], dtype=np.int64)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- pass 1: per-part delta counts (bounded: P rows cross) ----------
+    def part_counts(t: pa.Table) -> pa.Table:
+        p = np.searchsorted(bounds, _packed(t, key_col, tie_col),
+                            side="right")
+        c = np.bincount(p, minlength=len(bounds) + 1).astype(np.int64)
+        return pa.table({
+            "_part": pa.array(np.arange(len(c), dtype=np.int64)),
+            "_n": pa.array(c),
+        })
+
+    delta_counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in (delta_ds.map_batches(part_counts, batch_format="pyarrow")
+              .groupby("_part").sum("_n").take_all()):
+        delta_counts[r["_part"]] = r["sum(_n)"]
+    new_counts = base_counts + delta_counts
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+    touched = set(np.flatnonzero(delta_counts).tolist())
+
+    done = {
+        int(d.split("-", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.exists(f"{out_dir}/{d}/_DONE")
+    } if skip_done else set()
+
+    def _finish(d: str, body: pa.Table) -> None:
+        tmp = f"{d}/data.parquet.tmp-{os.getpid()}"
+        pq.write_table(body, tmp)
+        os.replace(tmp, f"{d}/data.parquet")
+        with open(f"{d}/_DONE.tmp", "w") as f:
+            json.dump({"rows": body.num_rows}, f)
+        os.replace(f"{d}/_DONE.tmp", f"{d}/_DONE")
+
+    # ---- pass 2: route delta rows, merge each touched part --------------
+    def add_part(t: pa.Table) -> pa.Table:
+        p = np.searchsorted(bounds, _packed(t, key_col, tie_col),
+                            side="right").astype(np.int64)
+        t = t.append_column("_part", pa.array(p))
+        if done:
+            mask = ~np.isin(p, np.fromiter(done, np.int64, count=len(done)))
+            t = t.filter(pa.array(mask))
+        return t
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        part = int(g.column("_part")[0].as_py())
+        add = g.drop_columns(["_part"])
+        base_path = f"{base_dir}/part-{part:05d}/data.parquet"
+        if os.path.exists(base_path):
+            base_t = pq.read_table(base_path).drop_columns(["pos"])
+            body = pa.concat_tables(
+                [base_t, add.select(base_t.column_names).cast(base_t.schema)])
+        else:
+            body = add
+        k = _packed(body, key_col, tie_col)
+        order = np.argsort(k, kind="stable")  # stable ⇒ base before delta
+        body = body.take(pa.array(order))
+        pos = new_offsets[part] + np.arange(len(order), dtype=np.int64)
+        body = body.append_column("pos", pa.array(pos))
+        d = f"{out_dir}/part-{part:05d}"
+        os.makedirs(d, exist_ok=True)
+        _finish(d, body)
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([body.num_rows], pa.int64())})
+
+    written = (
+        delta_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # ---- pass 3: untouched base parts — link (offset unchanged) or
+    # pos-rewrite (offset shifted); distributed as a tiny part-id dataset
+    import ray as _ray
+
+    base_parts = {
+        int(d.split("-", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("part-")
+        and os.path.exists(f"{base_dir}/{d}/_DONE")
+    }
+    carry = sorted(base_parts - touched - done)
+
+    def carry_part(t: pa.Table) -> pa.Table:
+        out_rows = []
+        for part in t.column("part").to_pylist():
+            src = f"{base_dir}/part-{part:05d}"
+            d = f"{out_dir}/part-{part:05d}"
+            os.makedirs(d, exist_ok=True)
+            if new_offsets[part] == base_offsets[part]:
+                # zero-IO carry: hard-link data + marker (copy fallback)
+                for fn in ("data.parquet", "_DONE"):
+                    dst = f"{d}/{fn}"
+                    if os.path.exists(dst):
+                        os.remove(dst)
+                    try:
+                        os.link(f"{src}/{fn}", dst)
+                    except OSError:
+                        shutil.copy2(f"{src}/{fn}", dst)
+                n = int(base_counts[part])
+            else:
+                body = pq.read_table(f"{src}/data.parquet").drop_columns(
+                    ["pos"])
+                pos = new_offsets[part] + np.arange(body.num_rows,
+                                                    dtype=np.int64)
+                _finish(d, body.append_column("pos", pa.array(pos)))
+                n = body.num_rows
+            out_rows.append((part, n))
+        return pa.table({
+            "part": pa.array([p for p, _ in out_rows], pa.int64()),
+            "rows": pa.array([n for _, n in out_rows], pa.int64()),
+        })
+
+    if carry:
+        carried = (
+            _ray.data.from_arrow(
+                pa.table({"part": pa.array(carry, pa.int64())}))
+            .repartition(min(len(carry), 32))
+            .map_batches(carry_part, batch_format="pyarrow")
+            .take_all()
+        )
+    else:
+        carried = []
+
+    new_man = {
+        "key_col": key_col, "tie_col": tie_col,
+        "boundaries": bounds.tolist(),
+        "counts": new_counts.tolist(), "offsets": new_offsets.tolist(),
+        "rows": int(new_counts.sum()),
+        "written": sorted(int(r["part"]) for r in written),
+        "carried": sorted(int(r["part"]) for r in carried),
+        "skipped": sorted(done),
+    }
+    tmp = f"{out_dir}/_MANIFEST.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, f"{out_dir}/_MANIFEST")
+    return new_man

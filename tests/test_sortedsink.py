@@ -140,3 +140,120 @@ def test_epoch_shuffle_query_epochs_differ():
     assert e1 == e1b          # deterministic within an epoch
     assert e1 != e2           # re-dealt across epochs
     assert e1 != tuple(ids)   # actually shuffled
+
+
+# --------------------------------------------------------------------------- #
+# compaction (stages/sortedsink.compact_sorted)
+# --------------------------------------------------------------------------- #
+from nightcrawlercmd_ray.stages.sortedsink import compact_sorted  # noqa: E402
+
+CBASE = "/tmp/ncrawler_test_compact_base"
+COUT = "/tmp/ncrawler_test_compact_out"
+
+
+def _split(t: pa.Table, pred):
+    mask = pred(t.column("doc_id").to_numpy(zero_copy_only=False))
+    return t.filter(pa.array(mask)), t.filter(pa.array(~mask))
+
+
+def _compact_setup(pred, n=2500, nparts=6):
+    """Write base = pred rows, compact in the complement as the delta."""
+    t = _data(n)
+    base_t, delta_t = _split(t, pred)
+    shutil.rmtree(CBASE, ignore_errors=True)
+    shutil.rmtree(COUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t).repartition(5), CBASE,
+        key_col="n_chars", tie_col="doc_id", num_partitions=nparts,
+        n_rows=base_t.num_rows,
+    )
+    man = compact_sorted(
+        CBASE, ray.data.from_arrow(delta_t).repartition(7), COUT)
+    return t, man
+
+
+def test_compact_sorted_equals_full_rewrite():
+    """Compacted read-back == the full union written from scratch (exact
+    ranks, every column), for a delta spread across the key range."""
+    t, man = _compact_setup(lambda ids: ids % 3 != 0)
+    assert man["rows"] == t.num_rows
+    got = (read_sorted(COUT).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars", "lang", "pos"]],
+        _expected(t)[["doc_id", "n_chars", "lang", "pos"]],
+    )
+
+
+def test_compact_tail_append_links_untouched_parts():
+    """Append-at-tail delta (all delta keys > every base key): every base
+    part is carried by HARD LINK (zero IO) except the last range."""
+    t = _data(1500)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    keys = t.column("n_chars").to_numpy(zero_copy_only=False)
+    cut = np.quantile(keys, 0.9)
+    base_t = t.filter(pa.array(keys <= cut))
+    delta_t = t.filter(pa.array(keys > cut))
+    assert delta_t.num_rows > 0
+    shutil.rmtree(CBASE, ignore_errors=True)
+    shutil.rmtree(COUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t).repartition(4), CBASE,
+        key_col="n_chars", tie_col="doc_id", num_partitions=6,
+        n_rows=base_t.num_rows,
+    )
+    man = compact_sorted(CBASE, ray.data.from_arrow(delta_t), COUT)
+    # correctness of the merged whole
+    got = (read_sorted(COUT).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars", "lang", "pos"]],
+        _expected(t)[["doc_id", "n_chars", "lang", "pos"]],
+    )
+    # zero-IO carry: every carried part shares its inode with the base file
+    assert man["carried"], "tail-append delta should carry early parts"
+    for part in man["carried"]:
+        a = os.stat(f"{CBASE}/part-{part:05d}/data.parquet")
+        b = os.stat(f"{COUT}/part-{part:05d}/data.parquet")
+        assert a.st_ino == b.st_ino, f"part {part} was rewritten, not linked"
+
+
+def test_compact_resume_rewrites_only_missing_parts():
+    t, man = _compact_setup(lambda ids: ids % 2 == 0)
+    before = (read_sorted(COUT).to_pandas()
+              .sort_values("pos").reset_index(drop=True))
+    victim = man["written"][0]
+    os.remove(f"{COUT}/part-{victim:05d}/_DONE")
+    delta_t = _split(t, lambda ids: ids % 2 == 0)[1]
+    man2 = compact_sorted(CBASE, ray.data.from_arrow(delta_t), COUT)
+    assert man2["written"] == [victim]
+    assert set(man2["skipped"]) == set(man["written"]) - {victim}
+    after = (read_sorted(COUT).to_pandas()
+             .sort_values("pos").reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_compact_base_before_delta_on_ties():
+    """Exact (key, tie) collisions across sides keep base rows first —
+    deterministic multiset-merge semantics."""
+    base_t = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "n_chars": pa.array([5, 5], pa.int64()),
+        "lang": pa.array(["base", "base"]),
+    })
+    delta_t = pa.table({
+        "doc_id": pa.array([7, 6], pa.int64()),
+        "n_chars": pa.array([5, 5], pa.int64()),
+        "lang": pa.array(["delta", "delta"]),
+    })
+    shutil.rmtree(CBASE, ignore_errors=True)
+    shutil.rmtree(COUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t), CBASE, key_col="n_chars",
+        tie_col="doc_id", num_partitions=2, n_rows=2,
+    )
+    compact_sorted(CBASE, ray.data.from_arrow(delta_t), COUT)
+    got = (read_sorted(COUT).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [6, 7, 7, 8]
+    assert got["lang"].tolist() == ["delta", "base", "delta", "base"]
