@@ -2860,6 +2860,28 @@ def q_pq_ann_embeddings(sf_dir: str):
     return pq_topk(codes, books, q, k=5)
 
 
+def q_ivfpq_ann_embeddings(sf_dir: str):
+    """IVF-PQ ANN (stages/similarity.ivfpq_build / ivfpq_topk): coarse
+    inverted lists from a FULL-CORPUS distributed integer k-means
+    (pq_train(m=1)), residual product codes trained on exact integer
+    residuals, nprobe=3-of-8 probing with per-(query, bucket) integer ADC
+    tables — rows outside probed buckets are never scored, codes are
+    bucket+8 bytes/vector. Deterministic at any partitioning (rows-only;
+    full-probe ≡ exact-L2 pin, planted recall, nprobe monotonicity and
+    partition invariance in tests/test_pq.py)."""
+    from nightcrawlercmd_ray.stages.similarity import ivfpq_build, ivfpq_topk
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
+    q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    coarse, books, codes = ivfpq_build(
+        ds, coarse_k=8, m=8, k=16, iters=4, coarse_iters=3)
+    return ivfpq_topk(codes, coarse, books, q, k=5, nprobe=3)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     clusters confine the pairwise cosine check to within-cluster pairs;
@@ -3441,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "pq_ann_embeddings": q_pq_ann_embeddings,
+        "ivfpq_ann_embeddings": q_ivfpq_ann_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "cleanroom_documents": q_cleanroom_documents,

@@ -252,7 +252,8 @@ def run_bench() -> dict:
         "crawl_ppr", "crawl_depths",
         "crawl_kcore", "bm25_search_documents",
         "weighted_sample_documents", "classifier_scores_documents",
-        "kmeans_embeddings", "pq_ann_embeddings", "semdedup_embeddings",
+        "kmeans_embeddings", "pq_ann_embeddings", "ivfpq_ann_embeddings",
+        "semdedup_embeddings",
         "jl_project_embeddings",
         "sorted_docs_by_len", "compact_sorted_docs", "late_events",
         "cm_user_counts",

@@ -1028,3 +1028,176 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, *,
         "vec_id": pa.array(out_id, pa.int64()),
         "adc_dist": pa.array(out_d, pa.int64()),
     })
+
+
+def ivfpq_build(ds, *, coarse_k: int = 16, m: int = 8, k: int = 16,
+                coarse_iters: int = 4, iters: int = 6,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                quant: float = 1e6):
+    """Build a faiss-style IVF-PQ index (coarse inverted lists + residual
+    product codes — Jégou et al. 2011 §IV): the coarse quantizer is
+    ``pq_train(m=1, k=coarse_k)`` — i.e. a FULL-CORPUS distributed
+    integer-exact L2 k-means (not the sampled ``train_centroids``); each
+    vector's residual is computed in INTEGER space (``q(x) − q(c_b)``,
+    exact), and the PQ codebooks are trained on those residuals, sharing
+    the one-pass-per-iteration shape throughout.
+
+    → (coarse (coarse_k, d) float64,
+       books (m, k, d/m) float64 residual codebooks,
+       Dataset(id_col, bucket int64, codes list<uint8>)).
+
+    Everything downstream of the two trainings is a pure map; the only
+    exchanges are the trainings' ≤k·(d+m)-row combiner shuffles. The codes
+    dataset is bucket+m bytes per vector — the RAM story at 10^10 vectors.
+    """
+    coarse = pq_train(ds, m=1, k=coarse_k, iters=coarse_iters,
+                      vec_col=vec_col, id_col=id_col, quant=quant)[0]
+    qcb = np.rint(coarse * quant).astype(np.int64)  # (ck, d)
+    qcb_ref = ray.put(qcb)
+
+    def to_residual(t: pa.Table) -> pa.Table:
+        qc = ray.get(qcb_ref)
+        ids = pc.cast(t.column(id_col), pa.int64())
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({
+                id_col: ids,
+                "_bucket": pa.array([], pa.int64()),
+                "_res": pa.array([], pa.list_(pa.float64())),
+            })
+        qx = np.rint(vecs * quant).astype(np.int64)
+        cn = (qc * qc).sum(axis=1)
+        b = np.argmin(cn - 2 * (qx @ qc.T), axis=1)
+        # integer residual scaled back to float: rint(res·quant) in pq_train
+        # recovers the exact int (|res·quant| ≪ 2^53), so the whole chain
+        # stays in exact integer arithmetic
+        res = (qx - qc[b]) / quant
+        return pa.table({
+            id_col: ids,
+            "_bucket": pa.array(b.astype(np.int64)),
+            "_res": pa.array(res.tolist(), pa.list_(pa.float64())),
+        })
+
+    res_ds = ds.map_batches(to_residual, batch_format="pyarrow").materialize()
+    books = pq_train(res_ds, m=m, k=k, iters=iters,
+                     vec_col="_res", id_col=id_col, quant=quant,
+                     materialize_input=False)
+    enc = pq_encode(res_ds, books, vec_col="_res", id_col=id_col, quant=quant)
+    # re-attach the bucket: both are pure maps over res_ds — zip via ONE
+    # id-keyed exchange is avoidable by encoding in place instead
+    qb = np.rint(books * quant).astype(np.int64)
+    qb_ref = ray.put(qb)
+    del enc  # the fused map below supersedes it
+
+    def encode_with_bucket(t: pa.Table) -> pa.Table:
+        qbm = ray.get(qb_ref)
+        mm, kc, dsb = qbm.shape
+        ids = pc.cast(t.column(id_col), pa.int64())
+        vecs = np.asarray(t.column("_res").to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            codes = np.zeros((0, mm), dtype=np.uint8)
+        else:
+            qx = np.rint(vecs * quant).astype(np.int64).reshape(
+                len(vecs), mm, dsb)
+            cnorm = (qbm * qbm).sum(axis=2)
+            codes = np.empty((len(vecs), mm), dtype=np.uint8)
+            for s in range(mm):
+                codes[:, s] = np.argmin(
+                    cnorm[s] - 2 * (qx[:, s, :] @ qbm[s].T), axis=1)
+        return pa.table({
+            id_col: ids,
+            "bucket": t.column("_bucket"),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), mm),
+        })
+
+    codes_ds = res_ds.map_batches(encode_with_bucket, batch_format="pyarrow")
+    return coarse, books, codes_ds
+
+
+def ivfpq_topk(codes_ds, coarse: np.ndarray, books: np.ndarray,
+               queries: np.ndarray, *, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id", quant: float = 1e6) -> pa.Table:
+    """ADC top-k over an IVF-PQ index: each query probes its ``nprobe``
+    nearest coarse buckets; within a probed bucket the distance is the
+    EXACT integer ``‖(q−c_b) − r_code‖²`` assembled from per-(query,
+    bucket) lookup tables — floats never touched after encoding, rows
+    outside probed buckets never scored. Deterministic ranking, ties by
+    (distance, vec_id). → Table(query_id, rank, vec_id, adc_dist)."""
+    qcb = np.rint(np.asarray(coarse, dtype=np.float64) * quant).astype(np.int64)
+    qb = np.rint(np.asarray(books, dtype=np.float64) * quant).astype(np.int64)
+    mm, kc, dsb = qb.shape
+    q = np.rint(np.asarray(queries, dtype=np.float64) * quant).astype(np.int64)
+    nq = len(q)
+    cn = (qcb * qcb).sum(axis=1)
+    probe = np.argsort(cn - 2 * (q @ qcb.T), axis=1, kind="stable")[:, :nprobe]
+    rnorm = (qb * qb).sum(axis=2)  # (m, k)
+    # per (query, probed bucket): g = q − c_b split into subspaces;
+    # T[s, j] = ‖r‖² − 2 g_s·r_{s,j}; const = ‖g‖² added once
+    tables = np.empty((nq, nprobe, mm, kc), dtype=np.int64)
+    consts = np.empty((nq, nprobe), dtype=np.int64)
+    for qi in range(nq):
+        for pi, b in enumerate(probe[qi]):
+            g = (q[qi] - qcb[b]).reshape(mm, dsb)
+            consts[qi, pi] = int((g.astype(object) * g).sum())
+            for s in range(mm):
+                tables[qi, pi, s] = rnorm[s] - 2 * (qb[s] @ g[s])
+    model_ref = ray.put((probe, tables, consts))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        pr, tbl, cst = ray.get(model_ref)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        flat = t.column("codes").combine_chunks()
+        codes = np.asarray(flat.flatten(), dtype=np.int64).reshape(
+            len(ids), mm)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(pr)):
+            cand_d, cand_i = [], []
+            for pi, b in enumerate(pr[qi]):
+                sel = np.flatnonzero(buckets == b)
+                if not len(sel):
+                    continue
+                d = np.full(len(sel), cst[qi, pi], dtype=np.int64)
+                for s in range(mm):
+                    d += tbl[qi, pi, s, codes[sel, s]]
+                cand_d.append(d)
+                cand_i.append(sel)
+            if not cand_d:
+                continue
+            d = np.concatenate(cand_d)
+            sel = np.concatenate(cand_i)
+            n_take = min(k, len(d))
+            part = np.argpartition(d, n_take - 1)[:n_take]
+            out_q.extend([qi] * n_take)
+            out_id.extend(ids[sel[part]].tolist())
+            out_d.extend(d[part].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "adc_dist": pa.array(out_d, pa.int64()),
+        })
+
+    partials = codes_ds.map_batches(
+        partial_topk, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(heaps.setdefault(r["query_id"], []),
+                       (-r["adc_dist"], -r["vec_id"]))
+        if len(heaps[r["query_id"]]) > k:
+            heapq.heappop(heaps[r["query_id"]])
+    out_q, out_rank, out_id, out_d = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted((-nd, -nv) for nd, nv in heaps[qi])
+        for rank, (dist, vid) in enumerate(best):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(vid)
+            out_d.append(dist)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_rank, pa.int32()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "adc_dist": pa.array(out_d, pa.int64()),
+    })

@@ -147,3 +147,74 @@ def test_pq_guards():
     ids2, X2 = _vectors(n=20, d=16)
     with pytest.raises(ValueError, match="uint8"):
         pq_encode(_mk_ds(ids2, X2), np.zeros((2, 300, 8)))
+
+
+# --------------------------------------------------------------------------- #
+# IVF-PQ (ivfpq_build / ivfpq_topk)
+# --------------------------------------------------------------------------- #
+from nightcrawlercmd_ray.stages.similarity import (  # noqa: E402
+    ivfpq_build,
+    ivfpq_topk,
+)
+
+
+def test_ivfpq_degenerate_equals_exact_l2():
+    """Full probing + k=n residual codebook at 0 iterations: every residual
+    is its own codeword, so ADC distances are the exact integer L2
+    distances — ranking AND values must match brute force."""
+    ids, X = _vectors(n=120, d=16, seed=11)
+    ds = _mk_ds(ids, X, n_blocks=5)
+    coarse, books, codes = ivfpq_build(
+        ds, coarse_k=4, m=2, k=120, iters=0, coarse_iters=2)
+    codes = codes.materialize()
+    q = X[:3]
+    out = ivfpq_topk(codes, coarse, books, q, k=5, nprobe=4).to_pandas()
+    qX = np.rint(X * 1e6).astype(np.int64)
+    qq = np.rint(q * 1e6).astype(np.int64)
+    for qi in range(3):
+        d2 = ((qX - qq[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))[:5]
+        sub = out[out.query_id == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == ids[order].tolist()
+        assert sub["adc_dist"].tolist() == d2[order].tolist()
+
+
+def test_ivfpq_planted_recall_and_partition_invariance():
+    ids, X = _vectors(n=200, d=16, seed=13)
+    ds = _mk_ds(ids, X, n_blocks=4)
+    coarse, books, codes = ivfpq_build(
+        ds, coarse_k=8, m=4, k=16, iters=4, coarse_iters=3)
+    codes = codes.materialize()
+    src = [5, 77, 140]
+    q = X[src] + 1e-4
+    out = ivfpq_topk(codes, coarse, books, q, k=3, nprobe=2).to_pandas()
+    top1 = out[out["rank"] == 0].sort_values("query_id")["vec_id"].tolist()
+    assert top1 == src
+    out_b = ivfpq_topk(codes.repartition(13), coarse, books, q,
+                       k=3, nprobe=2).to_pandas()
+    assert out.equals(out_b)
+    # build itself is partition-invariant
+    c2, b2, codes2 = ivfpq_build(
+        _mk_ds(ids, X, n_blocks=11), coarse_k=8, m=4, k=16, iters=4,
+        coarse_iters=3)
+    np.testing.assert_array_equal(coarse, c2)
+    np.testing.assert_array_equal(books, b2)
+
+
+def test_ivfpq_nprobe_monotone():
+    """More probes can only improve (never worsen) the best distance found
+    per query — the IVF contract."""
+    ids, X = _vectors(n=150, d=16, seed=17)
+    ds = _mk_ds(ids, X)
+    coarse, books, codes = ivfpq_build(
+        ds, coarse_k=8, m=4, k=16, iters=3, coarse_iters=3)
+    codes = codes.materialize()
+    q = X[10:13] + 2e-3
+    best = None
+    for nprobe in (1, 2, 8):
+        out = ivfpq_topk(codes, coarse, books, q, k=1,
+                         nprobe=nprobe).to_pandas()
+        cur = out.set_index("query_id")["adc_dist"]
+        if best is not None:
+            assert (cur <= best.reindex(cur.index).fillna(np.inf)).all()
+        best = cur
