@@ -1240,6 +1240,33 @@ def q_order_price_quantiles(sf_dir: str):
     )
 
 
+def q_wide_hash_quantiles(sf_dir: str):
+    """Wide-domain exact quantiles (stages/quantiles.exact_quantiles_wide):
+    order statistics over a ~2^62-domain int64 column (a planted
+    Knuth-hash spread of doc_id, derived identically in SQL) where the
+    O(|distinct|) value histogram of exact_quantiles cannot apply —
+    distributed histogram-narrowing binary search, ≤4 one-scan passes,
+    exchange ∝ buckets×blocks. Same quantile_disc rule, hash-exact vs
+    DuckDB."""
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h1 = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h2 = ((ids + np.uint64(1)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        v = (h1 << np.uint64(30)) + h2
+        return pa.table({"v": pa.array(v.astype(np.int64))})
+
+    return exact_quantiles_wide(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        "v", [0.1, 0.5, 0.9, 0.99, 1.0],
+        out_names=["p10", "p50", "p90", "p99", "p100"],
+    )
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Grouped exact quantiles (stages/quantiles.py): per-language document
     length percentiles — the quality-cut statistic a training-data pipeline
@@ -3401,6 +3428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_outliers": q_order_price_outliers,
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
+        "wide_hash_quantiles": q_wide_hash_quantiles,
         "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_users_by_type": q_distinct_users_by_type,
         "doc_chain_components": q_doc_chain_components,
@@ -4365,6 +4393,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.99) AS p99
             FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                   FROM orders)
+        """,
+        "wide_hash_quantiles": """
+            SELECT quantile_disc(v, 0.1)  AS p10,
+                   quantile_disc(v, 0.5)  AS p50,
+                   quantile_disc(v, 0.9)  AS p90,
+                   quantile_disc(v, 0.99) AS p99,
+                   quantile_disc(v, 1.0)  AS p100
+            FROM (SELECT CAST(
+                    ((doc_id * 2654435761) % 4294967296) * 1073741824
+                    + ((doc_id + 1) * 2654435761) % 4294967296
+                    AS BIGINT) AS v
+                  FROM documents)
         """,
         "doc_length_quantiles": """
             SELECT lang,

@@ -241,7 +241,8 @@ def run_bench() -> dict:
         "token_budget_sample", "cleanroom_exact_documents",
         "inverted_index_documents", "heavy_hitters_bigrams",
         "embedding_moments", "pca_embeddings", "bpe_encode_documents",
-        "cdc_near_dups", "percentile_rank_doclen", "temperature_upsample",
+        "cdc_near_dups", "percentile_rank_doclen", "wide_hash_quantiles",
+        "temperature_upsample",
         "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
         "hll_distinct_users_by_type", "concurrent_sessions",
         "crawl_hostgraph", "crawl_inlink_stats", "crawl_anchor_texts",

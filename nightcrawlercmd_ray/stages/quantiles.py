@@ -199,3 +199,128 @@ def percentile_rank(ds, value_col: str, *, out_col: str = "pct_rank",
         return t.append_column(out_col, pa.array(pr, pa.float64()))
 
     return ds.map_batches(rank_map, batch_format="pyarrow")
+
+
+def exact_quantiles_wide(
+    ds,
+    value_col: str,
+    qs: list[float],
+    *,
+    out_names: list[str] | None = None,
+    max_buckets: int = 65536,
+    max_passes: int = 8,
+) -> pa.Table:
+    """Exact discrete quantiles over an int64 column of UNBOUNDED distinct
+    cardinality — the scale path where ``exact_quantiles``'s
+    O(|distinct|) histogram does not fit (raw hashes, byte offsets,
+    timestamps; floats: quantize first, per the repo's float policy).
+
+    Distributed histogram-narrowing (binary search by bucketed counts):
+    each pass scans once, bucketing only rows inside the still-active
+    value intervals into ≤ ``max_buckets`` equal-width buckets per
+    interval (a per-batch combiner → ONE tiny groupby; exchange rows ∝
+    buckets × blocks, never data), then narrows each quantile's interval
+    to the bucket containing its order statistic and rebases its rank.
+    Intervals shrink ≥ ``max_buckets``× per pass, so int64 needs at most
+    ⌈64/log2(max_buckets)⌉ = 4 passes; a final exact in-interval
+    histogram (≤ max_buckets distinct values by construction) picks the
+    value. Same ``quantile_disc`` order-statistic rule as
+    ``exact_quantiles`` (k = max(1, ceil(q·n))) — SQL-oracle-able
+    bit-for-bit. Driver memory: O(qs × max_buckets).
+    """
+    if out_names is None:
+        out_names = [_default_qname(q) for q in qs]
+
+    # pass 0: n, min, max (three scalars)
+    def minmax(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64())
+        return pa.table({
+            "_lo": pa.array([pc.min(v).as_py()], pa.int64()),
+            "_hi": pa.array([pc.max(v).as_py()], pa.int64()),
+            "_n": pa.array([len(v) - v.null_count], pa.int64()),
+        })
+
+    import ray as _ray
+
+    parts = _ray.get([r for r in ds.map_batches(
+        minmax, batch_format="pyarrow").to_arrow_refs()])
+    los = [p.column("_lo")[0].as_py() for p in parts if p.num_rows]
+    his = [p.column("_hi")[0].as_py() for p in parts if p.num_rows]
+    n = sum(p.column("_n")[0].as_py() for p in parts if p.num_rows)
+    # all-null blocks contribute None min/max — drop before folding
+    los = [x for x in los if x is not None]
+    his = [x for x in his if x is not None]
+    if not n or not los:
+        raise ValueError(f"exact_quantiles_wide: no rows in {value_col!r}")
+    lo, hi = min(los), max(his)
+
+    # per-quantile state: target rank k (1-based) within [lo, hi], where
+    # `below` counts rows < lo already excluded from the interval
+    states = [{"k": max(1, math.ceil(q * n)), "lo": lo, "hi": hi,
+               "done": None} for q in qs]
+
+    for _ in range(max_passes):
+        active = [s for s in states if s["done"] is None]
+        if not active:
+            break
+        # dedup identical intervals (common: all qs start at [lo, hi])
+        ivals = sorted({(s["lo"], s["hi"]) for s in active})
+        widths = []
+        for a, b in ivals:
+            span = b - a + 1
+            widths.append(max(1, -(-span // max_buckets)))
+        iv_ref = _ray.put((ivals, widths))
+
+        def bucket_counts(t: pa.Table) -> pa.Table:
+            iv, w = _ray.get(iv_ref)
+            # drop_null at the Arrow level: a null-bearing int64 column
+            # otherwise converts via float64 and corrupts values > 2^53
+            # (the stages/joins.py ADVICE-r2 hazard)
+            v = pc.drop_null(
+                pc.cast(t.column(value_col), pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            out_i, out_b, out_c = [], [], []
+            for i, ((a, b), wd) in enumerate(zip(iv, w)):
+                sel = v[(v >= a) & (v <= b)]
+                if not len(sel):
+                    continue
+                bk = (sel - a) // wd
+                vals, cnts = np.unique(bk, return_counts=True)
+                out_i.extend([i] * len(vals))
+                out_b.extend(vals.tolist())
+                out_c.extend(cnts.astype(np.int64).tolist())
+            return pa.table({
+                "_iv": pa.array(out_i, pa.int64()),
+                "_b": pa.array(out_b, pa.int64()),
+                "_c": pa.array(out_c, pa.int64()),
+            })
+
+        rows = (
+            ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby(["_iv", "_b"]).sum("_c").take_all()
+        )  # ≤ intervals × max_buckets rows
+        hist: dict[int, dict[int, int]] = {}
+        for r in rows:
+            hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
+        for s in active:
+            i = ivals.index((s["lo"], s["hi"]))
+            wd = widths[i]
+            h = hist.get(i, {})
+            run = 0
+            for b in sorted(h):
+                if run + h[b] >= s["k"]:
+                    s["k"] -= run  # rebase rank inside the bucket
+                    s["lo"], s["hi"] = (s["lo"] + b * wd,
+                                        min(s["hi"], s["lo"] + (b + 1) * wd - 1))
+                    break
+                run += h[b]
+            else:  # pragma: no cover — counts sum < k is impossible
+                raise AssertionError("rank fell outside histogram")
+            if wd == 1:
+                s["done"] = s["lo"]
+    if any(s["done"] is None for s in states):  # pragma: no cover
+        raise AssertionError("quantile intervals did not converge")
+    return pa.table({
+        name: pa.array([s["done"]], pa.int64())
+        for name, s in zip(out_names, states)
+    })

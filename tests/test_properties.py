@@ -304,3 +304,59 @@ def test_cm_rows_in_range_and_deterministic(keys):
     # rows differ (seeded independently) unless trivially tiny domain
     if len(set(keys)) > 10:
         assert any(not np.array_equal(a[0], a[d]) for d in range(1, 4))
+
+
+# --------------------------------------------------------------------------- #
+# sorted-sink compaction (stages/sortedsink.compact_sorted)
+# --------------------------------------------------------------------------- #
+@settings(max_examples=6, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=300),
+    frac_delta=st.integers(min_value=1, max_value=9),
+    nparts=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_compact_sorted_equals_full_rewrite_property(n, frac_delta, nparts,
+                                                     seed):
+    """For ANY base/delta split, partition count and key distribution
+    (including heavy ties), compaction == writing the union from scratch:
+    pos is the exact global rank and every column survives."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        compact_sorted,
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    rng = np.random.default_rng(seed)
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        # small key domain → heavy ties exercise the tie/stability path
+        "n_chars": pa.array(rng.integers(0, max(2, n // 4), n).astype(np.int64)),
+    })
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    mask = ids % 10 < frac_delta
+    if not mask.any() or mask.all():
+        return  # empty side — covered by unit tests
+    base_t, delta_t = t.filter(pa.array(~mask)), t.filter(pa.array(mask))
+    base_dir, out_dir = "/tmp/ncr_prop_cbase", "/tmp/ncr_prop_cout"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t).repartition(min(nparts, base_t.num_rows)),
+        base_dir, key_col="n_chars", tie_col="doc_id",
+        num_partitions=nparts, n_rows=base_t.num_rows,
+    )
+    compact_sorted(base_dir, ray.data.from_arrow(delta_t), out_dir)
+    got = (read_sorted(out_dir).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    exp = (t.to_pandas().sort_values(["n_chars", "doc_id"])
+           .reset_index(drop=True))
+    assert got["pos"].tolist() == list(range(n))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()

@@ -817,3 +817,73 @@ def test_sliding_distinct_vs_serial(nparts):
         columns=["key", "win_start_s", "n_users"],
     )
     pd.testing.assert_frame_equal(out, exp_df, check_dtype=False)
+
+
+# --------------------------------------------------------------------------- #
+# wide-domain exact quantiles (stages/quantiles.exact_quantiles_wide)
+# --------------------------------------------------------------------------- #
+def test_wide_quantiles_match_numpy_on_high_cardinality():
+    """50k distinct int64 values spread over ~2^60: the histogram-narrowing
+    search must return the exact k = max(1, ceil(q·n)) order statistics
+    that exact_quantiles could not hold in memory as a value histogram."""
+    import math
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    rng = np.random.RandomState(5)
+    v = ((rng.randint(0, 1 << 30, 50_000).astype(np.int64) << 30)
+         + rng.randint(0, 1 << 30, 50_000))
+    ds = _ds({"v": pa.array(v)}).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    got = exact_quantiles_wide(ds, "v", qs).to_pandas().iloc[0].tolist()
+    sv = np.sort(v)
+    assert got == [int(sv[max(1, math.ceil(q * len(v))) - 1]) for q in qs]
+
+
+@pytest.mark.parametrize("nparts", [1, 9])
+def test_wide_quantiles_equal_exact_quantiles_small_domain(nparts):
+    from nightcrawlercmd_ray.stages.quantiles import (
+        exact_quantiles,
+        exact_quantiles_wide,
+    )
+
+    rng = np.random.RandomState(11)
+    v = rng.randint(-50, 150, 4000).astype(np.int64)
+    ds = _ds({"v": pa.array(v)}).repartition(nparts)
+    qs = [0.0, 0.1, 0.5, 0.75, 1.0]
+    a = exact_quantiles(ds, "v", qs).to_pandas().iloc[0].tolist()
+    b = exact_quantiles_wide(ds, "v", qs).to_pandas().iloc[0].tolist()
+    assert a == b
+
+
+def test_wide_quantiles_nulls_negatives_and_edges():
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    t = pa.table({"v": pa.array([-5, None, -1, 3, None, 7, -5], pa.int64())})
+    got = (exact_quantiles_wide(ray.data.from_arrow(t), "v", [0.5, 1.0])
+           .to_pandas().iloc[0].tolist())
+    assert got == [-1, 7]
+    one = pa.table({"v": pa.array([42], pa.int64())})
+    assert (exact_quantiles_wide(ray.data.from_arrow(one), "v", [0.0, 1.0])
+            .to_pandas().iloc[0].tolist()) == [42, 42]
+    empty = pa.table({"v": pa.array([], pa.int64())})
+    with pytest.raises(ValueError, match="no rows"):
+        exact_quantiles_wide(ray.data.from_arrow(empty), "v", [0.5])
+
+
+def test_wide_quantiles_bounded_passes_tiny_buckets():
+    """max_buckets=4 forces the maximum narrowing depth — convergence and
+    exactness must survive the deepest recursion."""
+    import math
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    rng = np.random.RandomState(3)
+    v = rng.randint(-(1 << 40), 1 << 40, 5000).astype(np.int64)
+    ds = _ds({"v": pa.array(v)}).repartition(4)
+    got = (exact_quantiles_wide(ds, "v", [0.25, 0.5], max_buckets=4,
+                                max_passes=64)
+           .to_pandas().iloc[0].tolist())
+    sv = np.sort(v)
+    assert got == [int(sv[max(1, math.ceil(q * len(v))) - 1])
+                   for q in (0.25, 0.5)]
