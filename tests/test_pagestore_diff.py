@@ -57,3 +57,36 @@ def test_pagestore_diff_statuses(tmp_path, num_buckets):
             expect[k] = "same" if oldm[k] == newm[k] else "changed"
     assert got == expect
     assert set(expect.values()) == {"added", "removed", "changed", "same"}
+
+
+def test_page_codec_store_crawls_and_diffs_identically(tiny_corpus, tmp_path):
+    """NCRAWLER_PAGE_CODEC=lz4: a per-page-compressed store must (a) crawl
+    bit-identically to the uncompressed store and (b) md5 RAW page bytes in
+    pagestore_hashes, so a compressed and an uncompressed store of the same
+    corpus diff as all-'same' (codec-independent diffs)."""
+    import pandas as pd
+
+    import nightcrawlercmd_ray.pipelines.crawl as C
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+    from nightcrawlercmd_ray.pipelines.crawl import pagestore_diff, run_crawl
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    run_a = run_crawl(tiny_corpus["dir"], params,
+                      store_dir=str(tmp_path / "plain"),
+                      num_shards=3, num_buckets=4)
+    df_a = (run_a.fetches_dataset().to_pandas()
+            .sort_values("seq").reset_index(drop=True))
+    old = C.PAGE_CODEC
+    C.PAGE_CODEC = "lz4"
+    try:
+        run_b = run_crawl(tiny_corpus["dir"], params,
+                          store_dir=str(tmp_path / "lz4"),
+                          num_shards=3, num_buckets=4)
+    finally:
+        C.PAGE_CODEC = old
+    df_b = (run_b.fetches_dataset().to_pandas()
+            .sort_values("seq").reset_index(drop=True))
+    pd.testing.assert_frame_equal(df_a, df_b)
+    d = pagestore_diff(str(tmp_path / "plain"),
+                       str(tmp_path / "lz4")).to_pandas()
+    assert len(d) > 0 and (d["status"] == "same").all()
