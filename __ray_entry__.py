@@ -447,6 +447,30 @@ def q_profile_documents(sf_dir: str):
     return out.drop_columns(["_k"])
 
 
+def q_analyze_orders(sf_dir: str):
+    """Generic ANALYZE (stages/analyze.analyze_columns): per-column row/null
+    counts, EXACT distinct counts (hash-distinct: one (col,hash)-keyed
+    exchange ∝ distinct hashes, never data) and min/max rendered as
+    strings so one schema covers mixed int/string columns — hash-exact vs
+    a DuckDB UNION ALL of per-column aggregates. o_orderpriority is NULLed
+    when o_orderkey % 13 = 0 in BOTH engines so the null path fires (the
+    synthetic table has no nulls)."""
+    from nightcrawlercmd_ray.stages.analyze import analyze_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pr = t.column("o_orderpriority").to_pylist()
+        pr = [None if i % 13 == 0 else x for i, x in zip(ids, pr)]
+        idx = t.schema.get_field_index("o_orderpriority")
+        return t.set_column(idx, "o_orderpriority", pa.array(pr, pa.string()))
+
+    return analyze_columns(
+        ds.map_batches(plant, batch_format="pyarrow"), cols)
+
+
 def q_hourly_deltas(sf_dir: str):
     """Window-over-window deltas: per event type, each occupied hour's
     event count minus the PREVIOUS occupied hour's (LAG semantics — the
@@ -3487,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
         "profile_documents": q_profile_documents,
+        "analyze_orders": q_analyze_orders,
         "cm_user_counts": q_cm_user_counts,
         "token_offsets_documents": q_token_offsets_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -4249,6 +4274,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS total_cents
             FROM c
             WHERE cents > (SELECT quantile_disc(cents, 0.99) FROM c)
+        """,
+        "analyze_orders": """
+            WITH planted AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                            ELSE o_orderpriority END AS o_orderpriority
+                FROM orders
+            ),
+            u AS (
+                SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+                       COUNT(*) - COUNT(o_orderkey) AS n_null,
+                       COUNT(DISTINCT o_orderkey) AS ndv,
+                       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+                       CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+                FROM planted
+                UNION ALL
+                SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                       COUNT(DISTINCT o_custkey),
+                       CAST(MIN(o_custkey) AS VARCHAR),
+                       CAST(MAX(o_custkey) AS VARCHAR)
+                FROM planted
+                UNION ALL
+                SELECT 'o_orderstatus', COUNT(*),
+                       COUNT(*) - COUNT(o_orderstatus),
+                       COUNT(DISTINCT o_orderstatus),
+                       MIN(o_orderstatus), MAX(o_orderstatus)
+                FROM planted
+                UNION ALL
+                SELECT 'o_orderpriority', COUNT(*),
+                       COUNT(*) - COUNT(o_orderpriority),
+                       COUNT(DISTINCT o_orderpriority),
+                       MIN(o_orderpriority), MAX(o_orderpriority)
+                FROM planted
+            )
+            SELECT * FROM u ORDER BY col
         """,
         "profile_documents": """
             WITH planted AS (

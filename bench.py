@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "rocchio_classify_embeddings", "pmi_bigrams", "trending_terms",
         "recrawl_priority", "balanced_sample_documents",
         "sliding_distinct_users", "hourly_deltas", "profile_documents",
+        "analyze_orders",
     )
     for name in family:
         fn = entrymod.queries()[name]
