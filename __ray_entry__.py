@@ -337,6 +337,65 @@ def q_events_asof_orders(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_next_order(sf_dir: str):
+    """FORWARD as-of join with a tolerance window (stages/joins.asof_join):
+    each event matched to the user's NEXT order within 30 days — the
+    attribution-window join (did this click convert?). Same union + ONE
+    coarse keyed shuffle shape; ties on equal orderdate resolve to
+    min(o_orderkey) (forward picks the FIRST row in the deterministic
+    payload sort; the oracle's QUALIFY replays it). Event times are
+    shifted from their 2024 era into the orders' 1995-2001 era
+    (−27 years, a constant) in BOTH engines — without the shift no order
+    ever follows an event and the join is vacuously empty."""
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ord_path = f"{sf_dir}/orders.parquet"
+    ev = _read_pq(ev_path, columns=["event_id", "ts", "user_id"])
+    orders = _read_pq(ord_path, columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    # 2024-01-01 → 1997-01-01: exact µs delta between the two epochs,
+    # replicated in the oracle as epoch('2024-01-01') - epoch('1997-01-01')
+    import datetime as _dt
+
+    shift_us = int((_dt.datetime(2024, 1, 1)
+                    - _dt.datetime(1997, 1, 1)).total_seconds()) * 1_000_000
+
+    def prep_ev(t: pa.Table) -> pa.Table:
+        on = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "_on_us": pc.subtract(on, pa.scalar(shift_us, pa.int64())),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+        })
+
+    def prep_ord(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("o_custkey"), pa.int64()),
+            "_on_us": pc.cast(pc.cast(t.column("o_orderdate"),
+                                      pa.timestamp("us")), pa.int64()),
+            "next_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+        })
+
+    j = asof_join(
+        ev.map_batches(prep_ev, batch_format="pyarrow"),
+        orders.map_batches(prep_ord, batch_format="pyarrow"),
+        by="user_id", on="_on_us",
+        direction="forward", tolerance=30 * 86_400 * 1_000_000,
+        n_rows=_parquet_rows(ev_path) + _parquet_rows(ord_path),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "next_orderkey": t.column("next_orderkey"),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (stages/sessions.py): per-user 30-min-gap
     sessions over the events stream — one keyed shuffle, vectorized
@@ -3406,6 +3465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": q_events_hourly_window,
         "events_user_stats": q_events_user_stats,
         "events_asof_orders": q_events_asof_orders,
+        "events_next_order": q_events_next_order,
         "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4582,6 +4642,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "events_next_order": """
+            WITH ev AS (
+                SELECT event_id, user_id,
+                       ts - (TIMESTAMP '2024-01-01'
+                             - TIMESTAMP '1997-01-01') AS ts
+                FROM events
+            )
+            SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+            FROM ev e JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate >= e.ts
+             AND epoch(o.o_orderdate) - epoch(e.ts) <= 30 * 86400
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) = 1
         """,
         "user_sessions": """
             WITH x AS (

@@ -231,7 +231,8 @@ def run_bench() -> dict:
     family = () if os.environ.get("GRAFT_CRAWL_ONLY") else (
         "pricing_summary", "wordcount_documents", "minhash_near_dups",
         "knn_embeddings", "events_hourly_window", "dedup_exact_documents",
-        "revenue_by_nation", "events_asof_orders", "bigram_counts",
+        "revenue_by_nation", "events_asof_orders", "events_next_order",
+        "bigram_counts",
         "events_sliding_window", "latest_orders_per_customer",
         "user_journeys", "orders_rollup", "doc_chain_components",
         "crawl_pagerank", "pii_redact_documents", "dedup_lines_documents",

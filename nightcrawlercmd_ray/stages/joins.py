@@ -40,12 +40,18 @@ def asof_join(
     suffix: str = "_r",
     num_partitions: int | None = None,
     n_rows: int | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ):
     """As-of join: for each left row, attach the LAST right row with the same
-    ``by`` key and ``on`` value ≤ the left's (backward as-of; inner — left
-    rows with no match are dropped). Ties on the right (equal ``(by, on)``)
-    resolve to the right frame's sort order, i.e. the row that sorts LAST by
-    its remaining payload columns — deterministic at any parallelism.
+    ``by`` key and ``on`` value ≤ the left's (``direction="backward"``, the
+    default) or the FIRST right row with ``on`` ≥ the left's
+    (``direction="forward"``); inner — left rows with no match are dropped.
+    ``tolerance`` (same units as ``on``) bounds the match gap: a candidate
+    farther than ``tolerance`` is no match. Ties on the right (equal
+    ``(by, on)``) resolve deterministically at any parallelism: the right
+    frame is sorted by its payload columns, and pandas' merge_asof picks the
+    LAST such row backward / the FIRST forward.
 
     ``by`` must be an integer key column and ``on`` an ordered numeric column
     (cast timestamps to int64 epoch units upstream) present in BOTH inputs.
@@ -133,7 +139,8 @@ def asof_join(
         # the right frame by its payload columns pins the winner
         lf = lf.sort_values([on, by], kind="stable")
         rf = rf.sort_values([on, by] + [r_out[n] for n in r_names], kind="stable")
-        m = pd.merge_asof(lf, rf, on=on, by=by, direction="backward")
+        m = pd.merge_asof(lf, rf, on=on, by=by, direction=direction,
+                          tolerance=tolerance)
         m = m[m["_m"].notna()]  # inner semantics, keyed on the marker column
         cols = {}
         for name, typ in out_fields:

@@ -572,3 +572,51 @@ def test_funnel_counts_empty_and_missing_type():
     assert got["n_users"].tolist() == [0, 0]
     with pytest.raises(ValueError):
         funnel_counts(_ds(rows), stages=[])
+
+
+@pytest.mark.parametrize("P", [1, 5])
+def test_asof_join_forward_with_tolerance(P):
+    """direction='forward' picks the FIRST right row with on ≥ left's
+    (ties → lowest payload, the deterministic sort); tolerance bounds the
+    gap; inner semantics drop out-of-window lefts."""
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    left = _ds({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 20, 5, 15, 50], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    right = _ds({
+        "k": pa.array([1, 1, 1, 2, 9], pa.int64()),
+        "t": pa.array([12, 12, 18, 99, 1], pa.int64()),
+        "rv": pa.array([200, 100, 300, 400, 500], pa.int64()),
+    })
+    out = (
+        asof_join(left, right, by="k", on="t", num_partitions=P,
+                  direction="forward", tolerance=10)
+        .to_pandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    # k=1,t=5:  first ≥5 is t=12 (gap 7 ≤ 10); tie at 12 → LOWEST rv=100
+    # k=1,t=10: first ≥10 is t=12 → tie → rv=100
+    # k=1,t=20: first ≥20 is none (18 < 20... next none) → dropped
+    # k=2,t=15: right t=99, gap 84 > tolerance → dropped
+    # k=3,t=50: no right key → dropped
+    assert out["t"].tolist() == [5, 10]
+    assert out["lv"].tolist() == ["c", "a"]
+    assert out["rv"].tolist() == [100, 100]
+
+
+def test_asof_join_backward_tolerance_prunes():
+    from nightcrawlercmd_ray.stages.joins import asof_join
+
+    left = _ds({"k": pa.array([1, 1], pa.int64()),
+                "t": pa.array([100, 100], pa.int64()),
+                "e": pa.array([1, 2], pa.int64())})
+    right = _ds({"k": pa.array([1], pa.int64()),
+                 "t": pa.array([10], pa.int64()),
+                 "rv": pa.array([7], pa.int64())})
+    with_tol = asof_join(left, right, by="k", on="t",
+                         tolerance=50).to_pandas()
+    assert len(with_tol) == 0  # gap 90 > 50
+    no_tol = asof_join(left, right, by="k", on="t").to_pandas()
+    assert len(no_tol) == 2 and (no_tol["rv"] == 7).all()
