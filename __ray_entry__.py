@@ -396,6 +396,54 @@ def q_events_next_order(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_in_order_windows(sf_dir: str):
+    """Point-in-interval containment join
+    (stages/joins.point_in_interval_join): events contained in the same
+    user's 7-day post-order windows (a user averages ~10 orders over ~6.5
+    years, so ~3% of events match — naturally bounded; event times shifted
+    into the orders era as in events_next_order). Intervals replicate to their epochs, points route
+    to ONE epoch — exactly-once pairs, no dedup shuffle; the in-bucket
+    probe is a vectorized grid mask. Hash-exact vs a DuckDB non-equi
+    join."""
+    import datetime as _dt
+
+    from nightcrawlercmd_ray.stages.joins import point_in_interval_join
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "ts", "user_id"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    shift_us = int((_dt.datetime(2024, 1, 1)
+                    - _dt.datetime(1997, 1, 1)).total_seconds()) * 1_000_000
+    week_us = 7 * 86_400 * 1_000_000
+
+    def prep_ev(t: pa.Table) -> pa.Table:
+        on = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.subtract(on, pa.scalar(shift_us, pa.int64())),
+        })
+
+    def prep_win(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "user_id": pc.cast(t.column("o_custkey"), pa.int64()),
+            "win_start_us": s,
+            "win_end_us": pc.add(s, pa.scalar(week_us, pa.int64())),
+        })
+
+    return point_in_interval_join(
+        ev.map_batches(prep_ev, batch_format="pyarrow"),
+        orders.map_batches(prep_win, batch_format="pyarrow"),
+        ts_col="ts_us", start_col="win_start_us", end_col="win_end_us",
+        by="user_id", point_cols=["event_id"], interval_cols=["o_orderkey"],
+        epoch_s=week_us,
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (stages/sessions.py): per-user 30-min-gap
     sessions over the events stream — one keyed shuffle, vectorized
@@ -3466,6 +3514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": q_events_user_stats,
         "events_asof_orders": q_events_asof_orders,
         "events_next_order": q_events_next_order,
+        "events_in_order_windows": q_events_in_order_windows,
         "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4658,6 +4707,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) = 1
+        """,
+        "events_in_order_windows": """
+            WITH ev AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts - (TIMESTAMP '2024-01-01'
+                                           - TIMESTAMP '1997-01-01'))
+                            AS BIGINT) AS ts_us
+                FROM events
+            ),
+            win AS (
+                SELECT o_orderkey, o_custkey AS user_id,
+                       CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                            AS BIGINT) AS win_start_us,
+                       CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                            AS BIGINT) + CAST(604800 AS BIGINT) * 1000000
+                           AS win_end_us
+                FROM orders
+            )
+            SELECT e.event_id, w.o_orderkey, e.user_id, e.ts_us,
+                   w.win_start_us, w.win_end_us
+            FROM ev e JOIN win w
+              ON e.user_id = w.user_id
+             AND e.ts_us BETWEEN w.win_start_us AND w.win_end_us
         """,
         "user_sessions": """
             WITH x AS (

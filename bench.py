@@ -246,6 +246,7 @@ def run_bench() -> dict:
         "temperature_upsample",
         "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
         "hll_distinct_users_by_type", "concurrent_sessions",
+        "events_in_order_windows",
         "crawl_hostgraph", "crawl_inlink_stats", "crawl_anchor_texts",
         "crawl_hits", "part_triangles", "json_props_stats",
         "user_growth_curve", "funnel_users", "mirror_documents",

@@ -616,3 +616,114 @@ def interval_self_join(ds, *, start_col: str, end_col: str,
         .groupby("_epoch")
         .map_groups(sweep, batch_format="pyarrow")
     )
+
+
+def point_in_interval_join(points, intervals, *, ts_col: str,
+                           start_col: str, end_col: str,
+                           by: str | None = None,
+                           point_cols: list[str],
+                           interval_cols: list[str],
+                           epoch_s: int = 3600):
+    """Containment join: every (point, interval) pair with
+    ``start ≤ ts ≤ end`` (and, when ``by`` is given, equal keys) — the
+    two-table range join (event ∈ attribution window, reading ∈ outage,
+    fetch ∈ maintenance window) that an equi-join cannot express and the
+    interval SELF-join does not cover.
+
+    Scale shape (the `interval_self_join` machinery, asymmetric): each
+    interval replicates to the epoch buckets it touches (factor = span/E);
+    each point routes to its SINGLE epoch — so a pair meets in exactly one
+    bucket and no dedup shuffle is needed. ONE (by?, epoch)-keyed exchange;
+    the in-bucket probe is a vectorized grid mask (points × intervals of
+    that bucket — with a ``by`` key and E near the interval span these are
+    conversation-sized; without ``by``, a hot epoch is the documented skew
+    case and cost is output-bound). → Dataset(point_cols + interval_cols
+    + ts/start/end), int64 columns, partition-invariant.
+    """
+    all_cols = list(dict.fromkeys(
+        point_cols + interval_cols + [ts_col, start_col, end_col]
+        + ([by] if by else [])))
+    if set(point_cols) & set(interval_cols):
+        raise ValueError("point_cols and interval_cols must not overlap")
+
+    def rep_intervals(t: pa.Table) -> pa.Table:
+        s = t.column(start_col).to_numpy(zero_copy_only=False)
+        e = t.column(end_col).to_numpy(zero_copy_only=False)
+        e0 = s // epoch_s
+        reps = (e // epoch_s - e0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), reps)
+        ends_c = np.cumsum(reps)
+        off = np.arange(int(ends_c[-1]) if len(ends_c) else 0) - np.repeat(
+            ends_c - reps, reps)
+        ep = e0[idx] + off
+        out = {
+            "_side": pa.array(np.ones(len(idx), np.int8)),
+            "_epoch": pa.array(ep.astype(np.int64)),
+            ts_col: pa.nulls(len(idx), pa.int64()),
+            start_col: pc.cast(t.column(start_col), pa.int64()).take(
+                pa.array(idx)),
+            end_col: pc.cast(t.column(end_col), pa.int64()).take(
+                pa.array(idx)),
+        }
+        for c in point_cols:
+            out[c] = pa.nulls(len(idx), pa.int64())
+        for c in interval_cols:
+            out[c] = pc.cast(t.column(c), pa.int64()).take(pa.array(idx))
+        if by:
+            out[by] = pc.cast(t.column(by), pa.int64()).take(pa.array(idx))
+        return pa.table(out)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.int64())
+        n = t.num_rows
+        out = {
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_epoch": pa.array(
+                ts.to_numpy(zero_copy_only=False) // epoch_s),
+            ts_col: ts,
+            start_col: pa.nulls(n, pa.int64()),
+            end_col: pa.nulls(n, pa.int64()),
+        }
+        for c in point_cols:
+            out[c] = pc.cast(t.column(c), pa.int64())
+        for c in interval_cols:
+            out[c] = pa.nulls(n, pa.int64())
+        if by:
+            out[by] = pc.cast(t.column(by), pa.int64())
+        return pa.table(out)
+
+    stream = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(rep_intervals, batch_format="pyarrow"))
+    keys = ([by] if by else []) + ["_epoch"]
+    out_names = (point_cols + interval_cols
+                 + ([by] if by else []) + [ts_col, start_col, end_col])
+
+    def probe(g: pa.Table) -> pa.Table:
+        # split sides at the ARROW level before any numpy conversion: the
+        # cross-side null padding would otherwise route int64 through
+        # float64 and corrupt values > 2^53 (the merge_partition hazard)
+        side = g.column("_side")
+        pt = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        it = g.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        empty = pa.table({c: pa.array([], pa.int64()) for c in out_names})
+        if pt.num_rows == 0 or it.num_rows == 0:
+            return empty
+        ts = pt.column(ts_col).to_numpy(zero_copy_only=False)
+        s = it.column(start_col).to_numpy(zero_copy_only=False)
+        e = it.column(end_col).to_numpy(zero_copy_only=False)
+        # vectorized grid probe: bucket sizes are bounded by the epoch
+        # routing (see docstring)
+        mask = (s[None, :] <= ts[:, None]) & (ts[:, None] <= e[None, :])
+        pi, ii = np.nonzero(mask)
+        if not len(pi):
+            return empty
+        out = {}
+        for c in point_cols + ([by] if by else []) + [ts_col]:
+            col = pt.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(col[pi].astype(np.int64))
+        for c in interval_cols + [start_col, end_col]:
+            col = it.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(col[ii].astype(np.int64))
+        return pa.table({c: out[c] for c in out_names})
+
+    return stream.groupby(keys).map_groups(probe, batch_format="pyarrow")

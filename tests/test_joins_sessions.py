@@ -620,3 +620,71 @@ def test_asof_join_backward_tolerance_prunes():
     assert len(with_tol) == 0  # gap 90 > 50
     no_tol = asof_join(left, right, by="k", on="t").to_pandas()
     assert len(no_tol) == 2 and (no_tol["rv"] == 7).all()
+
+
+@pytest.mark.parametrize("epoch_s,nparts", [(4096, 3), (512, 9)])
+def test_point_in_interval_join_vs_serial(epoch_s, nparts):
+    """Containment join == the serial pandas non-equi join, exactly-once
+    pairs, at multiple epoch sizes and partitionings, with and without a
+    by key."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.joins import point_in_interval_join
+
+    rng = np.random.RandomState(2)
+    n_p, n_i = 1500, 200
+    pts = pa.table({
+        "event_id": pa.array(np.arange(n_p, dtype=np.int64)),
+        "u": pa.array(rng.randint(0, 30, n_p).astype(np.int64)),
+        "ts": pa.array(rng.randint(0, 100_000, n_p).astype(np.int64)),
+    })
+    st = rng.randint(0, 95_000, n_i).astype(np.int64)
+    iv = pa.table({
+        "win_id": pa.array(np.arange(n_i, dtype=np.int64)),
+        "u": pa.array(rng.randint(0, 30, n_i).astype(np.int64)),
+        "s": pa.array(st),
+        "e": pa.array(st + rng.randint(1, 8000, n_i)),
+    })
+    P = ray.data.from_arrow(pts).repartition(nparts)
+    iv_ds = ray.data.from_arrow(iv).repartition(3)
+    pdf, idf = pts.to_pandas(), iv.to_pandas()
+
+    out = point_in_interval_join(
+        P, iv_ds, ts_col="ts", start_col="s", end_col="e", by="u",
+        point_cols=["event_id"], interval_cols=["win_id"],
+        epoch_s=epoch_s).to_pandas()
+    m = pdf.merge(idf, on="u")
+    m = m[(m["s"] <= m["ts"]) & (m["ts"] <= m["e"])]
+    assert set(zip(out["event_id"], out["win_id"])) == set(
+        zip(m["event_id"], m["win_id"]))
+    assert len(out) == len(set(zip(out["event_id"], out["win_id"])))
+
+    out2 = point_in_interval_join(
+        P, iv_ds, ts_col="ts", start_col="s", end_col="e",
+        point_cols=["event_id"], interval_cols=["win_id"],
+        epoch_s=epoch_s).to_pandas()
+    m2 = pdf.assign(_k=1).merge(idf.assign(_k=1), on="_k")
+    m2 = m2[(m2["s"] <= m2["ts"]) & (m2["ts"] <= m2["e"])]
+    assert set(zip(out2["event_id"], out2["win_id"])) == set(
+        zip(m2["event_id"], m2["win_id"]))
+
+
+def test_point_in_interval_join_edges():
+    from nightcrawlercmd_ray.stages.joins import point_in_interval_join
+
+    pts = ray.data.from_arrow(pa.table({
+        "pid": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, 999], pa.int64())}))
+    iv = ray.data.from_arrow(pa.table({
+        "wid": pa.array([7], pa.int64()),
+        "s": pa.array([10], pa.int64()),
+        "e": pa.array([10], pa.int64())}))  # degenerate [10,10]
+    out = point_in_interval_join(
+        pts, iv, ts_col="ts", start_col="s", end_col="e",
+        point_cols=["pid"], interval_cols=["wid"], epoch_s=16).to_pandas()
+    # touching endpoints are inclusive on both sides
+    assert out["pid"].tolist() == [1] and out["wid"].tolist() == [7]
+    with pytest.raises(ValueError, match="overlap"):
+        point_in_interval_join(
+            pts, iv, ts_col="ts", start_col="s", end_col="e",
+            point_cols=["pid"], interval_cols=["pid"], epoch_s=16)
