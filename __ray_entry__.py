@@ -337,6 +337,28 @@ def q_events_asof_orders(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_melt_orders(sf_dir: str):
+    """UNPIVOT (stages/pivot.melt — the inverse of the pivot operator):
+    orders widened columns (o_custkey, total_cents) to long
+    (o_orderkey, variable, value) rows. Pure stateless map, zero shuffle;
+    hash-exact vs a UNION ALL oracle."""
+    from nightcrawlercmd_ray.stages.pivot import melt
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "total_cents": _cents(t.column("o_totalprice")),
+        })
+
+    return melt(ds.map_batches(prep, batch_format="pyarrow"),
+                id_cols=["o_orderkey"],
+                value_cols=["o_custkey", "total_cents"])
+
+
 def q_events_next_order(sf_dir: str):
     """FORWARD as-of join with a tolerance window (stages/joins.asof_join):
     each event matched to the user's NEXT order within 30 days — the
@@ -3515,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "events_next_order": q_events_next_order,
         "events_in_order_windows": q_events_in_order_windows,
+        "melt_orders": q_melt_orders,
         "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4691,6 +4714,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "melt_orders": """
+            SELECT o_orderkey, 'o_custkey' AS variable,
+                   CAST(o_custkey AS BIGINT) AS value
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'total_cents',
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders
         """,
         "events_next_order": """
             WITH ev AS (

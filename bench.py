@@ -234,7 +234,8 @@ def run_bench() -> dict:
         "revenue_by_nation", "events_asof_orders", "events_next_order",
         "bigram_counts",
         "events_sliding_window", "latest_orders_per_customer",
-        "user_journeys", "orders_rollup", "doc_chain_components",
+        "user_journeys", "orders_rollup", "melt_orders",
+        "doc_chain_components",
         "crawl_pagerank", "pii_redact_documents", "dedup_lines_documents",
         "pack_sequences_documents", "embedding_near_dups",
         "tfidf_top_terms", "jaccard_planted_pairs",

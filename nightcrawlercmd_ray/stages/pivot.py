@@ -67,3 +67,29 @@ def pivot_count(ds, row_col: str, col_col: str, col_values: list[str]):
         .groupby("_k")
         .map_groups(reshape, batch_format="pyarrow")
     )
+
+
+def melt(ds, *, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT — wide → long (the inverse of :func:`pivot_count`): each input
+    row becomes ``len(value_cols)`` rows of (id_cols..., variable, value).
+    A pure stateless map (zero shuffle, output = input × |value_cols|);
+    all ``value_cols`` must share one castable type (int64 here, per the
+    repo's exact-integer policy — quantize floats first)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        out = {}
+        for c in id_cols:
+            # interleave so output order is row-major (id, var1), (id, var2)
+            out[c] = t.column(c).take(pa.array(np.repeat(np.arange(n), k)))
+        out[var_name] = pa.array(value_cols * n, pa.string())
+        vals = np.empty(n * k, dtype=np.int64)
+        for j, c in enumerate(value_cols):
+            vals[j::k] = pc.cast(t.column(c), pa.int64()).to_numpy(
+                zero_copy_only=False)
+        out[value_name] = pa.array(vals)
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -688,3 +688,25 @@ def test_point_in_interval_join_edges():
         point_in_interval_join(
             pts, iv, ts_col="ts", start_col="s", end_col="e",
             point_cols=["pid"], interval_cols=["pid"], epoch_s=16)
+
+
+def test_melt_roundtrips_and_partition_invariant():
+    """melt output = rows × |value_cols|, row-major interleave, exact
+    values; invariant under input partitioning."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.pivot import melt
+
+    t = pa.table({
+        "k": pa.array([10, 20], pa.int64()),
+        "a": pa.array([1, 2], pa.int64()),
+        "b": pa.array([3, 4], pa.int64()),
+    })
+    for nparts in (1, 2):
+        out = (melt(ray.data.from_arrow(t).repartition(nparts),
+                    id_cols=["k"], value_cols=["a", "b"])
+               .to_pandas().sort_values(["k", "variable"])
+               .reset_index(drop=True))
+        assert out["k"].tolist() == [10, 10, 20, 20]
+        assert out["variable"].tolist() == ["a", "b", "a", "b"]
+        assert out["value"].tolist() == [1, 3, 2, 4]
