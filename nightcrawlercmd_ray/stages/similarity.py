@@ -1049,6 +1049,13 @@ def ivfpq_build(ds, *, coarse_k: int = 16, m: int = 8, k: int = 16,
     Everything downstream of the two trainings is a pure map; the only
     exchanges are the trainings' ≤k·(d+m)-row combiner shuffles. The codes
     dataset is bucket+m bytes per vector — the RAM story at 10^10 vectors.
+
+    Memory note: the residual dataset is materialized once (corpus-sized,
+    like ``kmeans_embeddings``'s projected-input cache) so the residual
+    training's iterations re-read object-store blocks instead of
+    re-running the coarse assignment per pass; blocks spill to disk under
+    pressure. If even spilled residuals are too large, drop the
+    ``materialize()`` and recompute per pass — iterations × one extra map.
     """
     coarse = pq_train(ds, m=1, k=coarse_k, iters=coarse_iters,
                       vec_col=vec_col, id_col=id_col, quant=quant)[0]
