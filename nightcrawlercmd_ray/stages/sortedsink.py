@@ -360,3 +360,61 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
         json.dump(new_man, f)
     os.replace(tmp, f"{out_dir}/_MANIFEST")
     return new_man
+
+
+def read_sorted_range(out_dir: str, *, lo: int | None = None,
+                      hi: int | None = None, key_col: str | None = None):
+    """Read only the rows with ``lo ≤ key ≤ hi`` from a sorted directory —
+    the predicate-pushdown payoff of the range-partitioned layout: the
+    manifest's boundaries prune to the parts whose key range can overlap
+    BEFORE any file is opened (I/O ∝ matching range, not corpus), then one
+    exact vectorized filter trims the edge parts. ``lo``/``hi`` are in
+    PACKED key units when ``key_col`` is None (key·2^32 + tie, matching the
+    sink's total order) or plain key units when ``key_col`` names the
+    sink's key column (the common call). → lazy Dataset.
+    """
+    import pyarrow.compute as _pc
+
+    from ..util import read_parquet_clean
+
+    with open(f"{out_dir}/_MANIFEST") as f:
+        man = json.load(f)
+    bounds = np.array(man["boundaries"], dtype=np.int64)
+    if key_col is not None:
+        if key_col != man["key_col"]:
+            raise ValueError(
+                f"read_sorted_range: key_col {key_col!r} does not match the "
+                f"manifest's {man['key_col']!r}")
+        lo_p = None if lo is None else lo * int(_PACK)
+        hi_p = None if hi is None else hi * int(_PACK) + (int(_PACK) - 1)
+    else:
+        lo_p, hi_p = lo, hi
+    # part p holds packed keys in (bounds[p-1], bounds[p]] — prune to the
+    # parts whose interval intersects [lo_p, hi_p]
+    first = 0 if lo_p is None else int(
+        np.searchsorted(bounds, lo_p, side="left"))
+    last = len(bounds) if hi_p is None else int(
+        np.searchsorted(bounds, hi_p, side="left"))
+    paths = [
+        f"{out_dir}/part-{p:05d}/data.parquet"
+        for p in range(first, last + 1)
+        if os.path.exists(f"{out_dir}/part-{p:05d}/_DONE")
+    ]
+    if not paths:
+        raise ValueError(
+            f"read_sorted_range: no completed parts overlap "
+            f"[{lo!r}, {hi!r}] in {out_dir!r}")
+    ds = read_parquet_clean(paths)
+    kc, tc = man["key_col"], man["tie_col"]
+
+    def trim(t: pa.Table) -> pa.Table:
+        packed = pa.array(_packed(t, kc, tc))
+        mask = None
+        if lo_p is not None:
+            mask = _pc.greater_equal(packed, pa.scalar(lo_p, pa.int64()))
+        if hi_p is not None:
+            m2 = _pc.less_equal(packed, pa.scalar(hi_p, pa.int64()))
+            mask = m2 if mask is None else _pc.and_(mask, m2)
+        return t if mask is None else t.filter(mask)
+
+    return ds.map_batches(trim, batch_format="pyarrow"), len(paths)

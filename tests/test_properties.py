@@ -360,3 +360,33 @@ def test_compact_sorted_equals_full_rewrite_property(n, frac_delta, nparts,
     assert got["pos"].tolist() == list(range(n))
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    spread=st.integers(min_value=1, max_value=62),
+    q100=st.integers(min_value=0, max_value=100),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_wide_quantiles_equal_numpy_property(n, spread, q100, seed):
+    """For ANY row count, domain width (1 bit .. 62 bits) and quantile,
+    histogram-narrowing returns the exact k = max(1, ceil(q·n)) order
+    statistic."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    rng = np.random.default_rng(seed)
+    v = rng.integers(-(1 << spread), 1 << spread, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)})).repartition(
+        min(5, n))
+    q = q100 / 100.0
+    got = exact_quantiles_wide(ds, "v", [q], max_buckets=16,
+                               max_passes=64).to_pandas().iloc[0, 0]
+    sv = np.sort(v)
+    assert got == int(sv[max(1, math.ceil(q * n)) - 1])

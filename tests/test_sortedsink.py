@@ -257,3 +257,37 @@ def test_compact_base_before_delta_on_ties():
            .sort_values("pos").reset_index(drop=True))
     assert got["doc_id"].tolist() == [6, 7, 7, 8]
     assert got["lang"].tolist() == ["delta", "base", "delta", "base"]
+
+
+def test_read_sorted_range_prunes_and_is_exact():
+    """Range reads return exactly the in-range rows while opening only the
+    parts whose boundary interval overlaps — I/O ∝ range, not corpus."""
+    from nightcrawlercmd_ray.stages.sortedsink import read_sorted_range
+
+    t = _data(3000)
+    shutil.rmtree(OUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(t).repartition(6), OUT,
+        key_col="n_chars", tie_col="doc_id", num_partitions=10,
+        n_rows=t.num_rows,
+    )
+    df = t.to_pandas()
+    for lo, hi in [(50, 80), (0, 0), (250, None), (None, 10)]:
+        ds, n_parts = read_sorted_range(OUT, lo=lo, hi=hi, key_col="n_chars")
+        got = ds.to_pandas().sort_values("pos").reset_index(drop=True)
+        m = df
+        if lo is not None:
+            m = m[m["n_chars"] >= lo]
+        if hi is not None:
+            m = m[m["n_chars"] <= hi]
+        exp = (m.sort_values(["n_chars", "doc_id"])
+               .reset_index(drop=True))
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (lo, hi)
+        total_parts = sum(1 for d in os.listdir(OUT) if d.startswith("part-"))
+        if lo is not None and hi is not None and hi - lo < 50:
+            assert n_parts < total_parts, (lo, hi, n_parts, total_parts)
+    # full-range read == read_sorted
+    ds_all, n_all = read_sorted_range(OUT, key_col="n_chars")
+    assert ds_all.count() == t.num_rows
+    with pytest.raises(ValueError, match="does not match"):
+        read_sorted_range(OUT, lo=1, hi=2, key_col="doc_id")
