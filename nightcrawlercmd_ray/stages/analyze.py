@@ -11,9 +11,9 @@ Pass A (stats): each batch folds every column to ONE row of
 each batch emits the per-batch DISTINCT 64-bit value hashes per column
 (nulls excluded, matching SQL COUNT(DISTINCT)) → one (col, hash)-keyed
 exchange whose volume is Σ distinct-per-block hashes — never the data —
-then a |columns|-row count. Exactness is modulo 64-bit hash collisions
-(expected collisions ~ndv²/2^64; switch the hash to two seeds/128 bits
-past ~10^8 ndv, the `dedup.py` content-hash pattern).
+then a |columns|-row count. The distinct key is a two-seed 128-bit hash
+(the `dedup.py` content-hash pattern) — collision-safe past 10^10
+distinct values, where a single 64-bit key would undercount.
 
 min/max render as strings (ints via ``str()``, strings verbatim — Arrow
 binary order matches DuckDB's default binary collation) so one output
@@ -97,24 +97,31 @@ def analyze_columns(ds, columns: list[str]):
     )
 
     def hash_partial(t: pa.Table) -> pa.Table:
-        out_c, out_h = [], []
+        # TWO independent 64-bit hashes per value (the dedup.py 128-bit
+        # content-hash pattern): a single 64-bit key has expected birthday
+        # collisions — i.e. undercounted ndv — from ~10^9 distinct values
+        out_c, out_h, out_h2 = [], [], []
         for c in columns:
             vals = t.column(c).drop_null()
             if len(vals) == 0:
                 continue
-            h = np.unique(
-                pl.from_arrow(vals.combine_chunks()).hash(seed=0)
-                .to_numpy().astype(np.uint64).view(np.int64))
-            out_c.extend([c] * len(h))
-            out_h.extend(h.tolist())
+            s = pl.from_arrow(vals.combine_chunks())
+            h1 = s.hash(seed=0).to_numpy().astype(np.uint64).view(np.int64)
+            h2 = s.hash(seed=1).to_numpy().astype(np.uint64).view(np.int64)
+            pair = np.stack([h1, h2], axis=1)
+            pair = np.unique(pair, axis=0)
+            out_c.extend([c] * len(pair))
+            out_h.extend(pair[:, 0].tolist())
+            out_h2.extend(pair[:, 1].tolist())
         return pa.table({
             "col": pa.array(out_c, pa.string()),
             "_h": pa.array(out_h, pa.int64()),
+            "_h2": pa.array(out_h2, pa.int64()),
         })
 
     ndv = (
         ds.map_batches(hash_partial, batch_format="pyarrow")
-        .groupby(["col", "_h"])
+        .groupby(["col", "_h", "_h2"])
         .count()
         .groupby("col")
         .count()
