@@ -947,6 +947,78 @@ def q_snapshot_diff_documents(sf_dir: str):
     return snapshot_diff(old, new, n_rows=n).sort("doc_id")
 
 
+def q_refresh_corpus_documents(sf_dir: str):
+    """The composed incremental-refresh loop (pipelines/refresh.py):
+    snapshot_diff work set → cross-corpus exact dedup vs the existing
+    corpus → PII redaction + min-length gate → LSM compaction into the
+    sorted base (survivor ids version-offset, append-only LSM semantics).
+    Plants make every stage fire: old docs with id%31=1 and new ADDED docs
+    with id%35=5 share a 3-text mirror pool (cross-dup drop), id%41=6 docs
+    get 4-char text (length gate), id%3=0 docs get ' v2' (changed). The
+    read-back's pos is the exact global rank over old ∪ survivors — a
+    9-CTE DuckDB replica hash-matches end to end."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.pipelines.refresh import refresh_corpus
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 != 0))
+        ids2 = t.column("doc_id").to_pylist()
+        texts = [
+            f"common mirror text pool {d % 3}" if d % 31 == 1 else (x or "")
+            for d, x in zip(ids2, t.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        ids2 = t.column("doc_id").to_pylist()
+        texts = []
+        for d, x in zip(ids2, t.column("text").to_pylist()):
+            if d % 41 == 6:
+                texts.append("tiny")
+            elif d % 35 == 5:
+                texts.append(f"common mirror text pool {d % 3}")
+            elif d % 3 == 0:
+                texts.append((x or "") + " v2")
+            else:
+                texts.append(x or "")
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    old = ds.map_batches(mk_old, batch_format="pyarrow")
+    new = ds.map_batches(mk_new, batch_format="pyarrow")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/ncrawler_refresh/{tag}/base"
+    out = f"/tmp/ncrawler_refresh/{tag}/merged"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base,
+        key_col="n_chars", tie_col="doc_id", num_partitions=8,
+    )
+    refresh_corpus(old, new, base, out, min_chars=8)
+    return read_sorted(out).sort("pos")
+
+
 def q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per source — the "which hosts changed
     most since last crawl" ordering a crawl scheduler feeds on: compose
@@ -3557,6 +3629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_upsample": q_temperature_upsample,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "recrawl_priority": q_recrawl_priority,
+        "refresh_corpus_documents": q_refresh_corpus_documents,
         "chunk_documents": q_chunk_documents,
         "bloom_pushdown_orders": q_bloom_pushdown_orders,
         "concurrent_sessions": q_concurrent_sessions,
@@ -3939,6 +4012,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "refresh_corpus_documents": """
+            WITH oldc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 31 = 1
+                            THEN 'common mirror text pool ' || (doc_id % 3)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 0
+            ), newc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 41 = 6 THEN 'tiny'
+                            WHEN doc_id % 35 = 5
+                            THEN 'common mirror text pool ' || (doc_id % 3)
+                            WHEN doc_id % 3 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+            ), oldh AS (
+                SELECT doc_id, md5(text) AS h FROM oldc
+            ), work AS (
+                SELECT n.doc_id, n.text
+                FROM (SELECT doc_id, md5(text) AS h, text FROM newc) n
+                LEFT JOIN oldh o ON n.doc_id = o.doc_id
+                WHERE o.doc_id IS NULL OR o.h <> n.h
+            ), undup AS (
+                SELECT * FROM work
+                WHERE text NOT IN (SELECT text FROM oldc)
+            ), redacted AS (
+                SELECT doc_id + 1000000000 AS doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IP>', 'g'),
+                         '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+                FROM undup
+            ), survivors AS (
+                SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+                FROM redacted WHERE length(text) >= 8
+            ), merged AS (
+                SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+                FROM oldc
+                UNION ALL SELECT doc_id, n_chars FROM survivors
+            )
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM merged ORDER BY pos
         """,
         "recrawl_priority": """
             WITH old_t AS (

@@ -265,7 +265,8 @@ def run_bench() -> dict:
         "orders_grouping_sets", "epoch_shuffle_documents",
         "normalize_documents", "hard_negatives_embeddings",
         "rocchio_classify_embeddings", "pmi_bigrams", "trending_terms",
-        "recrawl_priority", "balanced_sample_documents",
+        "recrawl_priority", "refresh_corpus_documents",
+        "balanced_sample_documents",
         "sliding_distinct_users", "hourly_deltas", "profile_documents",
         "analyze_orders",
     )

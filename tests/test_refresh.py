@@ -1,0 +1,99 @@
+"""Incremental corpus refresh (pipelines/refresh.py): end-to-end invariants
+of the composed loop (diff → cross-corpus exact dedup → curation →
+compaction) plus the bipartite exact-dup primitive's semantics and
+partition invariance."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+from nightcrawlercmd_ray.pipelines.refresh import (
+    cross_exact_duplicate_ids,
+    refresh_corpus,
+)
+from nightcrawlercmd_ray.stages.sortedsink import (
+    read_sorted,
+    write_sorted_partitioned,
+)
+
+
+def _docs(ids, texts, nparts=3):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(nparts)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_cross_exact_duplicate_ids_bipartite(nparts):
+    """Only delta docs matching an OLD text are flagged: delta-internal
+    duplicates and old-internal duplicates never produce rows."""
+    old = _docs([1, 2, 3], ["alpha", "beta", "beta"], nparts)
+    delta = _docs([10, 11, 12, 13],
+                  ["alpha", "gamma", "gamma", "beta"], nparts)
+    got = sorted(r["doc_id"] for r in
+                 cross_exact_duplicate_ids(old, delta).take_all())
+    # 10 matches old 'alpha', 13 matches old 'beta'; 11/12 (delta-internal
+    # dup pair) and old-internal 2/3 are NOT flagged
+    assert got == [10, 13]
+
+
+def test_refresh_corpus_invariants(tmp_path):
+    """The merged corpus = old ∪ curated survivors: no survivor text
+    duplicates an old text, no survivor shorter than min_chars, changed
+    docs appear under version-offset ids, ranks are exact."""
+    rng = np.random.default_rng(8)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    base_texts = [f"document body number {i} " + "x" * int(rng.integers(5, 40))
+                  for i in ids]
+    old_ids = ids[ids % 4 != 0]
+    old = _docs(old_ids.tolist(), [base_texts[i] for i in old_ids])
+    new_texts = []
+    for i in ids:
+        if i % 13 == 0 and i % 4 == 0:
+            new_texts.append(base_texts[(i + 1) % n])  # exact dup of old
+        elif i % 17 == 0:
+            new_texts.append("tiny")                    # below min_chars
+        elif i % 3 == 0:
+            new_texts.append(base_texts[i] + " v2")     # changed
+        else:
+            new_texts.append(base_texts[i])
+    new = _docs(ids.tolist(), new_texts)
+
+    def keyed(t):
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "out")
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base_dir,
+        key_col="n_chars", tie_col="doc_id", num_partitions=5,
+    )
+    stats = refresh_corpus(old, new, base_dir, out_dir, min_chars=8)
+    assert stats["work"] > 0 and stats["dup_dropped"] > 0
+    back = (read_sorted(out_dir).to_pandas()
+            .sort_values("pos").reset_index(drop=True))
+    assert back["pos"].tolist() == list(range(len(back)))
+    key = back["n_chars"].values * (1 << 32) + back["doc_id"].values
+    assert (np.diff(key) > 0).all()
+    assert stats["merged_rows"] == len(back)
+    # old rows all present under their natural ids
+    olds = back[back["doc_id"] < 1_000_000_000]
+    assert sorted(olds["doc_id"]) == sorted(old_ids.tolist())
+    # survivors: version-offset ids, none dup of old, none under min_chars
+    surv = back[back["doc_id"] >= 1_000_000_000]
+    assert len(surv) == stats["work"] - stats["dup_dropped"] - sum(
+        1 for i in ids
+        if i % 17 == 0 and not (i % 13 == 0 and i % 4 == 0)
+        and not (i % 4 != 0 and new_texts[i] == base_texts[i]))
+    assert (surv["n_chars"] >= 8).all()
