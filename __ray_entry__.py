@@ -1990,6 +1990,51 @@ def q_crawl_depths(sf_dir: str):
     )
 
 
+def q_crawl_sssp(sf_dir: str):
+    """Cost-weighted shortest paths over the contracted host graph
+    (state/graphbsp.sssp_bsp): edge cost = 1 + (n_links mod 5), a varied
+    deterministic per-pair traversal cost — the crawl-budget routing
+    distance from a SINGLE seed host (the lexicographically smallest; the
+    full seed set covers every host at this scale and would degenerate to
+    all-zero), folded to a (dist, n_hosts) histogram. Bellman-Ford-style frontier relaxation, exact int64 path
+    sums (bit-identical at any shard count); Dijkstra-oracle-pinned in
+    tests/test_graph.py."""
+    from nightcrawlercmd_ray.functions.urlnorm import canonicalize, host_hash
+    from nightcrawlercmd_ray.stages.webgraph import host_link_graph
+    from nightcrawlercmd_ray.state.graphbsp import sssp_bsp
+
+    c = _corpus_for(sf_dir)
+    pages = _read_pq(f"{c['dir']}/pages.parquet", columns=["url", "html"])
+    hg = host_link_graph(pages)
+
+    def cost(t: pa.Table) -> pa.Table:
+        n = t.column("n_links").to_numpy(zero_copy_only=False)
+        s = [host_hash(h) for h in t.column("src_host").to_pylist()]
+        d = [host_hash(h) for h in t.column("dst_host").to_pylist()]
+
+        def s64(v):
+            return pa.array(np.array(v, dtype=np.uint64).view(np.int64)
+                            if v else np.array([], np.int64))
+
+        return pa.table({
+            "src": s64(s), "dst": s64(d),
+            "w": pa.array((1 + (n % 5)).astype(np.int64)),
+        })
+
+    edges = hg.map_batches(cost, batch_format="pyarrow")
+    hosts = sorted({cu.split("/")[2] for s in c["seeds"]
+                    if (cu := canonicalize(s)) is not None})
+    seeds = np.array([host_hash(hosts[0])],
+                     dtype=np.uint64).view(np.int64).tolist()
+    dists = sssp_bsp(edges, seeds, weight="w")
+    return (
+        dists.groupby("dist").count()
+        .map_batches(lambda t: t.rename_columns(["dist", "n_hosts"]),
+                     batch_format="pyarrow")
+        .sort("dist")
+    )
+
+
 def q_crawl_ppr(sf_dir: str):
     """Personalized PageRank from the corpus seed list
     (state/graphbsp.ppr_bsp): random-walk-with-restart where teleports go
@@ -3698,6 +3743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": q_crawl_kcore,
         "crawl_depths": q_crawl_depths,
         "crawl_ppr": q_crawl_ppr,
+        "crawl_sssp": q_crawl_sssp,
         "host_authority": q_host_authority,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_inlink_stats": q_crawl_inlink_stats,

@@ -253,7 +253,7 @@ def run_bench() -> dict:
         "user_growth_curve", "funnel_users", "mirror_documents",
         "similarity_join_documents", "incremental_dedup_documents",
         "bigram_fluency_documents", "orders_cube", "host_authority",
-        "crawl_ppr", "crawl_depths",
+        "crawl_ppr", "crawl_depths", "crawl_sssp",
         "crawl_kcore", "bm25_search_documents",
         "weighted_sample_documents", "classifier_scores_documents",
         "kmeans_embeddings", "pq_ann_embeddings", "ivfpq_ann_embeddings",

@@ -348,6 +348,46 @@ class GraphShard:
             "depth": pa.array(self.lab[sel], pa.int64()),
         })
 
+    # ---- weighted SSSP (Bellman-Ford-style frontier relaxation) --------- #
+    def sssp_init(self, sources) -> int:
+        """Seed like bfs_init, and validate the weighted build: integer
+        non-negative weights (the exact-arithmetic contract — int64 path
+        sums are exactly associative, so distances are bit-identical at
+        any shard count)."""
+        if self.ew is None:
+            if self.eu.size:  # edges without weights: a wiring error
+                raise ValueError("sssp: shards were built without weights")
+            self._ewi = np.array([], np.int64)
+            return self.bfs_init(sources)
+        if self.ew.size and self.ew.min() < 0:
+            raise ValueError("sssp: negative edge weights are not supported")
+        self._ewi = np.rint(self.ew).astype(np.int64)
+        return self.bfs_init(sources)
+
+    def sssp_propagate(self):
+        """Frontier-only relaxation: edges whose source's distance improved
+        last round propose dist+w to the target's owner."""
+        if self.eu.size:
+            sel = self._fresh[self.u_idx]
+            v = self.ev[sel]
+            d = self.lab[self.u_idx[sel]] + self._ewi[sel]
+            v, m = _group_min(v, d)
+        else:
+            v = np.array([], np.int64)
+            m = np.array([], np.int64)
+        part = _owner(v, self.P)
+        out = [pa.table({"node": pa.array(v[part == j], pa.int64()),
+                         "cand": pa.array(m[part == j], pa.int64())})
+               for j in range(self.P)]
+        return out if self.P > 1 else out[0]
+
+    def sssp_result(self) -> pa.Table:
+        sel = self.lab < self._INF
+        return pa.table({
+            "node": pa.array(self.nodes[sel], pa.int64()),
+            "dist": pa.array(self.lab[sel], pa.int64()),
+        })
+
     # ---- k-core peeling ---------------------------------------------------- #
     def kcore_init(self, k: int) -> None:
         self._k = k
@@ -704,6 +744,50 @@ def bfs_depths_bsp(
             if changed == 0:
                 break
     return ray.data.from_arrow_refs([s.bfs_result.remote() for s in shards])
+
+
+def sssp_bsp(
+    edges, sources, *, src: str = "src", dst: str = "dst",
+    weight: str = "w", num_shards: int = 8, undirected: bool = False,
+    max_rounds: int = 10_000,
+):
+    """Weighted single-source(-set) shortest paths → Dataset(node, dist):
+    minimum total edge weight from ANY of ``sources`` (unreachable nodes
+    omitted). The weighted generalization of :func:`bfs_depths_bsp` — the
+    crawl-budget routing primitive (cost-weighted host hops).
+
+    Shape: Bellman-Ford-style frontier-only relaxation on the sharded edge
+    set — per round, only edges whose source's distance IMPROVED last
+    round ship a (target, dist+w) proposal to the target's owner; with
+    non-negative integer weights convergence takes at most
+    |longest shortest path in hops| rounds and total message volume is
+    O(edges × improvements). Weights must be non-negative int64 (exact
+    path sums ⇒ bit-identical distances at any shard count); parallel
+    edges are kept (the min-merge picks the cheapest), so no pre-dedup
+    pass is needed."""
+    shards, infos = _build_shards(edges, src, dst, num_shards,
+                                  undirected=undirected, dedup_edges=False,
+                                  weight=weight)
+    P = len(shards)
+    if sum(i["nodes"] for i in infos) == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())}))
+    n_seeded = sum(ray.get([s.sssp_init.remote(list(sources))
+                            for s in shards]))
+    if n_seeded:
+        for _ in range(max_rounds):
+            if P > 1:
+                props = [s.sssp_propagate.options(num_returns=P).remote()
+                         for s in shards]
+                routed = _routed(shards, props)
+            else:
+                routed = [[shards[0].sssp_propagate.remote()]]
+            changed = sum(ray.get(
+                [shards[j].bfs_merge.remote(*routed[j]) for j in range(P)]))
+            if changed == 0:
+                break
+    return ray.data.from_arrow_refs([s.sssp_result.remote() for s in shards])
 
 
 def ppr_bsp(

@@ -559,3 +559,74 @@ def test_weighted_pagerank_reduces_to_uniform_on_equal_weights():
              for r in pagerank_bsp(_edge_ds(edges), n_iter=6).take_all()}
     assert got_w.keys() == got_u.keys()
     assert all(abs(got_w[k] - got_u[k]) < 1e-15 for k in got_u)
+
+
+# --------------------------------------------------------------------------- #
+# weighted SSSP (state/graphbsp.sssp_bsp)
+# --------------------------------------------------------------------------- #
+def _dijkstra(u, v, w, srcs):
+    import heapq
+
+    adj = {}
+    nodes = set(u.tolist()) | set(v.tolist())
+    for a, b, ww in zip(u, v, w):
+        if a != b:
+            adj.setdefault(a, []).append((b, int(ww)))
+    dist0 = {s: 0 for s in srcs if s in nodes}
+    pq = [(0, s) for s in dist0]
+    heapq.heapify(pq)
+    best = dict(dist0)
+    seen = {}
+    while pq:
+        d, x = heapq.heappop(pq)
+        if x in seen:
+            continue
+        seen[x] = d
+        for b, ww in adj.get(x, []):
+            nd = d + ww
+            if b not in seen and nd < best.get(b, 1 << 60):
+                best[b] = nd
+                heapq.heappush(pq, (nd, b))
+    return seen
+
+
+@pytest.mark.parametrize("num_shards", [2, 7])
+def test_sssp_matches_dijkstra(num_shards):
+    from nightcrawlercmd_ray.state.graphbsp import sssp_bsp
+
+    rng = np.random.RandomState(4)
+    n, m = 300, 1500
+    u = rng.randint(0, n, m).astype(np.int64)
+    v = rng.randint(0, n, m).astype(np.int64)
+    w = rng.randint(1, 20, m).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(u), "dst": pa.array(v), "w": pa.array(w),
+    })).repartition(4)
+    got = {r["node"]: r["dist"]
+           for r in sssp_bsp(edges, [0, 5], num_shards=num_shards,
+                             weight="w").take_all()}
+    assert got == _dijkstra(u, v, w, [0, 5])
+
+
+def test_sssp_parallel_edges_take_min_and_guards():
+    from nightcrawlercmd_ray.state.graphbsp import sssp_bsp
+
+    # parallel 1→2 edges with different costs: the cheap one must win
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 1, 2], pa.int64()),
+        "dst": pa.array([2, 2, 3], pa.int64()),
+        "w": pa.array([9, 2, 1], pa.int64()),
+    }))
+    got = {r["node"]: r["dist"]
+           for r in sssp_bsp(edges, [1], weight="w").take_all()}
+    assert got == {1: 0, 2: 2, 3: 3}
+    bad = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64()),
+        "w": pa.array([-1], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="negative"):
+        sssp_bsp(bad, [1], weight="w", num_shards=1)
+    # unreachable nodes omitted; unknown sources ignored
+    got2 = {r["node"]: r["dist"]
+            for r in sssp_bsp(edges, [2, 999], weight="w").take_all()}
+    assert got2 == {2: 0, 3: 1}
