@@ -337,6 +337,20 @@ def q_events_asof_orders(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_split_documents(sf_dir: str):
+    """K-way deterministic train/val/test assignment
+    (stages/sampling.split_assign): 80/10/10 by Knuth hash bands — a pure
+    stateless map whose assignment is permanent under reprocessing. The
+    SQL oracle replays the same hash and cumulative thresholds (CASE over
+    hash bands), hash-exact."""
+    from nightcrawlercmd_ray.stages.sampling import split_assign
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(
+        ds, key="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_melt_orders(sf_dir: str):
     """UNPIVOT (stages/pivot.melt — the inverse of the pivot operator):
     orders widened columns (o_custkey, total_cents) to long
@@ -3655,6 +3669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_order": q_events_next_order,
         "events_in_order_windows": q_events_in_order_windows,
         "melt_orders": q_melt_orders,
+        "split_documents": q_split_documents,
         "user_sessions": q_user_sessions,
         "part_brand_stats": q_part_brand_stats,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4880,6 +4895,16 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "split_documents": """
+            SELECT doc_id,
+                   CASE WHEN h < 3435973837 THEN 'train'
+                        WHEN h < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                         AS h
+                  FROM documents)
         """,
         "melt_orders": """
             SELECT o_orderkey, 'o_custkey' AS variable,

@@ -255,7 +255,8 @@ def run_bench() -> dict:
         "bigram_fluency_documents", "orders_cube", "host_authority",
         "crawl_ppr", "crawl_depths", "crawl_sssp",
         "crawl_kcore", "bm25_search_documents",
-        "weighted_sample_documents", "classifier_scores_documents",
+        "weighted_sample_documents", "split_documents",
+        "classifier_scores_documents",
         "kmeans_embeddings", "pq_ann_embeddings", "ivfpq_ann_embeddings",
         "semdedup_embeddings",
         "jl_project_embeddings",

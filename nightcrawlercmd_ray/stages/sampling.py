@@ -411,3 +411,33 @@ def balanced_sample(ds, *, key: str, stratum: str, salt: int = 0):
     rates = {s: mn / n for s, n in n_by.items()}
     return stratified_sample(ds, key=key, stratum=stratum, rates=rates,
                              default_rate=0.0, salt=salt)
+
+
+def split_assign(ds, *, key: str, fractions: dict[str, float], salt: int = 0,
+                 out_col: str = "split"):
+    """K-way deterministic split (train/val/test and friends): each row gets
+    the label of the cumulative-fraction band its ``hash_u32(key, salt)``
+    falls in — a pure map, zero shuffle, stable under reprocessing (new
+    data never moves old rows between splits, the same permanence contract
+    as ``train_holdout_split``). ``fractions`` must sum to 1 (±1e-9); band
+    edges use the canonical ``threshold_for`` so the SQL oracle replicates
+    them bit-for-bit. Label order follows dict insertion order."""
+    labels = list(fractions)
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split_assign: fractions sum to {total}, not 1")
+    cum, edges = 0.0, []
+    for lab in labels[:-1]:
+        cum += fractions[lab]
+        edges.append(np.uint64(threshold_for(cum)))
+    edges_arr = np.array(edges, dtype=np.uint64)
+    labels_arr = np.array(labels)
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        h = hash_u32(k, salt)
+        band = np.searchsorted(edges_arr, h, side="right")
+        return t.append_column(
+            out_col, pa.array(labels_arr[band].tolist(), pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

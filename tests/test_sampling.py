@@ -340,3 +340,35 @@ def test_balanced_sample_shrinks_to_min_class():
         ray.data.from_arrow(ti), key="doc_id", stratum="label"
     ).to_pandas()
     assert set(out_i["label"]) == {0, 1, 2, 3}
+
+
+def test_split_assign_partitions_exactly_and_permanently():
+    """Every row gets exactly one label; proportions are near the targets;
+    a row's label is independent of which OTHER rows are present (the
+    permanence contract); fractions must sum to 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from nightcrawlercmd_ray.stages.sampling import split_assign
+
+    ids = np.arange(5000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = split_assign(
+        ds, key="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert len(out) == 5000 and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    # permanence: the first half alone assigns identically
+    half = split_assign(
+        ray.data.from_arrow(pa.table({"doc_id": pa.array(ids[:2500])})),
+        key="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    merged = half.merge(out, on="doc_id", suffixes=("_h", "_f"))
+    assert (merged["split_h"] == merged["split_f"]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        split_assign(ds, key="doc_id", fractions={"a": 0.5, "b": 0.4})
