@@ -291,3 +291,34 @@ def test_read_sorted_range_prunes_and_is_exact():
     assert ds_all.count() == t.num_rows
     with pytest.raises(ValueError, match="does not match"):
         read_sorted_range(OUT, lo=1, hi=2, key_col="doc_id")
+
+
+def test_compact_and_range_read_error_edges(tmp_path):
+    """Clear errors on misuse: compacting onto a directory with no
+    manifest, and a range read with no overlapping completed parts."""
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        compact_sorted,
+        read_sorted_range,
+    )
+
+    delta = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "n_chars": pa.array([5], pa.int64())}))
+    with pytest.raises(FileNotFoundError):
+        compact_sorted(str(tmp_path / "nobase"), delta,
+                       str(tmp_path / "out"))
+    # a real base, then a range query beyond every key
+    base = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "n_chars": pa.array([5, 6], pa.int64())})
+    bdir = str(tmp_path / "base")
+    write_sorted_partitioned(
+        ray.data.from_arrow(base), bdir, key_col="n_chars",
+        tie_col="doc_id", num_partitions=2, n_rows=2)
+    ds, n_parts = read_sorted_range(bdir, lo=999, hi=2000,
+                                    key_col="n_chars")
+    # boundary pruning keeps at least the last part; the exact trim
+    # leaves zero rows
+    assert ds.count() == 0 and n_parts >= 1
+    # inverted range: empty result, no crash
+    ds2, _ = read_sorted_range(bdir, lo=6, hi=5, key_col="n_chars")
+    assert ds2.count() == 0
