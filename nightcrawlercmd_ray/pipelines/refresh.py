@@ -24,6 +24,8 @@ materializes on the driver beyond the diff's status rows.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -94,7 +96,7 @@ def refresh_corpus(old_ds, new_ds, base_dir: str, out_dir: str, *,
     `write_sorted_partitioned` directory of the old corpus keyed on
     (n_chars, doc_id)). Survivor ids carry ``version_offset`` so versions
     coexist under the sink's total order. Returns counter dict:
-    {work, dup_dropped, short_dropped, survivors, merged_rows}.
+    {work, dup_dropped, short_dropped, survivors, merged_rows, manifest}.
     """
     import ray
 
@@ -149,9 +151,14 @@ def refresh_corpus(old_ds, new_ds, base_dir: str, out_dir: str, *,
 
     survivor_keys = survivors.map_batches(finish, batch_format="pyarrow")
     man = compact_sorted(base_dir, survivor_keys, out_dir)
+    with open(f"{base_dir}/_MANIFEST") as f:
+        base_rows = json.load(f)["rows"]
+    survivors = int(man["rows"]) - int(base_rows)
     return {
         "work": len(work_ids),
         "dup_dropped": len(dup_ids),
+        "short_dropped": len(work_ids) - len(dup_ids) - survivors,
+        "survivors": survivors,
         "merged_rows": int(man["rows"]),
         "manifest": man,
     }

@@ -85,11 +85,16 @@ def melt(ds, *, id_cols: list[str], value_cols: list[str],
             # interleave so output order is row-major (id, var1), (id, var2)
             out[c] = t.column(c).take(pa.array(np.repeat(np.arange(n), k)))
         out[var_name] = pa.array(value_cols * n, pa.string())
-        vals = np.empty(n * k, dtype=np.int64)
-        for j, c in enumerate(value_cols):
-            vals[j::k] = pc.cast(t.column(c), pa.int64()).to_numpy(
-                zero_copy_only=False)
-        out[value_name] = pa.array(vals)
+        # stay at the ARROW level: a numpy round-trip would ride float64 on
+        # null-bearing int64 (nulls → INT64_MIN, values > 2^53 rounded —
+        # the joins.py merge_partition hazard). concat column-major, then
+        # take in row-major order; nulls survive as nulls.
+        cat = pa.concat_arrays([
+            pc.cast(t.column(c), pa.int64()).combine_chunks()
+            for c in value_cols
+        ])
+        p = np.arange(n * k)
+        out[value_name] = cat.take(pa.array((p % k) * n + p // k))
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -254,9 +254,10 @@ def exact_quantiles_wide(
         raise ValueError(f"exact_quantiles_wide: no rows in {value_col!r}")
     lo, hi = min(los), max(his)
 
-    # per-quantile state: target rank k (1-based) within [lo, hi], where
-    # `below` counts rows < lo already excluded from the interval
-    states = [{"k": max(1, math.ceil(q * n)), "lo": lo, "hi": hi,
+    # per-quantile state: target rank k (1-based) within [lo, hi]. lo/hi
+    # stay PYTHON ints end-to-end: the full int64 hash domain spans more
+    # than 2^63, so interval arithmetic in np.int64 would overflow
+    states = [{"k": max(1, math.ceil(q * n)), "lo": int(lo), "hi": int(hi),
                "done": None} for q in qs]
 
     for _ in range(max_passes):
@@ -267,7 +268,7 @@ def exact_quantiles_wide(
         ivals = sorted({(s["lo"], s["hi"]) for s in active})
         widths = []
         for a, b in ivals:
-            span = b - a + 1
+            span = int(b) - int(a) + 1  # exact: Python ints, no np overflow
             widths.append(max(1, -(-span // max_buckets)))
         iv_ref = _ray.put((ivals, widths))
 
@@ -284,7 +285,13 @@ def exact_quantiles_wide(
                 sel = v[(v >= a) & (v <= b)]
                 if not len(sel):
                     continue
-                bk = (sel - a) // wd
+                # subtract in uint64 (two's complement): sel - a overflows
+                # int64 whenever the interval spans more than 2^63 — the
+                # full-hash-domain case this function exists for. The true
+                # difference is < 2^64, so the mod-2^64 result is exact.
+                diff = (sel.astype(np.uint64)
+                        - np.uint64(int(a) % (1 << 64)))
+                bk = (diff // np.uint64(wd)).astype(np.int64)
                 vals, cnts = np.unique(bk, return_counts=True)
                 out_i.extend([i] * len(vals))
                 out_b.extend(vals.tolist())

@@ -923,10 +923,13 @@ def pq_train(ds, *, m: int = 8, k: int = 16, iters: int = 6,
 
 
 def pq_encode(ds, books: np.ndarray, *, vec_col: str = "embedding",
-              id_col: str = "vec_id", quant: float = 1e6):
+              id_col: str = "vec_id", quant: float = 1e6,
+              keep_cols: list[str] | None = None):
     """Encode every vector to its ``m`` nearest-codeword indices (uint8 —
     ``k ≤ 256`` by design). Pure map, zero shuffle; the broadcast is the
-    codebook (m·k·d/m floats). → Dataset(id_col, codes list<uint8>)."""
+    codebook (m·k·d/m floats). ``keep_cols`` pass through unchanged
+    (e.g. an IVF bucket id). → Dataset(id_col, *keep_cols,
+    codes list<uint8>)."""
     qb = np.rint(np.asarray(books, dtype=np.float64) * quant).astype(np.int64)
     if qb.shape[1] > 256:
         raise ValueError("PQ codes are uint8: k must be ≤ 256")
@@ -947,11 +950,12 @@ def pq_encode(ds, books: np.ndarray, *, vec_col: str = "embedding",
             for s in range(mm):
                 codes[:, s] = np.argmin(
                     cnorm[s] - 2 * (qx[:, s, :] @ qbm[s].T), axis=1)
-        return pa.table({
-            id_col: ids,
-            "codes": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.reshape(-1), pa.uint8()), mm),
-        })
+        out = {id_col: ids}
+        for c in keep_cols or ():
+            out[c] = t.column(c)
+        out["codes"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), mm)
+        return pa.table(out)
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
@@ -992,10 +996,15 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, *,
         for s in range(mm):
             dist += tbl[:, s, codes[:, s]]
         n_take = min(k, dist.shape[1])
-        part = np.argpartition(dist, n_take - 1, axis=1)[:, :n_take]
         out_q, out_id, out_d = [], [], []
         for qi in range(nq):
-            for j in part[qi]:
+            # lexsort, not argpartition: integer distances tie EXACTLY
+            # (duplicate codes), and a distance-only cut keeps an
+            # arbitrary k of the tied rows — the survivor set would then
+            # depend on block layout, breaking partition invariance. The
+            # (dist, vec_id) order pins the cut.
+            take = np.lexsort((ids, dist[qi]))[:n_take]
+            for j in take:
                 out_q.append(qi)
                 out_id.append(int(ids[j]))
                 out_d.append(int(dist[qi, j]))
@@ -1089,36 +1098,12 @@ def ivfpq_build(ds, *, coarse_k: int = 16, m: int = 8, k: int = 16,
     books = pq_train(res_ds, m=m, k=k, iters=iters,
                      vec_col="_res", id_col=id_col, quant=quant,
                      materialize_input=False)
-    enc = pq_encode(res_ds, books, vec_col="_res", id_col=id_col, quant=quant)
-    # re-attach the bucket: both are pure maps over res_ds — zip via ONE
-    # id-keyed exchange is avoidable by encoding in place instead
-    qb = np.rint(books * quant).astype(np.int64)
-    qb_ref = ray.put(qb)
-    del enc  # the fused map below supersedes it
-
-    def encode_with_bucket(t: pa.Table) -> pa.Table:
-        qbm = ray.get(qb_ref)
-        mm, kc, dsb = qbm.shape
-        ids = pc.cast(t.column(id_col), pa.int64())
-        vecs = np.asarray(t.column("_res").to_pylist(), dtype=np.float64)
-        if vecs.size == 0:
-            codes = np.zeros((0, mm), dtype=np.uint8)
-        else:
-            qx = np.rint(vecs * quant).astype(np.int64).reshape(
-                len(vecs), mm, dsb)
-            cnorm = (qbm * qbm).sum(axis=2)
-            codes = np.empty((len(vecs), mm), dtype=np.uint8)
-            for s in range(mm):
-                codes[:, s] = np.argmin(
-                    cnorm[s] - 2 * (qx[:, s, :] @ qbm[s].T), axis=1)
-        return pa.table({
-            id_col: ids,
-            "bucket": t.column("_bucket"),
-            "codes": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.reshape(-1), pa.uint8()), mm),
-        })
-
-    codes_ds = res_ds.map_batches(encode_with_bucket, batch_format="pyarrow")
+    codes_ds = pq_encode(
+        res_ds, books, vec_col="_res", id_col=id_col, quant=quant,
+        keep_cols=["_bucket"],
+    ).map_batches(lambda t: t.rename_columns(
+        ["bucket" if c == "_bucket" else c for c in t.column_names]),
+        batch_format="pyarrow")
     return coarse, books, codes_ds
 
 
@@ -1176,10 +1161,13 @@ def ivfpq_topk(codes_ds, coarse: np.ndarray, books: np.ndarray,
             d = np.concatenate(cand_d)
             sel = np.concatenate(cand_i)
             n_take = min(k, len(d))
-            part = np.argpartition(d, n_take - 1)[:n_take]
+            # lexsort cut (see pq_topk): exact-integer distance ties must
+            # resolve by vec_id or the local survivor set depends on
+            # block layout
+            take = np.lexsort((ids[sel], d))[:n_take]
             out_q.extend([qi] * n_take)
-            out_id.extend(ids[sel[part]].tolist())
-            out_d.extend(d[part].tolist())
+            out_id.extend(ids[sel[take]].tolist())
+            out_d.extend(d[take].tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int32()),
             "vec_id": pa.array(out_id, pa.int64()),

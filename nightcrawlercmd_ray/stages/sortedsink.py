@@ -389,12 +389,15 @@ def read_sorted_range(out_dir: str, *, lo: int | None = None,
         hi_p = None if hi is None else hi * int(_PACK) + (int(_PACK) - 1)
     else:
         lo_p, hi_p = lo, hi
-    # part p holds packed keys in (bounds[p-1], bounds[p]] — prune to the
-    # parts whose interval intersects [lo_p, hi_p]
+    # the writer assigns part = searchsorted(bounds, key, side='right'),
+    # i.e. part p holds packed keys in [bounds[p-1], bounds[p]) — prune to
+    # the parts whose interval intersects [lo_p, hi_p] with the SAME side
+    # convention (a 'left' upper cut dropped rows whose key equals a
+    # boundary exactly)
     first = 0 if lo_p is None else int(
-        np.searchsorted(bounds, lo_p, side="left"))
+        np.searchsorted(bounds, lo_p, side="right"))
     last = len(bounds) if hi_p is None else int(
-        np.searchsorted(bounds, hi_p, side="left"))
+        np.searchsorted(bounds, hi_p, side="right"))
     paths = [
         f"{out_dir}/part-{p:05d}/data.parquet"
         for p in range(first, last + 1)

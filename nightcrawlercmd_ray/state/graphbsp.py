@@ -361,7 +361,13 @@ class GraphShard:
             return self.bfs_init(sources)
         if self.ew.size and self.ew.min() < 0:
             raise ValueError("sssp: negative edge weights are not supported")
-        self._ewi = np.rint(self.ew).astype(np.int64)
+        ewi = np.rint(self.ew)
+        if self.ew.size and not np.array_equal(ewi, self.ew):
+            # silent rounding would return wrong distances (w=0.4 → 0
+            # everywhere); the documented contract is integer weights
+            raise ValueError("sssp: edge weights must be integers "
+                             "(quantize fractional costs upstream)")
+        self._ewi = ewi.astype(np.int64)
         return self.bfs_init(sources)
 
     def sssp_propagate(self):

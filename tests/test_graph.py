@@ -630,3 +630,14 @@ def test_sssp_parallel_edges_take_min_and_guards():
     got2 = {r["node"]: r["dist"]
             for r in sssp_bsp(edges, [2, 999], weight="w").take_all()}
     assert got2 == {2: 0, 3: 1}
+
+
+def test_sssp_rejects_fractional_weights():
+    from nightcrawlercmd_ray.state.graphbsp import sssp_bsp
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64()),
+        "w": pa.array([0.4], pa.float64()),
+    }))
+    with pytest.raises(Exception, match="integer"):
+        sssp_bsp(edges, [1], weight="w", num_shards=1)

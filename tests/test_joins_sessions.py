@@ -710,3 +710,23 @@ def test_melt_roundtrips_and_partition_invariant():
         assert out["k"].tolist() == [10, 10, 20, 20]
         assert out["variable"].tolist() == ["a", "b", "a", "b"]
         assert out["value"].tolist() == [1, 3, 2, 4]
+
+
+def test_melt_preserves_nulls_and_63bit_values():
+    """Regression: the numpy interleave rode float64, so null int64 values
+    became INT64_MIN and 63-bit ids lost low bits."""
+    from nightcrawlercmd_ray.stages.pivot import melt
+
+    big = (1 << 60) + 1  # not representable in float64
+    t = pa.table({
+        "k": pa.array([10, 20], pa.int64()),
+        "a": pa.array([None, big], pa.int64()),
+        "b": pa.array([3, None], pa.int64()),
+    })
+    # assert at the ARROW level: the operator's contract is exact int64
+    # (a pandas conversion of a null-bearing int64 column is itself lossy)
+    ds = melt(ray.data.from_arrow(t), id_cols=["k"], value_cols=["a", "b"])
+    rows = sorted(
+        ((r["k"], r["variable"], r["value"]) for r in ds.take_all()))
+    assert rows == [(10, "a", None), (10, "b", 3),
+                    (20, "a", big), (20, "b", None)]

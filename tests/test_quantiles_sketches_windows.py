@@ -887,3 +887,21 @@ def test_wide_quantiles_bounded_passes_tiny_buckets():
     sv = np.sort(v)
     assert got == [int(sv[max(1, math.ceil(q * len(v))) - 1])
                    for q in (0.25, 0.5)]
+
+
+def test_wide_quantiles_full_int64_hash_domain():
+    """Regression: a column spanning nearly the whole int64 range (64-bit
+    hashes viewed as int64 — half negative) made interval arithmetic
+    overflow np.int64 and mis-bucket the narrowing search."""
+    import math
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide
+
+    rng = np.random.RandomState(21)
+    v = rng.randint(0, 1 << 63, 20_000, dtype=np.uint64)
+    v = (v << np.uint64(1)).view(np.int64)  # spread over ±2^63
+    ds = _ds({"v": pa.array(v)}).repartition(6)
+    qs = [0.05, 0.5, 0.95, 1.0]
+    got = exact_quantiles_wide(ds, "v", qs).to_pandas().iloc[0].tolist()
+    sv = np.sort(v)
+    assert got == [int(sv[max(1, math.ceil(q * len(v))) - 1]) for q in qs]

@@ -97,3 +97,34 @@ def test_refresh_corpus_invariants(tmp_path):
         if i % 17 == 0 and not (i % 13 == 0 and i % 4 == 0)
         and not (i % 4 != 0 and new_texts[i] == base_texts[i]))
     assert (surv["n_chars"] >= 8).all()
+
+
+def test_refresh_counters_partition_work_set(tmp_path):
+    """work = dup_dropped + short_dropped + survivors, and the merged total
+    is base + survivors — the documented counter contract."""
+    old = _docs([1, 2, 3], ["alpha document body", "beta document body",
+                            "gamma document body"])
+    new = _docs([1, 4, 5, 6],
+                ["alpha document body CHANGED",  # changed → survivor
+                 "beta document body",           # added, dup of old 2
+                 "tiny",                         # added, length-gated
+                 "delta document body"])         # added → survivor
+    base_dir = str(tmp_path / "b")
+    out_dir = str(tmp_path / "o")
+
+    def keyed(t):
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base_dir,
+        key_col="n_chars", tie_col="doc_id", num_partitions=2,
+    )
+    stats = refresh_corpus(old, new, base_dir, out_dir, min_chars=8)
+    assert stats["work"] == 4
+    assert stats["dup_dropped"] == 1
+    assert stats["short_dropped"] == 1
+    assert stats["survivors"] == 2
+    assert stats["merged_rows"] == 3 + 2

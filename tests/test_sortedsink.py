@@ -322,3 +322,41 @@ def test_compact_and_range_read_error_edges(tmp_path):
     # inverted range: empty result, no crash
     ds2, _ = read_sorted_range(bdir, lo=6, hi=5, key_col="n_chars")
     assert ds2.count() == 0
+
+
+def test_read_sorted_range_boundary_key_included(tmp_path):
+    """Regression: a row whose packed key EQUALS a partition boundary was
+    dropped when hi equaled that boundary (reader pruned with side='left'
+    while the writer assigns with side='right')."""
+    from nightcrawlercmd_ray.stages.sortedsink import read_sorted_range
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "n_chars": pa.array([i // 2 for i in range(40)], pa.int64()),
+    })
+    d = str(tmp_path / "s")
+    write_sorted_partitioned(
+        ray.data.from_arrow(t), d, key_col="n_chars", tie_col="doc_id",
+        num_partitions=5, n_rows=40)
+    import json
+
+    bounds = json.load(open(f"{d}/_MANIFEST"))["boundaries"]
+    assert bounds, "need at least one boundary for the regression"
+    # query hi exactly at each packed boundary: every key <= hi must appear
+    df = t.to_pandas()
+    for b in bounds:
+        key_hi = b >> 32          # the key part of the packed boundary
+        ds, _ = read_sorted_range(d, hi=key_hi, key_col="n_chars")
+        got = sorted(ds.to_pandas()["doc_id"])
+        exp = sorted(df[df["n_chars"] <= key_hi]["doc_id"])
+        assert got == exp, (b, key_hi)
+    # packed-mode: hi EXACTLY a boundary value (a real row's packed key —
+    # boundaries come from the key sample) — the old side='left' cut
+    # dropped precisely this row
+    packed = df["n_chars"].to_numpy() * (1 << 32) + df["doc_id"].to_numpy()
+    for b in bounds:
+        ds, _ = read_sorted_range(d, hi=int(b))
+        got = sorted(ds.to_pandas()["doc_id"])
+        exp = sorted(df[packed <= b]["doc_id"])
+        assert got == exp, b
+        assert (packed == b).any()  # the boundary row itself exists
