@@ -1506,6 +1506,34 @@ def q_wide_hash_quantiles(sf_dir: str):
     )
 
 
+def q_wide_hash_quantiles_by_lang(sf_dir: str):
+    """GROUP BY quantiles over a wide domain
+    (stages/quantiles.exact_quantiles_wide_by): per-language order
+    statistics of the same planted ~2^62 Knuth-hash column as
+    wide_hash_quantiles — every (group, quantile) narrowing search shares
+    each one-scan pass; exchange ∝ groups × buckets × blocks. Hash-exact
+    vs DuckDB quantile_disc ... GROUP BY."""
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h1 = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h2 = ((ids + np.uint64(1)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        v = (h1 << np.uint64(30)) + h2
+        return pa.table({"lang": t.column("lang"),
+                         "v": pa.array(v.astype(np.int64))})
+
+    return exact_quantiles_wide_by(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        "v", [0.5, 0.9, 1.0], by_col="lang",
+        out_names=["p50", "p90", "p100"],
+    )
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Grouped exact quantiles (stages/quantiles.py): per-language document
     length percentiles — the quality-cut statistic a training-data pipeline
@@ -3718,6 +3746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "order_price_quantiles": q_order_price_quantiles,
         "wide_hash_quantiles": q_wide_hash_quantiles,
+        "wide_hash_quantiles_by_lang": q_wide_hash_quantiles_by_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_users_by_type": q_distinct_users_by_type,
         "doc_chain_components": q_doc_chain_components,
@@ -4778,6 +4807,18 @@ def oracle_sql() -> dict[str, str]:
                     + ((doc_id + 1) * 2654435761) % 4294967296
                     AS BIGINT) AS v
                   FROM documents)
+        """,
+        "wide_hash_quantiles_by_lang": """
+            SELECT lang,
+                   quantile_disc(v, 0.5) AS p50,
+                   quantile_disc(v, 0.9) AS p90,
+                   quantile_disc(v, 1.0) AS p100
+            FROM (SELECT lang, CAST(
+                    ((doc_id * 2654435761) % 4294967296) * 1073741824
+                    + ((doc_id + 1) * 2654435761) % 4294967296
+                    AS BIGINT) AS v
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
         """,
         "doc_length_quantiles": """
             SELECT lang,

@@ -244,6 +244,7 @@ def run_bench() -> dict:
         "inverted_index_documents", "heavy_hitters_bigrams",
         "embedding_moments", "pca_embeddings", "bpe_encode_documents",
         "cdc_near_dups", "percentile_rank_doclen", "wide_hash_quantiles",
+        "wide_hash_quantiles_by_lang",
         "temperature_upsample",
         "snapshot_diff_documents", "chunk_documents", "bloom_pushdown_orders",
         "hll_distinct_users_by_type", "concurrent_sessions",

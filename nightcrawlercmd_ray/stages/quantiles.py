@@ -331,3 +331,144 @@ def exact_quantiles_wide(
         name: pa.array([s["done"]], pa.int64())
         for name, s in zip(out_names, states)
     })
+
+
+def exact_quantiles_wide_by(
+    ds,
+    value_col: str,
+    qs: list[float],
+    *,
+    by_col: str,
+    out_names: list[str] | None = None,
+    max_buckets: int = 65536,
+    max_passes: int = 8,
+) -> pa.Table:
+    """Per-group exact quantiles over an int64 column of UNBOUNDED distinct
+    cardinality — the GROUP BY form of :func:`exact_quantiles_wide` (the
+    grouped histogram of :func:`exact_quantiles` needs bounded distinct
+    values; this needs only bounded GROUPS). Same histogram-narrowing
+    search run for every (group, quantile) simultaneously: each pass is
+    ONE scan whose combiner emits (group, interval, bucket, count) rows —
+    exchange ∝ groups × buckets × blocks, never data. Driver state is
+    O(groups × qs). Groups must be modest in number (the usual GROUP BY
+    contract — languages, sources, shards); same quantile_disc rule,
+    SQL-oracle-able. → Table(by_col, *out_names) sorted by group.
+    """
+    if out_names is None:
+        out_names = [_default_qname(q) for q in qs]
+
+    import ray as _ray
+
+    # pass 0: per-group n / min / max via one combiner + tiny groupby
+    def minmax(t: pa.Table) -> pa.Table:
+        g = (t.select([by_col, value_col])
+             .group_by(by_col)
+             .aggregate([(value_col, "min"), (value_col, "max"),
+                         (value_col, "count")]))
+        return g.rename_columns([by_col, "_lo", "_hi", "_n"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    grows = (
+        ds.map_batches(minmax, batch_format="pyarrow")
+        .groupby(by_col)
+        .aggregate(Min("_lo", alias_name="_lo"),
+                   Max("_hi", alias_name="_hi"),
+                   Sum("_n", alias_name="_n"))
+        .take_all()
+    )
+    if not grows:
+        raise ValueError(f"exact_quantiles_wide_by: no rows in {value_col!r}")
+    # states: one narrowing search per (group, quantile)
+    states = []
+    for r in grows:
+        for q in qs:
+            states.append({
+                "g": r[by_col], "q": q,
+                "k": max(1, math.ceil(q * r["_n"])),
+                "lo": int(r["_lo"]), "hi": int(r["_hi"]), "done": None,
+            })
+
+    for _ in range(max_passes):
+        active = [s for s in states if s["done"] is None]
+        if not active:
+            break
+        ivals = sorted({(s["g"], s["lo"], s["hi"]) for s in active})
+        widths = [max(1, -(-(int(b) - int(a) + 1) // max_buckets))
+                  for _, a, b in ivals]
+        iv_ref = _ray.put((ivals, widths))
+
+        def bucket_counts(t: pa.Table) -> pa.Table:
+            iv, w = _ray.get(iv_ref)
+            # row-level null filter FIRST: dropping nulls from the value
+            # column alone would misalign it with the group column (and a
+            # numpy conversion with nulls rides float64 — the joins.py
+            # hazard)
+            if t.column(value_col).null_count:
+                t = t.filter(pc.is_valid(t.column(value_col)))
+            gv = t.column(by_col).to_pylist()
+            vv = pc.cast(t.column(value_col), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            # group rows once, then bucket each active interval of that
+            # group (groups are few; this loop is per-interval, not per-row)
+            import collections
+
+            rows_by_g = collections.defaultdict(list)
+            for i, gval in enumerate(gv):
+                rows_by_g[gval].append(i)
+            out_i, out_b, out_c = [], [], []
+            for i, ((gval, a, b), wd) in enumerate(zip(iv, w)):
+                idx = rows_by_g.get(gval)
+                if not idx:
+                    continue
+                sel = vv[np.asarray(idx)]
+                sel = sel[(sel >= a) & (sel <= b)]
+                if not len(sel):
+                    continue
+                diff = (sel.astype(np.uint64)
+                        - np.uint64(int(a) % (1 << 64)))
+                bk = (diff // np.uint64(wd)).astype(np.int64)
+                vals, cnts = np.unique(bk, return_counts=True)
+                out_i.extend([i] * len(vals))
+                out_b.extend(vals.tolist())
+                out_c.extend(cnts.astype(np.int64).tolist())
+            return pa.table({
+                "_iv": pa.array(out_i, pa.int64()),
+                "_b": pa.array(out_b, pa.int64()),
+                "_c": pa.array(out_c, pa.int64()),
+            })
+
+        rows = (
+            ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby(["_iv", "_b"]).sum("_c").take_all()
+        )
+        hist: dict[int, dict[int, int]] = {}
+        for r in rows:
+            hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
+        for s in active:
+            i = ivals.index((s["g"], s["lo"], s["hi"]))
+            wd = widths[i]
+            h = hist.get(i, {})
+            run = 0
+            for b in sorted(h):
+                if run + h[b] >= s["k"]:
+                    s["k"] -= run
+                    s["lo"], s["hi"] = (s["lo"] + b * wd,
+                                        min(s["hi"],
+                                            s["lo"] + (b + 1) * wd - 1))
+                    break
+                run += h[b]
+            else:  # pragma: no cover
+                raise AssertionError("rank fell outside histogram")
+            if wd == 1:
+                s["done"] = s["lo"]
+    if any(s["done"] is None for s in states):  # pragma: no cover
+        raise AssertionError("quantile intervals did not converge")
+    by_g: dict = {}
+    for s in states:
+        by_g.setdefault(s["g"], {})[s["q"]] = s["done"]
+    keys = sorted(by_g)
+    cols = {by_col: pa.array(keys)}
+    for name, q in zip(out_names, qs):
+        cols[name] = pa.array([by_g[g][q] for g in keys], pa.int64())
+    return pa.table(cols)

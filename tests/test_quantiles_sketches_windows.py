@@ -905,3 +905,54 @@ def test_wide_quantiles_full_int64_hash_domain():
     got = exact_quantiles_wide(ds, "v", qs).to_pandas().iloc[0].tolist()
     sv = np.sort(v)
     assert got == [int(sv[max(1, math.ceil(q * len(v))) - 1]) for q in qs]
+
+
+@pytest.mark.parametrize("nparts", [1, 9])
+def test_grouped_wide_quantiles_match_numpy(nparts):
+    import math
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    rng = np.random.RandomState(9)
+    n = 12_000
+    g = rng.choice(["en", "de", "fr"], n)
+    v = rng.randint(0, 1 << 63, n, dtype=np.uint64)
+    v = (v << np.uint64(1)).view(np.int64)  # full ±2^63 domain per group
+    ds = _ds({"lang": pa.array(g), "v": pa.array(v)}).repartition(nparts)
+    qs = [0.1, 0.5, 0.99]
+    out = (exact_quantiles_wide_by(ds, "v", qs, by_col="lang")
+           .to_pandas().set_index("lang"))
+    for lang in ("en", "de", "fr"):
+        sv = np.sort(v[g == lang])
+        assert out.loc[lang].tolist() == [
+            int(sv[max(1, math.ceil(q * len(sv))) - 1]) for q in qs]
+
+
+def test_grouped_wide_quantiles_nulls_and_single_row_groups():
+    from nightcrawlercmd_ray.stages.quantiles import (
+        exact_quantiles,
+        exact_quantiles_wide_by,
+    )
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b"]),
+        "v": pa.array([5, None, -3, 42, None], pa.int64()),
+    })
+    out = (exact_quantiles_wide_by(ray.data.from_arrow(t), "v",
+                                   [0.5, 1.0], by_col="g")
+           .to_pandas().set_index("g"))
+    assert out.loc["a"].tolist() == [-3, 5]
+    assert out.loc["b"].tolist() == [42, 42]
+    # small-domain equality with the bounded-distinct grouped histogram
+    rng = np.random.RandomState(3)
+    t2 = pa.table({
+        "g": pa.array(rng.choice(["x", "y"], 3000)),
+        "v": pa.array(rng.randint(-40, 40, 3000).astype(np.int64)),
+    })
+    ds2 = ray.data.from_arrow(t2).repartition(4)
+    a = (exact_quantiles(ds2, "v", [0.25, 0.9], by_col="g")
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    b = (exact_quantiles_wide_by(ds2, "v", [0.25, 0.9], by_col="g")
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    assert a["p25"].tolist() == b["p25"].tolist()
+    assert a["p90"].tolist() == b["p90"].tolist()
