@@ -3683,6 +3683,76 @@ def q_bpe_encode_documents(sf_dir: str):
     )
 
 
+def q_events_mode_event_type(sf_dir: str):
+    """Per-group MODE (stages/groupstats.mode_per_group): the most frequent
+    event_type per user with ties to the smallest string — a combiner-first
+    (group,value)-count inside map_batches, ONE coarse keyed shuffle, and a
+    fully vectorized in-partition run-sum + arg-max. SQL oracle: QUALIFY
+    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, value) = 1."""
+    from nightcrawlercmd_ray.stages.groupstats import mode_per_group
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "event_type"])
+    return mode_per_group(
+        ev, group_col="user_id", value_col="event_type", n_rows=_parquet_rows(path)
+    ).sort("user_id")
+
+
+def q_lineitem_pair_moments(sf_dir: str):
+    """Exact pairwise second moments (stages/groupstats.pairwise_moments) over
+    the three small-domain lineitem measures — the covariance/correlation
+    building blocks as ONE streaming pass: every batch folds to one
+    partial-moment row per pair, the reduce is an Arrow sum over
+    blocks×pairs rows. All int64-exact (domains ≤ 2500 per square, safe to
+    ~10^15 rows); the SQL oracle is a 6-way UNION ALL of the same sums."""
+    from nightcrawlercmd_ray.stages.groupstats import pairwise_moments
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount", "l_tax"]
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "disc_e2": _cents(t.column("l_discount")),
+                "tax_e2": _cents(t.column("l_tax")),
+            }
+        )
+
+    units = ds.map_batches(to_units, batch_format="pyarrow", batch_size=65536)
+    return pairwise_moments(units, ["qty", "disc_e2", "tax_e2"])
+
+
+def q_skyline_orders(sf_dir: str):
+    """2-D Pareto front (stages/skyline.skyline_2d): orders that no other
+    order beats on BOTH price and date (cheapest-AND-earliest front). The
+    operator is a massive filter — exact vectorized per-block skyline (each
+    block reduces to O(front) rows), then one tiny merge task over the
+    candidate union running the same formula. SQL oracle: the prefix-min
+    window formulation (y = its x-group min AND y < min over strictly
+    smaller x)."""
+    from nightcrawlercmd_ray.stages.skyline import skyline_2d
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def to_dims(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+                "odate_day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+
+    dims = ds.map_batches(to_dims, batch_format="pyarrow", batch_size=65536)
+    return skyline_2d(dims, x_col="price_cents", y_col="odate_day", id_col="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -3773,6 +3843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": q_dsir_scores,
         "token_budget_sample": q_token_budget_sample,
         "gopher_quality_documents": q_gopher_quality_documents,
+        "events_mode_event_type": q_events_mode_event_type,
+        "lineitem_pair_moments": q_lineitem_pair_moments,
+        "skyline_orders": q_skyline_orders,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -5642,5 +5715,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum_excl + n_tokens - 1) // 512 AS BIGINT) AS end_chunk,
                    CAST(cum_excl % 512 AS BIGINT) AS chunk_offset
             FROM c
+        """,
+        # per-group MODE with ties to the smallest value
+        "events_mode_event_type": """
+            WITH c AS (
+              SELECT user_id, event_type AS mode_value, count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, mode_value, cnt FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY cnt DESC, mode_value ASC) = 1
+            ORDER BY user_id
+        """,
+        # exact pairwise second moments over the small-domain measures
+        "lineitem_pair_moments": """
+            WITH t AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d,
+                     CAST(round(l_tax * 100) AS BIGINT) AS x
+              FROM lineitem
+            )
+            SELECT 'disc_e2' AS var_a, 'disc_e2' AS var_b, count(*) AS n,
+                   CAST(sum(d) AS BIGINT) AS sum_a, CAST(sum(d) AS BIGINT) AS sum_b,
+                   CAST(sum(d*d) AS BIGINT) AS sum_aa, CAST(sum(d*d) AS BIGINT) AS sum_bb,
+                   CAST(sum(d*d) AS BIGINT) AS sum_ab FROM t
+            UNION ALL
+            SELECT 'disc_e2', 'qty', count(*),
+                   CAST(sum(d) AS BIGINT), CAST(sum(q) AS BIGINT),
+                   CAST(sum(d*d) AS BIGINT), CAST(sum(q*q) AS BIGINT),
+                   CAST(sum(d*q) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 'disc_e2', 'tax_e2', count(*),
+                   CAST(sum(d) AS BIGINT), CAST(sum(x) AS BIGINT),
+                   CAST(sum(d*d) AS BIGINT), CAST(sum(x*x) AS BIGINT),
+                   CAST(sum(d*x) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 'qty', 'qty', count(*),
+                   CAST(sum(q) AS BIGINT), CAST(sum(q) AS BIGINT),
+                   CAST(sum(q*q) AS BIGINT), CAST(sum(q*q) AS BIGINT),
+                   CAST(sum(q*q) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 'qty', 'tax_e2', count(*),
+                   CAST(sum(q) AS BIGINT), CAST(sum(x) AS BIGINT),
+                   CAST(sum(q*q) AS BIGINT), CAST(sum(x*x) AS BIGINT),
+                   CAST(sum(q*x) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 'tax_e2', 'tax_e2', count(*),
+                   CAST(sum(x) AS BIGINT), CAST(sum(x) AS BIGINT),
+                   CAST(sum(x*x) AS BIGINT), CAST(sum(x*x) AS BIGINT),
+                   CAST(sum(x*x) AS BIGINT) FROM t
+            ORDER BY var_a, var_b
+        """,
+        # 2-D minimize-both skyline via the prefix-min window formulation
+        "skyline_orders": """
+            WITH t AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS odate_day
+              FROM orders
+            ), g AS (
+              SELECT price_cents, min(odate_day) AS gy FROM t GROUP BY 1
+            ), w AS (
+              SELECT price_cents, gy,
+                     min(gy) OVER (ORDER BY price_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+              FROM g
+            )
+            SELECT t.o_orderkey, t.price_cents, t.odate_day
+            FROM t JOIN w USING (price_cents)
+            WHERE t.odate_day = w.gy AND (w.mlt IS NULL OR t.odate_day < w.mlt)
+            ORDER BY t.price_cents, t.odate_day, t.o_orderkey
         """,
     }

@@ -1,0 +1,163 @@
+"""Grouped stats (stages/groupstats) and 2-D skyline (stages/skyline):
+pandas/numpy oracles, tie determinism, partition invariance, edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from nightcrawlercmd_ray.stages.groupstats import mode_per_group, pairwise_moments
+from nightcrawlercmd_ray.stages.skyline import skyline_2d
+
+
+def _mode_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    c = df.groupby(["g", "v"]).size().reset_index(name="cnt")
+    c = c.sort_values(["g", "cnt", "v"], ascending=[True, False, True])
+    out = c.groupby("g").first().reset_index()
+    return out.rename(columns={"v": "mode_value"})[["g", "mode_value", "cnt"]]
+
+
+@pytest.mark.parametrize("nparts,P", [(1, 1), (9, 4)])
+def test_mode_matches_pandas_oracle(nparts, P):
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 60, n).astype(np.int64),
+            "v": pd.Series(rng.zipf(1.6, n) % 23).map(lambda x: f"t{x:02d}"),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(nparts)
+    got = (
+        mode_per_group(ds, group_col="g", value_col="v", num_partitions=P)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = _mode_oracle(df).sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_mode_tie_breaks_to_smallest_value():
+    # g=0: 'b' and 'a' both appear twice -> 'a' wins; g=1 unique winner.
+    t = pa.table(
+        {
+            "g": pa.array([0, 0, 0, 0, 1, 1, 1], pa.int64()),
+            "v": pa.array(["b", "a", "b", "a", "z", "z", "y"]),
+        }
+    )
+    got = (
+        mode_per_group(
+            ray.data.from_arrow(t).repartition(3), group_col="g", value_col="v",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["mode_value"].tolist() == ["a", "z"]
+    assert got["cnt"].tolist() == [2, 2]
+
+
+def test_mode_empty_input():
+    t = pa.table({"g": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    got = mode_per_group(ray.data.from_arrow(t), group_col="g", value_col="v")
+    assert got.count() == 0
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_pairwise_moments_exact_vs_numpy(nparts):
+    rng = np.random.default_rng(3)
+    n = 4000
+    cols = {c: rng.integers(-50, 50, n).astype(np.int64) for c in ("b", "a", "c")}
+    ds = ray.data.from_arrow(pa.table(cols)).repartition(nparts)
+    got = pairwise_moments(ds, ["b", "a", "c"]).to_pandas()
+    names = sorted(cols)
+    assert list(zip(got["var_a"], got["var_b"])) == [
+        (a, b) for i, a in enumerate(names) for b in names[i:]
+    ]
+    for _, r in got.iterrows():
+        xa, xb = cols[r["var_a"]], cols[r["var_b"]]
+        assert r["n"] == n
+        assert r["sum_a"] == xa.sum() and r["sum_b"] == xb.sum()
+        assert r["sum_aa"] == (xa * xa).sum() and r["sum_bb"] == (xb * xb).sum()
+        assert r["sum_ab"] == (xa * xb).sum()
+
+
+def test_pairwise_moments_exact_covariance_derivation():
+    # cov derives exactly from the integer sums: cov_num = n*Sab - Sa*Sb
+    x = np.array([1, 2, 3, 4], dtype=np.int64)
+    y = np.array([2, 4, 6, 9], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    got = pairwise_moments(ds, ["x", "y"]).to_pandas().set_index(["var_a", "var_b"])
+    r = got.loc[("x", "y")]
+    n = len(x)
+    assert n * r["sum_ab"] - r["sum_a"] * r["sum_b"] == n * np.cov(x, y, bias=True)[
+        0, 1
+    ] * n
+
+
+def _skyline_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    keep = []
+    pts = df[["x", "y"]].to_numpy()
+    for i, (x, y) in enumerate(pts):
+        dom = (pts[:, 0] <= x) & (pts[:, 1] <= y) & (
+            (pts[:, 0] < x) | (pts[:, 1] < y)
+        )
+        if not dom.any():
+            keep.append(i)
+    out = df.iloc[keep].sort_values(["x", "y", "id"]).reset_index(drop=True)
+    return out
+
+
+@pytest.mark.parametrize("nparts", [1, 13])
+def test_skyline_matches_bruteforce(nparts):
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 500, n).astype(np.int64),
+            "y": rng.integers(0, 500, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(nparts)
+    got = (
+        skyline_2d(ds, x_col="x", y_col="y", id_col="id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp = _skyline_oracle(df)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_skyline_equal_points_all_survive():
+    # three identical minimal points and one dominated point
+    t = pa.table(
+        {
+            "id": pa.array([3, 1, 2, 9], pa.int64()),
+            "x": pa.array([5, 5, 5, 6], pa.int64()),
+            "y": pa.array([2, 2, 2, 3], pa.int64()),
+        }
+    )
+    got = (
+        skyline_2d(ray.data.from_arrow(t).repartition(2), x_col="x", y_col="y",
+                   id_col="id")
+        .to_pandas()
+    )
+    assert got["id"].tolist() == [1, 2, 3]
+
+
+def test_skyline_single_row_and_line_front():
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "x": pa.array([1, 2, 3], pa.int64()),
+            "y": pa.array([3, 2, 1], pa.int64()),
+        }
+    )
+    got = skyline_2d(ray.data.from_arrow(t), x_col="x", y_col="y", id_col="id")
+    assert got.count() == 3  # strictly decreasing y: every point is on the front
