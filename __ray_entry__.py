@@ -3753,6 +3753,96 @@ def q_skyline_orders(sf_dir: str):
     return skyline_2d(dims, x_col="price_cents", y_col="odate_day", id_col="o_orderkey")
 
 
+def q_events_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence matrix (stages/groupstats.cooccurrence_pairs):
+    distinct users per unordered type pair (diagonal = per-type distinct
+    users). Distinct-(user,type) combiner → one user-keyed coarse shuffle →
+    vectorized in-partition pair expansion; final fold is |types|² rows.
+    SQL oracle: DISTINCT self-join on user_id."""
+    from nightcrawlercmd_ray.stages.groupstats import cooccurrence_pairs
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "event_type"])
+    return cooccurrence_pairs(
+        ev, id_col="user_id", item_col="event_type", n_rows=_parquet_rows(path)
+    )
+
+
+def q_weighted_price_quantiles(sf_dir: str):
+    """Exact WEIGHTED quantiles (stages/quantiles.weighted_quantiles_wide):
+    quantity-weighted order statistics of l_extendedprice cents — the
+    "median price per unit sold" family — via weighted histogram narrowing
+    (rational rank targets, int64-exact bucket weight sums, ≤4 one-scan
+    passes). SQL oracle: peers-inclusive RANGE cumsum with den·cw ≥ num·tw."""
+    from nightcrawlercmd_ray.stages.quantiles import weighted_quantiles_wide
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_cents": _cents(t.column("l_extendedprice")),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    units = ds.map_batches(to_units, batch_format="pyarrow", batch_size=65536)
+    return weighted_quantiles_wide(
+        units, "price_cents", "qty",
+        [(1, 4), (1, 2), (3, 4), (9, 10)],
+        out_names=["wp25", "wp50", "wp75", "wp90"],
+    )
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Levenshtein-≤1 self-join (stages/fuzzyjoin.edit_distance_pairs) over
+    customer names — deletion-neighborhood blocking (SymSpell construction):
+    variants shuffle once on hash(variant), candidates expand vectorized
+    in-partition, equal-length survivors verify via UTF-32 Hamming, one tiny
+    pair-keyed dedup exchange. SQL oracle: levenshtein() self-join."""
+    from nightcrawlercmd_ray.stages.fuzzyjoin import edit_distance_pairs
+
+    path = f"{sf_dir}/customer.parquet"
+    ds = _read_pq(path, columns=["c_name"])
+    return edit_distance_pairs(ds, "c_name", n_rows=_parquet_rows(path)).sort(
+        ["word_a", "word_b"]
+    )
+
+
+def q_zorder_orders(sf_dir: str):
+    """Z-order (Morton) layout keys (stages/layout.add_zorder_key): orders
+    keyed by the bit-interleave of (order day, customer) so the sorted sink
+    can prune 2-D box queries (date range × customer range) — see
+    tests/test_layout.py for the part-pruning payoff. Pure vectorized map,
+    no shuffle; the 16-bit spread ladder stays under 2^32 at every step so
+    the SQL oracle replicates it in BIGINT arithmetic bit-for-bit."""
+    from nightcrawlercmd_ray.stages.layout import add_zorder_key
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def to_dims(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "odate_day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                "o_custkey": t.column("o_custkey"),
+            }
+        )
+
+    dims = ds.map_batches(to_dims, batch_format="pyarrow", batch_size=65536)
+    return (
+        add_zorder_key(dims, "odate_day", "o_custkey", out_col="zkey")
+        .select_columns(["o_orderkey", "zkey"])
+        .sort(["zkey", "o_orderkey"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -3846,6 +3936,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_event_type": q_events_mode_event_type,
         "lineitem_pair_moments": q_lineitem_pair_moments,
         "skyline_orders": q_skyline_orders,
+        "events_cooccurrence": q_events_cooccurrence,
+        "weighted_price_quantiles": q_weighted_price_quantiles,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "zorder_orders": q_zorder_orders,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -5785,5 +5879,67 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN w USING (price_cents)
             WHERE t.odate_day = w.gy AND (w.mlt IS NULL OR t.odate_day < w.mlt)
             ORDER BY t.price_cents, t.odate_day, t.o_orderkey
+        """,
+        # distinct-user co-occurrence per unordered event-type pair
+        "events_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_ids
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type <= b.event_type
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # weighted quantiles: smallest v with den*cumweight(<=v) >= num*W
+        "weighted_price_quantiles": """
+            WITH t AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem
+            ), c AS (
+              SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM t
+            ), s AS (SELECT sum(w) AS tw FROM t)
+            SELECT (SELECT min(v) FROM c, s WHERE 4 * cw >= 1 * tw) AS wp25,
+                   (SELECT min(v) FROM c, s WHERE 2 * cw >= 1 * tw) AS wp50,
+                   (SELECT min(v) FROM c, s WHERE 4 * cw >= 3 * tw) AS wp75,
+                   (SELECT min(v) FROM c, s WHERE 10 * cw >= 9 * tw) AS wp90
+        """,
+        # Levenshtein-<=1 pairs over distinct customer names
+        "fuzzy_name_pairs": """
+            WITH w AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS word_a, b.c_name AS word_b
+            FROM w a JOIN w b
+              ON a.c_name < b.c_name
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+             AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY 1, 2
+        """,
+        # Morton key: the 16-bit spread ladder in BIGINT arithmetic
+        "zorder_orders": """
+            WITH t AS (
+              SELECT o_orderkey,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS x,
+                     o_custkey AS y
+              FROM orders
+            ), a1 AS (
+              SELECT o_orderkey,
+                     ((x | (x << 8)) & 16711935) AS x,
+                     ((y | (y << 8)) & 16711935) AS y FROM t
+            ), a2 AS (
+              SELECT o_orderkey,
+                     ((x | (x << 4)) & 252645135) AS x,
+                     ((y | (y << 4)) & 252645135) AS y FROM a1
+            ), a3 AS (
+              SELECT o_orderkey,
+                     ((x | (x << 2)) & 858993459) AS x,
+                     ((y | (y << 2)) & 858993459) AS y FROM a2
+            ), a4 AS (
+              SELECT o_orderkey,
+                     ((x | (x << 1)) & 1431655765) AS x,
+                     ((y | (y << 1)) & 1431655765) AS y FROM a3
+            )
+            SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
+            FROM a4
+            ORDER BY zkey, o_orderkey
         """,
     }

@@ -125,6 +125,125 @@ def mode_per_group(
 
 
 # --------------------------------------------------------------------------- #
+# item co-occurrence by distinct entity
+# --------------------------------------------------------------------------- #
+def cooccurrence_pairs(
+    ds,
+    *,
+    id_col: str,
+    item_col: str,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """For every unordered item pair (a ≤ b, diagonal included): the number
+    of DISTINCT entities that have both — the market-basket / co-click
+    matrix. The diagonal row (a, a) is each item's distinct-entity count.
+
+    Scale shape: per-batch distinct-(id, item) combiner (``pyarrow``
+    hash-distinct — duplicate events never ride the shuffle), ONE coarse
+    keyed exchange on ``hash(id) % P`` (each entity lands wholly in one
+    partition, so in-partition pair counts are disjoint-complete), then a
+    fully vectorized in-partition expansion: sort by (id, item), run-length
+    the ids, and enumerate each run's i ≤ j index pairs with the repeat /
+    ramp trick — no per-entity Python dispatch. The final exchange is the
+    tiny |items|²-row pair-count fold. Per-entity pair fan-out is
+    k(k+1)/2 — callers own the bound on distinct items per entity (item
+    vocabularies here are small: event types, labels, tags).
+
+    → Dataset ``(type_a, type_b, n_ids)``.
+    """
+    P = num_partitions or default_partitions(n_rows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "i": pc.cast(t.column(id_col), pa.int64()),
+                    "v": pc.cast(t.column(item_col), pa.string()),
+                }
+            )
+            .group_by(["i", "v"])
+            .aggregate([])
+        )
+        ids = d.column("i").combine_chunks().to_numpy(zero_copy_only=False)
+        return d.append_column(
+            "_c", pa.array(_coarse_part(ids, P).astype(np.int64))
+        )
+
+    def pair_counts(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["_c"]).combine_chunks()
+        t = t.group_by(["i", "v"]).aggregate([])  # cross-block distinct
+        order = pc.sort_indices(
+            t, sort_keys=[("i", "ascending"), ("v", "ascending")]
+        )
+        t = t.take(order)
+        ids = t.column("i").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_ids": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        # for each row (sorted, grouped): it is the 'a' of pairs with the
+        # next (k - within_idx) rows of its own run, itself included
+        within = np.arange(n) - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - within
+        a_idx = np.repeat(np.arange(n), reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b_idx = a_idx + (np.arange(int(reps.sum())) - np.repeat(offs, reps))
+        items = t.column("v")
+        pairs = pa.table(
+            {
+                "type_a": items.take(pa.array(a_idx)),
+                "type_b": items.take(pa.array(b_idx)),
+            }
+        )
+        c = pairs.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "type_a": c.column("type_a"),
+                "type_b": c.column("type_b"),
+                "n_ids": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("_c")
+        .map_groups(pair_counts, batch_format="pyarrow")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["type_a", "type_b"]).aggregate([("n_ids", "sum")])
+        out = pa.table(
+            {
+                "type_a": g.column("type_a"),
+                "type_b": g.column("type_b"),
+                "n_ids": pc.cast(g.column("n_ids_sum"), pa.int64()),
+            }
+        )
+        return out.take(
+            pc.sort_indices(
+                out,
+                sort_keys=[("type_a", "ascending"), ("type_b", "ascending")],
+            )
+        )
+
+    # final fold: |items|² rows — one tiny merge task
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+
+# --------------------------------------------------------------------------- #
 # exact pairwise moments
 # --------------------------------------------------------------------------- #
 def pairwise_moments(ds, cols: list[str]):

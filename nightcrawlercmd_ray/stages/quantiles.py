@@ -230,14 +230,78 @@ def exact_quantiles_wide(
     """
     if out_names is None:
         out_names = [_default_qname(q) for q in qs]
+    return _quantiles_wide_core(
+        ds, value_col, None,
+        lambda q, n: max(1, math.ceil(q * n)), qs, out_names,
+        max_buckets, max_passes,
+    )
 
-    # pass 0: n, min, max (three scalars)
+
+def weighted_quantiles_wide(
+    ds,
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]],
+    *,
+    out_names: list[str],
+    max_buckets: int = 65536,
+    max_passes: int = 8,
+) -> pa.Table:
+    """Exact WEIGHTED discrete quantiles over an int64 column of unbounded
+    cardinality: the smallest value v with ``cumweight(≤v) ≥ ⌈(num/den)·W⌉``
+    for each rational quantile ``(num, den)`` (W = total weight). Rational
+    targets keep the rank integer-exact at any W (float ``q·W`` is unsafe
+    past 2^53 — this function exists for exactly that regime). Weights must
+    be non-negative int64 (validated in the stats pass); zero-weight values
+    are never selected. SQL oracle (peers-inclusive RANGE cumsum)::
+
+        SELECT min(v) FROM (SELECT v, sum(w) OVER (ORDER BY v) cw FROM t)
+        WHERE den * cw >= num * (SELECT sum(w) FROM t)
+
+    Same distributed histogram-narrowing core as ``exact_quantiles_wide``,
+    with per-bucket weight SUMS (int64-exact ``np.add.at``) instead of
+    counts — exchange rows ∝ buckets × blocks, never data.
+    """
+
+    def k_of(q: tuple[int, int], total_w: int) -> int:
+        num, den = q
+        return max(1, -(-num * total_w // den))
+
+    return _quantiles_wide_core(
+        ds, value_col, weight_col, k_of, qs, out_names, max_buckets, max_passes
+    )
+
+
+def _quantiles_wide_core(
+    ds,
+    value_col: str,
+    weight_col: str | None,
+    k_of,
+    qs: list,
+    out_names: list[str],
+    max_buckets: int,
+    max_passes: int,
+) -> pa.Table:
+    # pass 0: total (row count or weight sum), min, max — three scalars.
+    # With weights: rows where value OR weight is null are dropped jointly,
+    # and min weight is folded so the driver can reject negatives.
     def minmax(t: pa.Table) -> pa.Table:
         v = pc.cast(t.column(value_col), pa.int64())
+        if weight_col is None:
+            n = len(v) - v.null_count
+            wmin = 1
+        else:
+            w = pc.cast(t.column(weight_col), pa.int64())
+            mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
+            v = pc.filter(v, mask)
+            wv = pc.filter(w, mask)
+            n = pc.sum(wv).as_py() or 0
+            wmin = pc.min(wv).as_py() if len(wv) else None
         return pa.table({
             "_lo": pa.array([pc.min(v).as_py()], pa.int64()),
             "_hi": pa.array([pc.max(v).as_py()], pa.int64()),
-            "_n": pa.array([len(v) - v.null_count], pa.int64()),
+            "_n": pa.array([n], pa.int64()),
+            "_wmin": pa.array([wmin], pa.int64()),
         })
 
     import ray as _ray
@@ -247,17 +311,20 @@ def exact_quantiles_wide(
     los = [p.column("_lo")[0].as_py() for p in parts if p.num_rows]
     his = [p.column("_hi")[0].as_py() for p in parts if p.num_rows]
     n = sum(p.column("_n")[0].as_py() for p in parts if p.num_rows)
+    wmins = [p.column("_wmin")[0].as_py() for p in parts if p.num_rows]
+    if any(w is not None and w < 0 for w in wmins):
+        raise ValueError(f"weighted quantiles: negative weight in {weight_col!r}")
     # all-null blocks contribute None min/max — drop before folding
     los = [x for x in los if x is not None]
     his = [x for x in his if x is not None]
     if not n or not los:
-        raise ValueError(f"exact_quantiles_wide: no rows in {value_col!r}")
+        raise ValueError(f"quantiles_wide: no rows in {value_col!r}")
     lo, hi = min(los), max(his)
 
     # per-quantile state: target rank k (1-based) within [lo, hi]. lo/hi
     # stay PYTHON ints end-to-end: the full int64 hash domain spans more
     # than 2^63, so interval arithmetic in np.int64 would overflow
-    states = [{"k": max(1, math.ceil(q * n)), "lo": int(lo), "hi": int(hi),
+    states = [{"k": k_of(q, n), "lo": int(lo), "hi": int(hi),
                "done": None} for q in qs]
 
     for _ in range(max_passes):
@@ -274,15 +341,22 @@ def exact_quantiles_wide(
 
         def bucket_counts(t: pa.Table) -> pa.Table:
             iv, w = _ray.get(iv_ref)
-            # drop_null at the Arrow level: a null-bearing int64 column
+            # null filtering at the Arrow level: a null-bearing int64 column
             # otherwise converts via float64 and corrupts values > 2^53
             # (the stages/joins.py ADVICE-r2 hazard)
-            v = pc.drop_null(
-                pc.cast(t.column(value_col), pa.int64())
-            ).to_numpy(zero_copy_only=False)
+            v_arr = pc.cast(t.column(value_col), pa.int64())
+            if weight_col is None:
+                v = pc.drop_null(v_arr).to_numpy(zero_copy_only=False)
+                wt = None
+            else:
+                w_arr = pc.cast(t.column(weight_col), pa.int64())
+                mask = pc.and_(pc.is_valid(v_arr), pc.is_valid(w_arr))
+                v = pc.filter(v_arr, mask).to_numpy(zero_copy_only=False)
+                wt = pc.filter(w_arr, mask).to_numpy(zero_copy_only=False)
             out_i, out_b, out_c = [], [], []
             for i, ((a, b), wd) in enumerate(zip(iv, w)):
-                sel = v[(v >= a) & (v <= b)]
+                m = (v >= a) & (v <= b)
+                sel = v[m]
                 if not len(sel):
                     continue
                 # subtract in uint64 (two's complement): sel - a overflows
@@ -292,7 +366,12 @@ def exact_quantiles_wide(
                 diff = (sel.astype(np.uint64)
                         - np.uint64(int(a) % (1 << 64)))
                 bk = (diff // np.uint64(wd)).astype(np.int64)
-                vals, cnts = np.unique(bk, return_counts=True)
+                if wt is None:
+                    vals, cnts = np.unique(bk, return_counts=True)
+                else:
+                    vals, inv = np.unique(bk, return_inverse=True)
+                    cnts = np.zeros(len(vals), dtype=np.int64)
+                    np.add.at(cnts, inv, wt[m])  # int64-exact weight sums
                 out_i.extend([i] * len(vals))
                 out_b.extend(vals.tolist())
                 out_c.extend(cnts.astype(np.int64).tolist())

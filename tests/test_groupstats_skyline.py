@@ -100,6 +100,59 @@ def test_pairwise_moments_exact_covariance_derivation():
     ] * n
 
 
+def _cooc_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.drop_duplicates()
+    m = d.merge(d, on="u")
+    m = m[m["t_x"] <= m["t_y"]]
+    out = (
+        m.groupby(["t_x", "t_y"]).size().reset_index(name="n_ids")
+        .sort_values(["t_x", "t_y"]).reset_index(drop=True)
+    )
+    out.columns = ["type_a", "type_b", "n_ids"]
+    return out
+
+
+@pytest.mark.parametrize("nparts,P", [(1, 1), (9, 5)])
+def test_cooccurrence_matches_pandas_oracle(nparts, P):
+    from nightcrawlercmd_ray.stages.groupstats import cooccurrence_pairs
+
+    rng = np.random.default_rng(21)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 250, n).astype(np.int64),
+            "t": pd.Series(rng.integers(0, 7, n)).map(lambda x: f"e{x}"),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(nparts)
+    got = cooccurrence_pairs(
+        ds, id_col="u", item_col="t", num_partitions=P
+    ).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _cooc_oracle(df), check_dtype=False)
+
+
+def test_cooccurrence_diagonal_is_distinct_id_count():
+    from nightcrawlercmd_ray.stages.groupstats import cooccurrence_pairs
+
+    # user 1 fires 'a' three times -> diagonal counts the USER once
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "t": pa.array(["a", "a", "a", "a", "b", "b"]),
+        }
+    )
+    got = (
+        cooccurrence_pairs(
+            ray.data.from_arrow(t).repartition(3), id_col="u", item_col="t",
+            num_partitions=2,
+        )
+        .to_pandas().set_index(["type_a", "type_b"])["n_ids"]
+    )
+    assert got[("a", "a")] == 2  # users 1, 2
+    assert got[("b", "b")] == 2  # users 2, 3
+    assert got[("a", "b")] == 1  # user 2 only
+
+
 def _skyline_oracle(df: pd.DataFrame) -> pd.DataFrame:
     keep = []
     pts = df[["x", "y"]].to_numpy()
@@ -161,3 +214,62 @@ def test_skyline_single_row_and_line_front():
     )
     got = skyline_2d(ray.data.from_arrow(t), x_col="x", y_col="y", id_col="id")
     assert got.count() == 3  # strictly decreasing y: every point is on the front
+
+
+# --------------------------------------------------------------------------- #
+# weighted quantiles
+# --------------------------------------------------------------------------- #
+def _wq_oracle(v: np.ndarray, w: np.ndarray, num: int, den: int) -> int:
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = int(cw[-1])
+    # peers-inclusive: cumweight(<=v) — advance cw to each value's last peer
+    last = np.searchsorted(v, v, side="right") - 1
+    cw_inc = cw[last]
+    hit = np.flatnonzero(den * cw_inc >= num * total)
+    return int(v[hit[0]])
+
+
+@pytest.mark.parametrize("nparts", [1, 8])
+def test_weighted_quantiles_vs_serial_oracle(nparts):
+    from nightcrawlercmd_ray.stages.quantiles import weighted_quantiles_wide
+
+    rng = np.random.default_rng(30)
+    n = 30000
+    v = rng.integers(-(10**12), 10**12, n).astype(np.int64)
+    w = rng.integers(0, 6, n).astype(np.int64)  # zero weights present
+    ds = ray.data.from_arrow(pa.table({"v": v, "w": w})).repartition(nparts)
+    qs = [(1, 4), (1, 2), (3, 4), (99, 100)]
+    got = weighted_quantiles_wide(
+        ds, "v", "w", qs, out_names=["a", "b", "c", "d"], max_buckets=128
+    ).to_pydict()
+    for (num, den), name in zip(qs, ["a", "b", "c", "d"]):
+        assert got[name][0] == _wq_oracle(v, w, num, den), (num, den)
+
+
+def test_weighted_quantiles_ties_and_zero_weights():
+    from nightcrawlercmd_ray.stages.quantiles import weighted_quantiles_wide
+
+    # value 10 carries all the weight; 5 and 20 are zero-weight
+    t = pa.table(
+        {
+            "v": pa.array([5, 10, 10, 20], pa.int64()),
+            "w": pa.array([0, 3, 4, 0], pa.int64()),
+        }
+    )
+    got = weighted_quantiles_wide(
+        ray.data.from_arrow(t).repartition(2), "v", "w",
+        [(1, 2)], out_names=["m"],
+    ).to_pydict()
+    assert got["m"][0] == 10
+
+
+def test_weighted_quantiles_negative_weight_raises():
+    from nightcrawlercmd_ray.stages.quantiles import weighted_quantiles_wide
+
+    t = pa.table({"v": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1, -1], pa.int64())})
+    with pytest.raises(ValueError, match="negative weight"):
+        weighted_quantiles_wide(ray.data.from_arrow(t), "v", "w",
+                                [(1, 2)], out_names=["m"])
