@@ -3843,6 +3843,132 @@ def q_zorder_orders(sf_dir: str):
     )
 
 
+def q_linkage_customer_supplier(sf_dir: str):
+    """Bipartite fuzzy record linkage (stages/fuzzyjoin.edit_distance_join):
+    customer vs supplier numeric codes (the 9-digit id suffix) within
+    Levenshtein ≤ 1 — the cross-table near-match primitive (same blocking
+    as the self-join; a side tag keeps A×A / B×B pairs out). SQL oracle:
+    levenshtein() cross join on the stripped codes."""
+    from nightcrawlercmd_ray.stages.fuzzyjoin import edit_distance_join
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    supp = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_name"])
+
+    def strip(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({col: pc.utf8_slice_codeunits(t.column(col), 9)})
+
+        return fn
+
+    a = cust.map_batches(strip("c_name"), batch_format="pyarrow")
+    b = supp.map_batches(strip("s_name"), batch_format="pyarrow")
+    return edit_distance_join(
+        a, b, col_a="c_name", col_b="s_name",
+        n_rows=_parquet_rows(f"{sf_dir}/customer.parquet"),
+    ).sort(["word_a", "word_b"])
+
+
+def q_user_funnel_regex(sf_dir: str):
+    """Per-user sequence pattern match (stages/seqmatch.sequence_match — a
+    MATCH_RECOGNIZE-lite): did the user's (ts, event_id)-ordered event-type
+    stream ever go view → … → purchase? One user-keyed shuffle, vectorized
+    Arrow list-join + RE2 regex kernel (the same engine as DuckDB's
+    regexp_matches, so bit-for-bit oracle-able)."""
+    from nightcrawlercmd_ray.stages.seqmatch import sequence_match
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "event_type", "ts", "event_id"])
+    return sequence_match(
+        ev,
+        id_col="user_id",
+        item_col="event_type",
+        order_cols=["ts", "event_id"],
+        pattern="view(>[a-z]+)*>purchase",
+        n_rows=_parquet_rows(path),
+    ).sort("user_id")
+
+
+def q_order_outliers_robust(sf_dir: str):
+    """Per-group robust (median/MAD) outlier profile: for each order
+    priority — median price, median absolute deviation, and the count of
+    orders beyond the 1.5·MAD fence (2·dev > 3·mad in exact integers).
+    Composition of two grouped histogram-narrowing passes
+    (stages/quantiles.exact_quantiles_wide_by) + a broadcast-lookup count
+    fold; no sort, no per-group dispatch. SQL oracle: two quantile_disc
+    GROUP BYs + a FILTER count."""
+    import ray as _ray
+
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p": pc.cast(t.column("o_orderpriority"), pa.string()),
+                "v": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    units = ds.map_batches(to_units, batch_format="pyarrow", batch_size=65536)
+    med_t = exact_quantiles_wide_by(units, "v", [0.5], by_col="p",
+                                    out_names=["med"])
+    med_keys = med_t.column("p").to_pylist()
+    med_vals = np.asarray(med_t.column("med").to_pylist(), dtype=np.int64)
+    key_set = pa.array(med_keys, pa.string())
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("p"), value_set=key_set)
+        med = med_vals[idx.combine_chunks().to_numpy(zero_copy_only=False)]
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("dev", pa.array(np.abs(v - med)))
+
+    dev_ds = units.map_batches(add_dev, batch_format="pyarrow",
+                               batch_size=65536)
+    mad_t = exact_quantiles_wide_by(dev_ds, "dev", [0.5], by_col="p",
+                                    out_names=["mad"])
+    mad_map = dict(zip(mad_t.column("p").to_pylist(),
+                       mad_t.column("mad").to_pylist()))
+    mad_vals = np.asarray([mad_map[k] for k in med_keys], dtype=np.int64)
+
+    def outlier_counts(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("p"), value_set=key_set)
+        i = idx.combine_chunks().to_numpy(zero_copy_only=False)
+        dev = t.column("dev").combine_chunks().to_numpy(zero_copy_only=False)
+        out = 2 * dev > 3 * mad_vals[i]
+        cnt = np.zeros(len(med_keys), dtype=np.int64)
+        np.add.at(cnt, i[out], 1)
+        return pa.table(
+            {
+                "p": key_set,
+                "n_outliers": pa.array(cnt),
+            }
+        )
+
+    counts = (
+        dev_ds.map_batches(outlier_counts, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby("p")
+        .sum("n_outliers")
+        .take_all()
+    )
+    cnt_map = {r["p"]: r["sum(n_outliers)"] for r in counts}
+    order = np.argsort(np.asarray(med_keys, dtype=object))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([med_keys[i] for i in order]),
+            "med_cents": pa.array([int(med_vals[i]) for i in order],
+                                  pa.int64()),
+            "mad_cents": pa.array([int(mad_vals[i]) for i in order],
+                                  pa.int64()),
+            "n_outliers": pa.array([int(cnt_map[med_keys[i]]) for i in order],
+                                   pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -3940,6 +4066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_price_quantiles": q_weighted_price_quantiles,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "zorder_orders": q_zorder_orders,
+        "user_funnel_regex": q_user_funnel_regex,
+        "order_outliers_robust": q_order_outliers_robust,
+        "linkage_customer_supplier": q_linkage_customer_supplier,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -5941,5 +6070,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
             FROM a4
             ORDER BY zkey, o_orderkey
+        """,
+        # per-user ordered event-type stream vs an RE2 pattern
+        "user_funnel_regex": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+                     count(*) AS n_events
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(regexp_matches(seq, 'view(>[a-z]+)*>purchase')
+                        AS BIGINT) AS matched
+            FROM s ORDER BY user_id
+        """,
+        # per-priority median / MAD / 1.5-MAD-fence outlier counts
+        "order_outliers_robust": """
+            WITH t AS (
+              SELECT o_orderpriority AS p,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+            ), m AS (
+              SELECT p, quantile_disc(v, 0.5) AS med FROM t GROUP BY p
+            ), d AS (
+              SELECT t.p, t.v, m.med, abs(t.v - m.med) AS dev
+              FROM t JOIN m USING (p)
+            ), md AS (
+              SELECT p, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY p
+            )
+            SELECT d.p AS o_orderpriority,
+                   CAST(min(d.med) AS BIGINT) AS med_cents,
+                   CAST(min(md.mad) AS BIGINT) AS mad_cents,
+                   CAST(count(*) FILTER (WHERE 2 * d.dev > 3 * md.mad)
+                        AS BIGINT) AS n_outliers
+            FROM d JOIN md USING (p)
+            GROUP BY d.p
+            ORDER BY d.p
+        """,
+        # cross-table Levenshtein-<=1 linkage on the stripped id codes
+        "linkage_customer_supplier": """
+            WITH a AS (SELECT DISTINCT substr(c_name, 10) AS code FROM customer),
+                 b AS (SELECT DISTINCT substr(s_name, 10) AS code FROM supplier)
+            SELECT a.code AS word_a, b.code AS word_b
+            FROM a, b
+            WHERE levenshtein(a.code, b.code) <= 1
+            ORDER BY 1, 2
         """,
     }

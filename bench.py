@@ -271,6 +271,9 @@ def run_bench() -> dict:
         "balanced_sample_documents",
         "sliding_distinct_users", "hourly_deltas", "profile_documents",
         "analyze_orders",
+        "events_mode_event_type", "lineitem_pair_moments", "skyline_orders",
+        "events_cooccurrence", "weighted_price_quantiles",
+        "fuzzy_name_pairs", "zorder_orders",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -76,6 +76,30 @@ def _hamming_le1_mask(a: list[str], b: list[str]) -> np.ndarray:
     return out
 
 
+def _expand_fn(col: str, P: int, side: int):
+    """Per-batch variant expansion: distinct words → (variant, word, side)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table({"w": pc.cast(t.column(col), pa.string())})
+            .group_by(["w"])
+            .aggregate([])
+        )
+        words = d.column("w").to_pylist()
+        vs, ws = _deletion_variants([w for w in words if w is not None])
+        out = pa.table(
+            {
+                "_v": pa.array(vs, pa.string()),
+                "w": pa.array(ws, pa.string()),
+                "_side": pa.array(np.full(len(vs), side, dtype=np.int64)),
+            }
+        )
+        coarse = (_string_hash(out.column("_v")) % np.uint64(P)).astype(np.int64)
+        return out.append_column("_c", pa.array(coarse))
+
+    return expand
+
+
 def edit_distance_pairs(
     ds,
     col: str,
@@ -89,26 +113,47 @@ def edit_distance_pairs(
     → Dataset ``(word_a, word_b)``, globally distinct.
     """
     P = num_partitions or default_partitions(n_rows)
+    tagged = ds.map_batches(
+        _expand_fn(col, P, 0), batch_format="pyarrow", batch_size=65536
+    )
+    return _ed1_core(tagged, P, bipartite=False)
 
-    def expand(t: pa.Table) -> pa.Table:
-        d = (
-            pa.table({"w": pc.cast(t.column(col), pa.string())})
-            .group_by(["w"])
-            .aggregate([])
-        )
-        words = d.column("w").to_pylist()
-        vs, ws = _deletion_variants([w for w in words if w is not None])
-        out = pa.table(
-            {"_v": pa.array(vs, pa.string()), "w": pa.array(ws, pa.string())}
-        )
-        coarse = (_string_hash(out.column("_v")) % np.uint64(P)).astype(np.int64)
-        return out.append_column("_c", pa.array(coarse))
+
+def edit_distance_join(
+    ds_a,
+    ds_b,
+    *,
+    col_a: str,
+    col_b: str,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Bipartite record linkage: every (a ∈ A, b ∈ B) pair of DISTINCT
+    values with Levenshtein(a, b) ≤ 1 — equality included (exact matches
+    are linkages too). Same deletion-neighborhood blocking as
+    :func:`edit_distance_pairs`, with a side tag riding the variant rows so
+    only CROSS-side pairs are emitted (never A×A or B×B).
+
+    → Dataset ``(word_a, word_b)`` — word_a from A, word_b from B.
+    """
+    P = num_partitions or default_partitions(n_rows)
+    ta = ds_a.map_batches(
+        _expand_fn(col_a, P, 0), batch_format="pyarrow", batch_size=65536
+    )
+    tb = ds_b.map_batches(
+        _expand_fn(col_b, P, 1), batch_format="pyarrow", batch_size=65536
+    )
+    return _ed1_core(ta.union(tb), P, bipartite=True)
+
+
+def _ed1_core(tagged, P: int, *, bipartite: bool):
 
     def candidates(part: pa.Table) -> pa.Table:
         t = part.drop_columns(["_c"]).combine_chunks()
-        t = t.group_by(["_v", "w"]).aggregate([])  # cross-block distinct
+        t = t.group_by(["_v", "w", "_side"]).aggregate([])  # cross-block distinct
         order = pc.sort_indices(
-            t, sort_keys=[("_v", "ascending"), ("w", "ascending")]
+            t, sort_keys=[("_v", "ascending"), ("w", "ascending"),
+                          ("_side", "ascending")]
         )
         t = t.take(order)
         empty = pa.table(
@@ -141,14 +186,28 @@ def edit_distance_pairs(
         b_idx = a_idx + 1 + (np.arange(total) - np.repeat(offs, reps))
         wa = t.column("w").take(pa.array(a_idx)).to_pylist()
         wb = t.column("w").take(pa.array(b_idx)).to_pylist()
-        # w is sorted and distinct within a variant run → word_a < word_b
-        # strictly; only equal-length pairs still need the Hamming verify
+        ok = np.ones(len(wa), dtype=bool)
+        if bipartite:
+            sd = t.column("_side").to_numpy(zero_copy_only=False)
+            sa, sb = sd[a_idx], sd[b_idx]
+            ok &= sa != sb  # cross-side pairs only
+            # orient: word_a from side 0 (A), word_b from side 1 (B)
+            flip = np.flatnonzero(ok & (sa == 1))
+            if len(flip):
+                wa = np.array(wa, dtype=object)
+                wb = np.array(wb, dtype=object)
+                wa[flip], wb[flip] = wb[flip], wa[flip].copy()
+                wa, wb = wa.tolist(), wb.tolist()
+        # within a variant run w is sorted; in the self-join the rows are
+        # distinct words so word_a < word_b strictly. Only equal-length
+        # pairs still need the Hamming verify (equal strings pass it — the
+        # bipartite join keeps them as exact linkages; the self-join can
+        # never produce them)
         la = np.fromiter((len(x) for x in wa), dtype=np.int64, count=len(wa))
         lb = np.fromiter((len(x) for x in wb), dtype=np.int64, count=len(wb))
-        ok = np.ones(len(wa), dtype=bool)
-        eq = np.flatnonzero(la == lb)
+        eq = np.flatnonzero((la == lb) & ok)
         if len(eq):
-            ok[eq] = _hamming_le1_mask(
+            ok[eq] &= _hamming_le1_mask(
                 [wa[i] for i in eq], [wb[i] for i in eq]
             )
         pairs = pa.table(
@@ -173,8 +232,7 @@ def edit_distance_pairs(
         )
 
     return (
-        ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
-        .groupby("_c")
+        tagged.groupby("_c")
         .map_groups(candidates, batch_format="pyarrow")
         .groupby("_c2")
         .map_groups(dedup_pairs, batch_format="pyarrow")

@@ -157,3 +157,33 @@ def test_zorder_layout_prunes_box_reads(tmp_path):
     # the pruning payoff: the z-range covers a small slice of the key space,
     # so the range read returns far fewer rows than the corpus
     assert len(df) < n / 4
+
+
+@pytest.mark.parametrize("nparts,P", [(1, 1), (5, 6)])
+def test_edit_distance_join_bipartite_vs_bruteforce(nparts, P):
+    from nightcrawlercmd_ray.stages.fuzzyjoin import edit_distance_join
+
+    rng = np.random.default_rng(14)
+    A = list({"".join(rng.choice(list("abc"), rng.integers(1, 5)))
+              for _ in range(120)})
+    B = list({"".join(rng.choice(list("abc"), rng.integers(1, 5)))
+              for _ in range(120)})
+    da = ray.data.from_items([{"x": w} for w in A]).repartition(nparts)
+    db = ray.data.from_items([{"y": w} for w in B]).repartition(max(1, nparts - 1))
+    got = edit_distance_join(
+        da, db, col_a="x", col_b="y", num_partitions=P
+    ).to_pandas()
+    gp = sorted(zip(got["word_a"], got["word_b"]))
+    exp = sorted((a, b) for a in set(A) for b in set(B) if _lev(a, b) <= 1)
+    assert gp == exp
+
+
+def test_edit_distance_join_keeps_exact_matches_and_orients_sides():
+    from nightcrawlercmd_ray.stages.fuzzyjoin import edit_distance_join
+
+    da = ray.data.from_items([{"x": "abc"}, {"x": "zzz"}])
+    db = ray.data.from_items([{"y": "abc"}, {"y": "abd"}, {"y": "qqq"}])
+    got = edit_distance_join(da, db, col_a="x", col_b="y", num_partitions=3)
+    pairs = sorted(zip(*[got.to_pandas()[c] for c in ("word_a", "word_b")]))
+    # word_a always from A even when B's word sorts first
+    assert pairs == [("abc", "abc"), ("abc", "abd")]
