@@ -3843,6 +3843,36 @@ def q_zorder_orders(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix (stages/seqmatch.transition_counts): counts
+    of adjacent event-type pairs within each user's (ts, event_id)-ordered
+    stream — one user-keyed shuffle, sort + shifted-compare in partition,
+    |types|² output. SQL oracle: LAG OVER (PARTITION BY user_id)."""
+    from nightcrawlercmd_ray.stages.seqmatch import transition_counts
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "event_type", "ts", "event_id"])
+    return transition_counts(
+        ev, id_col="user_id", item_col="event_type",
+        order_cols=["ts", "event_id"], n_rows=_parquet_rows(path),
+    )
+
+
+def q_conversion_lag_users(sf_dir: str):
+    """Per-user view→purchase conversion lag in µs
+    (stages/seqmatch.first_event_lag): per-batch (user, side) min combiner,
+    one coarse keyed exchange, vectorized min-fold + pivot in partition.
+    SQL oracle: min(ts) FILTER per side, epoch_us delta."""
+    from nightcrawlercmd_ray.stages.seqmatch import first_event_lag
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "event_type", "ts"])
+    return first_event_lag(
+        ev, id_col="user_id", item_col="event_type", ts_col="ts",
+        from_item="view", to_item="purchase", n_rows=_parquet_rows(path),
+    ).sort("user_id")
+
+
 def q_linkage_customer_supplier(sf_dir: str):
     """Bipartite fuzzy record linkage (stages/fuzzyjoin.edit_distance_join):
     customer vs supplier numeric codes (the 9-digit id suffix) within
@@ -4069,6 +4099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_regex": q_user_funnel_regex,
         "order_outliers_robust": q_order_outliers_robust,
         "linkage_customer_supplier": q_linkage_customer_supplier,
+        "event_transitions": q_event_transitions,
+        "conversion_lag_users": q_conversion_lag_users,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -6115,5 +6147,33 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE levenshtein(a.code, b.code) <= 1
             ORDER BY 1, 2
+        """,
+        # adjacent event-type transition counts across all user streams
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS type_from, event_type AS type_to,
+                   count(*) AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # first-view -> first-purchase lag per user (non-negative only)
+        "conversion_lag_users": """
+            WITH f AS (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS v,
+                     min(ts) FILTER (WHERE event_type = 'purchase') AS p
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(epoch_us(p) - epoch_us(v) AS BIGINT) AS lag_us
+            FROM f
+            WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+            ORDER BY user_id
         """,
     }

@@ -273,7 +273,9 @@ def run_bench() -> dict:
         "analyze_orders",
         "events_mode_event_type", "lineitem_pair_moments", "skyline_orders",
         "events_cooccurrence", "weighted_price_quantiles",
-        "fuzzy_name_pairs", "zorder_orders",
+        "fuzzy_name_pairs", "zorder_orders", "user_funnel_regex",
+        "order_outliers_robust", "linkage_customer_supplier",
+        "event_transitions", "conversion_lag_users",
     )
     for name in family:
         fn = entrymod.queries()[name]
