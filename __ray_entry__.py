@@ -3788,11 +3788,19 @@ def q_weighted_price_quantiles(sf_dir: str):
             }
         )
 
-    units = ds.map_batches(to_units, batch_format="pyarrow", batch_size=65536)
+    # materialize ONCE: the narrowing core scans its input per pass; the
+    # projection is two int64 columns (~16 B/row — bounded), so pinning it
+    # beats re-reading + re-mapping the parquet 4-5×
+    units = ds.map_batches(
+        to_units, batch_format="pyarrow", batch_size=65536
+    ).repartition(32).materialize()
+    # max_buckets 2^24: the cents span (~10^7) narrows in ONE pass (per-block
+    # partial rows are still ≤ block rows — bucket emission is occupancy-bound)
     return weighted_quantiles_wide(
         units, "price_cents", "qty",
         [(1, 4), (1, 2), (3, 4), (9, 10)],
         out_names=["wp25", "wp50", "wp75", "wp90"],
+        max_buckets=1 << 24,
     )
 
 
@@ -3841,6 +3849,39 @@ def q_zorder_orders(sf_dir: str):
         .select_columns(["o_orderkey", "zkey"])
         .sort(["zkey", "o_orderkey"])
     )
+
+
+def q_equidepth_price_histogram(sf_dir: str):
+    """Equi-depth histogram (stages/quantiles.equidepth_histogram): 10
+    equal-frequency buckets over order price cents — decile edges via the
+    histogram-narrowing quantile search, then a per-batch bincount + one
+    10-row shuffle. SQL oracle: quantile_disc list + list_filter bucket
+    assignment, left-joined to range(10) so empty buckets appear as 0."""
+    from nightcrawlercmd_ray.stages.quantiles import equidepth_histogram
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table({"v": _cents(t.column("o_totalprice"))})
+
+    units = ds.map_batches(
+        to_units, batch_format="pyarrow", batch_size=65536
+    ).repartition(32).materialize()  # edges pass + count pass re-scan it
+    return equidepth_histogram(units, "v", n_buckets=10, max_buckets=1 << 24)
+
+
+def q_hll_cooccurrence_events(sf_dir: str):
+    """Sketch-algebra co-occurrence (stages/sketches.hll_cooccurrence): the
+    100-TB approximate sibling of ``events_cooccurrence`` — per-type HLL
+    registers built in ONE compact blob shuffle, then |A∩B| ≈ |A|+|B|−|A∪B|
+    on the |types| sketches (union is exact on register state, so results
+    are bit-identical at any partitioning). Rows-only by design
+    (approximate); accuracy vs the exact operator is pinned in
+    tests/test_groupstats_skyline.py."""
+    from nightcrawlercmd_ray.stages.sketches import hll_cooccurrence
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return hll_cooccurrence(ev, id_col="user_id", item_col="event_type")
 
 
 def q_event_transitions(sf_dir: str):
@@ -3942,9 +3983,16 @@ def q_order_outliers_robust(sf_dir: str):
             }
         )
 
-    units = ds.map_batches(to_units, batch_format="pyarrow", batch_size=65536)
+    # materialize the two-int64-column projection once: the grouped
+    # narrowing scans per pass, and dev_ds is scanned by a SECOND grouped
+    # narrowing plus the count fold — 8-10 re-executions otherwise
+    units = ds.map_batches(
+        to_units, batch_format="pyarrow", batch_size=65536
+    ).repartition(32).materialize()
+    # one-pass narrowing for the ~10^7-cent span (see weighted quantiles)
+    MB = 1 << 24
     med_t = exact_quantiles_wide_by(units, "v", [0.5], by_col="p",
-                                    out_names=["med"])
+                                    out_names=["med"], max_buckets=MB)
     med_keys = med_t.column("p").to_pylist()
     med_vals = np.asarray(med_t.column("med").to_pylist(), dtype=np.int64)
     key_set = pa.array(med_keys, pa.string())
@@ -3956,9 +4004,9 @@ def q_order_outliers_robust(sf_dir: str):
         return t.append_column("dev", pa.array(np.abs(v - med)))
 
     dev_ds = units.map_batches(add_dev, batch_format="pyarrow",
-                               batch_size=65536)
+                               batch_size=65536).materialize()
     mad_t = exact_quantiles_wide_by(dev_ds, "dev", [0.5], by_col="p",
-                                    out_names=["mad"])
+                                    out_names=["mad"], max_buckets=MB)
     mad_map = dict(zip(mad_t.column("p").to_pylist(),
                        mad_t.column("mad").to_pylist()))
     mad_vals = np.asarray([mad_map[k] for k in med_keys], dtype=np.int64)
@@ -4101,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_customer_supplier": q_linkage_customer_supplier,
         "event_transitions": q_event_transitions,
         "conversion_lag_users": q_conversion_lag_users,
+        "equidepth_price_histogram": q_equidepth_price_histogram,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -4154,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "bpe_merges_documents": q_bpe_merges_documents,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "hll_cooccurrence_events": q_hll_cooccurrence_events,
     }
 
 
@@ -6175,5 +6225,24 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
             ORDER BY user_id
+        """,
+        # equi-depth deciles: edge list + bucket = count of edges < v
+        "equidepth_price_histogram": """
+            WITH t AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+            ), e AS (
+              SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS qs
+              FROM t
+            ), b AS (
+              SELECT len(list_filter(e.qs, q -> q < t.v)) AS bucket
+              FROM t, e
+            ), c AS (
+              SELECT bucket, count(*) AS n FROM b GROUP BY 1
+            )
+            SELECT r.i AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM range(10) r(i) LEFT JOIN c ON c.bucket = r.i
+            ORDER BY 1
         """,
     }

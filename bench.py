@@ -276,6 +276,7 @@ def run_bench() -> dict:
         "fuzzy_name_pairs", "zorder_orders", "user_funnel_regex",
         "order_outliers_robust", "linkage_customer_supplier",
         "event_transitions", "conversion_lag_users",
+        "equidepth_price_histogram", "hll_cooccurrence_events",
     )
     for name in family:
         fn = entrymod.queries()[name]

@@ -551,3 +551,48 @@ def exact_quantiles_wide_by(
     for name, q in zip(out_names, qs):
         cols[name] = pa.array([by_g[g][q] for g in keys], pa.int64())
     return pa.table(cols)
+
+
+def equidepth_histogram(ds, value_col: str, *, n_buckets: int,
+                        max_buckets: int = 65536) -> "object":
+    """Equi-depth (equal-frequency) histogram — the DB-statistics workhorse:
+    bucket edges are the i/n_buckets exact discrete quantiles
+    (quantile_disc rule, via the multi-pass histogram narrowing of
+    :func:`exact_quantiles_wide`, so unbounded value cardinality is fine),
+    and each row's bucket is the count of edges strictly below its value
+    (``searchsorted left`` ≡ SQL ``len(list_filter(edges, e -> e < v))``).
+    Heavy ties can leave interior buckets empty — they are emitted with
+    n = 0 so the output always has exactly ``n_buckets`` rows.
+
+    Scale shape: the narrowing passes are each ONE combiner scan; the
+    final count pass is a per-batch bincount + one n_buckets-row shuffle.
+    → Dataset ``(bucket, n)``, bucket-ascending.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_t = exact_quantiles_wide(ds, value_col, qs,
+                                   out_names=[f"e{i}" for i in range(1, n_buckets)],
+                                   max_buckets=max_buckets)
+    edges = np.array([edges_t.column(f"e{i}")[0].as_py()
+                      for i in range(1, n_buckets)], dtype=np.int64)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(
+            pc.cast(t.column(value_col), pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="left")
+        cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "n": pa.array(cnt),
+        })
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["bucket", "n"]),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+    )

@@ -406,3 +406,76 @@ def cm_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
     rows = _cm_rows(np.asarray(keys, dtype=np.int64), depth, width)
     ests = np.stack([sketch[d, rows[d]] for d in range(depth)])
     return ests.min(axis=0)
+
+
+def hll_cooccurrence(ds, *, id_col: str, item_col: str, p: int = 14):
+    """Approximate distinct-entity co-occurrence per unordered item pair via
+    HLL SKETCH ALGEBRA — the 100-TB sibling of the exact
+    ``groupstats.cooccurrence_pairs``: |A ∩ B| ≈ |A| + |B| − |A ∪ B|, where
+    |A ∪ B| is estimated from the elementwise-max register merge (union is
+    EXACT on HLL state). One register-blob shuffle builds a per-item sketch
+    (nothing id-sized crosses the network); the pairwise algebra then runs
+    on |items| blobs of 2^p bytes — driver work ∝ items² × 2^p, independent
+    of corpus size. Register state is associative-max, so the estimates are
+    bit-identical at any partitioning.
+
+    → pyarrow.Table ``(type_a, type_b, n_ids_approx float64)`` with the
+    diagonal = each item's own estimate; intersections clamp at 0.
+    """
+
+    def fold(t: pa.Table) -> pa.Table:
+        by = t.column(item_col).to_numpy(zero_copy_only=False)
+        keys = (
+            pc.cast(t.column(id_col), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = splitmix64(keys)
+        groups, inv = np.unique(by, return_inverse=True)
+        blobs = [
+            _fold_registers(h[inv == gi], p).tobytes()
+            for gi in range(len(groups))
+        ]
+        return pa.table({
+            item_col: pa.array(groups.astype(str)),
+            "regs": pa.array(blobs, pa.binary()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for blob in g.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                       out=merged)
+        return pa.table({
+            item_col: g.column(item_col).slice(0, 1),
+            "regs": pa.array([merged.tobytes()], pa.binary()),
+        })
+
+    rows = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(item_col)
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )  # |items| rows of 2^p-byte blobs — small by the item-vocabulary bound
+    items = sorted(r[item_col] for r in rows)
+    regs = {
+        r[item_col]: np.frombuffer(r["regs"], dtype=np.uint8) for r in rows
+    }
+    est = {k: _estimate(v) for k, v in regs.items()}
+    out_a, out_b, out_n = [], [], []
+    for i, a in enumerate(items):
+        for b in items[i:]:
+            if a == b:
+                n = est[a]
+            else:
+                union = _estimate(np.maximum(regs[a], regs[b]))
+                n = max(0.0, est[a] + est[b] - union)
+            out_a.append(a)
+            out_b.append(b)
+            out_n.append(n)
+    return pa.table({
+        "type_a": pa.array(out_a, pa.string()),
+        "type_b": pa.array(out_b, pa.string()),
+        "n_ids_approx": pa.array(out_n, pa.float64()),
+    })
