@@ -3851,6 +3851,44 @@ def q_zorder_orders(sf_dir: str):
     )
 
 
+def q_merge_join_orders_customers(sf_dir: str):
+    """Layout-aware zipper join (stages/sortedsink.merge_join_sorted):
+    orders and customers are first exported through the range-partitioned
+    sorted sink keyed on custkey, then joined with ZERO shuffle — side A's
+    parts define the tasks, side B is manifest-pruned per range and
+    hash-joined in Arrow inside the task. The scale story for joins between
+    corpus exports that already share the sort layout. SQL oracle: the
+    plain equi-join."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        merge_join_sorted,
+        write_sorted_partitioned,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dir_a = f"/tmp/ncrawler_zipper/{tag}/orders"
+    dir_b = f"/tmp/ncrawler_zipper/{tag}/customer"
+    shutil.rmtree(dir_a, ignore_errors=True)
+    shutil.rmtree(dir_b, ignore_errors=True)
+    o_path = f"{sf_dir}/orders.parquet"
+    orders = _read_pq(o_path, columns=["o_orderkey", "o_custkey"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"])
+    n_o = _parquet_rows(o_path)
+    write_sorted_partitioned(orders, dir_a, key_col="o_custkey",
+                             tie_col="o_orderkey",
+                             num_partitions=max(4, n_o // 4096), n_rows=n_o)
+    write_sorted_partitioned(cust, dir_b, key_col="c_custkey",
+                             tie_col="c_custkey", num_partitions=4)
+    return (
+        merge_join_sorted(dir_a, dir_b)
+        .select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+        .sort("o_orderkey")
+    )
+
+
 def q_equidepth_price_histogram(sf_dir: str):
     """Equi-depth histogram (stages/quantiles.equidepth_histogram): 10
     equal-frequency buckets over order price cents — decile edges via the
@@ -4150,6 +4188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "conversion_lag_users": q_conversion_lag_users,
         "equidepth_price_histogram": q_equidepth_price_histogram,
+        "merge_join_orders_customers": q_merge_join_orders_customers,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -6244,5 +6283,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.i AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
             FROM range(10) r(i) LEFT JOIN c ON c.bucket = r.i
             ORDER BY 1
+        """,
+        # zipper join over shared sorted layouts ≡ plain equi-join
+        "merge_join_orders_customers": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
     }

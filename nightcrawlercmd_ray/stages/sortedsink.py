@@ -421,3 +421,106 @@ def read_sorted_range(out_dir: str, *, lo: int | None = None,
         return t if mask is None else t.filter(mask)
 
     return ds.map_batches(trim, batch_format="pyarrow"), len(paths)
+
+
+def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner",
+                      right_suffix: str = "_r"):
+    """Layout-aware sort-merge (zipper) join of two sorted directories on
+    their key columns — ZERO shuffle. Side A's completed parts define the
+    task ranges; each task opens its one A part, prunes side B to the parts
+    whose key range can overlap (manifest boundaries — same convention as
+    :func:`read_sorted_range`), trims B exactly, and hash-joins the two
+    slices in Arrow. Correct because both layouts range-partition rows by
+    key: every B row joinable with A-part-i's rows lives only in the B
+    parts overlapping i's key range; each A row lives in exactly one part,
+    so no output pair can be emitted twice even when one key value spans
+    adjacent A parts.
+
+    The payoff at scale: when both sides already share the sorted layout
+    (the engine's export format), the join moves NO rows — tasks ∝ A
+    parts, B I/O ∝ overlapping ranges. A general keyed join without the
+    layout should use ``stages/joins.hash_join`` instead.
+
+    Both sides' ``pos`` rank columns are dropped (ranks are layout
+    metadata, not join payload). ``how``: 'inner' or 'left outer' (Arrow
+    join types). → lazy Dataset of A columns + B columns (B key column and
+    collisions suffixed with ``right_suffix``).
+    """
+    import ray
+
+    from ..util import read_parquet_clean
+
+    with open(f"{dir_a}/_MANIFEST") as f:
+        man_a = json.load(f)
+    with open(f"{dir_b}/_MANIFEST") as f:
+        man_b = json.load(f)
+    key_a, key_b = man_a["key_col"], man_b["key_col"]
+    bounds_a = np.array(man_a["boundaries"], dtype=np.int64)
+    bounds_b = np.array(man_b["boundaries"], dtype=np.int64)
+    n_a = len(bounds_a) + 1
+
+    b_paths = [
+        f"{dir_b}/part-{p:05d}/data.parquet"
+        for p in range(len(bounds_b) + 1)
+        if os.path.exists(f"{dir_b}/part-{p:05d}/_DONE")
+    ]
+    specs = []
+    for i in range(n_a):
+        a_path = f"{dir_a}/part-{i:05d}/data.parquet"
+        if not os.path.exists(f"{dir_a}/part-{i:05d}/_DONE"):
+            raise ValueError(
+                f"merge_join_sorted: incomplete A part {i} in {dir_a!r}")
+        # A part i holds packed keys in [bounds[i-1], bounds[i]) → key range
+        klo = None if i == 0 else int(bounds_a[i - 1]) // int(_PACK)
+        khi = (None if i == n_a - 1
+               else (int(bounds_a[i]) - 1) // int(_PACK))
+        # B parts overlapping [klo, khi] in PACKED units (right-side cut,
+        # matching read_sorted_range's convention)
+        lo_p = None if klo is None else klo * int(_PACK)
+        hi_p = None if khi is None else khi * int(_PACK) + (int(_PACK) - 1)
+        first = 0 if lo_p is None else int(
+            np.searchsorted(bounds_b, lo_p, side="right"))
+        last = len(bounds_b) if hi_p is None else int(
+            np.searchsorted(bounds_b, hi_p, side="right"))
+        specs.append({
+            "a_path": a_path,
+            "b_paths": [p for j, p in enumerate(b_paths)
+                        if first <= j <= last],
+            "klo": -1 if klo is None else klo,
+            "khi": -1 if khi is None else khi,
+        })
+
+    join_type = {"inner": "inner", "left outer": "left outer"}[how]
+    if not b_paths:
+        raise ValueError(f"merge_join_sorted: no completed parts in {dir_b!r}")
+    b_schema_path = b_paths[0]
+
+    def join_task(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            ta = pq.read_table(row["a_path"]).drop_columns(["pos"])
+            tbs = [pq.read_table(p) for p in row["b_paths"]]
+            if tbs:
+                tb = pa.concat_tables(tbs).drop_columns(["pos"])
+            else:
+                # no overlapping B part: join against an EMPTY B table so
+                # the output schema (and left-outer null columns) is stable
+                tb = (pq.read_table(b_schema_path)
+                      .drop_columns(["pos"]).slice(0, 0))
+            k = pc.cast(tb.column(key_b), pa.int64())
+            mask = None
+            if row["klo"] >= 0:
+                mask = pc.greater_equal(k, pa.scalar(row["klo"], pa.int64()))
+            if row["khi"] >= 0:
+                m2 = pc.less_equal(k, pa.scalar(row["khi"], pa.int64()))
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            if mask is not None:
+                tb = tb.filter(mask)
+            j = ta.join(tb, keys=[key_a], right_keys=[key_b],
+                        join_type=join_type, right_suffix=right_suffix)
+            out.append(j)
+        return pa.concat_tables(out, promote_options="default")
+
+    return ray.data.from_items(specs).map_batches(
+        join_task, batch_format="pyarrow", batch_size=1
+    )

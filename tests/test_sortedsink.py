@@ -360,3 +360,85 @@ def test_read_sorted_range_boundary_key_included(tmp_path):
         exp = sorted(df[packed <= b]["doc_id"])
         assert got == exp, b
         assert (packed == b).any()  # the boundary row itself exists
+
+
+# --------------------------------------------------------------------------- #
+# layout-aware zipper join
+# --------------------------------------------------------------------------- #
+def _zipper_inputs(tmp_path, seed=50, na=20000, nb=5000, dup_heavy=False):
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sortedsink import write_sorted_partitioned
+
+    rng = np.random.default_rng(seed)
+    # dup_heavy plants one hot key so equal keys span adjacent A parts
+    ka = rng.integers(0, 3000, na).astype(np.int64)
+    if dup_heavy:
+        ka[: na // 2] = 1500
+    A = pa.table({"k": ka, "aid": np.arange(na, dtype=np.int64)})
+    B = pa.table({
+        "bk": rng.integers(0, 3000, nb).astype(np.int64),
+        "bid": np.arange(nb, dtype=np.int64),
+        "payload": rng.integers(0, 100, nb).astype(np.int64),
+    })
+    da = str(tmp_path / "a")
+    db = str(tmp_path / "b")
+    write_sorted_partitioned(ray.data.from_arrow(A).repartition(6), da,
+                             key_col="k", tie_col="aid",
+                             num_partitions=9, n_rows=na)
+    write_sorted_partitioned(ray.data.from_arrow(B).repartition(4), db,
+                             key_col="bk", tie_col="bid",
+                             num_partitions=5, n_rows=nb)
+    return A, B, da, db
+
+
+@pytest.mark.parametrize("dup_heavy", [False, True])
+def test_merge_join_sorted_inner_matches_pandas(tmp_path, dup_heavy):
+    from nightcrawlercmd_ray.stages.sortedsink import merge_join_sorted
+
+    A, B, da, db = _zipper_inputs(tmp_path, dup_heavy=dup_heavy)
+    got = (
+        merge_join_sorted(da, db).to_pandas()
+        .sort_values(["aid", "bid"]).reset_index(drop=True)
+    )
+    exp = (
+        A.to_pandas().merge(B.to_pandas(), left_on="k", right_on="bk")
+        .drop(columns=["bk"]).sort_values(["aid", "bid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_merge_join_sorted_left_outer_nulls(tmp_path):
+    from nightcrawlercmd_ray.stages.sortedsink import merge_join_sorted
+
+    A, B, da, db = _zipper_inputs(tmp_path, seed=51)
+    got = merge_join_sorted(da, db, how="left outer").to_pandas()
+    exp = A.to_pandas().merge(
+        B.to_pandas(), left_on="k", right_on="bk", how="left"
+    )
+    assert len(got) == len(exp)
+    assert got["payload"].isna().sum() == exp["payload"].isna().sum()
+
+
+def test_merge_join_sorted_disjoint_key_ranges(tmp_path):
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        merge_join_sorted,
+        write_sorted_partitioned,
+    )
+
+    A = pa.table({"k": np.arange(100, dtype=np.int64),
+                  "aid": np.arange(100, dtype=np.int64)})
+    B = pa.table({"bk": np.arange(5000, 5100, dtype=np.int64),
+                  "bid": np.arange(100, dtype=np.int64)})
+    da, db = str(tmp_path / "da"), str(tmp_path / "db")
+    write_sorted_partitioned(ray.data.from_arrow(A), da, key_col="k",
+                             tie_col="aid", num_partitions=3)
+    write_sorted_partitioned(ray.data.from_arrow(B), db, key_col="bk",
+                             tie_col="bid", num_partitions=3)
+    assert merge_join_sorted(da, db).count() == 0
+    assert merge_join_sorted(da, db, how="left outer").count() == 100
