@@ -3851,6 +3851,34 @@ def q_zorder_orders(sf_dir: str):
     )
 
 
+def q_user_active_time(sf_dir: str):
+    """Interval-union coverage (stages/sessions.interval_union_per_key):
+    per-user active µs with each event opening a 1-hour window — merged
+    overlapping/touching intervals, the gaps-and-islands aggregate. One
+    keyed exchange + vectorized segmented prefix-max on endpoint ranks.
+    SQL oracle: the max-end window island formulation."""
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _read_pq(path, columns=["user_id", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": us,
+                "e": pc.add(us, pa.scalar(3_600_000_000, pa.int64())),
+            }
+        )
+
+    iv = ev.map_batches(widen, batch_format="pyarrow", batch_size=65536)
+    return interval_union_per_key(
+        iv, key_col="user_id", start_col="s", end_col="e",
+        n_rows=_parquet_rows(path),
+    ).sort("user_id")
+
+
 def q_merge_join_orders_customers(sf_dir: str):
     """Layout-aware zipper join (stages/sortedsink.merge_join_sorted):
     orders and customers are first exported through the range-partitioned
@@ -4189,6 +4217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag_users": q_conversion_lag_users,
         "equidepth_price_histogram": q_equidepth_price_histogram,
         "merge_join_orders_customers": q_merge_join_orders_customers,
+        "user_active_time": q_user_active_time,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -6289,5 +6318,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderkey
+        """,
+        # interval union via gaps-and-islands: new island iff s > max prev e
+        "user_active_time": """
+            WITH t AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 3600000000 AS e
+              FROM events
+            ), o AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM t
+            ), i AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS ni
+              FROM o
+            ), g AS (
+              SELECT user_id, s, e,
+                     sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i
+            ), m AS (
+              SELECT user_id, isl, max(e) - min(s) AS len
+              FROM g GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS covered
+            FROM m GROUP BY 1 ORDER BY 1
         """,
     }

@@ -277,7 +277,7 @@ def run_bench() -> dict:
         "order_outliers_robust", "linkage_customer_supplier",
         "event_transitions", "conversion_lag_users",
         "equidepth_price_histogram", "hll_cooccurrence_events",
-        "merge_join_orders_customers",
+        "merge_join_orders_customers", "user_active_time",
     )
     for name in family:
         fn = entrymod.queries()[name]

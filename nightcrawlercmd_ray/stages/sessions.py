@@ -245,3 +245,115 @@ def funnel_counts(
         .groupby(["stage", "event_type"])
         .aggregate(Sum("_n", alias_name="n_users"))
     )
+
+
+def interval_union_per_key(
+    ds,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """Total covered length per key after merging overlapping/touching
+    intervals (the classic interval-union / coverage aggregate: per-user
+    active time, per-host crawl-window coverage). An interval starts a new
+    island iff its start exceeds the max end of ALL previous intervals of
+    the same key in (start, end) order — exactly the SQL gaps-and-islands
+    window formulation, so results are value-oracle-able.
+
+    Scale shape: ONE coarse keyed exchange; in partition, sort + a fully
+    vectorized segmented prefix-max. The prefix-max-with-group-resets runs
+    on DENSE RANKS of the endpoint union with a per-group rank offset
+    (group_idx · (R+1) ≤ n·(2n+1) ≪ 2^63 — the same trick on raw int64
+    endpoint VALUES could overflow), then island lengths come from the raw
+    values via ``reduceat``. Output rows ∝ keys.
+
+    → Dataset ``(key_col, covered)`` in the units of start/end (int64).
+    """
+    from nightcrawlercmd_ray.stages.groupstats import (
+        _coarse_part,
+        default_partitions,
+    )
+
+    P = num_partitions or default_partitions(n_rows)
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "_k": pc.cast(t.column(key_col), pa.int64()),
+                "_s": pc.cast(t.column(start_col), pa.int64()),
+                "_e": pc.cast(t.column(end_col), pa.int64()),
+            }
+        )
+        s = out.column("_s").combine_chunks().to_numpy(zero_copy_only=False)
+        e = out.column("_e").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(s) and (e < s).any():
+            raise ValueError(
+                f"interval_union_per_key: {end_col!r} < {start_col!r}"
+            )
+        k = out.column("_k").combine_chunks().to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "_c", pa.array(_coarse_part(k, P).astype(np.int64))
+        )
+
+    def union_partition(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_c"]).combine_chunks()
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "covered": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("_k", "ascending"), ("_s", "ascending"),
+                           ("_e", "ascending")],
+            )
+        )
+        k = t.column("_k").to_numpy(zero_copy_only=False)
+        s = t.column("_s").to_numpy(zero_copy_only=False)
+        e = t.column("_e").to_numpy(zero_copy_only=False)
+        newk = np.ones(n, dtype=bool)
+        newk[1:] = k[1:] != k[:-1]
+        kstarts = np.flatnonzero(newk)
+        kcounts = np.diff(np.append(kstarts, n))
+        group_idx = np.repeat(np.arange(len(kstarts)), kcounts)
+        # dense ranks over the endpoint union (ties share a rank, so value
+        # comparisons and rank comparisons agree exactly)
+        space = np.unique(np.concatenate([s, e]))
+        rs = np.searchsorted(space, s)
+        re_ = np.searchsorted(space, e)
+        R = np.int64(len(space) + 1)
+        m = np.maximum.accumulate(re_ + group_idx * R)
+        pe_rank = np.full(n, -1, dtype=np.int64)
+        within = np.arange(n) - np.repeat(kstarts, kcounts)
+        inner = within > 0
+        pe_rank[inner] = m[np.flatnonzero(inner) - 1] - group_idx[inner] * R
+        new_island = (~inner) | (rs > pe_rank)
+        istarts = np.flatnonzero(new_island)
+        imax_e = np.maximum.reduceat(e, istarts)
+        ilen = imax_e - s[istarts]
+        # islands are contiguous per key — fold island lengths per key
+        ikey = k[istarts]
+        knew = np.ones(len(istarts), dtype=bool)
+        knew[1:] = ikey[1:] != ikey[:-1]
+        kk = np.flatnonzero(knew)
+        covered = np.add.reduceat(ilen, kk)
+        return pa.table(
+            {
+                key_col: pa.array(ikey[kk]),
+                "covered": pa.array(covered.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("_c")
+        .map_groups(union_partition, batch_format="pyarrow")
+    )

@@ -730,3 +730,89 @@ def test_melt_preserves_nulls_and_63bit_values():
         ((r["k"], r["variable"], r["value"]) for r in ds.take_all()))
     assert rows == [(10, "a", None), (10, "b", 3),
                     (20, "a", big), (20, "b", None)]
+
+
+# --------------------------------------------------------------------------- #
+# interval union per key
+# --------------------------------------------------------------------------- #
+def _cover_oracle(ss, ee):
+    iv = sorted(zip(ss, ee))
+    tot, cs, ce = 0, None, None
+    for a, b in iv:
+        if cs is None or a > ce:
+            if cs is not None:
+                tot += ce - cs
+            cs, ce = a, b
+        else:
+            ce = max(ce, b)
+    return tot + (ce - cs if cs is not None else 0)
+
+
+@pytest.mark.parametrize("nparts,P", [(1, 1), (7, 5)])
+def test_interval_union_vs_serial_oracle(nparts, P):
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    rng = np.random.default_rng(61)
+    n = 15000
+    k = rng.integers(0, 250, n).astype(np.int64)
+    s = rng.integers(0, 10**6, n).astype(np.int64)
+    e = s + rng.integers(0, 5000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": k, "s": s, "e": e})).repartition(
+        nparts
+    )
+    got = (
+        interval_union_per_key(
+            ds, key_col="k", start_col="s", end_col="e", num_partitions=P
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    df = pd.DataFrame({"k": k, "s": s, "e": e})
+    exp = (
+        df.groupby("k")
+        .apply(lambda g: _cover_oracle(g["s"].tolist(), g["e"].tolist()))
+        .reset_index(name="covered")
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interval_union_touching_and_contained():
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    # [0,10] + touching [10,20] merge; [2,5] is contained; [30,31] separate
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "s": pa.array([0, 10, 2, 30], pa.int64()),
+            "e": pa.array([10, 20, 5, 31], pa.int64()),
+        }
+    )
+    got = interval_union_per_key(
+        ray.data.from_arrow(t).repartition(2), key_col="k",
+        start_col="s", end_col="e", num_partitions=2,
+    ).to_pandas()
+    assert got["covered"].tolist() == [21]
+
+
+def test_interval_union_rejects_inverted_interval():
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "s": pa.array([5], pa.int64()),
+                  "e": pa.array([4], pa.int64())})
+    with pytest.raises(Exception, match="interval_union"):
+        interval_union_per_key(
+            ray.data.from_arrow(t), key_col="k", start_col="s", end_col="e"
+        ).to_pandas()
+
+
+def test_interval_union_zero_length_intervals():
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    # points contribute 0 unless they extend an island
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "s": pa.array([5, 7], pa.int64()),
+                  "e": pa.array([5, 9], pa.int64())})
+    got = interval_union_per_key(
+        ray.data.from_arrow(t), key_col="k", start_col="s", end_col="e"
+    ).to_pandas()
+    assert got["covered"].tolist() == [2]
