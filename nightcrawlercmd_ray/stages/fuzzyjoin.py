@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from nightcrawlercmd_ray.stages.groupstats import _coarse_part, default_partitions
+from nightcrawlercmd_ray.stages.groupstats import default_partitions
 
 
 def _string_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -36,9 +36,11 @@ def _coarse_part(key: np.ndarray, P: int) -> np.ndarray:
 
 
 def default_partitions(n_rows: int | None) -> int:
-    if n_rows is None:
-        n_rows = 1 << 16
-    return int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    """Coarse-partition count — single sizing policy, shared with the join
+    stages (one place to tune)."""
+    from nightcrawlercmd_ray.stages.joins import _coarse_partitions
+
+    return _coarse_partitions(n_rows)
 
 
 # --------------------------------------------------------------------------- #
@@ -184,6 +186,7 @@ def cooccurrence_pairs(
                 "type_a": pa.array([], pa.string()),
                 "type_b": pa.array([], pa.string()),
                 "n_ids": pa.array([], pa.int64()),
+                "_g": pa.array([], pa.int64()),
             }
         )
         if n == 0:
@@ -212,6 +215,7 @@ def cooccurrence_pairs(
                 "type_a": c.column("type_a"),
                 "type_b": c.column("type_b"),
                 "n_ids": pc.cast(c.column("count_all"), pa.int64()),
+                "_g": pa.array(np.zeros(c.num_rows, np.int64)),
             }
         )
 
@@ -222,7 +226,8 @@ def cooccurrence_pairs(
     )
 
     def fold(t: pa.Table) -> pa.Table:
-        g = t.group_by(["type_a", "type_b"]).aggregate([("n_ids", "sum")])
+        g = (t.drop_columns(["_g"])
+             .group_by(["type_a", "type_b"]).aggregate([("n_ids", "sum")]))
         out = pa.table(
             {
                 "type_a": g.column("type_a"),
@@ -237,10 +242,10 @@ def cooccurrence_pairs(
             )
         )
 
-    # final fold: |items|² rows — one tiny merge task
-    return partials.repartition(1).map_batches(
-        fold, batch_format="pyarrow", batch_size=1 << 20
-    )
+    # final fold in ONE call — groupby(const).map_groups hands the whole
+    # partial set to `fold` (a split map_batches would emit the same pair
+    # several times with partial sums once partials exceed one batch)
+    return partials.groupby("_g").map_groups(fold, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------- #
@@ -258,6 +263,10 @@ def pairwise_moments(ds, cols: list[str]):
     pairs = [(a, b) for i, a in enumerate(sorted(cols)) for b in sorted(cols)[i:]]
 
     def partial(t: pa.Table) -> pa.Table:
+        # complete-case: drop rows with ANY null BEFORE to_numpy (a
+        # null-bearing int64 column otherwise rides float64 — NaN becomes
+        # INT64_MIN and >2^53 values lose exact identity)
+        t = t.select(list(cols)).drop_null()
         arrs = {
             c: t.column(c).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
             for c in cols
@@ -294,8 +303,10 @@ def pairwise_moments(ds, cols: list[str]):
     # blocks × pairs rows — a driver-side Arrow fold of a tiny table
     import ray
 
-    tables = ray.get(partials.to_arrow_refs())
-    t = pa.concat_tables([x for x in tables if x.num_rows]).combine_chunks()
+    tables = [x for x in ray.get(partials.to_arrow_refs()) if x.num_rows]
+    if not tables:
+        raise ValueError("pairwise_moments: no rows")
+    t = pa.concat_tables(tables).combine_chunks()
     agg = t.group_by(["var_a", "var_b"]).aggregate(
         [("n", "sum"), ("sum_a", "sum"), ("sum_b", "sum"),
          ("sum_aa", "sum"), ("sum_bb", "sum"), ("sum_ab", "sum")]

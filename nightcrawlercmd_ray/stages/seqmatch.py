@@ -147,6 +147,7 @@ def transition_counts(
                 "type_from": pa.array([], pa.string()),
                 "type_to": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
+                "_g": pa.array([], pa.int64()),
             }
         )
         if t.num_rows < 2:
@@ -173,6 +174,7 @@ def transition_counts(
                 "type_from": c.column("type_from"),
                 "type_to": c.column("type_to"),
                 "n": pc.cast(c.column("count_all"), pa.int64()),
+                "_g": pa.array(np.zeros(c.num_rows, np.int64)),
             }
         )
 
@@ -183,7 +185,8 @@ def transition_counts(
     )
 
     def fold(t: pa.Table) -> pa.Table:
-        g = t.group_by(["type_from", "type_to"]).aggregate([("n", "sum")])
+        g = (t.drop_columns(["_g"])
+             .group_by(["type_from", "type_to"]).aggregate([("n", "sum")]))
         out = pa.table(
             {
                 "type_from": g.column("type_from"),
@@ -198,10 +201,9 @@ def transition_counts(
             )
         )
 
-    # final fold: |items|² rows — one tiny merge task
-    return partials.repartition(1).map_batches(
-        fold, batch_format="pyarrow", batch_size=1 << 20
-    )
+    # final fold in ONE call (see groupstats.cooccurrence_pairs: a split
+    # map_batches would emit duplicate keys with partial sums)
+    return partials.groupby("_g").map_groups(fold, batch_format="pyarrow")
 
 
 def first_event_lag(

@@ -287,6 +287,10 @@ def interval_union_per_key(
                 "_e": pc.cast(t.column(end_col), pa.int64()),
             }
         )
+        # drop rows with ANY null at the Arrow level BEFORE to_numpy: a
+        # null-bearing int64 column otherwise converts via float64 (NaN +
+        # >2^53 precision loss — the joins.py ADVICE-r2 hazard)
+        out = out.drop_null()
         s = out.column("_s").combine_chunks().to_numpy(zero_copy_only=False)
         e = out.column("_e").combine_chunks().to_numpy(zero_copy_only=False)
         if len(s) and (e < s).any():

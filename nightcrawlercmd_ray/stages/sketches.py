@@ -424,9 +424,17 @@ def hll_cooccurrence(ds, *, id_col: str, item_col: str, p: int = 14):
     """
 
     def fold(t: pa.Table) -> pa.Table:
+        # drop null ids/items at the Arrow level (np.unique on an object
+        # array with None raises; a null id would ride float64)
+        t = pa.table(
+            {
+                item_col: pc.cast(t.column(item_col), pa.string()),
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+            }
+        ).drop_null()
         by = t.column(item_col).to_numpy(zero_copy_only=False)
         keys = (
-            pc.cast(t.column(id_col), pa.int64())
+            t.column(id_col)
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
             .astype(np.uint64)

@@ -42,12 +42,15 @@ def _local_skyline(t: pa.Table, x_col: str, y_col: str, id_col: str) -> pa.Table
     gmin = np.repeat(y[starts], counts)  # sorted by y within x-group → first is min
     group_min = y[starts]
     prefix = np.minimum.accumulate(group_min)
-    # min y over STRICTLY smaller x (sentinel 'infinity' for the first group)
+    # min y over STRICTLY smaller x; the first x-group has no smaller x, so
+    # it keeps its minima unconditionally (an INT64_MAX sentinel would
+    # wrongly drop a legal y == INT64_MAX point on the strict compare)
     mlt = np.empty(len(starts), dtype=np.int64)
     if len(starts):
-        mlt[0] = np.iinfo(np.int64).max
+        mlt[0] = 0  # unused: masked by first_grp below
         mlt[1:] = prefix[:-1]
-    keep = (y == gmin) & (y < mlt[group_idx])
+    first_grp = group_idx == 0
+    keep = (y == gmin) & (first_grp | (y < mlt[group_idx]))
     return t.filter(pa.array(keep))
 
 
@@ -56,10 +59,11 @@ def skyline_2d(ds, *, x_col: str, y_col: str, id_col: str):
     → Dataset, sorted by ``(x, y, id)``. Equal points all retained."""
 
     def local(t: pa.Table) -> pa.Table:
-        return _local_skyline(t, x_col, y_col, id_col)
+        out = _local_skyline(t, x_col, y_col, id_col)
+        return out.append_column("_g", pa.array(np.zeros(len(out), np.int64)))
 
     def final(t: pa.Table) -> pa.Table:
-        out = _local_skyline(t, x_col, y_col, id_col)
+        out = _local_skyline(t.drop_columns(["_g"]), x_col, y_col, id_col)
         return out.take(
             pc.sort_indices(
                 out,
@@ -70,7 +74,9 @@ def skyline_2d(ds, *, x_col: str, y_col: str, id_col: str):
 
     return (
         ds.map_batches(local, batch_format="pyarrow", batch_size=1 << 18)
-        # candidate union is tiny (blocks × front size) — one merge task
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=1 << 20)
+        # the candidate union merges in ONE call — groupby(const).map_groups
+        # hands the whole group to `final` (a split map_batches would apply
+        # the formula per slice and let cross-slice dominated points survive)
+        .groupby("_g")
+        .map_groups(final, batch_format="pyarrow")
     )

@@ -459,17 +459,30 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner",
     bounds_b = np.array(man_b["boundaries"], dtype=np.int64)
     n_a = len(bounds_a) + 1
 
-    b_paths = [
-        f"{dir_b}/part-{p:05d}/data.parquet"
-        for p in range(len(bounds_b) + 1)
-        if os.path.exists(f"{dir_b}/part-{p:05d}/_DONE")
-    ]
+    counts_a = man_a["counts"]
+    counts_b = man_b["counts"]
+
+    # part-NUMBER → path maps: the writer creates no directory for an empty
+    # part (a legitimately complete sink can have gaps), so pruning must
+    # run in part-number space — a position-in-list index would shift after
+    # any gap and silently join against the wrong B parts. A nonempty part
+    # without its _DONE marker is an incomplete write: raise rather than
+    # silently drop its matches.
+    def _part_paths(d: str, counts: list[int], side: str) -> dict[int, str]:
+        out = {}
+        for p, cnt in enumerate(counts):
+            path = f"{d}/part-{p:05d}/data.parquet"
+            if os.path.exists(f"{d}/part-{p:05d}/_DONE"):
+                out[p] = path
+            elif cnt > 0:
+                raise ValueError(
+                    f"merge_join_sorted: incomplete {side} part {p} in {d!r}")
+        return out
+
+    a_parts = _part_paths(dir_a, counts_a, "A")
+    b_parts = _part_paths(dir_b, counts_b, "B")
     specs = []
-    for i in range(n_a):
-        a_path = f"{dir_a}/part-{i:05d}/data.parquet"
-        if not os.path.exists(f"{dir_a}/part-{i:05d}/_DONE"):
-            raise ValueError(
-                f"merge_join_sorted: incomplete A part {i} in {dir_a!r}")
+    for i in sorted(a_parts):
         # A part i holds packed keys in [bounds[i-1], bounds[i]) → key range
         klo = None if i == 0 else int(bounds_a[i - 1]) // int(_PACK)
         khi = (None if i == n_a - 1
@@ -483,17 +496,19 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner",
         last = len(bounds_b) if hi_p is None else int(
             np.searchsorted(bounds_b, hi_p, side="right"))
         specs.append({
-            "a_path": a_path,
-            "b_paths": [p for j, p in enumerate(b_paths)
-                        if first <= j <= last],
+            "a_path": a_parts[i],
+            "b_paths": [b_parts[p] for p in range(first, last + 1)
+                        if p in b_parts],
             "klo": -1 if klo is None else klo,
             "khi": -1 if khi is None else khi,
         })
 
     join_type = {"inner": "inner", "left outer": "left outer"}[how]
-    if not b_paths:
+    if not b_parts:
         raise ValueError(f"merge_join_sorted: no completed parts in {dir_b!r}")
-    b_schema_path = b_paths[0]
+    if not specs:
+        raise ValueError(f"merge_join_sorted: no completed parts in {dir_a!r}")
+    b_schema_path = b_parts[min(b_parts)]
 
     def join_task(batch: pa.Table) -> pa.Table:
         out = []

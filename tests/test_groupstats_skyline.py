@@ -273,3 +273,40 @@ def test_weighted_quantiles_negative_weight_raises():
     with pytest.raises(ValueError, match="negative weight"):
         weighted_quantiles_wide(ray.data.from_arrow(t), "v", "w",
                                 [(1, 2)], out_names=["m"])
+
+
+# --------------------------------------------------------------------------- #
+# review-fix regressions
+# --------------------------------------------------------------------------- #
+def test_skyline_int64_max_point_survives():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "x": pa.array([0, 5], pa.int64()),
+            "y": pa.array([np.iinfo(np.int64).max, 3], pa.int64()),
+        }
+    )
+    got = skyline_2d(ray.data.from_arrow(t), x_col="x", y_col="y", id_col="id")
+    df = got.to_pandas()
+    # (0, MAX) is undominated (smaller x) and must survive the sentinel path
+    assert sorted(df["id"]) == [1, 2]
+
+
+def test_pairwise_moments_complete_case_nulls():
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3, 4], pa.int64()),
+            "b": pa.array([2, 5, None, 7], pa.int64()),
+        }
+    )
+    got = pairwise_moments(ray.data.from_arrow(t), ["a", "b"]).to_pandas()
+    r = got.set_index(["var_a", "var_b"]).loc[("a", "b")]
+    # complete cases: rows (1,2) and (4,7)
+    assert r["n"] == 2 and r["sum_a"] == 5 and r["sum_b"] == 9
+    assert r["sum_ab"] == 1 * 2 + 4 * 7
+
+
+def test_pairwise_moments_empty_input_raises():
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    with pytest.raises(ValueError, match="no rows"):
+        pairwise_moments(ray.data.from_arrow(t), ["a", "b"])

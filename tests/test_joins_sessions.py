@@ -816,3 +816,20 @@ def test_interval_union_zero_length_intervals():
         ray.data.from_arrow(t), key_col="k", start_col="s", end_col="e"
     ).to_pandas()
     assert got["covered"].tolist() == [2]
+
+
+def test_interval_union_drops_null_rows():
+    from nightcrawlercmd_ray.stages.sessions import interval_union_per_key
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, None], pa.int64()),
+            "s": pa.array([0, None, 5], pa.int64()),
+            "e": pa.array([10, 20, 9], pa.int64()),
+        }
+    )
+    got = interval_union_per_key(
+        ray.data.from_arrow(t), key_col="k", start_col="s", end_col="e"
+    ).to_pandas()
+    # only the fully non-null row contributes
+    assert got["k"].tolist() == [1] and got["covered"].tolist() == [10]

@@ -106,3 +106,19 @@ def test_equidepth_histogram_heavy_ties_emits_empty_buckets():
     assert len(got) == 10
     assert got["n"].sum() == len(v)
     assert (got["n"] == 0).any()  # coincident edges leave empty buckets
+
+
+def test_hll_cooccurrence_ignores_null_rows():
+    t = pa.table(
+        {
+            "u": pa.array([1, 2, None, 3, 3], pa.int64()),
+            "t": pa.array(["a", None, "b", "a", "b"]),
+        }
+    )
+    got = (
+        hll_cooccurrence(ray.data.from_arrow(t), id_col="u", item_col="t")
+        .to_pandas().set_index(["type_a", "type_b"])["n_ids_approx"]
+    )
+    assert abs(got[("a", "a")] - 2) < 0.5  # users 1, 3
+    assert abs(got[("b", "b")] - 1) < 0.5  # user 3 only (null id dropped)
+    assert abs(got[("a", "b")] - 1) < 0.5  # user 3

@@ -442,3 +442,53 @@ def test_merge_join_sorted_disjoint_key_ranges(tmp_path):
                              tie_col="bid", num_partitions=3)
     assert merge_join_sorted(da, db).count() == 0
     assert merge_join_sorted(da, db, how="left outer").count() == 100
+
+
+def test_merge_join_sorted_handles_empty_part_gaps(tmp_path):
+    """A sink whose manifest records an empty part (no directory written)
+    must still prune by part NUMBER — a positional index would shift after
+    the gap and join the wrong parts."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sortedsink import merge_join_sorted
+
+    def craft(d, key_name, keys, payloads=None):
+        os.makedirs(d, exist_ok=True)
+        keys = np.sort(np.asarray(keys, dtype=np.int64))
+        # 4 ranges with part 1 EMPTY: bounds at 10, 20, 30 (packed) with no
+        # keys in [10, 20)
+        bounds = [10 * (1 << 32), 20 * (1 << 32), 30 * (1 << 32)]
+        parts = [keys[keys < 10], keys[(keys >= 10) & (keys < 20)],
+                 keys[(keys >= 20) & (keys < 30)], keys[keys >= 30]]
+        counts = [len(p) for p in parts]
+        off = 0
+        for i, p in enumerate(parts):
+            if not len(p):
+                continue
+            pd_dir = f"{d}/part-{i:05d}"
+            os.makedirs(pd_dir, exist_ok=True)
+            cols = {key_name: pa.array(p),
+                    "pos": pa.array(np.arange(off, off + len(p)))}
+            if payloads is not None:
+                cols["payload"] = pa.array(p * 10)
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.table(cols), f"{pd_dir}/data.parquet")
+            open(f"{pd_dir}/_DONE", "w").write("ok")
+            off += len(p)
+        with open(f"{d}/_MANIFEST", "w") as f:
+            json.dump({"key_col": key_name, "tie_col": key_name,
+                       "boundaries": bounds, "counts": counts,
+                       "offsets": np.concatenate(
+                           [[0], np.cumsum(counts)[:-1]]).tolist(),
+                       "rows": int(sum(counts))}, f)
+
+    da, db = str(tmp_path / "ga"), str(tmp_path / "gb")
+    a_keys = [1, 5, 25, 35]           # part 1 (keys 10..19) EMPTY
+    b_keys = [1, 25, 25, 35, 41]      # part 1 EMPTY on B too
+    craft(da, "k", a_keys)
+    craft(db, "bk", b_keys, payloads=True)
+    got = merge_join_sorted(da, db).to_pandas().sort_values(
+        ["k", "payload"]).reset_index(drop=True)
+    exp = sorted((a, b * 10) for a in a_keys for b in b_keys if a == b)
+    assert list(zip(got["k"], got["payload"])) == exp
