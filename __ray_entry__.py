@@ -3851,6 +3851,60 @@ def q_zorder_orders(sf_dir: str):
     )
 
 
+def q_weighted_doclen_by_lang(sf_dir: str):
+    """Per-language WEIGHTED doc-length quantiles — n_chars weighted by word
+    count, the "median length of the text a token comes from" statistic
+    (stages/quantiles.exact_quantiles_wide_by with weight_col): grouped
+    histogram narrowing with int64-exact weight sums and rational rank
+    targets. SQL oracle: per-group peers-inclusive cumsum rule."""
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "text", "n_chars"])
+
+    def to_units(t: pa.Table) -> pa.Table:
+        words = pc.count_substring(t.column("text"), " ")
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "v": pc.cast(t.column("n_chars"), pa.int64()),
+                "w": pc.add(pc.cast(words, pa.int64()),
+                            pa.scalar(1, pa.int64())),
+            }
+        )
+
+    units = ds.map_batches(to_units, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+    return exact_quantiles_wide_by(
+        units, "v", [(1, 2), (9, 10)], by_col="lang",
+        out_names=["wp50", "wp90"], weight_col="w",
+    )
+
+
+def q_sorted_rank_stats(sf_dir: str):
+    """Order statistics FROM THE LAYOUT (stages/sortedsink.rank_lookup):
+    once a corpus export is range-sorted, min/median/max are one manifest
+    lookup + one row-group point read each — no scan, no narrowing. SQL
+    oracle: row_number() picks the same three ranks."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        rank_lookup,
+        write_sorted_partitioned,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_ranks/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read_pq(path, columns=["doc_id", "n_chars"])
+    n = _parquet_rows(path)
+    write_sorted_partitioned(ds, out, key_col="n_chars", tie_col="doc_id",
+                             num_partitions=max(4, n // 4096), n_rows=n)
+    return rank_lookup(out, [0, (n - 1) // 2, n - 1])
+
+
 def q_user_active_time(sf_dir: str):
     """Interval-union coverage (stages/sessions.interval_union_per_key):
     per-user active µs with each event opening a 1-hour window — merged
@@ -4218,6 +4272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_price_histogram": q_equidepth_price_histogram,
         "merge_join_orders_customers": q_merge_join_orders_customers,
         "user_active_time": q_user_active_time,
+        "sorted_rank_stats": q_sorted_rank_stats,
+        "weighted_doclen_by_lang": q_weighted_doclen_by_lang,
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
@@ -6345,5 +6401,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(sum(len) AS BIGINT) AS covered
             FROM m GROUP BY 1 ORDER BY 1
+        """,
+        # min / median / max rows by exact global rank over (n_chars, doc_id)
+        "sorted_rank_stats": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+              FROM documents
+            ), c AS (SELECT count(*) AS n FROM documents)
+            SELECT s.doc_id, s.n_chars, CAST(s.pos AS BIGINT) AS pos
+            FROM s, c
+            WHERE s.pos IN (0, (c.n - 1) // 2, c.n - 1)
+            ORDER BY s.pos
+        """,
+        # per-lang weighted quantiles: smallest v with den*cumw >= num*W_g
+        "weighted_doclen_by_lang": """
+            WITH t AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+              FROM documents
+            ), c AS (
+              SELECT lang, v, sum(w) OVER (PARTITION BY lang ORDER BY v) AS cw
+              FROM t
+            ), s AS (SELECT lang, sum(w) AS tw FROM t GROUP BY lang)
+            SELECT s.lang,
+                   (SELECT min(v) FROM c
+                     WHERE c.lang = s.lang AND 2 * cw >= 1 * tw) AS wp50,
+                   (SELECT min(v) FROM c
+                     WHERE c.lang = s.lang AND 10 * cw >= 9 * tw) AS wp90
+            FROM s ORDER BY s.lang
         """,
     }

@@ -278,6 +278,7 @@ def run_bench() -> dict:
         "event_transitions", "conversion_lag_users",
         "equidepth_price_histogram", "hll_cooccurrence_events",
         "merge_join_orders_customers", "user_active_time",
+        "sorted_rank_stats", "weighted_doclen_by_lang",
     )
     for name in family:
         fn = entrymod.queries()[name]

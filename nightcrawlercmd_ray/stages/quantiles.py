@@ -421,6 +421,7 @@ def exact_quantiles_wide_by(
     out_names: list[str] | None = None,
     max_buckets: int = 65536,
     max_passes: int = 8,
+    weight_col: str | None = None,
 ) -> pa.Table:
     """Per-group exact quantiles over an int64 column of UNBOUNDED distinct
     cardinality — the GROUP BY form of :func:`exact_quantiles_wide` (the
@@ -432,18 +433,35 @@ def exact_quantiles_wide_by(
     O(groups × qs). Groups must be modest in number (the usual GROUP BY
     contract — languages, sources, shards); same quantile_disc rule,
     SQL-oracle-able. → Table(by_col, *out_names) sorted by group.
+
+    With ``weight_col`` (non-negative int64): WEIGHTED per-group quantiles —
+    qs must then be rational ``(num, den)`` tuples and the target is the
+    smallest v with ``cumweight(≤v) ≥ ⌈(num/den)·W_g⌉`` (integer-exact at
+    any W; see ``weighted_quantiles_wide``). Bucket histograms sum weights
+    (int64-exact) instead of counts.
     """
     if out_names is None:
         out_names = [_default_qname(q) for q in qs]
 
     import ray as _ray
 
-    # pass 0: per-group n / min / max via one combiner + tiny groupby
+    # pass 0: per-group total (count or weight sum) / min / max via one
+    # combiner + tiny groupby
     def minmax(t: pa.Table) -> pa.Table:
-        g = (t.select([by_col, value_col])
-             .group_by(by_col)
+        if weight_col is None:
+            g = (t.select([by_col, value_col])
+                 .group_by(by_col)
+                 .aggregate([(value_col, "min"), (value_col, "max"),
+                             (value_col, "count")]))
+            return g.rename_columns([by_col, "_lo", "_hi", "_n"])
+        sel = t.select([by_col, value_col, weight_col]).drop_null()
+        wmin = pc.min(sel.column(weight_col)).as_py()
+        if wmin is not None and wmin < 0:
+            raise ValueError(
+                f"weighted quantiles: negative weight in {weight_col!r}")
+        g = (sel.group_by(by_col)
              .aggregate([(value_col, "min"), (value_col, "max"),
-                         (value_col, "count")]))
+                         (weight_col, "sum")]))
         return g.rename_columns([by_col, "_lo", "_hi", "_n"])
 
     from ray.data.aggregate import Max, Min, Sum
@@ -462,9 +480,14 @@ def exact_quantiles_wide_by(
     states = []
     for r in grows:
         for q in qs:
+            if weight_col is None:
+                k = max(1, math.ceil(q * r["_n"]))
+            else:
+                num, den = q
+                k = max(1, -(-num * int(r["_n"]) // den))
             states.append({
                 "g": r[by_col], "q": q,
-                "k": max(1, math.ceil(q * r["_n"])),
+                "k": k,
                 "lo": int(r["_lo"]), "hi": int(r["_hi"]), "done": None,
             })
 
@@ -483,8 +506,14 @@ def exact_quantiles_wide_by(
             # column alone would misalign it with the group column (and a
             # numpy conversion with nulls rides float64 — the joins.py
             # hazard)
-            if t.column(value_col).null_count:
-                t = t.filter(pc.is_valid(t.column(value_col)))
+            if weight_col is None:
+                if t.column(value_col).null_count:
+                    t = t.filter(pc.is_valid(t.column(value_col)))
+                wv = None
+            else:
+                t = t.select([by_col, value_col, weight_col]).drop_null()
+                wv = pc.cast(t.column(weight_col), pa.int64()).to_numpy(
+                    zero_copy_only=False)
             gv = t.column(by_col).to_pylist()
             vv = pc.cast(t.column(value_col), pa.int64()).to_numpy(
                 zero_copy_only=False)
@@ -500,14 +529,21 @@ def exact_quantiles_wide_by(
                 idx = rows_by_g.get(gval)
                 if not idx:
                     continue
-                sel = vv[np.asarray(idx)]
-                sel = sel[(sel >= a) & (sel <= b)]
+                gi = np.asarray(idx)
+                sel = vv[gi]
+                m = (sel >= a) & (sel <= b)
+                sel = sel[m]
                 if not len(sel):
                     continue
                 diff = (sel.astype(np.uint64)
                         - np.uint64(int(a) % (1 << 64)))
                 bk = (diff // np.uint64(wd)).astype(np.int64)
-                vals, cnts = np.unique(bk, return_counts=True)
+                if wv is None:
+                    vals, cnts = np.unique(bk, return_counts=True)
+                else:
+                    vals, inv = np.unique(bk, return_inverse=True)
+                    cnts = np.zeros(len(vals), dtype=np.int64)
+                    np.add.at(cnts, inv, wv[gi][m])
                 out_i.extend([i] * len(vals))
                 out_b.extend(vals.tolist())
                 out_c.extend(cnts.astype(np.int64).tolist())

@@ -539,3 +539,43 @@ def merge_join_sorted(dir_a: str, dir_b: str, *, how: str = "inner",
     return ray.data.from_items(specs).map_batches(
         join_task, batch_format="pyarrow", batch_size=1
     )
+
+
+def rank_lookup(out_dir: str, ranks: list[int]) -> pa.Table:
+    """Order statistics FROM THE LAYOUT: the sorted sink's manifest stores
+    per-part offsets, so the k-th smallest row is one part lookup + one
+    row-group point read — O(ranks) I/O on an already-sorted export, no
+    scan, no narrowing passes. The layout-reuse sibling of
+    ``quantiles.exact_quantiles_wide`` (use that when the data is NOT
+    already sorted). Negative ranks index from the end (−1 = max).
+
+    → driver-side Table of the requested rows, with ``pos`` (global rank),
+    in the order requested.
+    """
+    with open(f"{out_dir}/_MANIFEST") as f:
+        man = json.load(f)
+    offsets = np.array(man["offsets"], dtype=np.int64)
+    counts = np.array(man["counts"], dtype=np.int64)
+    total = int(man["rows"])
+    out = []
+    for r in ranks:
+        k = r + total if r < 0 else r
+        if not (0 <= k < total):
+            raise IndexError(f"rank_lookup: rank {r} outside [0, {total})")
+        p = int(np.searchsorted(offsets, k, side="right")) - 1
+        # skip empty parts that share the same offset
+        while counts[p] == 0:
+            p -= 1
+        path = f"{out_dir}/part-{p:05d}/data.parquet"
+        if not os.path.exists(f"{out_dir}/part-{p:05d}/_DONE"):
+            raise ValueError(f"rank_lookup: incomplete part {p} in {out_dir!r}")
+        local = k - int(offsets[p])
+        pf = pq.ParquetFile(path)
+        # read only the row group containing the local row
+        rg_rows = [pf.metadata.row_group(i).num_rows
+                   for i in range(pf.num_row_groups)]
+        rg_off = np.concatenate([[0], np.cumsum(rg_rows)])
+        rg = int(np.searchsorted(rg_off, local, side="right")) - 1
+        t = pf.read_row_group(rg)
+        out.append(t.slice(local - int(rg_off[rg]), 1))
+    return pa.concat_tables(out)

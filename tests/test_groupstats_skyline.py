@@ -310,3 +310,42 @@ def test_pairwise_moments_empty_input_raises():
     t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     with pytest.raises(ValueError, match="no rows"):
         pairwise_moments(ray.data.from_arrow(t), ["a", "b"])
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_grouped_weighted_quantiles_vs_serial(nparts):
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    rng = np.random.default_rng(77)
+    n = 12000
+    g = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = rng.integers(-(10**8), 10**8, n).astype(np.int64)
+    w = rng.integers(0, 4, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v, "w": w})).repartition(
+        nparts
+    )
+    got = exact_quantiles_wide_by(
+        ds, "v", [(1, 2)], by_col="g", out_names=["m"], weight_col="w",
+        max_buckets=64,
+    ).to_pandas().set_index("g")["m"]
+    for key in ["x", "y", "z"]:
+        mask = g == key
+        sv = np.sort(v[mask])
+        sw = w[mask][np.argsort(v[mask], kind="stable")]
+        cw = np.cumsum(sw)
+        last = np.searchsorted(sv, sv, side="right") - 1
+        hit = np.flatnonzero(2 * cw[last] >= cw[-1])
+        assert got[key] == sv[hit[0]]
+
+
+def test_grouped_weighted_quantiles_negative_weight_raises():
+    from nightcrawlercmd_ray.stages.quantiles import exact_quantiles_wide_by
+
+    t = pa.table({"g": pa.array(["a", "a"]),
+                  "v": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1, -2], pa.int64())})
+    with pytest.raises(Exception, match="negative weight"):
+        exact_quantiles_wide_by(
+            ray.data.from_arrow(t), "v", [(1, 2)], by_col="g",
+            out_names=["m"], weight_col="w",
+        )

@@ -492,3 +492,29 @@ def test_merge_join_sorted_handles_empty_part_gaps(tmp_path):
         ["k", "payload"]).reset_index(drop=True)
     exp = sorted((a, b * 10) for a in a_keys for b in b_keys if a == b)
     assert list(zip(got["k"], got["payload"])) == exp
+
+
+def test_rank_lookup_order_statistics(tmp_path):
+    import numpy as np
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        rank_lookup,
+        write_sorted_partitioned,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 25000
+    v = rng.integers(0, 10**9, n).astype(np.int64)
+    t = pa.table({"v": v, "rid": np.arange(n, dtype=np.int64)})
+    out = str(tmp_path / "rl")
+    write_sorted_partitioned(ray.data.from_arrow(t).repartition(5), out,
+                             key_col="v", tie_col="rid",
+                             num_partitions=11, n_rows=n)
+    sv = np.sort(v)
+    ranks = [0, 1, n // 3, n // 2, n - 2, n - 1, -1]
+    got = rank_lookup(out, ranks)
+    exp = [int(sv[r]) for r in ranks]
+    assert got.column("v").to_pylist() == exp
+    assert got.column("pos").to_pylist() == [r % n for r in ranks]
+    with pytest.raises(IndexError):
+        rank_lookup(out, [n])
