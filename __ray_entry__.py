@@ -4167,6 +4167,56 @@ def q_order_outliers_robust(sf_dir: str):
     )
 
 
+def q_warc_roundtrip_documents(sf_dir: str):
+    """WARC interchange round-trip (sources/warc.py): documents are wrapped
+    as Common-Crawl-style WARC 1.0 response records (per-record gzip
+    members, content-addressed ``.warc.gz`` shards — one file per block,
+    no shuffle), read back through ``read_warc``'s length-framed parser,
+    and projected to (url, ts_us, n_bytes, body_md5). The md5 over the
+    read-back BYTES hash-matching DuckDB's md5 over the source text proves
+    the payload survived the format round-trip bit-exactly; url and
+    WARC-Date (microsecond form) are reconstructed fields."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.sources.warc import read_warc, write_warc
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "lang"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"http://docs.example/{lg}/{i}" for i, lg in zip(ids, langs)]),
+            "warc_ts": pa.array(
+                [1_704_067_200_000_000 + i * 1_000_001 for i in ids],
+                pa.int64()),
+            "html": pa.array([s.encode() for s in texts], pa.binary()),
+        })
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_warc/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(ds.map_batches(to_pages, batch_format="pyarrow"), out)
+
+    def project(t: pa.Table) -> pa.Table:
+        bodies = t.column("html").to_pylist()
+        ts = pc.cast(pc.cast(t.column("warc_ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "url": t.column("url"),
+            "ts_us": ts,
+            "n_bytes": pa.array([len(b) for b in bodies], pa.int64()),
+            "body_md5": pa.array(
+                [hashlib.md5(b).hexdigest() for b in bodies]),
+        })
+
+    return read_warc(out).map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4303,6 +4353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": q_trending_terms,
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "compact_sorted_docs": q_compact_sorted_docs,
+        "warc_roundtrip_documents": q_warc_roundtrip_documents,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4604,6 +4655,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM documents
             ORDER BY pos
+        """,
+        "warc_roundtrip_documents": """
+            SELECT 'http://docs.example/' || lang || '/' || doc_id AS url,
+                   CAST(1704067200000000 + doc_id * 1000001 AS BIGINT) AS ts_us,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS body_md5
+            FROM documents
         """,
         "refresh_corpus_documents": """
             WITH oldc AS (

@@ -1,0 +1,118 @@
+"""WARC source/sink: framing, round-trip exactness, partition invariance."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from nightcrawlercmd_ray.sources.warc import (
+    build_record,
+    parse_warc,
+    read_warc,
+    records_to_gz,
+    write_warc,
+)
+
+
+def _us(dt):
+    from datetime import timezone
+    return (int(dt.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+            + dt.microsecond) if hasattr(dt, "timestamp") else int(dt)
+
+
+def _rows(path_dir):
+    out = read_warc(path_dir).take_all()
+    return sorted(
+        [(r["url"], _us(r["warc_ts"]), bytes(r["html"])) for r in out]
+    )
+
+
+def test_single_record_roundtrip(tmp_path):
+    rec = build_record("http://a.example/x?q=1", 1_600_000_000_123_456,
+                       b"<html>hi</html>")
+    got = parse_warc(rec)
+    assert got == [("http://a.example/x?q=1", 1_600_000_000_123_456,
+                    b"<html>hi</html>")]
+
+
+def test_body_containing_warc_magic_and_crlf():
+    body = b"WARC/1.0\r\nContent-Length: 7\r\n\r\nnot a record\r\n\r\nmore"
+    rec = build_record("http://a/x", 5, body)
+    rec2 = build_record("http://a/y", 6, b"tail")
+    got = parse_warc(rec + rec2)
+    assert got == [("http://a/x", 5, body), ("http://a/y", 6, b"tail")]
+
+
+def test_non_response_records_skipped():
+    req = build_record("http://a/x", 1, b"GETish").replace(
+        b"WARC-Type: response", b"WARC-Type: request")
+    info = build_record("", 2, b"software: test").replace(
+        b"WARC-Type: response", b"WARC-Type: warcinfo")
+    resp = build_record("http://a/z", 3, b"B")
+    assert parse_warc(req + info + resp) == [("http://a/z", 3, b"B")]
+
+
+def test_gzip_members_and_plain_parse_equal():
+    recs = [build_record(f"http://h/{i}", i * 1_000_000, bytes([65 + i]) * i)
+            for i in range(5)]
+    plain = parse_warc(b"".join(recs))
+    gz = parse_warc(records_to_gz(recs))
+    assert plain == gz and len(plain) == 5
+
+
+def test_warc_date_second_resolution_accepted():
+    rec = build_record("http://a/x", 7_000_000, b"B")
+    rec = rec.replace(b"WARC-Date: 1970-01-01T00:00:07.000000Z",
+                      b"WARC-Date: 1970-01-01T00:00:07Z")
+    assert parse_warc(rec) == [("http://a/x", 7_000_000, b"B")]
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+@pytest.fixture(scope="module")
+def pages_table(tiny_corpus):
+    return pq.read_table(f"{tiny_corpus['dir']}/pages.parquet")
+
+
+def test_dataset_roundtrip_exact(pages_table, tmp_path):
+    out = str(tmp_path / "warc")
+    ds = ray.data.from_arrow(pages_table)
+    n = write_warc(ds, out)
+    assert n == pages_table.num_rows
+    got = _rows(out)
+    ts_us = pa.compute.cast(
+        pa.compute.cast(pages_table.column("warc_ts"), pa.timestamp("us")),
+        pa.int64()).to_pylist()
+    want = sorted(
+        (u, s, bytes(h)) for u, s, h in zip(
+            pages_table.column("url").to_pylist(), ts_us,
+            pages_table.column("html").to_pylist())
+    )
+    assert [(u, s) for u, s, _ in got] == [(u, s) for u, s, _ in want]
+    assert got == want  # byte-identical bodies
+
+
+def test_partition_invariance_and_content_addressing(pages_table, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(ray.data.from_arrow(pages_table).repartition(2), a)
+    write_warc(ray.data.from_arrow(pages_table).repartition(7), b)
+    assert _rows(a) == _rows(b)
+    # different grouping => different file sets, but rewriting the SAME
+    # partitioning is idempotent (content-addressed names)
+    before = sorted(os.listdir(a))
+    write_warc(ray.data.from_arrow(pages_table).repartition(2), a)
+    assert sorted(os.listdir(a)) == before
+
+
+def test_deterministic_gzip_bytes():
+    recs = [build_record("http://h/1", 1, b"xyz")]
+    assert records_to_gz(recs) == records_to_gz(recs)
+    assert gzip.decompress(records_to_gz(recs)) == recs[0]
