@@ -4217,6 +4217,46 @@ def q_warc_roundtrip_documents(sf_dir: str):
     return read_warc(out).map_batches(project, batch_format="pyarrow")
 
 
+def q_cdx_index_documents(sf_dir: str):
+    """CDX URL index over SURT keys (sources/cdx.py): documents wrapped as
+    pages under deliberately messy URLs (uppercase scheme/host, ``www.``
+    prefix, unsorted query params) are indexed — SURT transform + md5
+    digest in one scan, bounded 8-byte-prefix boundary sample, ONE
+    range-keyed exchange, per-part local sort + manifest. The read-back's
+    ``pos`` is the exact global rank, so the row_number SQL oracle
+    value-checks the whole transform + sort + layout end-to-end (the SQL
+    side constructs the expected SURT independently by string concat)."""
+    import hashlib
+    import shutil
+
+    from nightcrawlercmd_ray.sources.cdx import build_cdx, read_cdx
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"HTTP://WWW.{sc}.Example.ORG/Doc/{i}?b={lg}&a={i % 7}"
+                 for i, lg, sc in zip(ids, langs, srcs)]),
+            "warc_ts": pa.array(
+                [1_704_067_200_000_000 + i * 999_983 for i in ids],
+                pa.int64()),
+            "html": pa.array([s.encode() for s in texts], pa.binary()),
+        })
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/ncrawler_cdx/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    build_cdx(ds.map_batches(to_pages, batch_format="pyarrow"), out,
+              num_partitions=8)
+    return read_cdx(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4354,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_docs_by_len": q_sorted_docs_by_len,
         "compact_sorted_docs": q_compact_sorted_docs,
         "warc_roundtrip_documents": q_warc_roundtrip_documents,
+        "cdx_index_documents": q_cdx_index_documents,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4662,6 +4703,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "cdx_index_documents": """
+            WITH c AS (
+                SELECT 'org,example,' || lower(source) || ')/doc/' || doc_id
+                       || '?a=' || (doc_id % 7) || '&b=' || lower(lang) AS surt,
+                       CAST(1704067200000000 + doc_id * 999983 AS BIGINT) AS ts_us,
+                       'HTTP://WWW.' || source || '.Example.ORG/Doc/' || doc_id
+                       || '?b=' || lang || '&a=' || (doc_id % 7) AS url,
+                       md5(text) AS digest,
+                       CAST(strlen(text) AS BIGINT) AS length
+                FROM documents
+            )
+            SELECT surt, ts_us, url, digest, length,
+                   CAST(row_number() OVER (ORDER BY surt, ts_us, url) - 1
+                        AS BIGINT) AS pos
+            FROM c
         """,
         "refresh_corpus_documents": """
             WITH oldc AS (
