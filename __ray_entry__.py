@@ -4257,6 +4257,40 @@ def q_cdx_index_documents(sf_dir: str):
     return read_cdx(out)
 
 
+def q_sitemap_urls_documents(sf_dir: str):
+    """Sitemap discovery (stages/webgraph.extract_sitemap_urls): each doc
+    becomes a synthetic sitemap page with (doc_id % 3 + 1) ``<loc>``
+    entries carrying an ``&amp;`` XML escape; the extractor (pure map,
+    zero shuffle) must recover every loc unescaped, in document order.
+    The DuckDB oracle regenerates the expected triples independently via
+    a lateral generate_series — no XML on the SQL side, so a parser bug
+    cannot cancel out."""
+    from nightcrawlercmd_ray.stages.webgraph import extract_sitemap_urls
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source"])
+
+    def to_sitemaps(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        urls, bodies = [], []
+        for i, sc in zip(ids, srcs):
+            locs = "".join(
+                f"<url><loc> http://{sc}.example/d/{i}/{j}?a=1&amp;b={j} "
+                f"</loc></url>"
+                for j in range(i % 3 + 1))
+            urls.append(f"http://smap.example/{i}")
+            bodies.append(f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+                          .encode())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+        })
+
+    return extract_sitemap_urls(
+        ds.map_batches(to_sitemaps, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4395,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_sorted_docs": q_compact_sorted_docs,
         "warc_roundtrip_documents": q_warc_roundtrip_documents,
         "cdx_index_documents": q_cdx_index_documents,
+        "sitemap_urls_documents": q_sitemap_urls_documents,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4703,6 +4738,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "sitemap_urls_documents": """
+            SELECT 'http://smap.example/' || doc_id AS url,
+                   'http://' || source || '.example/d/' || doc_id || '/' || j
+                   || '?a=1&b=' || j AS loc,
+                   CAST(j AS BIGINT) AS ord
+            FROM documents, (VALUES (0), (1), (2)) AS t(j)
+            WHERE j <= doc_id % 3
         """,
         "cdx_index_documents": """
             WITH c AS (

@@ -308,3 +308,95 @@ def top_anchor_per_url(pages_ds, *, max_anchor_len: int = 256,
         .groupby("_c")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery — the crawl-seed channel the reference has no reader for
+# (its seeds come only from -url / -url-list, mainCrawler.go:100-140). A real
+# web-scale frontier bootstraps from sitemaps (sitemaps.org protocol) and
+# from robots.txt `Sitemap:` directives (the discovery pointer defined by the
+# same protocol). Both extractors below are pure stateless maps — zero
+# shuffle; output rows are compact (page_url, loc, ord) triples.
+
+_XML_ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">",
+            "&quot;": '"', "&apos;": "'"}
+
+
+def _xml_unescape(s: str) -> str:
+    # the five XML predefined entities — the only escaping the sitemap
+    # protocol requires for URLs
+    if "&" not in s:
+        return s
+    for k, v in _XML_ENT.items():
+        s = s.replace(k, v)
+    return s
+
+
+def extract_sitemap_urls(pages_ds, *, url_col: str = "url",
+                         body_col: str = "html"):
+    """(page_url, loc, ord) for every ``<loc>`` entry of every sitemap /
+    sitemap-index body. ``ord`` is the 0-based position within its page —
+    the protocol's document order, which crawl schedulers treat as the
+    publisher's priority hint. Entities are unescaped per the protocol;
+    surrounding whitespace inside ``<loc>`` is stripped. Pure map."""
+    import re
+
+    pat = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.DOTALL | re.IGNORECASE)
+
+    def expand(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        bodies = t.column(body_col).to_pylist()
+        out_u, out_l, out_o = [], [], []
+        for u, b in zip(urls, bodies):
+            if b is None:
+                continue
+            if isinstance(b, str):
+                b = b.encode()
+            for i, m in enumerate(pat.finditer(b)):
+                out_u.append(u)
+                out_l.append(_xml_unescape(m.group(1).decode("utf-8",
+                                                             "replace")))
+                out_o.append(i)
+        return pa.table({
+            "url": pa.array(out_u, pa.string()),
+            "loc": pa.array(out_l, pa.string()),
+            "ord": pa.array(out_o, pa.int64()),
+        })
+
+    return pages_ds.map_batches(expand, batch_format="pyarrow",
+                                batch_size=128)
+
+
+def sitemaps_from_robots(pages_ds, *, url_col: str = "url",
+                         body_col: str = "html"):
+    """(robots_url, loc, ord) for every ``Sitemap:`` directive in every
+    robots.txt body — the discovery pointer of the sitemap protocol
+    (case-insensitive key, value to end-of-line, whitespace-trimmed).
+    Only rows whose URL path is exactly ``/robots.txt`` are scanned."""
+    import re
+
+    # \S+ cannot swallow \r (it is whitespace), so CRLF bodies need no
+    # special-casing
+    line = re.compile(rb"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)")
+
+    def expand(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        bodies = t.column(body_col).to_pylist()
+        out_u, out_l, out_o = [], [], []
+        for u, b in zip(urls, bodies):
+            if b is None or not u.split("?", 1)[0].endswith("/robots.txt"):
+                continue
+            if isinstance(b, str):
+                b = b.encode()
+            for k, m in enumerate(line.finditer(b)):
+                out_u.append(u)
+                out_l.append(m.group(1).decode("utf-8", "replace"))
+                out_o.append(k)
+        return pa.table({
+            "url": pa.array(out_u, pa.string()),
+            "loc": pa.array(out_l, pa.string()),
+            "ord": pa.array(out_o, pa.int64()),
+        })
+
+    return pages_ds.map_batches(expand, batch_format="pyarrow",
+                                batch_size=128)

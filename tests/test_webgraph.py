@@ -191,3 +191,64 @@ def test_top_anchor_tie_breaks_lexicographic():
     row = got[got["dst_url"] == "http://t.test/p"].iloc[0]
     assert row["top_anchor"] == "alpha"
     assert row["n_top"] == 1 and row["n_anchors"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery
+
+
+def _one_page(url, body):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array([url]),
+        "html": pa.array([body if isinstance(body, bytes) else body.encode()],
+                         pa.binary()),
+    }))
+
+
+def test_sitemap_locs_order_whitespace_entities():
+    from nightcrawlercmd_ray.stages.webgraph import extract_sitemap_urls
+
+    body = (b"<?xml version='1.0'?><urlset>"
+            b"<url><loc> http://a.test/p?x=1&amp;y=2 </loc></url>"
+            b"<url><LOC>http://a.test/q</LOC></url>"
+            b"<url><loc>\nhttp://a.test/r\n</loc></url>"
+            b"</urlset>")
+    got = extract_sitemap_urls(_one_page("http://a.test/sitemap.xml", body)).take_all()
+    assert [(r["loc"], r["ord"]) for r in got] == [
+        ("http://a.test/p?x=1&y=2", 0),
+        ("http://a.test/q", 1),
+        ("http://a.test/r", 2),
+    ]
+    assert all(r["url"] == "http://a.test/sitemap.xml" for r in got)
+
+
+def test_sitemap_index_and_empty():
+    from nightcrawlercmd_ray.stages.webgraph import extract_sitemap_urls
+
+    idx = (b"<sitemapindex><sitemap><loc>http://a.test/s1.xml</loc></sitemap>"
+           b"<sitemap><loc>http://a.test/s2.xml</loc></sitemap></sitemapindex>")
+    got = extract_sitemap_urls(_one_page("http://a.test/sitemap.xml", idx)).take_all()
+    assert [r["loc"] for r in got] == ["http://a.test/s1.xml",
+                                      "http://a.test/s2.xml"]
+    assert extract_sitemap_urls(
+        _one_page("http://a.test/x", b"<html>no locs</html>")).count() == 0
+
+
+def test_sitemaps_from_robots_directives():
+    from nightcrawlercmd_ray.stages.webgraph import sitemaps_from_robots
+
+    body = (b"User-agent: *\r\n"
+            b"Disallow: /private\r\n"
+            b"SITEMAP: http://a.test/s1.xml\r\n"
+            b"  sitemap:http://a.test/s2.xml\n"
+            b"# sitemap: commented out is still a match? no - hash prefix\n")
+    got = sitemaps_from_robots(
+        _one_page("http://a.test/robots.txt", body)).take_all()
+    assert [(r["loc"], r["ord"]) for r in got] == [
+        ("http://a.test/s1.xml", 0), ("http://a.test/s2.xml", 1)]
+    # non-robots pages are never scanned
+    assert sitemaps_from_robots(
+        _one_page("http://a.test/page", b"Sitemap: http://x/s.xml")).count() == 0
