@@ -72,10 +72,14 @@ def _parse_warc_date(s: bytes) -> int:
 
 def build_record(url: str, ts_us: int, body: bytes,
                  http_status: int = 200,
-                 content_type: bytes = b"text/html") -> bytes:
-    """One uncompressed WARC 1.0 response record wrapping an HTTP response."""
+                 content_type: bytes = b"text/html",
+                 http_headers: tuple = ()) -> bytes:
+    """One uncompressed WARC 1.0 response record wrapping an HTTP response.
+    ``http_headers``: extra (name, value) byte pairs (e.g. ``Location`` for
+    redirects, ``X-``-prefixed carrier headers for corpus metadata)."""
+    extra = b"".join(k + b": " + v + _CRLF for k, v in http_headers)
     http = (b"HTTP/1.1 %d OK" % http_status) + _CRLF + \
-        b"Content-Type: " + content_type + _CRLF + \
+        b"Content-Type: " + content_type + _CRLF + extra + \
         (b"Content-Length: %d" % len(body)) + _CRLF + _CRLF + body
     rid = hashlib.md5(url.encode() + b"\x00" + str(ts_us).encode()).hexdigest()
     hdr = _CRLF.join([
@@ -97,12 +101,14 @@ def records_to_gz(records: list[bytes]) -> bytes:
     )
 
 
-def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
-    """Parse one WARC file's bytes (gz-member or plain) into
-    (url, ts_us, body) response tuples, in file order."""
+def parse_warc_full(data: bytes) -> list[dict]:
+    """Parse one WARC file's bytes (gz-member or plain) into response-record
+    dicts ``{url, ts_us, body, status, content_type, location, http}`` in
+    file order (``http`` = the lowercased HTTP header dict, for carrier
+    headers like ``x-fetch-ms``)."""
     if data[:2] == _GZ_MAGIC:
         data = gzip.decompress(data)  # handles concatenated members
-    out: list[tuple[str, int, bytes]] = []
+    out: list[dict] = []
     pos, n = 0, len(data)
     while pos < n:
         # tolerate inter-record padding/newlines
@@ -127,8 +133,28 @@ def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
         split = payload.find(_CRLF + _CRLF)
         if split < 0:
             continue  # headers-only HTTP payload: no body to emit
-        out.append((url, ts_us, payload[split + 4:]))
+        http_block = payload[:split].split(_CRLF)
+        status = 0
+        parts = http_block[0].split(b" ", 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+        http: dict[bytes, bytes] = {}
+        for line in http_block[1:]:
+            k, _, v = line.partition(b":")
+            http[k.strip().lower()] = v.strip()
+        out.append({
+            "url": url, "ts_us": ts_us, "body": payload[split + 4:],
+            "status": status,
+            "content_type": http.get(b"content-type", b"").decode(),
+            "location": http.get(b"location", b"").decode(),
+            "http": http,
+        })
     return out
+
+
+def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
+    """Parse one WARC file's bytes into (url, ts_us, body) response tuples."""
+    return [(r["url"], r["ts_us"], r["body"]) for r in parse_warc_full(data)]
 
 
 def write_warc(ds, out_dir: str, *, url_col: str = "url",
@@ -154,11 +180,31 @@ def write_warc(ds, out_dir: str, *, url_col: str = "url",
                                  pa.int64())
         ts_us = ts.to_pylist()
         bodies = t.column(body_col).to_pylist()
+        names = set(t.schema.names)
+        statuses = (t.column("status").to_pylist() if "status" in names
+                    else [200] * t.num_rows)
+        ctypes = (t.column("content_type").to_pylist()
+                  if "content_type" in names else ["text/html"] * t.num_rows)
+        locs = (t.column("location").to_pylist() if "location" in names
+                else [""] * t.num_rows)
+        carriers = [(c, b"X-" + c.replace("_", "-").title().encode())
+                    for c in _CARRIER_COLS if c in names]
+        carrier_vals = {c: t.column(c).to_pylist() for c, _ in carriers}
         recs = []
-        for u, s, b in zip(urls, ts_us, bodies):
+        for i, (u, s, b) in enumerate(zip(urls, ts_us, bodies)):
             if isinstance(b, str):
                 b = b.encode()
-            recs.append(build_record(u, int(s), b))
+            hh = []
+            if locs[i]:
+                hh.append((b"Location", locs[i].encode()))
+            for c, hname in carriers:
+                v = carrier_vals[c][i]
+                if v is not None and v != "":
+                    hh.append((hname, str(v).encode()))
+            recs.append(build_record(
+                u, int(s), b, http_status=int(statuses[i] or 0),
+                content_type=(ctypes[i] or "").encode(),
+                http_headers=tuple(hh)))
         blob = records_to_gz(recs)
         name = hashlib.md5(blob).hexdigest()
         tmp = f"{out_dir}/.{name}.tmp-{os.getpid()}"
@@ -174,25 +220,134 @@ def write_warc(ds, out_dir: str, *, url_col: str = "url",
     return sum(r["n"] for r in counted.take_all())
 
 
-def read_warc(path: str):
+def read_warc(path: str, *, full: bool = False):
     """Lazy Dataset of (url, warc_ts:timestamp[us], html:binary) from a
-    directory of ``.warc``/``.warc.gz`` files (or a single file)."""
+    directory of ``.warc``/``.warc.gz`` files (or a single file). With
+    ``full=True`` the HTTP envelope is kept too: status:int16,
+    location:string, content_type:string, fetch_ms:int32, lang:string
+    (the latter two from the ``X-`` carrier headers, defaulting to 0/'')."""
     import ray.data
 
     def parse_files(t: pa.Table) -> pa.Table:
-        urls: list[str] = []
-        ts: list[int] = []
-        bodies: list[bytes] = []
-        for blob in t.column("bytes").to_pylist():
-            for u, s, b in parse_warc(blob):
-                urls.append(u)
-                ts.append(s)
-                bodies.append(b)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(bodies, pa.binary()),
-        })
+        recs = [r for blob in t.column("bytes").to_pylist()
+                for r in parse_warc_full(blob)]
+        cols = {
+            "url": pa.array([r["url"] for r in recs], pa.string()),
+            "warc_ts": pa.array([r["ts_us"] for r in recs],
+                                pa.timestamp("us")),
+            "html": pa.array([r["body"] for r in recs], pa.binary()),
+        }
+        if full:
+            cols["status"] = pa.array([r["status"] for r in recs], pa.int16())
+            cols["location"] = pa.array([r["location"] for r in recs],
+                                        pa.string())
+            cols["content_type"] = pa.array([r["content_type"] for r in recs],
+                                            pa.string())
+            cols["fetch_ms"] = pa.array(
+                [int(r["http"].get(b"x-fetch-ms", b"0") or b"0")
+                 for r in recs], pa.int32())
+            cols["lang"] = pa.array(
+                [r["http"].get(b"x-lang", b"").decode() for r in recs],
+                pa.string())
+        return pa.table(cols)
 
     return ray.data.read_binary_files(path).map_batches(
         parse_files, batch_format="pyarrow")
+
+
+_CARRIER_COLS = ("fetch_ms", "lang")
+
+
+def export_warc(corpus_dir: str, out_dir: str) -> int:
+    """Export a corpus (pages.parquet ⋈ fetch_meta.parquet on url) as
+    ``.warc.gz`` shards carrying the full HTTP envelope — status line,
+    Location, Content-Type — plus ``X-Fetch-Ms`` / ``X-Lang`` carrier
+    headers for the corpus fields WARC has no standard slot for. One
+    distributed hash join + one sink pass; returns the record count."""
+    from ..functions.urlnorm import url_hash
+    from ..stages.joins import hash_join
+    from ..util import read_parquet_clean
+
+    def add_key(drop_url: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = [int(url_hash(u)) & 0x7FFFFFFFFFFFFFFF
+                    for u in t.column("url").to_pylist()]
+            t = t.append_column("_uk", pa.array(keys, pa.int64()))
+            return t.drop_columns(["url"]) if drop_url else t
+        return fn
+
+    pages = read_parquet_clean(
+        f"{corpus_dir}/pages.parquet",
+        columns=["url", "warc_ts", "html", "lang"],
+    ).map_batches(add_key(False), batch_format="pyarrow")
+    meta = read_parquet_clean(
+        f"{corpus_dir}/fetch_meta.parquet"
+    ).map_batches(add_key(True), batch_format="pyarrow")
+    # 63-bit url-hash key: the repo's standard join id (collision odds at
+    # any real corpus size are birthday-bounded and the crawl store already
+    # relies on url_hash ordering)
+    joined = hash_join(pages, meta, on="_uk", how="left")
+    return write_warc(joined, out_dir)
+
+
+def ingest_warc(warc_dir: str, corpus_dir: str) -> int:
+    """Build a crawlable corpus directory (pages.parquet/ shards +
+    fetch_meta.parquet/ shards) from ``.warc.gz`` input — the adapter that
+    lets `pipelines.crawl.run_crawl` consume real Common-Crawl-style
+    archives. The golden ``text`` column is recomputed with the SAME
+    pinned extractor the synthetic corpus uses (``html_to_text``, applied
+    to status-200 text/html pages), so a crawl over an exported-then-
+    ingested corpus is bit-identical to one over the original (pinned in
+    tests/test_warc.py). ONE pass: each parsed block writes its pages
+    shard (content-addressed name) and forwards only the compact meta
+    rows to a distributed parquet sink. Returns the page count."""
+    import pyarrow.parquet as pq
+
+    from ..functions.htmlparse import html_to_text
+
+    os.makedirs(f"{corpus_dir}/pages.parquet", exist_ok=True)
+    os.makedirs(f"{corpus_dir}/fetch_meta.parquet", exist_ok=True)
+    ds = read_warc(warc_dir, full=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "status": pa.array([], pa.int16()),
+                             "location": pa.array([], pa.string()),
+                             "content_type": pa.array([], pa.string()),
+                             "fetch_ms": pa.array([], pa.int32())})
+        htmls = t.column("html").to_pylist()
+        statuses = t.column("status").to_pylist()
+        ctypes = t.column("content_type").to_pylist()
+        texts = []
+        for b, st, ct in zip(htmls, statuses, ctypes):
+            mime_html = (ct or "").split(";")[0].strip() == "text/html"
+            texts.append(html_to_text(bytes(b)) if (st == 200 and mime_html)
+                         else "")
+        pages = pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "html": t.column("html"),
+            "text": pa.array(texts, pa.string()),
+            "lang": t.column("lang"),
+        })
+        name = hashlib.md5(
+            "\x00".join(t.column("url").to_pylist()).encode()).hexdigest()
+        tmp = f"{corpus_dir}/pages.parquet/.part-{name}.tmp-{os.getpid()}"
+        pq.write_table(pages, tmp)
+        os.replace(tmp, f"{corpus_dir}/pages.parquet/part-{name}.parquet")
+        return t.select(["url", "status", "location", "content_type",
+                         "fetch_ms"])
+
+    meta = ds.map_batches(write_shard, batch_format="pyarrow")
+    meta.write_parquet(f"{corpus_dir}/fetch_meta.parquet")
+    return _count_pages(corpus_dir)
+
+
+def _count_pages(corpus_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f"{corpus_dir}/pages.parquet/{f}").metadata.num_rows
+        for f in os.listdir(f"{corpus_dir}/pages.parquet")
+        if f.endswith(".parquet"))

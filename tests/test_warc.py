@@ -116,3 +116,75 @@ def test_deterministic_gzip_bytes():
     recs = [build_record("http://h/1", 1, b"xyz")]
     assert records_to_gz(recs) == records_to_gz(recs)
     assert gzip.decompress(records_to_gz(recs)) == recs[0]
+
+
+# ---------------------------------------------------------------------------
+# corpus interchange: export -> ingest -> crawl equivalence
+
+
+def test_full_envelope_roundtrip():
+    rec = build_record(
+        "http://a/x", 9, b"B", http_status=301, content_type=b"text/plain",
+        http_headers=((b"Location", b"http://a/y"), (b"X-Fetch-Ms", b"42"),
+                      (b"X-Lang", b"de")))
+    from nightcrawlercmd_ray.sources.warc import parse_warc_full
+
+    (r,) = parse_warc_full(rec)
+    assert (r["status"], r["location"], r["content_type"]) == \
+        (301, "http://a/y", "text/plain")
+    assert r["http"][b"x-fetch-ms"] == b"42"
+    assert r["http"][b"x-lang"] == b"de"
+
+
+def test_export_ingest_crawl_equivalence(tiny_corpus, tmp_path):
+    """export_warc -> ingest_warc reproduces the corpus bit-exactly (pages
+    AND fetch_meta), and a crawl over the ingested corpus is identical to
+    one over the original."""
+    from nightcrawlercmd_ray.oracle.crawl_oracle import CrawlParams
+    from nightcrawlercmd_ray.pipelines.crawl import run_crawl
+    from nightcrawlercmd_ray.sources.warc import export_warc, ingest_warc
+
+    src = tiny_corpus["dir"]
+    warc_dir = str(tmp_path / "warc")
+    dst = str(tmp_path / "corpus2")
+    n = export_warc(src, warc_dir)
+    n2 = ingest_warc(warc_dir, dst)
+    orig_pages = pq.read_table(f"{src}/pages.parquet")
+    assert n == n2 == orig_pages.num_rows
+
+    def canon_pages(path):
+        import pyarrow.dataset as pds
+        t = pds.dataset(path).to_table()
+        rows = sorted(zip(t.column("url").to_pylist(),
+                          t.column("warc_ts").to_pylist(),
+                          [bytes(x) for x in t.column("html").to_pylist()],
+                          t.column("text").to_pylist(),
+                          t.column("lang").to_pylist()))
+        return rows
+
+    assert canon_pages(f"{dst}/pages.parquet") == \
+        canon_pages(f"{src}/pages.parquet")
+
+    def canon_meta(path):
+        import pyarrow.dataset as pds
+        t = pds.dataset(path).to_table()
+        return sorted(zip(t.column("url").to_pylist(),
+                          t.column("status").to_pylist(),
+                          t.column("location").to_pylist(),
+                          t.column("content_type").to_pylist(),
+                          t.column("fetch_ms").to_pylist()))
+
+    assert canon_meta(f"{dst}/fetch_meta.parquet") == \
+        canon_meta(f"{src}/fetch_meta.parquet")
+
+    params = CrawlParams(seeds=tiny_corpus["seeds"])
+    ra = run_crawl(src, params, num_shards=3, num_buckets=4,
+                   store_dir=str(tmp_path / "store_a"),
+                   checkpoint_dir=str(tmp_path / "ck_a"))
+    rb = run_crawl(dst, params, num_shards=3, num_buckets=4,
+                   store_dir=str(tmp_path / "store_b"),
+                   checkpoint_dir=str(tmp_path / "ck_b"))
+    assert ra.stats() == rb.stats()
+    fa = ra.fetches_dataset().to_pandas().sort_values("url").reset_index(drop=True)
+    fb = rb.fetches_dataset().to_pandas().sort_values("url").reset_index(drop=True)
+    assert fa.equals(fb)
