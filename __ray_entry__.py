@@ -4291,6 +4291,30 @@ def q_sitemap_urls_documents(sf_dir: str):
         ds.map_batches(to_sitemaps, batch_format="pyarrow"))
 
 
+def q_full_outer_documents(sf_dir: str):
+    """FULL OUTER hash join (stages/joins.hash_join how='outer'): left =
+    docs with doc_id % 3 ≠ 0 carrying n_chars, right = docs with
+    doc_id % 2 ≠ 0 carrying lang — both exclusives are non-empty by
+    construction, so left-only, right-only and matched rows all fire.
+    Same one-coarse-keyed-exchange shape as inner/left; the DuckDB FULL
+    OUTER JOIN oracle hash-checks the null patterns on both payloads."""
+    from nightcrawlercmd_ray.stages.joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def side(keep_mod, col):
+        ds = _read_pq(path, columns=["doc_id", col])
+
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % keep_mod != 0))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return hash_join(side(3, "n_chars"), side(2, "lang"), on="doc_id",
+                     how="outer", num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4430,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_documents": q_warc_roundtrip_documents,
         "cdx_index_documents": q_cdx_index_documents,
         "sitemap_urls_documents": q_sitemap_urls_documents,
+        "full_outer_documents": q_full_outer_documents,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4738,6 +4763,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "full_outer_documents": """
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   a.n_chars, b.lang
+            FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0) a
+            FULL OUTER JOIN
+                 (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0) b
+            ON a.doc_id = b.doc_id
         """,
         "sitemap_urls_documents": """
             SELECT 'http://smap.example/' || doc_id AS url,

@@ -208,9 +208,10 @@ def hash_join(
     (``ray.put`` an Arrow table + ``pc.index_in`` — see
     ``q_market_segment_totals``), which skips the shuffle entirely.
 
-    ``how`` is ``"inner"``, ``"left"``, ``"semi"`` (left rows WITH ≥1 right
-    match; right payload dropped) or ``"anti"`` (left rows with NO right
-    match). For semi/anti the right side should be projected to just the key
+    ``how`` is ``"inner"``, ``"left"``, ``"outer"`` (FULL OUTER — unmatched
+    rows of BOTH sides survive with null opposite payload; the ``on`` key is
+    always populated), ``"semi"`` (left rows WITH ≥1 right match; right
+    payload dropped) or ``"anti"`` (left rows with NO right match). For semi/anti the right side should be projected to just the key
     column upstream (and per-batch deduped — see ``tag``'s semi/anti path)
     so only distinct keys ride the shuffle. Right payload columns whose names
     clash with left ones get ``suffix``.
@@ -225,8 +226,12 @@ def hash_join(
     → Dataset(on, *left_payload, *right_payload[suffixed]) — left columns
     only for semi/anti.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if how == "outer" and hot_keys:
+        # replicated right rows of a hot key would each emit their own
+        # right-only row in salt partitions with no left match — duplicates
+        raise ValueError("hot_keys salting is incompatible with how='outer'")
     filter_only = how in ("semi", "anti")
     l_schema = left.schema()
     r_schema = right.schema()
@@ -315,7 +320,8 @@ def hash_join(
         side = g.column("_side")
         lt = g.filter(pc.equal(side, 0)).select([on] + l_names)
         rt = g.filter(pc.equal(side, 1)).select([on] + [r_out[n] for n in r_names])
-        if lt.num_rows == 0 or (rt.num_rows == 0 and how in ("inner", "semi")):
+        if ((lt.num_rows == 0 and how != "outer")
+                or (rt.num_rows == 0 and how in ("inner", "semi"))):
             return pa.table({name: pa.array([], typ) for name, typ in out_fields})
         if filter_only:
             # pure-Arrow membership probe: no pandas conversion at all

@@ -176,7 +176,7 @@ def test_query_matches_duckdb_oracle(name):
 # hash_join (distributed equi-join)
 # --------------------------------------------------------------------------- #
 @pytest.mark.parametrize("P", [1, 7])
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
 def test_hash_join_vs_pandas(P, how):
     from nightcrawlercmd_ray.stages.joins import hash_join
 
@@ -226,6 +226,21 @@ def test_hash_join_name_clash_and_empty_side():
     out3 = hash_join(left, right2, on="k", how="left",
                      num_partitions=3).to_pandas()
     assert len(out3) == 2 and out3["v_r"].isna().all()
+    # FULL OUTER keeps both exclusives; the key is always populated
+    out4 = hash_join(left, right2, on="k", how="outer",
+                     num_partitions=3).to_pandas()
+    assert sorted(out4["k"].tolist()) == [1, 2, 99]
+    r99 = out4[out4["k"] == 99]
+    assert r99["v"].isna().all() and r99["v_r"].tolist() == [0]
+    # outer with an EMPTY left side still emits every right row
+    empty_left = _ds({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    out5 = hash_join(empty_left, right, on="k", how="outer",
+                     num_partitions=3).to_pandas()
+    assert sorted(out5["v_r"].tolist()) == [10, 20] and out5["v"].isna().all()
+    # hot-key salting is incompatible with outer (documented)
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="outer", hot_keys=[1])
 
 
 # --------------------------------------------------------------------------- #
