@@ -4315,6 +4315,32 @@ def q_full_outer_documents(sf_dir: str):
                      how="outer", num_partitions=8)
 
 
+def q_window_ranks_events(sf_dir: str):
+    """Ranking-window family (stages/windows.window_ranks): per user over
+    events with val = value-cents // 1000 (coarse buckets force real
+    ties), row_number / rank / dense_rank / ntile(4) in ONE keyed
+    exchange + vectorized run-boundary arithmetic. Hash-exact vs the
+    DuckDB window quartet."""
+    from nightcrawlercmd_ray.stages.windows import window_ranks
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "val": pa.array(cents // 1000, pa.int64()),
+        })
+
+    return window_ranks(ds.map_batches(prep, batch_format="pyarrow"),
+                        key_col="user_id", val_col="val", id_col="event_id",
+                        n_tiles=4, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4455,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index_documents": q_cdx_index_documents,
         "sitemap_urls_documents": q_sitemap_urls_documents,
         "full_outer_documents": q_full_outer_documents,
+        "window_ranks_events": q_window_ranks_events,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4763,6 +4790,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "window_ranks_events": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(round(value * 100) AS BIGINT) // 1000 AS val
+                FROM events
+            )
+            SELECT user_id, event_id, val,
+                   CAST(row_number() OVER
+                        (PARTITION BY user_id ORDER BY val, event_id)
+                        AS BIGINT) AS row_num,
+                   CAST(rank() OVER
+                        (PARTITION BY user_id ORDER BY val)
+                        AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER
+                        (PARTITION BY user_id ORDER BY val)
+                        AS BIGINT) AS dense_rnk,
+                   CAST(ntile(4) OVER
+                        (PARTITION BY user_id ORDER BY val, event_id)
+                        AS BIGINT) AS tile
+            FROM e
         """,
         "full_outer_documents": """
             SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,

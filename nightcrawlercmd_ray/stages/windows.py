@@ -399,3 +399,99 @@ def token_offsets(ds, *, id_col: str = "doc_id", text_col: str = "text",
         .groupby("_part")
         .map_groups(offsets, batch_format="pyarrow")
     )
+
+
+def window_ranks(ds, *, key_col: str, val_col: str, id_col: str,
+                 n_tiles: int = 4, num_partitions: int | None = None,
+                 n_rows: int | None = None):
+    """The SQL ranking-window family per key, in one pass:
+    ``row_number() OVER (PARTITION BY key ORDER BY val, id)``,
+    ``rank()`` / ``dense_rank()`` ``OVER (... ORDER BY val)`` (ties on
+    ``val`` share a rank; ``id`` is only the deterministic output order),
+    and ``ntile(n_tiles) OVER (... ORDER BY val, id)`` with SQL's
+    remainder rule (the first ``n % k`` tiles get the extra row).
+
+    Scale shape: the lag_deltas shape — ONE coarse keyed shuffle
+    co-locates each key's rows; in-partition work is one vectorized sort +
+    run-boundary arithmetic (np.repeat of group/run starts), no per-key
+    dispatch. Integer key/val contract (the repo's exact-value policy).
+    → Dataset(key, id, val, row_num, rnk, dense_rnk, tile).
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+    k = int(n_tiles)
+    if k < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column(key_col), pa.int64())
+        karr = key.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((karr * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            key_col: key,
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            val_col: pc.cast(t.column(val_col), pa.int64()),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def ranks_partition(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_c"]).combine_chunks()
+        order = pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (val_col, "ascending"),
+            (id_col, "ascending")])
+        t = t.take(order)
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        val = t.column(val_col).to_numpy(zero_copy_only=False)
+        n = len(key)
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                val_col: pa.array([], pa.int64()),
+                "row_num": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "dense_rnk": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            })
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = key[1:] != key[:-1]
+        new_run = new_key.copy()
+        new_run[1:] |= val[1:] != val[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        g_starts = np.flatnonzero(new_key)
+        g_sizes = np.diff(np.append(g_starts, n))
+        g_start_of = np.repeat(g_starts, g_sizes)
+        pos = idx - g_start_of                      # 0-based within key
+        row_num = pos + 1
+        r_starts = np.flatnonzero(new_run)
+        r_start_of = np.repeat(r_starts, np.diff(np.append(r_starts, n)))
+        rnk = r_start_of - g_start_of + 1           # ties share first pos
+        run_id = np.cumsum(new_run)                 # 1-based global run id
+        dense = run_id - run_id[g_start_of] + 1
+        size_of = np.repeat(g_sizes, g_sizes)
+        q, r = size_of // k, size_of % k
+        big = r * (q + 1)                           # rows in the fat tiles
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0),
+        ) + 1
+        return pa.table({
+            key_col: t.column(key_col),
+            id_col: t.column(id_col),
+            val_col: t.column(val_col),
+            "row_num": pa.array(row_num, pa.int64()),
+            "rnk": pa.array(rnk.astype(np.int64), pa.int64()),
+            "dense_rnk": pa.array(dense.astype(np.int64), pa.int64()),
+            "tile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("_c")
+        .map_groups(ranks_partition, batch_format="pyarrow")
+    )

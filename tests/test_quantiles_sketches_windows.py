@@ -956,3 +956,75 @@ def test_grouped_wide_quantiles_nulls_and_single_row_groups():
          .to_pandas().sort_values("g").reset_index(drop=True))
     assert a["p25"].tolist() == b["p25"].tolist()
     assert a["p90"].tolist() == b["p90"].tolist()
+
+
+# --------------------------------------------------------------------------- #
+# window_ranks (ranking-window family)
+# --------------------------------------------------------------------------- #
+def _ranks_oracle(df, k):
+    import pandas as pd
+
+    out = df.sort_values(["key", "val", "id"]).reset_index(drop=True)
+    g = out.groupby("key")
+    out["row_num"] = g.cumcount() + 1
+    out["rnk"] = g["val"].rank(method="min").astype(int)
+    out["dense_rnk"] = g["val"].rank(method="dense").astype(int)
+
+    def ntile(s):
+        n = len(s)
+        q, r = divmod(n, k)
+        tiles = []
+        for i in range(k):
+            tiles.extend([i + 1] * ((q + 1) if i < r else q))
+        return pd.Series(tiles[:n], index=s.index)
+
+    out["tile"] = g["row_num"].transform(ntile)
+    return out
+
+
+@pytest.mark.parametrize("P", [1, 5])
+def test_window_ranks_vs_pandas(P):
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.windows import window_ranks
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "key": rng.integers(0, 12, n),
+        "id": np.arange(n),
+        "val": rng.integers(0, 9, n),  # heavy ties
+    })
+    ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(df["key"], pa.int64()),
+        "id": pa.array(df["id"], pa.int64()),
+        "val": pa.array(df["val"], pa.int64()),
+    }))
+    got = (window_ranks(ds, key_col="key", val_col="val", id_col="id",
+                        n_tiles=4, num_partitions=P)
+           .to_pandas().sort_values(["key", "val", "id"])
+           .reset_index(drop=True))
+    exp = _ranks_oracle(df, 4)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_window_ranks_ntile_remainder_and_small_groups():
+    import pandas as pd
+
+    from nightcrawlercmd_ray.stages.windows import window_ranks
+
+    # group of 2 with k=4 (q=0), group of 7 with k=4 (r=3)
+    df = pd.DataFrame({
+        "key": [1, 1, 2, 2, 2, 2, 2, 2, 2],
+        "id": list(range(9)),
+        "val": [5, 5, 1, 1, 2, 2, 3, 3, 3],
+    })
+    ds = ray.data.from_arrow(pa.table({c: pa.array(df[c], pa.int64())
+                                       for c in df.columns}))
+    got = (window_ranks(ds, key_col="key", val_col="val", id_col="id",
+                        n_tiles=4, num_partitions=2)
+           .to_pandas().sort_values(["key", "val", "id"]).reset_index(drop=True))
+    assert got[got["key"] == 1]["tile"].tolist() == [1, 2]
+    assert got[got["key"] == 2]["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4]
+    assert got[got["key"] == 1]["rnk"].tolist() == [1, 1]
+    assert got[got["key"] == 2]["dense_rnk"].tolist() == [1, 1, 2, 2, 3, 3, 3]
