@@ -4341,6 +4341,18 @@ def q_window_ranks_events(sf_dir: str):
                         n_tiles=4, num_partitions=8)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle (stages/sessions.retention_cohorts,
+    1-week buckets): exchange carries per-batch-deduped (user, bucket)
+    pairs only; cohort/age from one user-keyed shuffle + run arithmetic.
+    Hash-exact vs a DuckDB first-event-join replica."""
+    from nightcrawlercmd_ray.stages.sessions import retention_cohorts
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ds, bucket_us=7 * 86_400_000_000,
+                             num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4482,6 +4494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls_documents": q_sitemap_urls_documents,
         "full_outer_documents": q_full_outer_documents,
         "window_ranks_events": q_window_ranks_events,
+        "retention_cohorts": q_retention_cohorts,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -4790,6 +4803,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) // 604800000000 AS cohort
+                FROM events GROUP BY user_id
+            ), e AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS b
+                FROM events
+            )
+            SELECT f.cohort, e.b - f.cohort AS age,
+                   count(*) AS n_users
+            FROM e JOIN f ON e.user_id = f.user_id
+            GROUP BY f.cohort, age
         """,
         "window_ranks_events": """
             WITH e AS (

@@ -361,3 +361,94 @@ def interval_union_per_key(
         .groupby("_c")
         .map_groups(union_partition, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(events, *, user_col: str = "user_id", ts_col: str = "ts",
+                      bucket_us: int = 7 * 86_400_000_000,
+                      num_partitions: int | None = None,
+                      n_rows: int | None = None):
+    """Cohort retention: users grouped by the time bucket of their FIRST
+    event (their cohort); for each (cohort, age) — age in buckets since
+    the cohort — the number of distinct users active in that bucket. The
+    product-analytics retention triangle, and the reason a crawl/event
+    store keeps per-user first-seen state.
+
+    Scale shape: a user contributes at most one row per active bucket, so
+    the exchange is per-batch-deduped (user, bucket) pairs — bounded by
+    users × active buckets, not events. ONE coarse user-keyed shuffle
+    co-locates each user's pairs; the cohort (min bucket) and ages are
+    vectorized run arithmetic; per-partition (cohort, age) partial counts
+    (exact — a user lives in one partition) fold through one tiny final
+    groupby-sum. → Dataset(cohort, age, n_users).
+    """
+    if num_partitions is None:
+        if n_rows is None:
+            n_rows = 1 << 16
+        num_partitions = int(min(1 << 16, max(1, n_rows // 65536 + 1)))
+    P = num_partitions
+    B = int(bucket_us)
+    if B <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    def prep(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column(user_col), pa.int64())
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        u = user.combine_chunks().to_numpy(zero_copy_only=False)
+        b = ts_us.combine_chunks().to_numpy(zero_copy_only=False) // B
+        # per-batch distinct (user, bucket) — the combiner that bounds the
+        # shuffle at users × active buckets
+        pairs = np.unique(np.stack([u, b], axis=1), axis=0)
+        key = pairs[:, 0].astype(np.uint64)
+        part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(P)
+        return pa.table({
+            "u": pa.array(pairs[:, 0], pa.int64()),
+            "b": pa.array(pairs[:, 1], pa.int64()),
+            "_c": pa.array(part.astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_c"]).combine_chunks()
+        order = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                              ("b", "ascending")])
+        t = t.take(order)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "age": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        # cross-batch duplicates of a (user, bucket) pair survive the
+        # per-batch combiner; drop them here (sorted ⇒ adjacent)
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (~new_u[1:]) & (b[1:] == b[:-1])
+        starts = np.flatnonzero(new_u)
+        cohort = np.repeat(b[starts], np.diff(np.append(starts, n)))
+        age = b - cohort
+        keep = ~dup
+        pairs = np.stack([cohort[keep], age[keep]], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({
+            "cohort": pa.array(uniq[:, 0], pa.int64()),
+            "age": pa.array(uniq[:, 1], pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("_c")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby(["cohort", "age"]).sum("n_users")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": t.column("cohort"),
+            "age": t.column("age"),
+            "n_users": pc.cast(t.column("sum(n_users)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

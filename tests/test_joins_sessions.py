@@ -848,3 +848,43 @@ def test_interval_union_drops_null_rows():
     ).to_pandas()
     # only the fully non-null row contributes
     assert got["k"].tolist() == [1] and got["covered"].tolist() == [10]
+
+
+# --------------------------------------------------------------------------- #
+# retention cohorts
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("P", [1, 6])
+def test_retention_cohorts_vs_pandas(P):
+    from nightcrawlercmd_ray.stages.sessions import retention_cohorts
+
+    rng = np.random.default_rng(5)
+    n = 600
+    B = 1000
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 20_000, n)
+    ds = _ds({"user_id": pa.array(users, pa.int64()),
+              "ts": pa.array(ts, pa.int64())})
+    got = (retention_cohorts(ds, bucket_us=B, num_partitions=P)
+           .to_pandas().sort_values(["cohort", "age"]).reset_index(drop=True))
+    df = pd.DataFrame({"u": users, "b": ts // B})
+    first = df.groupby("u")["b"].min().rename("cohort")
+    pairs = df.drop_duplicates().join(first, on="u")
+    pairs["age"] = pairs["b"] - pairs["cohort"]
+    exp = (pairs.groupby(["cohort", "age"]).size().rename("n_users")
+           .reset_index().sort_values(["cohort", "age"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_retention_cohorts_cross_batch_dedup():
+    """The same (user, bucket) pair arriving in different input blocks must
+    still count once."""
+    from nightcrawlercmd_ray.stages.sessions import retention_cohorts
+
+    t = pa.table({"user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                  "ts": pa.array([10, 15, 1010, 1012], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)  # one row per block
+    got = (retention_cohorts(ds, bucket_us=1000, num_partitions=3)
+           .to_pandas().sort_values("age").reset_index(drop=True))
+    assert got["n_users"].tolist() == [1, 1]
+    assert got["age"].tolist() == [0, 1]
