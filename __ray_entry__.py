@@ -4291,6 +4291,94 @@ def q_sitemap_urls_documents(sf_dir: str):
         ds.map_batches(to_sitemaps, batch_format="pyarrow"))
 
 
+def q_page_metadata_documents(sf_dir: str):
+    """Head-signal extraction (stages/pagemeta.extract_page_metadata): each
+    doc becomes a synthetic page whose title / meta description /
+    rel=canonical / robots directives derive from doc_id arithmetic —
+    every branch fires (missing title, missing description, absent vs
+    absolute vs RELATIVE canonical needing absolutization, noindex and
+    nofollow flags). Pure map, zero shuffle. The DuckDB oracle regenerates
+    the expected strings independently (no HTML on the SQL side, so a
+    parser bug cannot cancel out)."""
+    from nightcrawlercmd_ray.stages.pagemeta import extract_page_metadata
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source", "lang"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        langs = t.column("lang").to_pylist()
+        urls, bodies = [], []
+        for i, sc, lg in zip(ids, srcs, langs):
+            base = i // 4 * 4
+            head = []
+            if i % 5 != 4:
+                head.append(f"<title>Doc {i} {sc}</title>")
+            if i % 3 != 2:
+                head.append(
+                    f'<meta name="description" content="{lg} summary {i}">')
+            if i % 4 == 2:  # relative canonical — absolutization must fire
+                head.append(f'<link rel="canonical" href="/canon/{base}">')
+            elif i % 4 != 0:
+                head.append(f'<link rel="canonical" '
+                            f'href="http://{sc}.example/canon/{base}">')
+            robots = []
+            if i % 7 == 0:
+                robots.append("noindex")
+            if i % 11 == 0:
+                robots.append("nofollow")
+            if robots:
+                head.append(f'<meta name="robots" '
+                            f'content="{", ".join(robots)}">')
+            urls.append(f"http://{sc}.example/d/{i}")
+            bodies.append(
+                f"<html><head>{''.join(head)}</head>"
+                f"<body>body {i}</body></html>".encode())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+        })
+
+    return extract_page_metadata(
+        ds.map_batches(to_pages, batch_format="pyarrow"))
+
+
+def q_canonical_dedup_documents(sf_dir: str):
+    """Canonical-link dedup (stages/pagemeta.canonical_dedup): docs form
+    groups of 4 — member 0 IS the canonical target page, members 1-3
+    declare rel=canonical to it; every 5th group's target page is dropped
+    from the corpus so the min-url winner path fires alongside the
+    self-target path. ONE coarse keyed shuffle of compact rows +
+    vectorized in-partition winner pick. The DuckDB oracle replays the
+    winner rule with a window row_number."""
+    from nightcrawlercmd_ray.stages.pagemeta import canonical_dedup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, bodies = [], []
+        for i in t.column("doc_id").to_pylist():
+            g, m = divmod(i, 4)
+            target = f"http://h{g % 13}.example/canon/{g}"
+            if m == 0:
+                if g % 5 == 4:
+                    continue  # target page missing from the corpus
+                urls.append(target)
+                bodies.append(b"<title>target</title>")
+            else:
+                urls.append(f"http://h{g % 13}.example/d/{i}")
+                bodies.append(
+                    f'<link rel="canonical" href="{target}">'.encode())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+        })
+
+    return canonical_dedup(
+        ds.map_batches(to_pages, batch_format="pyarrow"), num_partitions=8)
+
+
 def q_full_outer_documents(sf_dir: str):
     """FULL OUTER hash join (stages/joins.hash_join how='outer'): left =
     docs with doc_id % 3 ≠ 0 carrying n_chars, right = docs with
@@ -4492,6 +4580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_documents": q_warc_roundtrip_documents,
         "cdx_index_documents": q_cdx_index_documents,
         "sitemap_urls_documents": q_sitemap_urls_documents,
+        "page_metadata_documents": q_page_metadata_documents,
+        "canonical_dedup_documents": q_canonical_dedup_documents,
         "full_outer_documents": q_full_outer_documents,
         "window_ranks_events": q_window_ranks_events,
         "retention_cohorts": q_retention_cohorts,
@@ -4847,6 +4937,40 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0) b
             ON a.doc_id = b.doc_id
+        """,
+        "page_metadata_documents": """
+            SELECT 'http://' || source || '.example/d/' || doc_id AS url,
+                   CASE WHEN doc_id % 5 <> 4
+                        THEN 'Doc ' || doc_id || ' ' || source END AS title,
+                   CASE WHEN doc_id % 3 <> 2
+                        THEN lang || ' summary ' || doc_id
+                        END AS meta_description,
+                   CASE WHEN doc_id % 4 <> 0
+                        THEN 'http://' || source || '.example/canon/'
+                             || (doc_id // 4 * 4) END AS canonical_url,
+                   (doc_id % 7 = 0) AS noindex,
+                   (doc_id % 11 = 0) AS nofollow
+            FROM documents
+        """,
+        "canonical_dedup_documents": """
+            WITH p AS (
+                SELECT CASE WHEN doc_id % 4 = 0
+                            THEN 'http://h' || ((doc_id // 4) % 13)
+                                 || '.example/canon/' || (doc_id // 4)
+                            ELSE 'http://h' || ((doc_id // 4) % 13)
+                                 || '.example/d/' || doc_id END AS url,
+                       'http://h' || ((doc_id // 4) % 13)
+                           || '.example/canon/' || (doc_id // 4)
+                           AS canonical_target,
+                       (doc_id % 4 = 0) AS is_self
+                FROM documents
+                WHERE NOT (doc_id % 4 = 0 AND (doc_id // 4) % 5 = 4)
+            )
+            SELECT url, canonical_target,
+                   (row_number() OVER (PARTITION BY canonical_target
+                                       ORDER BY is_self DESC, url) = 1)
+                       AS is_winner
+            FROM p
         """,
         "sitemap_urls_documents": """
             SELECT 'http://smap.example/' || doc_id AS url,

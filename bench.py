@@ -271,6 +271,12 @@ def run_bench() -> dict:
         "balanced_sample_documents",
         "sliding_distinct_users", "hourly_deltas", "profile_documents",
         "analyze_orders",
+        "simhash_near_dups", "dup_clusters_documents", "dsir_scores",
+        "gopher_quality_documents", "decontaminate_documents",
+        "boilerplate_lines_documents", "source_quality_filter",
+        "warc_roundtrip_documents", "cdx_index_documents",
+        "sitemap_urls_documents", "window_ranks_events", "retention_cohorts",
+        "full_outer_documents",
         "events_mode_event_type", "lineitem_pair_moments", "skyline_orders",
         "events_cooccurrence", "weighted_price_quantiles",
         "fuzzy_name_pairs", "zorder_orders", "user_funnel_regex",
