@@ -4379,6 +4379,40 @@ def q_canonical_dedup_documents(sf_dir: str):
         ds.map_batches(to_pages, batch_format="pyarrow"), num_partitions=8)
 
 
+def q_trap_hosts_documents(sf_dir: str):
+    """Crawler-trap detection (stages/traps.host_trap_signals): docs map
+    onto 16 synthetic hosts — four of them 'trap' hosts whose URLs all
+    serve a 5-value content pool (high URL/content duplication), the rest
+    content-rich; URL depth and query-string presence derive from doc_id
+    arithmetic so every signal is exercised. ONE coarse keyed exchange of
+    compact rows + a vectorized per-partition fold; integer-exact trap
+    verdict via cross-multiplication. The DuckDB oracle replays the
+    aggregates (COUNT DISTINCT content, Σdepth) independently."""
+    from nightcrawlercmd_ray.stages.traps import host_trap_signals
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        urls, contents = [], []
+        for i, txt in zip(ids, texts):
+            path = "/".join(f"s{j}" for j in range(i % 4 + 1))
+            q = f"?sid={i}" if i % 3 == 0 else ""
+            urls.append(f"http://t{i % 16}.example/{path}{q}")
+            contents.append(f"trap pool {i % 5}" if i % 16 < 4
+                            else f"{txt}#{i}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(contents, pa.string()),
+        })
+
+    return host_trap_signals(
+        ds.map_batches(to_pages, batch_format="pyarrow"),
+        min_urls=10, num_partitions=8)
+
+
 def q_full_outer_documents(sf_dir: str):
     """FULL OUTER hash join (stages/joins.hash_join how='outer'): left =
     docs with doc_id % 3 ≠ 0 carrying n_chars, right = docs with
@@ -4582,6 +4616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls_documents": q_sitemap_urls_documents,
         "page_metadata_documents": q_page_metadata_documents,
         "canonical_dedup_documents": q_canonical_dedup_documents,
+        "trap_hosts_documents": q_trap_hosts_documents,
         "full_outer_documents": q_full_outer_documents,
         "window_ranks_events": q_window_ranks_events,
         "retention_cohorts": q_retention_cohorts,
@@ -4937,6 +4972,29 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0) b
             ON a.doc_id = b.doc_id
+        """,
+        "trap_hosts_documents": """
+            WITH p AS (
+                SELECT 't' || (doc_id % 16) || '.example' AS host,
+                       CAST(doc_id % 4 + 1 AS BIGINT) AS depth,
+                       (doc_id % 3 = 0) AS has_q,
+                       CASE WHEN doc_id % 16 < 4
+                            THEN 'trap pool ' || (doc_id % 5)
+                            ELSE text || '#' || doc_id END AS content
+                FROM documents
+            ), a AS (
+                SELECT host,
+                       CAST(COUNT(*) AS BIGINT) AS n_urls,
+                       CAST(COUNT(DISTINCT content) AS BIGINT) AS n_content,
+                       CAST(SUM(depth) AS BIGINT) AS sum_depth,
+                       CAST(SUM(CASE WHEN has_q THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_query
+                FROM p GROUP BY host
+            )
+            SELECT host, n_urls, n_content, sum_depth, n_query,
+                   (n_urls >= 10 AND (n_urls - n_content) * 2 >= n_urls)
+                       AS is_trap
+            FROM a
         """,
         "page_metadata_documents": """
             SELECT 'http://' || source || '.example/d/' || doc_id AS url,
