@@ -4379,6 +4379,52 @@ def q_canonical_dedup_documents(sf_dir: str):
         ds.map_batches(to_pages, batch_format="pyarrow"), num_partitions=8)
 
 
+def q_main_content_documents(sf_dir: str):
+    """Main-content extraction (stages/maincontent.extract_main_content):
+    each doc becomes a synthetic page with a nav link bar, (doc_id % 3 + 1)
+    substantial paragraphs (the first carrying an inline anchor on even
+    ids — the low-density-kept path), a too-short block and a link-only
+    footer. The boilerplate filter must keep exactly the paragraphs, in
+    order. Pure map, zero shuffle. The DuckDB oracle rebuilds the expected
+    main_text string with a lateral series + string_agg — no HTML on the
+    SQL side."""
+    from nightcrawlercmd_ray.stages.maincontent import extract_main_content
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, bodies = [], []
+        for i, sc in zip(t.column("doc_id").to_pylist(),
+                         t.column("source").to_pylist()):
+            paras = []
+            for j in range(i % 3 + 1):
+                if j == 0 and i % 2 == 0:
+                    paras.append(
+                        f"<p>Document {i} opening paragraph mentions "
+                        f'<a href="/r">reference {i}</a> inline.</p>')
+                elif j == 0:
+                    paras.append(f"<p>Document {i} opening paragraph "
+                                 f"without any links at all.</p>")
+                else:
+                    paras.append(f"<p>Paragraph {j} of document {i} "
+                                 f"carries enough plain characters.</p>")
+            urls.append(f"http://{sc}.example/a/{i}")
+            bodies.append(
+                ('<html><body><nav><a href="/">Home</a> '
+                 '<a href="/a">Archive</a> <a href="/b">About</a></nav>'
+                 + "".join(paras) +
+                 '<p>tiny</p><footer><a href="/t">Terms</a> '
+                 '<a href="/p">Privacy</a></footer></body></html>').encode())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+        })
+
+    return extract_main_content(
+        ds.map_batches(to_pages, batch_format="pyarrow"))
+
+
 def q_trap_hosts_documents(sf_dir: str):
     """Crawler-trap detection (stages/traps.host_trap_signals): docs map
     onto 16 synthetic hosts — four of them 'trap' hosts whose URLs all
@@ -4617,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata_documents": q_page_metadata_documents,
         "canonical_dedup_documents": q_canonical_dedup_documents,
         "trap_hosts_documents": q_trap_hosts_documents,
+        "main_content_documents": q_main_content_documents,
         "full_outer_documents": q_full_outer_documents,
         "window_ranks_events": q_window_ranks_events,
         "retention_cohorts": q_retention_cohorts,
@@ -4972,6 +5019,30 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT doc_id, lang FROM documents WHERE doc_id % 2 <> 0) b
             ON a.doc_id = b.doc_id
+        """,
+        "main_content_documents": """
+            WITH paras AS (
+                SELECT d.doc_id, d.source, j,
+                       CASE WHEN j = 0 AND d.doc_id % 2 = 0
+                            THEN 'Document ' || d.doc_id || ' opening '
+                                 || 'paragraph mentions reference '
+                                 || d.doc_id || ' inline.'
+                            WHEN j = 0
+                            THEN 'Document ' || d.doc_id || ' opening '
+                                 || 'paragraph without any links at all.'
+                            ELSE 'Paragraph ' || j || ' of document '
+                                 || d.doc_id
+                                 || ' carries enough plain characters.'
+                       END AS ptext
+                FROM documents d, (VALUES (0), (1), (2)) AS t(j)
+                WHERE j <= d.doc_id % 3
+            )
+            SELECT 'http://' || source || '.example/a/' || doc_id AS url,
+                   string_agg(ptext, chr(10) ORDER BY j) AS main_text,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_blocks_kept,
+                   CAST(doc_id % 3 + 4 AS BIGINT) AS n_blocks_total
+            FROM paras
+            GROUP BY doc_id, source
         """,
         "trap_hosts_documents": """
             WITH p AS (
