@@ -5923,21 +5923,24 @@ def oracle_sql() -> dict[str, str]:
             hits AS (
                 SELECT w.doc_id,
                        count(*) AS n_hits,
-                       SUM(((v.r*3 + 0) * 2654435761) % 4294967296 % 201 - 100) AS s0,
-                       SUM(((v.r*3 + 1) * 2654435761) % 4294967296 % 201 - 100) AS s1,
-                       SUM(((v.r*3 + 2) * 2654435761) % 4294967296 % 201 - 100) AS s2
+                       -- CAST: DuckDB SUM over integers yields HUGEINT;
+                       -- the engine emits int64 (r3 driver hash-RED root
+                       -- cause suspect — every other oracle SUM is cast)
+                       CAST(SUM(((v.r*3 + 0) * 2654435761) % 4294967296 % 201 - 100) AS BIGINT) AS s0,
+                       CAST(SUM(((v.r*3 + 1) * 2654435761) % 4294967296 % 201 - 100) AS BIGINT) AS s1,
+                       CAST(SUM(((v.r*3 + 2) * 2654435761) % 4294967296 % 201 - 100) AS BIGINT) AS s2
                 FROM words w JOIN vocab v USING (word)
                 GROUP BY w.doc_id
             )
             SELECT d.doc_id,
                    COALESCE(h.n_hits, 0) AS n_hits,
-                   COALESCE(h.s0, 0) AS s0,
-                   COALESCE(h.s1, 0) AS s1,
-                   COALESCE(h.s2, 0) AS s2,
-                   CASE WHEN COALESCE(h.s0,0) >= COALESCE(h.s1,0)
+                   CAST(COALESCE(h.s0, 0) AS BIGINT) AS s0,
+                   CAST(COALESCE(h.s1, 0) AS BIGINT) AS s1,
+                   CAST(COALESCE(h.s2, 0) AS BIGINT) AS s2,
+                   CAST(CASE WHEN COALESCE(h.s0,0) >= COALESCE(h.s1,0)
                          AND COALESCE(h.s0,0) >= COALESCE(h.s2,0) THEN 0
                         WHEN COALESCE(h.s1,0) >= COALESCE(h.s2,0) THEN 1
-                        ELSE 2 END AS pred
+                        ELSE 2 END AS BIGINT) AS pred
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id

@@ -245,14 +245,36 @@ _CDATA_CLOSE = {
 }
 
 
-def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
+def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list, bool, bool] | None:
     """Replica of HTMLParser.parse_starttag + check_for_whole_start_tag.
 
-    Returns (endpos, tag, attrs) for a complete well-formed start tag, or
-    None for every case where stdlib does something other than emit a plain
-    handle_starttag/handle_startendtag for ``html[lt:endpos]`` (incomplete
-    tag at buffer end, EOF salvage, broken-tag-as-data) — caller bails to
-    the stdlib parser for those.
+    Returns (endpos, tag, attrs, selfclosing, ctx_free) for a complete
+    well-formed start tag, or None for every case where stdlib does
+    something other than emit a plain handle_starttag/handle_startendtag
+    for ``html[lt:endpos]`` (incomplete tag at buffer end, EOF salvage,
+    broken-tag-as-data) — caller bails to the stdlib parser for those.
+
+    ``ctx_free`` marks the parse CONTEXT-INDEPENDENT: the same result is
+    produced for the span ``html[lt:endpos]`` regardless of what follows
+    ``endpos``. The only context-sensitive construct in the tolerant
+    regexes is a quoted-value scan (``'[^']*'`` / ``"[^"]*"``) running past
+    the span's final ``>``: it engages only when a value position starts
+    with a quote, and when it FAILS (no close quote before the scan
+    boundary) the engine backtracks — shrinking ``=+`` so the accepted
+    value begins with ``=``; or emptying the value group so the next
+    "attribute name" begins at the ``=`` (names may start with ``=``; the
+    tolerant name class only excludes whitespace ``/`` ``>``); or giving
+    back the ``\\s*`` after ``=+`` so the value is the EMPTY bare string
+    and the quote is swallowed as the next attribute name starting with
+    the quote itself. Every escape leaves the failing quote in an element
+    whose first character is ``=`` or a quote: an attr NAME starting with
+    ``=`` / ``'`` / ``"`` or a raw VALUE starting with ``=`` (a raw value
+    starting with a quote is by construction a complete in-span quoted
+    literal — context-free). Parses with no such attr never consulted
+    anything past ``endpos`` and are safe to memoize by span text.
+    (Differential-tested: the ``<a href=='-->'`` / ``<a x ='y>z'w>`` /
+    ``<a href== '-->'`` families in tests/test_htmlparse.py pin all three
+    escapes.)
     """
     m = _LOCATE_START.match(html, lt)
     if m is None:
@@ -269,11 +291,14 @@ def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
     tag = tm.group(1).lower()
     k = tm.end()
     attrs: list[tuple[str, str | None]] = []
+    ctx_free = True
     while k < endpos:
         am = _ATTRFIND.match(html, k)
         if am is None:
             break
         name, rest, val = am.group(1, 2, 3)
+        if name[:1] in ("=", "'", '"') or (val is not None and val[:1] == "="):
+            ctx_free = False  # quoted-scan backtrack escape — see docstring
         if not rest:
             val = None
         elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
@@ -285,19 +310,21 @@ def _parse_starttag_fast(html: str, lt: int) -> tuple[int, str, list] | None:
     end = html[k:endpos].strip()
     if end not in (">", "/>"):
         return None  # stdlib emits the broken tag as data
-    return endpos, tag, attrs, end == "/>"
+    return endpos, tag, attrs, end == "/>", ctx_free
 
 
 # Exact-string tag-parse memo: template markup repeats heavily both within a
 # page and across a corpus (nav/footer/boilerplate), so the (tag, attrs)
 # parse of a COMPLETE tag string is cached keyed by the exact text
 # ``html[lt:gt+1]`` (first '>' after '<'). Soundness: an entry is inserted
-# ONLY when the full regex parse consumed exactly that span (endpos == gt+1),
-# and tag parsing depends only on the span's own characters — a string that
-# find('>') truncates mid-quoted-value can never have been inserted (its
-# parse ends elsewhere or bails), so a hit is always byte-exact with stdlib.
-# Cached attrs lists are shared across hits — handlers only read them.
-# Bounded; workers are single-threaded for map fns.
+# ONLY when the full regex parse consumed exactly that span (endpos == gt+1)
+# AND the parse is context-independent (``ctx_free`` from
+# _parse_starttag_fast — a quoted-value backtrack escape can make the same
+# span parse differently under different continuations, e.g.
+# ``<a href=='-->`` is a tag before ``x`` but data before ``'``; such
+# parses are never cached). A hit is therefore always byte-exact with
+# stdlib. Cached attrs lists are shared across hits — handlers only read
+# them. Bounded; workers are single-threaded for map fns.
 _TAG_CACHE: dict[str, tuple] = {}
 _TAG_CACHE_MAX = 8192
 
@@ -375,8 +402,8 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
                 st = _parse_starttag_fast(html, lt)
                 if st is None:
                     return False
-                i, tag, attrs, selfclosing = st
-                if i == gt + 1 and len(cand) <= 256:
+                i, tag, attrs, selfclosing, ctx_free = st
+                if ctx_free and i == gt + 1 and len(cand) <= 256:
                     if len(cache) >= _TAG_CACHE_MAX:
                         cache.clear()
                     action, payload = _classify_start(tag, attrs)
@@ -455,10 +482,13 @@ def _fast_parse(html: str, ex: _Extractor) -> bool:
 # append per data token — no per-tag find()/slice/regex at all on the memo-hit
 # path. Soundness of token-local classification:
 #   * a tag token is accepted ONLY when _parse_starttag_fast consumes it
-#     exactly to its final '>' — a tag whose quoted attribute value contains
-#     '>' (so the real tag extends past the token) leaves a dangling quote
-#     that locatestarttagend_tolerant cannot consume, so such truncations are
-#     rejected and the page bails to the positional tiers;
+#     exactly to its final '>' AND reports the parse context-independent
+#     (ctx_free): a tag whose quoted attribute value contains '>' (so the
+#     real tag extends past the token) either leaves a dangling quote the
+#     tolerant regex cannot consume (rejected), or is salvaged by a
+#     quoted-scan backtrack escape — detectable as an attr name/raw value
+#     starting with '=' (see _parse_starttag_fast docstring) — in which
+#     case ctx_free is False and the page bails to the positional tiers;
 #   * any '<' left inside a data token means the split tokenization disagrees
 #     with stdlib's scan (bare '<', comment/decl bodies containing markup,
 #     attr values containing '<') — detected by a C-level scan, page bails;
@@ -493,9 +523,14 @@ def _classify_token(tok: str):
     c = tok[1]
     if "a" <= c <= "z" or "A" <= c <= "Z":
         st = _parse_starttag_fast(tok, 0)
-        if st is None or st[0] != len(tok):
+        if st is None or st[0] != len(tok) or not st[4]:
+            # st[4] (ctx_free) False: the token-local parse consulted the
+            # token's END to backtrack (quoted-scan escape) — the same text
+            # parses differently in full-document context (e.g.
+            # `<a href=='-->` + `'` is data to stdlib). Bail the page to
+            # the positional tiers, which parse in full context.
             return None
-        _, tag, attrs, selfclosing = st
+        _, tag, attrs, selfclosing, _ = st
         if tag in _STATEFUL_START:
             return (5, tag, attrs, selfclosing,
                     not selfclosing and tag in _CDATA_CLOSE)

@@ -105,6 +105,19 @@ _QUIRKS = [
     "< notag>",
     "<![CDATA[raw]]>text",
     "<div><p>a<p>b</div>",
+    # quoted-scan backtrack escapes (r3 verdict: split/memo tiers parsed the
+    # truncated token as a tag where stdlib sees data — both '=+'-shrink and
+    # name-swallow escapes, in both tag-is-data and tag-is-real contexts,
+    # plus cache-pollution ordering where the data context follows the tag
+    # context for the same token text)
+    "<a href=='-->'",
+    "<a href=='-->x",
+    "<a href=='-->x<a href=='-->'",
+    "<a x ='y>z'w>",
+    "<a x ='y>x",
+    "<a x ='y>x<a x ='y>z'w>",
+    "<a href== '-->'",
+    "<a b='c' href=='-->'",
 ]
 
 
@@ -138,6 +151,7 @@ def test_fast_parse_differential_hypothesis():
         "<a href=", "x", ">", "</a>", "<div>", "</div>", "'", '"', "&amp;",
         "&", ";", " ", "\n", "<script>", "</script>", "<!--", "-->", "<!",
         "<?", "<br/>", "=", "/", "<img src=i>", "q<p", "]]>", "<![",
+        "==", "='", "<a x ='y>", "z'w>", "<a href=='-->",
     ])
 
     @settings(max_examples=300, deadline=None)
