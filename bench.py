@@ -162,11 +162,15 @@ def run_bench() -> dict:
                 print(f"wave {i}: " + " ".join(
                     f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
                     for k, v in tmg.items()), file=sys.stderr)
-        # Σ CPU-seconds measured INSIDE fetch/extract tasks: with wall and
-        # num_cpus this yields occupancy (scheduling efficiency) and, across
-        # scaling levels, per-task CPU inflation (hardware contention) — the
-        # engine-internal decomposition of any scaling-ratio shortfall
-        task_cpu = sum(w.get("t_task_sum", 0.0) for w in r.wave_timings)
+        # Two in-task sums (ADVICE r3: t_total is WALL time inside the task,
+        # so calling it CPU conflated I/O wait with contention):
+        # - task_wall (Σ t_total, perf_counter): slot-seconds — with wall ×
+        #   num_cpus this is SLOT occupancy, i.e. scheduling efficiency;
+        # - task_cpu (Σ t_cpu, process_time): true CPU-seconds — across
+        #   scaling levels its ratio is per-task CPU inflation (memory-bus
+        #   contention), now clean of in-task blocking.
+        task_wall = sum(w.get("t_task_sum", 0.0) for w in r.wave_timings)
+        task_cpu = sum(w.get("t_cpu_sum", 0.0) for w in r.wave_timings)
         # consume the outputs where they live (no driver materialization)
         links = sum(ray.get([_nrows.remote(ref) for ref in r.links_refs]))
         sec = time.time() - t0
@@ -177,7 +181,7 @@ def run_bench() -> dict:
         # memory-hungry queries below (measured 6× on crawl_pagerank)
         for s in r.shards:
             ray.kill(s)
-        return sec, pages, links, waves, task_cpu
+        return sec, pages, links, waves, task_wall, task_cpu
 
     # best-of-K crawl trials (default 2): the metric is declared steady-state
     # and this shared host's noise strikes in multi-second episodes — a single
@@ -185,16 +189,16 @@ def run_bench() -> dict:
     # code). Each trial is a FULL fresh crawl (new shard actors, new seen
     # set); only the corpus/page-cache warmth carries over, as declared.
     trials = max(1, int(os.environ.get("GRAFT_CRAWL_TRIALS", "2")))
-    crawl_sec, crawl_pages, n_links, n_waves, task_cpu = one_crawl(run)
+    crawl_sec, crawl_pages, n_links, n_waves, task_wall, task_cpu = one_crawl(run)
     for _ in range(trials - 1):
         run = CrawlRun(store, params, num_shards=16, emit_text=emit_text)
         run.install_robots(rules)
         run.seed()
         run.stats()
-        sec, pages, links, waves, tcpu = one_crawl(run)
+        sec, pages, links, waves, twall, tcpu = one_crawl(run)
         if sec < crawl_sec:
-            crawl_sec, crawl_pages, n_links, n_waves, task_cpu = (
-                sec, pages, links, waves, tcpu)
+            crawl_sec, crawl_pages, n_links, n_waves, task_wall, task_cpu = (
+                sec, pages, links, waves, twall, tcpu)
     queries["crawl_bfs"] = round(crawl_sec, 3)
     del run
 
@@ -313,8 +317,12 @@ def run_bench() -> dict:
         "crawl_links": n_links,
         "urls_per_sec": round(crawl_pages / crawl_sec, 1),
         "waves": n_waves,
+        "task_wall_sec": round(task_wall, 3),
         "task_cpu_sec": round(task_cpu, 3),
-        "occupancy": round(task_cpu / (crawl_sec * NUM_CPUS), 3),
+        # slot occupancy: fraction of CPU slots running a fetch/extract task
+        "occupancy": round(task_wall / (crawl_sec * NUM_CPUS), 3),
+        # CPU occupancy: fraction of machine cycles in useful task compute
+        "cpu_occupancy": round(task_cpu / (crawl_sec * NUM_CPUS), 3),
     }
     ray.shutdown()
     return out
@@ -379,12 +387,12 @@ def run_scaling() -> dict:
     crawl_speedup = r_lo["value"] / r_hi["value"]
     ext_speedup = r_lo["queries"]["extract_text"] / r_hi["queries"]["extract_text"]
     eff = crawl_speedup / factor
-    # engine-internal decomposition of the ratio (from in-task CPU counters):
-    #   raw_eff = occupancy_hi/occupancy_lo ÷ cpu_inflation
-    # occupancy = scheduling efficiency (the engine's responsibility);
-    # cpu_inflation = Σtask-CPU_hi / Σtask-CPU_lo — the same work costing
-    # more CPU at higher core occupancy is memory-bus contention, a
-    # single-box artifact separate cluster nodes don't share.
+    # engine-internal decomposition of the ratio (from in-task counters):
+    # slot occupancy (Σ in-task WALL / wall×cpus) = scheduling efficiency,
+    # the engine's responsibility; cpu_inflation = Σ in-task CPU-seconds
+    # (process_time, clean of in-task blocking) hi/lo — the same work
+    # costing more CPU at higher core occupancy is memory-bus contention,
+    # a single-box artifact separate cluster nodes don't share.
     occ_lo = r_lo.get("occupancy")
     occ_hi = r_hi.get("occupancy")
     infl = (round(r_hi["task_cpu_sec"] / r_lo["task_cpu_sec"], 3)
@@ -397,6 +405,8 @@ def run_scaling() -> dict:
         "compute_ceiling_efficiency": round(ext_speedup / factor, 3),
         "occupancy_lo": occ_lo,
         "occupancy_hi": occ_hi,
+        "cpu_occupancy_lo": r_lo.get("cpu_occupancy"),
+        "cpu_occupancy_hi": r_hi.get("cpu_occupancy"),
         "task_cpu_inflation": infl,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],

@@ -498,7 +498,8 @@ def plan_wave(
     max_pages: int,
     num_buckets: int,
     cpus: int,
-    *emitted: pa.Table,
+    n_seal: int,
+    *refs,
 ):
     """Merge + order + split one wave — OFF the driver (the emitted shard
     tables flow actor→task through the object store; the driver only ever
@@ -512,10 +513,20 @@ def plan_wave(
     decodes only its own hit row groups via the sidecar index, so the only
     duplicated work is one boundary row group per cut). Returns
     (plan, wave_table) via num_returns=2.
+
+    ``refs``: the first ``n_seal`` entries are the previous wave's
+    ``seal_wave`` result dicts, the rest are this wave's per-shard emit
+    tables. Folding the seal results in here lets the driver fire
+    seal→emit→plan as ONE chained round (per-actor mailbox ordering makes
+    emit run after seal) with a single ``ray.get`` instead of a separate
+    seal gather — the post-seal frontier total rides back in the plan.
     """
+    seal_sizes, emitted = refs[:n_seal], refs[n_seal:]
+    frontier = sum(s["frontier"] for s in seal_sizes) if n_seal else None
     nonempty = [t for t in emitted if t.num_rows]
     if not nonempty:
-        return {"n": 0, "truncated": False, "groups": []}, None
+        return {"n": 0, "truncated": False, "groups": [],
+                "frontier": frontier}, None
     wave_t = pa.concat_tables(nonempty).sort_by(
         [("tick", "ascending"), ("host_hash", "ascending"), ("host", "ascending")]
     )
@@ -523,7 +534,8 @@ def plan_wave(
     if max_pages >= 0:
         remaining = max_pages - fetched_total
         if remaining <= 0:
-            return {"n": 0, "truncated": True, "groups": []}, None
+            return {"n": 0, "truncated": True, "groups": [],
+                    "frontier": frontier}, None
         if wave_t.num_rows > remaining:
             # oracle's done=True path (crawl_oracle.py:134-140): the truncated
             # wave is fetched but its discoveries are NOT enqueued
@@ -554,14 +566,30 @@ def plan_wave(
     # cost more than the tail it saved: 10.2 s → 9.3 s at 32 CPUs, sf0.1).
     floor_tasks = min(cpus, (n + 15) // 16)  # fill the machine if possible
     target_tasks = max(1, floor_tasks, min(3 * cpus, n // 128))
-    edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
+    if target_tasks == 3 * cpus:
+        # big-wave regime: linear 3:1 size taper at the SAME task count
+        # (guided scheduling) — chunks shrink from 1.5× to 0.5× the mean so
+        # the end-of-wave straggler is bounded by a HALF chunk's parse time
+        # while the per-task fixed cost (dispatch, bucket-index, sidecar
+        # scan) is unchanged. The old equal split left a full-chunk tail
+        # (t_task_max ≈ 1.5-2× mean measured at 32 CPUs, occupancy 0.51);
+        # a 70/30 two-tier split with MORE tasks was tried in r3 and lost
+        # to the added fixed cost — tapering at equal count keeps both.
+        w = np.linspace(1.5, 0.5, target_tasks)
+        edges = np.concatenate(
+            ([0.0], np.cumsum(w / w.sum()))) * n
+        edges = edges.astype(np.int64)
+        edges[-1] = n
+    else:
+        edges = np.linspace(0, n, target_tasks + 1).astype(np.int64)
     groups = []
     for i in range(len(edges) - 1):
         s, e = int(edges[i]), int(edges[i + 1])
         if s == e:
             continue
         groups.append((s, e - s, [int(b) for b in np.unique(bsorted[s:e])]))
-    return {"n": n, "truncated": truncated, "groups": groups}, wave_t
+    return {"n": n, "truncated": truncated, "groups": groups,
+            "frontier": frontier}, wave_t
 
 
 @ray.remote
@@ -592,6 +620,7 @@ def fetch_extract_bucket(
     import time as _time
 
     _tstart = _time.perf_counter()
+    _cstart = _time.process_time()  # CPU-seconds, excludes I/O wait/blocking
     params: CrawlParams = params_ref
     shard_handles = shards_ref
     if row_range is not None:  # whole-wave table shipped once: zero-copy slice
@@ -717,7 +746,8 @@ def fetch_extract_bucket(
     links_t = pa.table({n: pa.array(l_cols[n], LINKS_SCHEMA.field(n).type) for n in l_cols},
                        schema=LINKS_SCHEMA)
     counters.update(t_read=_t_read, t_parse=_t_parse,
-                    t_total=_time.perf_counter() - _tstart, n_rows=len(urls))
+                    t_total=_time.perf_counter() - _tstart,
+                    t_cpu=_time.process_time() - _cstart, n_rows=len(urls))
 
     acks = []
     if cand_cols["url"]:
@@ -742,6 +772,12 @@ def fetch_extract_bucket(
     # releases its CPU slot and makes the raylet spawn extra worker processes
     # (each paying package-import cost) — the driver awaits them instead
     return fetch_t, links_t, (counters, acks)
+
+
+# pre-bound .options() handles: options() builds a fresh wrapper per call,
+# which at ~100 tasks/wave × many waves is measurable driver-side overhead
+_PLAN2 = plan_wave.options(num_returns=2)
+_FETCH3 = fetch_extract_bucket.options(num_returns=3)
 
 
 @ray.remote
@@ -911,12 +947,22 @@ class CrawlRun:
         """End-of-wave state commit. url mode: dedup phase (uniform across
         shards) → survivor forwards land → lane append. host mode: one seal.
         Returns the post-seal frontier total (seal already reports it — no
-        separate poll round trip needed)."""
+        separate poll round trip needed). Synchronous form — used at seed /
+        resume time; ``run_wave`` uses the async form below."""
+        sizes = ray.get(self._seal_async())
+        return sum(s["frontier"] for s in sizes)
+
+    def _seal_async(self) -> list:
+        """Fire the seal WITHOUT gathering it: the flush/forward phase (url
+        mode) still needs its two acks (survivors must land on their lane
+        shards before seal), but the seal_wave results are returned as refs
+        for the NEXT wave's plan_wave to fold in — per-actor mailbox
+        ordering guarantees the next emit_wave runs after seal_wave, so the
+        driver saves one gather round per wave."""
         if self.dedup_sharding == "url":
             ack_lists = ray.get([s.flush_dedup.remote() for s in self.shards])
             ray.get([a for al in ack_lists for a in al])
-        sizes = ray.get([s.seal_wave.remote() for s in self.shards])
-        return sum(s["frontier"] for s in sizes)
+        return [s.seal_wave.remote() for s in self.shards]
 
     # -- one wave -----------------------------------------------------------
     def run_wave(self) -> int:
@@ -936,19 +982,24 @@ class CrawlRun:
         # tasks (zero driver materialization at any wave size).
         emit_refs = [s.emit_wave.remote() for s in self.shards]
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        plan_ref, wave_ref = plan_wave.options(num_returns=2).remote(
+        seal_refs = getattr(self, "_pending_seal", [])
+        self._pending_seal = []
+        plan_ref, wave_ref = _PLAN2.remote(
             self.fetched_total, self.wave, self.params.max_pages,
-            self.num_buckets, cpus, *emit_refs,
+            self.num_buckets, cpus, len(seal_refs), *seal_refs, *emit_refs,
         )
         plan = ray.get(plan_ref)
+        if plan["frontier"] is not None:
+            self._frontier_size = plan["frontier"]
         tm["plan"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         n = plan["n"]
         if n == 0:
             return 0
         truncated = plan["truncated"]
+        _tsub = _time.perf_counter()
         results = [
-            fetch_extract_bucket.options(num_returns=3).remote(
+            _FETCH3.remote(
                 self.store_dir, (start, length), bks, wave_ref,
                 self._params_ref, self.scope_host, self.num_shards,
                 self._shards_ref,
@@ -961,6 +1012,7 @@ class CrawlRun:
             )
             for start, length, bks in plan["groups"]
         ]
+        tm["submit"] = round(_time.perf_counter() - _tsub, 3)
         # round 1: task completions (counters + candidate-push ack refs);
         # round 2: the acks themselves — all candidates buffered at shards
         tails = ray.get([r[2] for r in results])
@@ -971,8 +1023,11 @@ class CrawlRun:
         tm["t_parse"] = round(sum(c.get("t_parse", 0) for c in task_counters), 3)
         tm["t_task_max"] = round(max(c.get("t_total", 0) for c in task_counters), 3)
         tm["t_task_sum"] = round(sum(c.get("t_total", 0) for c in task_counters), 3)
+        tm["t_cpu_sum"] = round(sum(c.get("t_cpu", 0) for c in task_counters), 3)
         _t0 = _time.perf_counter()
-        self._frontier_size = self._seal_barrier()
+        # flush/forward acks gathered here; seal itself rides un-gathered
+        # into the next wave's plan (one fewer driver round per wave)
+        self._pending_seal = self._seal_async()
         tm["seal"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         wave_fetch_refs = [r[0] for r in results]
@@ -996,11 +1051,13 @@ class CrawlRun:
         return n
 
     def run(self, max_waves: int = 100_000) -> "CrawlRun":
-        # the seal barrier reports the post-wave frontier size, so only the
-        # FIRST iteration (post-seed / post-resume) needs an explicit poll
+        # the plan (which folds the async seal results) reports the
+        # post-wave frontier size, so only the FIRST iteration (post-seed /
+        # post-resume) needs an explicit poll
         frontier = getattr(self, "_frontier_size", None)
         if frontier is None:
             frontier = sum(ray.get([s.frontier_size.remote() for s in self.shards]))
+            self._frontier_size = frontier  # plan may report None on wave 1
         for _ in range(max_waves):
             if self.params.max_pages >= 0 and self.fetched_total >= self.params.max_pages:
                 break

@@ -482,48 +482,73 @@ def simhash_duplicates(
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------- #
 def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                        *, k: int = 5, num_partitions: int | None = None):
+                        *, k: int = 5, num_partitions: int | None = None,
+                        broadcast_limit: int = 2_000_000):
     """Exact word-k-shingle Jaccard for candidate (doc_id, dup_of) pairs.
     → Dataset(doc_id, dup_of, jaccard).
 
-    Distributed shape: only the pair ID SET is collected (O(candidate pairs),
-    the LSH output — small relative to the corpus) and broadcast once to
-    semi-join-filter the corpus; the surviving texts then flow through two
-    coarse-partitioned ``groupby().map_groups`` keyed shuffles — (1) attach
-    each id's text to its pair-side rows via an in-partition vectorized
-    pandas merge, (2) co-locate both sides of each pair and score. Full
-    texts never land on the driver, per-partition memory is bounded by the
-    coarse partition count (∝ pair count), and no per-key Python dispatch
-    happens (partitions hold ~2000 pairs each).
+    Distributed shape: the corpus is first narrowed to the ids that appear
+    in any pair — via a broadcast ID set when the pair count is ≤
+    ``broadcast_limit``, else via a fully distributed semi ``hash_join``
+    (r3 verdict #4: LSH candidate volume on a high-duplication crawl corpus
+    is O(corpus), so the driver must never be required to hold the pair
+    set; the threshold mirrors ``anti_join_ids``). The surviving texts then
+    flow through two coarse-partitioned ``groupby().map_groups`` keyed
+    shuffles — (1) attach each id's text to its pair-side rows via an
+    in-partition vectorized pandas merge, (2) co-locate both sides of each
+    pair and score. Full texts never land on the driver, per-partition
+    memory is bounded by the coarse partition count (∝ pair count), and no
+    per-key Python dispatch happens (partitions hold ~2000 pairs each).
     """
-    # pair ids: small by construction (dup candidates) — broadcast the set
-    pair_rows = pairs.select_columns(["doc_id", "dup_of"]).take_all()
-    if not pair_rows:
+    # materialize the candidate chain ONCE (it may be the expensive end of
+    # four shuffles) — every consumer below reuses the blocks
+    pairs = pairs.select_columns(["doc_id", "dup_of"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "dup_of": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
         }))
-    n_pairs = len(pair_rows)
-    want_ids = pa.array(
-        list({r["doc_id"] for r in pair_rows} | {r["dup_of"] for r in pair_rows}),
-        pa.int64(),
-    )
-    want_ref = ray.put(want_ids)
-    # the candidate chain was just executed by take_all — rebuild the pairs
-    # dataset from the collected rows so the (possibly expensive: the exact
-    # similarity join runs FOUR shuffles to produce it) lazy chain is not
-    # re-executed when `pairs` is consumed again below
-    pairs = ray.data.from_arrow(pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in pair_rows], pa.int64()),
-        "dup_of": pa.array([r["dup_of"] for r in pair_rows], pa.int64()),
-    }))
+    if n_pairs <= broadcast_limit:
+        pair_rows = pairs.take_all()
+        want_ids = pa.array(
+            list({r["doc_id"] for r in pair_rows}
+                 | {r["dup_of"] for r in pair_rows}),
+            pa.int64(),
+        )
+        n_want = len(want_ids)
+        want_ref = ray.put(want_ids)
+        text_src = ds
+    else:
+        # distributed id narrowing: distinct pair endpoints → semi-join
+        def endpoint_rows(t: pa.Table) -> pa.Table:
+            d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u = pc.cast(t.column("dup_of"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({id_col: pa.array(
+                np.unique(np.concatenate([d, u])), pa.int64())})
+
+        from .joins import hash_join
+
+        want_ds = (
+            pairs.map_batches(endpoint_rows, batch_format="pyarrow")
+            .groupby(id_col).count().select_columns([id_col])
+            .materialize()
+        )
+        n_want = want_ds.count()
+        want_ref = None
+        text_src = hash_join(
+            ds, want_ds, on=id_col, how="semi",
+            num_partitions=num_partitions,
+        ).materialize()
     # coarse partitions sized by BOTH pair count and distinct-text count: a
     # small pair set over many distinct docs (the incremental-dedup shape —
     # most new docs pair with exactly one old doc) otherwise lands the whole
     # corpus text in one or two partitions
     P = int(max(1, min(1 << 18,
-                       max(n_pairs // 2000, len(want_ids) // 500) + 1)))
+                       max(n_pairs // 2000, n_want // 500) + 1)))
 
     UNION_FIELDS = {
         "_key": pa.int64(), "_side": pa.int8(),
@@ -544,11 +569,11 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
         })
 
     def text_rows(t: pa.Table, want) -> pa.Table:
-        if isinstance(want, ray.ObjectRef):  # broadcast once; local-store read
-            want = ray.get(want)
-        ids = pc.cast(t.column(id_col), pa.int64())
-        mask = pc.is_in(ids, value_set=want)
-        t = t.filter(mask)
+        if want is not None:  # broadcast-filter mode; semi-join mode pre-filtered
+            if isinstance(want, ray.ObjectRef):  # broadcast once per worker
+                want = ray.get(want)
+            ids = pc.cast(t.column(id_col), pa.int64())
+            t = t.filter(pc.is_in(ids, value_set=want))
         ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks()
         n = t.num_rows
         return pa.table({
@@ -563,8 +588,8 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
 
     union_schema = pa.schema(UNION_FIELDS)
     stream = pairs.map_batches(side_rows, batch_format="pyarrow").union(
-        ds.map_batches(functools.partial(text_rows, want=want_ref),
-                       batch_format="pyarrow")
+        text_src.map_batches(functools.partial(text_rows, want=want_ref),
+                             batch_format="pyarrow")
     )
 
     def add_coarse1(t: pa.Table) -> pa.Table:

@@ -847,6 +847,9 @@ def bigram_fluency(
     scale: int = 1_000_000,
     backoff_num: int = 2,
     backoff_den: int = 5,
+    min_count: int = 1,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
 ):
     """Average next-word probability under a corpus-trained bigram model
     with stupid-backoff to unigrams (Brants et al. 2007 shape) — the cheap
@@ -866,11 +869,19 @@ def bigram_fluency(
     full corpus makes both backoff branches fire.
 
     Scale shape: both count passes are per-batch Counter combiners → ONE
-    ``groupby.sum`` each (exchanges carry distinct n-grams only); the count
-    tables are vocabulary-sized and broadcast once (``ray.put``) to a pure
-    scoring map — the tfidf keyed-join fallback applies if a corpus's
-    bigram table ever outgrows a broadcast. → Dataset(doc_id, n_pairs,
-    fluency_sum, avg_fluency), all int64.
+    ``groupby.sum`` each (exchanges carry distinct n-grams only). The
+    UNIGRAM table is vocabulary-sized and always broadcast (``ray.put``).
+    The BIGRAM table is ``min_count``-pruned (a spec'd knob — pruned
+    bigrams fall to the unigram backoff branch, exactly as an unseen
+    bigram would; default 1 = no pruning, which is what the SQL oracle
+    pins) and then EITHER broadcast when ≤ ``broadcast_limit`` distinct
+    bigrams survive (the fast path) OR, past the limit, joined to the
+    scored docs' pair stream by a coarse (w1, w2)-keyed shuffle — exchange
+    volume O(total pairs), never a driver-side or broadcast copy of an
+    unbounded bigram table (r3 verdict #3: the fallback used to be
+    documented but unimplemented). Both paths are bit-identical (pinned in
+    tests/test_textops_fluency.py with the join path forced).
+    → Dataset(doc_id, n_pairs, fluency_sum, avg_fluency), all int64.
     """
     import re
     from collections import Counter
@@ -898,41 +909,148 @@ def bigram_fluency(
     )
     ug = {r["w"]: r["sum(n)"] for r in ug_rows}
     n_total = ug.pop("", 0)
-    bg_rows = bigram_counts(train_ds, text_col=text_col).take_all()
-    bg = {(r["w1"], r["w2"]): r["n"] for r in bg_rows}
-    ug_ref, bg_ref = ray.put(ug), ray.put(bg)
+    ug_ref = ray.put(ug)
     backoff_scale = scale * backoff_num // backoff_den
 
-    def score(t: pa.Table) -> pa.Table:
-        ug_d = ray.get(ug_ref)  # broadcast once; local-store read
-        bg_d = ray.get(bg_ref)
-        ids, nps, sums, avgs = [], [], [], []
+    bg_ds = bigram_counts(train_ds, text_col=text_col)
+    if min_count > 1:
+        bg_ds = bg_ds.filter(
+            expr=f"n >= {int(min_count)}")
+    bg_ds = bg_ds.materialize()
+    n_bg = bg_ds.count()
+
+    if n_bg <= broadcast_limit:
+        bg = {(r["w1"], r["w2"]): r["n"] for r in bg_ds.take_all()}
+        bg_ref = ray.put(bg)
+
+        def score(t: pa.Table) -> pa.Table:
+            ug_d = ray.get(ug_ref)  # broadcast once; local-store read
+            bg_d = ray.get(bg_ref)
+            ids, nps, sums, avgs = [], [], [], []
+            for did, text in zip(
+                pc.cast(t.column(id_col), pa.int64()).to_pylist(),
+                t.column(text_col).to_pylist(),
+            ):
+                toks = word_re.findall((text or "").lower())
+                if len(toks) < 2:
+                    continue
+                s_sum = 0
+                for x, y in zip(toks, toks[1:]):
+                    cxy = bg_d.get((x, y))
+                    if cxy is not None:
+                        s_sum += (scale * cxy) // ug_d[x]
+                    else:
+                        cy = ug_d.get(y)
+                        if cy is not None:
+                            s_sum += (backoff_scale * cy) // n_total
+                n_pairs = len(toks) - 1
+                ids.append(did)
+                nps.append(n_pairs)
+                sums.append(s_sum)
+                avgs.append(s_sum // n_pairs)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_pairs": pa.array(nps, pa.int64()),
+                "fluency_sum": pa.array(sums, pa.int64()),
+                "avg_fluency": pa.array(avgs, pa.int64()),
+            })
+
+        return score_ds.map_batches(score, batch_format="pyarrow")
+
+    # keyed-join fallback: the pruned bigram table outgrew a broadcast.
+    # Tag both streams, coarse-shuffle on hash(w1,w2) % P, resolve each
+    # pair's c_xy inside its partition, partial-aggregate per doc there,
+    # then ONE small (doc_id)-keyed sum. Unigrams stay broadcast (vocab ≪
+    # bigrams); per-pair scores need only c_xy from the shuffled side.
+    from ray.data.aggregate import Sum
+
+    from .fuzzyjoin import _string_hash
+
+    P = max(num_partitions or 0, 64)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s = [], [], []
         for did, text in zip(
             pc.cast(t.column(id_col), pa.int64()).to_pylist(),
             t.column(text_col).to_pylist(),
         ):
             toks = word_re.findall((text or "").lower())
-            if len(toks) < 2:
-                continue
-            s_sum = 0
             for x, y in zip(toks, toks[1:]):
-                cxy = bg_d.get((x, y))
-                if cxy is not None:
-                    s_sum += (scale * cxy) // ug_d[x]
-                else:
-                    cy = ug_d.get(y)
-                    if cy is not None:
-                        s_sum += (backoff_scale * cy) // n_total
-            n_pairs = len(toks) - 1
-            ids.append(did)
-            nps.append(n_pairs)
-            sums.append(s_sum)
-            avgs.append(s_sum // n_pairs)
+                ids.append(did)
+                w1s.append(x)
+                w2s.append(y)
         return pa.table({
+            "w1": pa.array(w1s, pa.string()),
+            "w2": pa.array(w2s, pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
-            "n_pairs": pa.array(nps, pa.int64()),
-            "fluency_sum": pa.array(sums, pa.int64()),
-            "avg_fluency": pa.array(avgs, pa.int64()),
+            "n": pa.nulls(len(ids), pa.int64()),
         })
 
-    return score_ds.map_batches(score, batch_format="pyarrow")
+    def tag_counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w1": t.column("w1"),
+            "w2": t.column("w2"),
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "n": t.column("n"),
+        })
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        h = _string_hash(t.column("w1")) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= _string_hash(t.column("w2"))
+        return t.append_column(
+            "_coarse", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        ug_d = ray.get(ug_ref)
+        is_count = pc.is_valid(g.column("n"))
+        cnt = g.filter(is_count)
+        bg_d = dict(zip(
+            zip(cnt.column("w1").to_pylist(), cnt.column("w2").to_pylist()),
+            cnt.column("n").to_pylist()))
+        pairs = g.filter(pc.invert(is_count))
+        sums: Counter = Counter()
+        nps: Counter = Counter()
+        for did, x, y in zip(
+            pairs.column("doc_id").to_pylist(),
+            pairs.column("w1").to_pylist(),
+            pairs.column("w2").to_pylist(),
+        ):
+            nps[did] += 1
+            cxy = bg_d.get((x, y))
+            if cxy is not None:
+                sums[did] += (scale * cxy) // ug_d[x]
+            else:
+                cy = ug_d.get(y)
+                if cy is not None:
+                    sums[did] += (backoff_scale * cy) // n_total
+        ids = sorted(nps)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pairs": pa.array([nps[i] for i in ids], pa.int64()),
+            "fluency_sum": pa.array([sums[i] for i in ids], pa.int64()),
+        })
+
+    partials = (
+        score_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .union(bg_ds.map_batches(tag_counts, batch_format="pyarrow"))
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(resolve_partition, batch_format="pyarrow")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        np_ = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        s = t.column("fluency_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_pairs": pa.array(np_, pa.int64()),
+            "fluency_sum": pa.array(s, pa.int64()),
+            "avg_fluency": pa.array(s // np_, pa.int64()),
+        })
+
+    return (
+        partials.groupby("doc_id")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("fluency_sum", alias_name="fluency_sum"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -136,6 +136,36 @@ class CuckooFilter:
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return h ^ (h >> np.uint64(31))
 
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership, NO insertion: bool[n], no false negatives.
+
+        Membership is MONOTONE in this filter: fingerprints only ever move
+        between their two legal buckets during eviction chains, and a
+        homeless victim lands in the exact ``overflow`` set rather than
+        being dropped — so once ``contains`` is True it stays True under
+        any later inserts. That monotonicity is what makes a conservative
+        pre-wave dedup prefilter sound (state/frontier.py
+        ``add_candidates``): anything True here is guaranteed still-dup at
+        the canonical-order seal pass."""
+        h = np.ascontiguousarray(np.asarray(hashes, dtype=np.uint64))
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        m = self._mix_vec(h)
+        fp = ((m >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask = self.num_buckets - 1
+        i1 = (m & np.uint64(mask)).astype(np.int64)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1E995)) & mask
+        present = (self.table[i1] == fp[:, None]).any(axis=1)
+        need = np.nonzero(~present)[0]
+        present[need] |= (self.table[i2[need]] == fp[need, None]).any(axis=1)
+        if self.overflow:
+            for j in np.nonzero(~present)[0]:
+                if (min(int(i1[j]), int(i2[j])), int(fp[j])) in self.overflow:
+                    present[j] = True
+        return present
+
     def add_batch(self, hashes: np.ndarray) -> np.ndarray:
         """Vector form: bool mask of newly-added items, in input order —
         EXACTLY the per-item ``add_if_new`` sequence's result (duplicates and
@@ -307,6 +337,12 @@ class ExactSeenFilter:
 
     def contains(self, h: int) -> bool:
         return h in self.items
+
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for j, h in enumerate(hashes):
+            out[j] = int(h) in self.items
+        return out
 
     def add_if_new(self, h: int) -> bool:
         if h in self.items:

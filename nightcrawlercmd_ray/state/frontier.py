@@ -124,10 +124,40 @@ class FrontierShard:
         tasks during the current wave. Columns: url (canonical), host,
         src_seq:int64, link_pos:int32, depth:int32. Nothing is enqueued until
         ``seal_wave`` — the wave barrier — so upstream parallelism cannot
-        influence dedup or lane order."""
-        if batch.num_rows:
-            self._pending.append(batch)
-        return batch.num_rows
+        influence dedup or lane order.
+
+        Arrival-time conservative prefilter (r3 verdict: overlap seal work
+        with wave stragglers): candidates already in the PRE-WAVE seen set
+        are dropped here, while fetch tasks are still running, instead of at
+        the barrier. Sound because every seen filter's membership is
+        MONOTONE (see ``CuckooFilter.contains_batch``): contains=True now ⟹
+        contains=True at the canonical-order seal pass, so the exact same
+        instances would be dropped there, in any arrival order — survivors,
+        counters and the seen set are bit-identical. On crawl corpora most
+        candidates are dups (≈70-90% measured), so most of the barrier's
+        dedup cost moves into the fetch window. Applied only when robots are
+        pre-gated upstream (distributed mode): with the gate in the seal, a
+        robots-blocked candidate must count as robots_blocked, not
+        dup_dropped, and that attribution needs the canonical pass."""
+        n = batch.num_rows
+        if not n:
+            return 0
+        if (
+            "url_hash" in batch.column_names
+            and not (self.cfg.respect_robots and self.cfg.robots_gate_in_seal)
+            and hasattr(self.seen, "contains_batch")
+        ):
+            pre = self.seen.contains_batch(
+                batch.column("url_hash").to_numpy(zero_copy_only=False))
+            n_dup = int(pre.sum())
+            if n_dup:
+                self.counters["candidates_in"] += n_dup
+                self.counters["dup_dropped"] += n_dup
+                if n_dup == n:
+                    return n
+                batch = batch.take(pa.array(np.nonzero(~pre)[0]))
+        self._pending.append(batch)
+        return n
 
     @staticmethod
     def _drain_sorted(buf: list[pa.Table]) -> pa.Table | None:

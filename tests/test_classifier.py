@@ -225,3 +225,42 @@ def test_bigram_fluency_vs_serial(nparts):
     # an unseen bigram whose second word IS a train unigram
     d1 = "the quick brown dog sleeps".split()
     assert any((x, y) not in bg and y in ug for x, y in zip(d1, d1[1:]))
+
+    # keyed-join fallback (broadcast_limit=0 forces it): bit-identical to
+    # the broadcast path — r3 verdict #3, the fallback must be real code
+    from nightcrawlercmd_ray.stages.textops import bigram_fluency as bf
+
+    out_join = bf(
+        ray.data.from_arrow(train_t).repartition(nparts),
+        ray.data.from_arrow(t).repartition(nparts),
+        broadcast_limit=0,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out_join)
+
+    # min_count pruning: every pruned bigram falls to the unigram backoff,
+    # identically on both paths
+    pruned_b = bf(
+        ray.data.from_arrow(train_t), ray.data.from_arrow(t), min_count=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pruned_j = bf(
+        ray.data.from_arrow(train_t), ray.data.from_arrow(t), min_count=2,
+        broadcast_limit=0,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pruned_b, pruned_j)
+    exp2 = {}
+    bg2 = {k: v for k, v in bg.items() if v >= 2}
+    for i, d in zip(ids, docs):
+        toks = word_re.findall(d.lower())
+        if len(toks) < 2:
+            continue
+        s = 0
+        for x, y in zip(toks, toks[1:]):
+            if (x, y) in bg2:
+                s += (1_000_000 * bg2[(x, y)]) // ug[x]
+            elif y in ug:
+                s += (400_000 * ug[y]) // n_total
+        exp2[i] = (len(toks) - 1, s, s // (len(toks) - 1))
+    got2 = {r.doc_id: (r.n_pairs, r.fluency_sum, r.avg_fluency)
+            for r in pruned_b.itertuples()}
+    assert got2 == exp2
+    assert bg2 and len(bg2) < len(bg)  # pruning actually removed bigrams

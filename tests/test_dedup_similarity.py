@@ -92,6 +92,27 @@ def test_ngram_jaccard_verification():
     assert row["dup_of"] == 1 and row["jaccard"] == 1.0
 
 
+def test_ngram_jaccard_distributed_path_forced():
+    """broadcast_limit=0 forces the semi-hash-join id-narrowing path (r3
+    verdict: pair volume is O(corpus) on a high-dup crawl, so the driver
+    must not be required to hold the pair set) — results identical to the
+    broadcast path on a corpus with planted exact dups, partial near-dups
+    and unpaired docs."""
+    rows = [(i, BASE) for i in range(1, 6)]                 # 5-way exact dup
+    rows += [(10, BASE.replace("dog", "cat"))]              # near dup
+    rows += [(20, "completely different words here"), (21, "another loner")]
+    ds = _docs_ds(rows)
+    pairs = minhash_lsh_duplicates(ds, threshold=0.5)
+    a = (ngram_jaccard_pairs(ds, pairs).to_pandas()
+         .sort_values(["doc_id", "dup_of"]).reset_index(drop=True))
+    b = (ngram_jaccard_pairs(ds, pairs, broadcast_limit=0).to_pandas()
+         .sort_values(["doc_id", "dup_of"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 4 and (a[a["doc_id"] <= 5]["jaccard"] == 1.0).all()
+
+
 def test_embedding_duplicates_and_knn():
     rng = np.random.RandomState(0)
     base = rng.randn(8).astype(np.float32)
