@@ -3674,14 +3674,33 @@ def q_packed_chunks_documents(sf_dir: str):
 
 
 def q_pack_greedy_documents(sf_dir: str):
-    """No-split first-fit packing (stages/curation.pack_greedy_bins) — the
-    fine-tuning packing discipline. Greedy recurrence is not
-    window-expressible, so rows-only here; exact conformance vs a serial
-    oracle is pinned in tests/test_curation.py."""
+    """No-split next-fit packing (stages/curation.pack_greedy_bins) — the
+    fine-tuning packing discipline. The greedy recurrence is not
+    window-expressible but IS a recursive-CTE walk (one level per doc rank
+    within its ≤100-doc part), so it gets a full DuckDB value oracle
+    (r2 driver sample returned no_oracle here — r3 verdict #8)."""
     from nightcrawlercmd_ray.stages.curation import pack_greedy_bins
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return pack_greedy_bins(ds, budget=512, part_span=100)
+    return pack_greedy_bins(ds, budget=512, part_span=100).sort("doc_id")
+
+
+def q_packed_chunk_stats_documents(sf_dir: str):
+    """SQL-checkable projection of the MATERIALIZED packed sequences
+    (stages/curation.packed_chunks): per fixed-512-token chunk its (part,
+    chunk, n_pad, n_docs) — everything except the hash-valued token ids,
+    which stay rows-only in ``packed_chunks_documents``. Because the
+    projection is computed FROM the real chunk rows, a layout bug in the
+    packer (wrong chunk count, pad leaking off the final chunk, doc-span
+    bookkeeping) breaks the hash — r3 verdict #8's no_oracle close-out."""
+    from nightcrawlercmd_ray.stages.curation import packed_chunks
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        packed_chunks(ds, budget=512, part_span=100)
+        .select_columns(["part", "chunk", "n_pad", "n_docs"])
+        .sort(["part", "chunk"])
+    )
 
 
 def q_bpe_merges_documents(sf_dir: str):
@@ -4554,6 +4573,153 @@ def q_retention_cohorts(sf_dir: str):
                              num_partitions=8)
 
 
+# --------------------------------------------------------------------------- #
+# scan-tool family (r3 verdict #4: the DNS/bucket/httpscan/portscan pipelines
+# were pytest-verified but driver-invisible — these queries drive the SAME
+# library stages over deterministic inputs derivable in SQL, so the driver's
+# DuckDB oracle can value-check them)
+# --------------------------------------------------------------------------- #
+def _scan_vocab_words(sf_dir: str, lo: int, hi: int) -> list[str]:
+    """Words ranked (count desc, word asc) in (lo, hi] over documents — the
+    classifier family's exact vocabulary order (stages/textops.top_word_ranks),
+    SQL-replicable via the same row_number CTE."""
+    from nightcrawlercmd_ray.stages.textops import top_word_ranks
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    ranks = top_word_ranks(ds, "text", hi)
+    return [w for w, r in sorted(ranks.items(), key=lambda kv: kv[1])
+            if r > lo]
+
+
+def q_dns_scan_documents(sf_dir: str):
+    """The DNS tool's wordlist scan (T4 + J1 resume anti-join,
+    mainDNS.go:29,69-84,95-119) driven end-to-end through
+    pipelines/scans.dns_scan_pipeline: subdomain candidates are the corpus
+    vocabulary words ranked 9..20 (ranks ≤ 8 are planted as RESUME
+    HISTORY, so the anti-join must drop them; the synthetic corpus has a
+    ~24-word vocabulary, so the split stays well inside it), the simulated
+    resolver
+    resolves words whose length ≡ 0 (mod 3) to a deterministic A record.
+    Sorted by word; every column SQL-replicable."""
+    words = _scan_vocab_words(sf_dir, 0, 20)
+    history = {f"{w}.scan.example." for w in words[:8]}
+    resolver = {
+        f"{w}.scan.example.": [f"10.0.0.{len(w) % 250}"]
+        for w in words if len(w) % 3 == 0
+    }
+    from nightcrawlercmd_ray.pipelines.scans import dns_scan_pipeline
+
+    return dns_scan_pipeline(words, "scan.example", resolver,
+                             history=history).sort("word")
+
+
+def q_bucket_classify_documents(sf_dir: str):
+    """The bucket-scan tool's URL construction + status classifier (M18 +
+    M22, mainBucketScan.go:96-134) through pipelines/scans.bucket_urls /
+    classify_bucket_status: bucket names are the top-100 corpus vocabulary
+    words, the provider serves two suffixes, and the probe status is the
+    deterministic (7·|word| + |suffix|) mod 5 rule (0 → NoSuchBucket 404,
+    1 → AccessDenied 403, else open 200)."""
+    import ray
+
+    from nightcrawlercmd_ray.pipelines.scans import (
+        BucketProvider, bucket_urls, classify_bucket_status,
+    )
+
+    words = _scan_vocab_words(sf_dir, 0, 100)
+    provider = BucketProvider(
+        "synthcloud", ["s3.cloud.example", "store.web.example"])
+    t = bucket_urls(provider, words)
+
+    def probe(t: pa.Table) -> pa.Table:
+        w = pc.utf8_length(t.column("word"))
+        s = pc.utf8_length(t.column("suffix"))
+        m = pc.cast(
+            pc.bit_wise_and(
+                pc.add(pc.multiply(w, pa.scalar(7)), s), pa.scalar(0x7FFFFFFF)
+            ), pa.int64())
+        m = pc.subtract(m, pc.multiply(pc.divide(m, pa.scalar(5)),
+                                       pa.scalar(5)))
+        status = pc.if_else(
+            pc.equal(m, 0), pa.scalar(404, pa.int64()),
+            pc.if_else(pc.equal(m, 1), pa.scalar(403, pa.int64()),
+                       pa.scalar(200, pa.int64())))
+        return t.append_column("status", status)
+
+    out = classify_bucket_status(probe(t), provider)
+    return ray.data.from_arrow(out).sort(["word", "suffix"])
+
+
+def q_httpscan_expansion(sf_dir: str):
+    """The httpscan tool's attack expansion + body match (M20 + M21,
+    mainHttpScan.go:114-176,183-202) through
+    pipelines/scans.parse_raw_request / expand_attack_requests /
+    body_match_stage: a fixed raw request with 3 query keys and 2 path
+    segments crossed with 4 vectors (one gated to Section=header, which the
+    urlsegment site must skip), probed against the deterministic
+    (|target| + |vector|) mod 3 body rule, folded to per-vector
+    (n_requests, n_found). Input-table-free; the oracle rebuilds the
+    cross-product from VALUES."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from nightcrawlercmd_ray.pipelines.scans import (
+        AttackVector, body_match_stage, expand_attack_requests,
+        parse_raw_request,
+    )
+
+    base = parse_raw_request(
+        "GET /api/items?q1=1&q2=2&q3=3 HTTP/1.1\nHost: h.example\n\n")
+    vectors = [
+        AttackVector("<script>alert(1)</script>", test="alert(1)"),
+        AttackVector("' OR 1=1--", test="OR 1=1", sql_injection=True),
+        AttackVector("../../etc/passwd", test="etc/passwd",
+                     section="urlsegment"),
+        AttackVector("%00%ff", section="header"),
+    ]
+    t = expand_attack_requests(base, vectors)
+
+    def probe(t: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(t.column("param_target"))
+        vl = pc.utf8_length(t.column("vector"))
+        m = pc.cast(pc.add(tl, vl), pa.int64())
+        m = pc.subtract(m, pc.multiply(pc.divide(m, pa.scalar(3)),
+                                       pa.scalar(3)))
+        body = pc.if_else(
+            pc.equal(m, 0),
+            pc.binary_join_element_wise(
+                pa.scalar("hit "), t.column("test"), pa.scalar(" end"),
+                pa.scalar("")),
+            pa.scalar("clean response"))
+        return t.append_column("body", body)
+
+    scored = body_match_stage(probe(t))
+    return (
+        ray.data.from_arrow(scored)
+        .groupby("vector")
+        .aggregate(Count(alias_name="n_requests"),
+                   Sum("found", alias_name="n_found"))
+        .map_batches(
+            lambda t: pa.table({
+                "vector": t.column("vector"),
+                "n_requests": pc.cast(t.column("n_requests"), pa.int64()),
+                "n_found": pc.cast(t.column("n_found"), pa.int64()),
+            }), batch_format="pyarrow")
+        .sort("vector")
+    )
+
+
+def q_portscan_range(sf_dir: str):
+    """The port-scan tool's inclusive range sweep (T5,
+    mainPortScan.go:18-42) through pipelines/scans.port_scan_pipeline:
+    ports 8000..8200 with the deterministic open set {p : p ≡ 3 (mod 17)}.
+    Input-table-free; oracle via generate_series."""
+    from nightcrawlercmd_ray.pipelines.scans import port_scan_pipeline
+
+    open_ports = {p for p in range(8000, 8201) if p % 17 == 3}
+    return port_scan_pipeline(8000, 8200, open_ports).sort("port")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -4664,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible; exactness enforced in tests/)
         "pack_greedy_documents": q_pack_greedy_documents,
         "packed_chunks_documents": q_packed_chunks_documents,
+        "packed_chunk_stats_documents": q_packed_chunk_stats_documents,
         "hll_distinct_users": q_hll_distinct_users,
         "crawl_bfs": q_crawl_bfs,
         "crawl_extract_text": q_crawl_extract_text,
@@ -4700,6 +4867,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_documents": q_full_outer_documents,
         "window_ranks_events": q_window_ranks_events,
         "retention_cohorts": q_retention_cohorts,
+        "dns_scan_documents": q_dns_scan_documents,
+        "bucket_classify_documents": q_bucket_classify_documents,
+        "httpscan_expansion": q_httpscan_expansion,
+        "portscan_range": q_portscan_range,
         "late_events": q_late_events,
         "sliding_distinct_users": q_sliding_distinct_users,
         "hourly_deltas": q_hourly_deltas,
@@ -5008,6 +5179,186 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "pack_greedy_documents": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS part,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), walk AS (
+              SELECT part, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.part, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN w.fill + d.n_tokens > 512
+                          THEN w.bin + 1 ELSE w.bin END,
+                     CASE WHEN w.fill + d.n_tokens > 512
+                          THEN d.n_tokens ELSE w.fill + d.n_tokens END
+              FROM walk w JOIN d ON d.part = w.part AND d.rn = w.rn + 1
+            ), bt AS (
+              SELECT part, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+              FROM walk GROUP BY part, bin
+            )
+            SELECT w.doc_id, w.part, w.bin, w.n_tokens, bt.bin_tokens
+            FROM walk w JOIN bt USING (part, bin)
+            ORDER BY w.doc_id
+        """,
+        "packed_chunk_stats_documents": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS part,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents
+            ), c AS (
+              SELECT part, doc_id, n,
+                     sum(n) OVER (PARTITION BY part ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS cum_excl
+              FROM d
+            ), p AS (
+              SELECT part, CAST(sum(n) AS BIGINT) AS total FROM d
+              GROUP BY part
+            ), chunks AS (
+              SELECT part, total,
+                     unnest(range(0, greatest(1, (total + 511) // 512)))
+                       AS chunk
+              FROM p
+            ), spans AS (
+              SELECT part, cum_excl // 512 AS sc,
+                     (cum_excl + n - 1) // 512 AS ec
+              FROM c
+            )
+            SELECT ch.part, CAST(ch.chunk AS BIGINT) AS chunk,
+                   CAST(CASE WHEN ch.chunk = (ch.total + 511) // 512 - 1
+                        THEN greatest(1, (ch.total + 511) // 512) * 512
+                             - ch.total
+                        ELSE 0 END AS BIGINT) AS n_pad,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM chunks ch JOIN spans s
+              ON s.part = ch.part AND s.sc <= ch.chunk AND s.ec >= ch.chunk
+            GROUP BY ch.part, ch.chunk, ch.total
+            ORDER BY ch.part, chunk
+        """,
+        "hll_distinct_users": """
+            WITH u AS (
+              SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events
+            ),
+            -- splitmix64, bit-exact vs stages/sketches.splitmix64: 64-bit
+            -- wrap-around multiply via 32-bit limb split in HUGEINT (a
+            -- direct INT128 product of two ~2^64 factors overflows)
+            s1 AS (SELECT CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z FROM u),
+            s2 AS (SELECT CAST((
+                     (CAST(xor(z, z >> 30) AS HUGEINT) % 4294967296)
+                       * 13787848793156543929
+                     + (((CAST(xor(z, z >> 30) AS HUGEINT) // 4294967296)
+                       * 13787848793156543929) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            s3 AS (SELECT CAST((
+                     (CAST(xor(z, z >> 27) AS HUGEINT) % 4294967296)
+                       * 10723151780598845931
+                     + (((CAST(xor(z, z >> 27) AS HUGEINT) // 4294967296)
+                       * 10723151780598845931) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+            s4 AS (SELECT xor(z, z >> 31) AS z FROM s3),
+            regs AS (
+              SELECT CAST(z % 16384 AS BIGINT) AS idx,
+                     MAX(CASE WHEN z >> 14 = 0 THEN 51
+                         ELSE 51 - length(ltrim(bin(z >> 14), '0'))
+                         END) AS rho
+              FROM s4 GROUP BY idx
+            ),
+            agg AS (
+              SELECT count(*) AS nz, SUM(power(2.0, -rho)) AS s FROM regs
+            ),
+            est AS (
+              SELECT (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+                       / ((16384 - nz) * 1.0 + s) AS e,
+                     16384 - nz AS zeros
+              FROM agg
+            )
+            SELECT CAST(round(CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                              THEN 16384.0 * ln(16384.0 / zeros)
+                              ELSE e END) AS BIGINT) AS estimate,
+                   CAST(14 AS INTEGER) AS p
+            FROM est
+        """,
+        "dns_scan_documents": """
+            WITH words AS (
+                SELECT lower(w) AS word
+                FROM (SELECT unnest(regexp_extract_all(text,
+                             '[a-zA-Z][a-z]{3,}')) AS w
+                      FROM documents)
+            ),
+            vocab AS (
+                SELECT word,
+                       row_number() OVER (ORDER BY n DESC, word) AS r
+                FROM (SELECT word, count(*) AS n FROM words GROUP BY word)
+                QUALIFY r <= 20
+            )
+            SELECT word,
+                   word || '.scan.example.' AS name,
+                   (length(word) % 3 = 0) AS found,
+                   CASE WHEN length(word) % 3 = 0
+                        THEN '10.0.0.' || (length(word) % 250)
+                        ELSE '' END AS records
+            FROM vocab WHERE r > 8
+            ORDER BY word
+        """,
+        "bucket_classify_documents": """
+            WITH words AS (
+                SELECT lower(w) AS word
+                FROM (SELECT unnest(regexp_extract_all(text,
+                             '[a-zA-Z][a-z]{3,}')) AS w
+                      FROM documents)
+            ),
+            vocab AS (
+                SELECT word,
+                       row_number() OVER (ORDER BY n DESC, word) AS r
+                FROM (SELECT word, count(*) AS n FROM words GROUP BY word)
+                QUALIFY r <= 100
+            ),
+            x AS (
+                SELECT v.word, s.suffix,
+                       (7 * length(v.word) + length(s.suffix)) % 5 AS m
+                FROM vocab v
+                CROSS JOIN (VALUES ('s3.cloud.example'),
+                                   ('store.web.example')) s(suffix)
+            )
+            SELECT 'https://' || word || '.' || suffix AS url,
+                   word, suffix,
+                   CAST(CASE m WHEN 0 THEN 404 WHEN 1 THEN 403
+                        ELSE 200 END AS BIGINT) AS status,
+                   CASE WHEN m = 0 THEN 'not_found'
+                        WHEN m = 1 THEN 'access_denied'
+                        ELSE 'open' END AS klass
+            FROM x ORDER BY word, suffix
+        """,
+        "httpscan_expansion": """
+            WITH vec(vector, test, section) AS (VALUES
+                ('<script>alert(1)</script>', 'alert(1)', ''),
+                (''' OR 1=1--', 'OR 1=1', ''),
+                ('../../etc/passwd', 'etc/passwd', 'urlsegment'),
+                ('%00%ff', '%00%ff', 'header')),
+            tgt(target, kind) AS (VALUES
+                ('urlquery q1', 'q'), ('urlquery q2', 'q'),
+                ('urlquery q3', 'q'),
+                ('urlsegment api', 's'), ('urlsegment items', 's')),
+            x AS (
+                SELECT v.vector, t.target FROM vec v CROSS JOIN tgt t
+                WHERE t.kind = 'q' OR v.section = ''
+                   OR v.section LIKE '%urlsegment%')
+            SELECT vector,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(SUM(CASE WHEN (length(target) + length(vector)) % 3 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+            FROM x GROUP BY vector ORDER BY vector
+        """,
+        "portscan_range": """
+            SELECT CAST(p AS INTEGER) AS port, (p % 17 = 3) AS "open"
+            FROM generate_series(8000, 8200) t(p) ORDER BY port
         """,
         "retention_cohorts": """
             WITH f AS (

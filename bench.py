@@ -295,6 +295,12 @@ def run_bench() -> dict:
         "equidepth_price_histogram", "hll_cooccurrence_events",
         "merge_join_orders_customers", "user_active_time",
         "sorted_rank_stats", "weighted_doclen_by_lang",
+        # r3 crawl-curation stages (ADVICE r3: correctness-gated but never
+        # perf-measured) + r4 additions
+        "page_metadata_documents", "canonical_dedup_documents",
+        "trap_hosts_documents", "main_content_documents",
+        "packed_chunk_stats_documents", "pack_greedy_documents",
+        "dns_scan_documents", "bucket_classify_documents",
     )
     for name in family:
         fn = entrymod.queries()[name]

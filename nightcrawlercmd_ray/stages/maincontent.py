@@ -13,7 +13,11 @@ Pinned extraction spec (deterministic; the value oracle and tests encode it):
 * The page is segmented at BLOCK-level tags (``p div section article header
   footer nav aside main form table tr td th li ul ol h1..h6 blockquote pre
   br hr``) — both their starts and ends close the current segment.
-* ``script``/``style``/``noscript``/``template`` subtrees contribute nothing.
+* ``script``/``style``/``noscript``/``template``/``title`` subtrees
+  contribute nothing, and neither does anything inside ``<head>`` — head
+  mode ends at ``</head>`` or at the first ``<body>`` start tag (the
+  guard against unclosed heads on malformed markup), so a page title can
+  never prepend itself to ``main_text`` (ADVICE r3).
 * Within a segment, each text run is whitespace-collapsed
   (``" ".join(split())``); the segment text is the space-join of its
   non-empty runs; ``chars = len(text)``; ``anchor_chars`` = Σ collapsed run
@@ -38,7 +42,7 @@ BLOCK_TAGS = frozenset((
     "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "br", "hr",
     "body", "html",
 ))
-SKIP_TAGS = frozenset(("script", "style", "noscript", "template"))
+SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "title"))
 
 
 class _BlockParser(HTMLParser):
@@ -51,6 +55,7 @@ class _BlockParser(HTMLParser):
         self._anchor_runs: int = 0  # Σ collapsed chars of in-anchor runs
         self._anchor_depth = 0
         self._skip_depth = 0
+        self._in_head = False
 
     def _flush(self) -> None:
         if not self._runs:
@@ -61,6 +66,10 @@ class _BlockParser(HTMLParser):
         self._anchor_runs = 0
 
     def handle_starttag(self, tag, attrs) -> None:
+        if tag == "head":
+            self._in_head = True
+        elif tag == "body":
+            self._in_head = False  # implied </head> on malformed markup
         if tag in SKIP_TAGS:
             self._skip_depth += 1
         elif tag in BLOCK_TAGS:
@@ -73,6 +82,8 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag) -> None:
+        if tag == "head":
+            self._in_head = False
         if tag in SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
         elif tag in BLOCK_TAGS:
@@ -81,7 +92,7 @@ class _BlockParser(HTMLParser):
             self._anchor_depth = max(0, self._anchor_depth - 1)
 
     def handle_data(self, data) -> None:
-        if self._skip_depth:
+        if self._skip_depth or self._in_head:
             return
         run = " ".join(data.split())
         if not run:

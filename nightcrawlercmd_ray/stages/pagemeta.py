@@ -22,6 +22,12 @@ Pinned extraction semantics (the deterministic spec; tests enforce it):
                         token list (HTML5), matched case-insensitively.
 * ``noindex``/``nofollow`` — OR over ALL ``<meta name="robots">`` directives
                         (comma/space-separated token lists, case-insensitive).
+* HEAD-ONLY rule (ADVICE r3 — canonical-hijack guard): every signal above
+  is collected only until ``</head>`` or the first ``<body>`` start tag,
+  whichever comes first; a canonical/robots/meta/title injected into the
+  document body (e.g. unescaped user content) is ignored, matching the
+  convention real crawlers follow to prevent a body-injected canonical
+  from redirecting a page's dedup cluster.
 
 Scale shape:
 
@@ -66,9 +72,12 @@ class _MetaParser(HTMLParser):
         self.nofollow = False
         self._in_title = False
         self._title_parts: list[str] = []
+        self._head_done = False  # set at </head> or first <body>
 
     # -- tag handling -------------------------------------------------------
     def _handle_tag(self, tag: str, attrs) -> None:
+        if self._head_done:
+            return
         if tag == "meta":
             a = {k: (v or "") for k, v in attrs}
             name = a.get("name", "").lower()
@@ -88,9 +97,12 @@ class _MetaParser(HTMLParser):
                 self.canonical_href = a["href"]
 
     def handle_starttag(self, tag, attrs) -> None:
+        if tag == "body":
+            self._head_done = True  # implied </head> on malformed markup
+            return
         if tag == "title":
-            # nested <title> cannot occur; first element wins
-            if self.title is None:
+            # nested <title> cannot occur; first element wins (head only)
+            if self.title is None and not self._head_done:
                 self._in_title = True
             return
         self._handle_tag(tag, attrs)
@@ -99,6 +111,8 @@ class _MetaParser(HTMLParser):
         self._handle_tag(tag, attrs)
 
     def handle_endtag(self, tag) -> None:
+        if tag == "head":
+            self._head_done = True
         if tag == "title" and self._in_title:
             self._in_title = False
             self.title = " ".join("".join(self._title_parts).split())

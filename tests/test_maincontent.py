@@ -78,6 +78,33 @@ def test_edges_empty_and_malformed():
     assert k <= n  # no crash; counts consistent
 
 
+def test_long_title_and_head_text_never_enter_main_text():
+    """ADVICE r3: a real-page title ≥ min_chars with zero anchors used to
+    be KEPT (title was neither block nor skip), prepending itself to
+    main_text on virtually every real page. Head is now a skip subtree
+    (ends at </head> or at an implied <body>), and <title> is skipped even
+    when body-injected."""
+    long_title = "A Very Long and Descriptive Page Title About Things"
+    page = (f"<html><head><title>{long_title}</title>"
+            f"<style>.x{{}}</style></head><body>"
+            f"<p>The only real paragraph with plenty of body text.</p>"
+            f"</body></html>")
+    text, kept, total = main_content(page)
+    assert long_title not in text
+    assert text == "The only real paragraph with plenty of body text."
+    assert kept == 1
+    # unclosed head: body start still exits head mode
+    page2 = (f"<html><head><title>{long_title}</title><body>"
+             f"<p>Body paragraph long enough to clear the bar here.</p>")
+    text2, _, _ = main_content(page2)
+    assert long_title not in text2 and "Body paragraph" in text2
+    # body-injected title (no head at all) is still skipped
+    page3 = f"<p>Real text that is long enough to keep around here.</p>" \
+            f"<title>{long_title}</title>"
+    text3, _, _ = main_content(page3)
+    assert long_title not in text3 and "Real text" in text3
+
+
 def test_stage_over_dataset():
     t = pa.table({
         "url": ["http://a.example/1", "http://a.example/2"],

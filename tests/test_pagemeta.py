@@ -70,6 +70,33 @@ def test_parse_entities_and_unterminated_title():
     assert parse_page_metadata("<title>dangling text").title == "dangling text"
 
 
+def test_head_only_signals_ignore_body_injection():
+    """ADVICE r3: a body-injected canonical (unescaped user content) must
+    not redirect the page's canonical_dedup cluster — signals stop at
+    </head> or the first <body> start tag."""
+    p = parse_page_metadata(
+        '<html><head><title>Real</title></head><body>'
+        '<link rel="canonical" href="http://evil.example/steal">'
+        '<meta name="robots" content="noindex,nofollow">'
+        '<meta name="description" content="injected">'
+        '<title>Injected Title</title>'
+        '</body></html>'
+    )
+    assert p.title == "Real"
+    assert p.canonical_href is None
+    assert p.noindex is False and p.nofollow is False
+    assert p.description is None
+    # implied </head>: <body> without a closing head still ends head mode
+    q = parse_page_metadata(
+        '<head><link rel="canonical" href="/good"><body>'
+        '<link rel="canonical" href="/bad">'
+    )
+    assert q.canonical_href == "/good"
+    # no head/body markup at all (fragment): signals still collected
+    r = parse_page_metadata('<link rel="canonical" href="/frag">')
+    assert r.canonical_href == "/frag"
+
+
 def test_parse_garbage_and_empty():
     assert parse_page_metadata(b"\xff\xfe<<<>><title>").title in (None, "")
     p = parse_page_metadata("")
