@@ -1128,12 +1128,29 @@ def q_hll_distinct_users_by_type(sf_dir: str):
     distinct users per event_type via per-batch per-group register folding +
     one blob shuffle — nothing key-sized crosses the network (the 100-TB
     path; the exact sibling `distinct_users_by_type` is the SQL-oracled
-    ground truth). Rows-only: <5 % error vs exact and bit-exact partition
-    invariance pinned in tests/test_quantiles_sketches_windows.py."""
+    ground truth). Value-oracled: the DuckDB oracle replays the full
+    register pipeline (splitmix64 via limb-modular HUGEINT multiply,
+    per-group register max, estimator with linear-counting correction)
+    bit-for-bit modulo the shared floor(x+0.5) integerization; <5 % error
+    vs exact and bit-exact partition invariance pinned in
+    tests/test_quantiles_sketches_windows.py."""
     from nightcrawlercmd_ray.stages.sketches import hll_distinct_by
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    return hll_distinct_by(ds, "user_id", "event_type", p=12).sort("event_type")
+
+    def to_int(t: pa.Table) -> pa.Table:
+        # floor(x+0.5): one rounding rule on BOTH sides (DuckDB round() is
+        # half-away-from-zero, pc.round half-to-even — floor+0.5 sidesteps
+        # the mode mismatch); the estimate is a count, integers lose nothing
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_distinct_approx": pc.cast(
+                pc.floor(pc.add(t.column("n_distinct_approx"),
+                                pa.scalar(0.5))), pa.int64()),
+        })
+
+    return (hll_distinct_by(ds, "user_id", "event_type", p=12)
+            .map_batches(to_int, batch_format="pyarrow").sort("event_type"))
 
 
 def q_percentile_rank_doclen(sf_dir: str):
@@ -4047,13 +4064,25 @@ def q_hll_cooccurrence_events(sf_dir: str):
     100-TB approximate sibling of ``events_cooccurrence`` — per-type HLL
     registers built in ONE compact blob shuffle, then |A∩B| ≈ |A|+|B|−|A∪B|
     on the |types| sketches (union is exact on register state, so results
-    are bit-identical at any partitioning). Rows-only by design
-    (approximate); accuracy vs the exact operator is pinned in
+    are bit-identical at any partitioning). Value-oracled: the DuckDB
+    oracle replays sketch build, pairwise register-max union and the
+    inclusion-exclusion algebra, integerized with the shared floor(x+0.5)
+    rule; accuracy vs the exact operator is pinned in
     tests/test_groupstats_skyline.py."""
     from nightcrawlercmd_ray.stages.sketches import hll_cooccurrence
 
     ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-    return hll_cooccurrence(ev, id_col="user_id", item_col="event_type")
+    t = hll_cooccurrence(ev, id_col="user_id", item_col="event_type")
+    # floor(x+0.5) rounding projection — same rule in the SQL oracle (the
+    # register algebra is deterministic; only the final float estimate
+    # needs a shared integerization to hash-compare)
+    return pa.table({
+        "type_a": t.column("type_a"),
+        "type_b": t.column("type_b"),
+        "n_ids_approx": pc.cast(
+            pc.floor(pc.add(t.column("n_ids_approx"), pa.scalar(0.5))),
+            pa.int64()),
+    })
 
 
 def q_event_transitions(sf_dir: str):
@@ -5179,6 +5208,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "hll_distinct_users_by_type": """
+            WITH pr AS (
+              SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x
+              FROM events
+            ),
+            s1 AS (SELECT event_type,
+                     CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z FROM pr),
+            s2 AS (SELECT event_type, CAST((
+                     (CAST(xor(z, z >> 30) AS HUGEINT) % 4294967296)
+                       * 13787848793156543929
+                     + (((CAST(xor(z, z >> 30) AS HUGEINT) // 4294967296)
+                       * 13787848793156543929) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            s3 AS (SELECT event_type, CAST((
+                     (CAST(xor(z, z >> 27) AS HUGEINT) % 4294967296)
+                       * 10723151780598845931
+                     + (((CAST(xor(z, z >> 27) AS HUGEINT) // 4294967296)
+                       * 10723151780598845931) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+            s4 AS (SELECT event_type, xor(z, z >> 31) AS z FROM s3),
+            regs AS (
+              SELECT event_type, CAST(z % 4096 AS BIGINT) AS idx,
+                     MAX(CASE WHEN z >> 12 = 0 THEN 53
+                         ELSE 53 - length(ltrim(bin(z >> 12), '0'))
+                         END) AS rho
+              FROM s4 GROUP BY event_type, idx
+            ),
+            agg AS (
+              SELECT event_type, count(*) AS nz,
+                     SUM(power(2.0, -rho)) AS s
+              FROM regs GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type,
+                     (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                       / ((4096 - nz) * 1.0 + s) AS e,
+                     4096 - nz AS zeros
+              FROM agg
+            )
+            SELECT event_type,
+                   CAST(floor(0.5 + CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                        THEN 4096.0 * ln(4096.0 / zeros)
+                        ELSE e END) AS BIGINT) AS n_distinct_approx
+            FROM est ORDER BY event_type
+        """,
+        "hll_cooccurrence_events": """
+            WITH pr AS (
+              SELECT DISTINCT CAST(event_type AS VARCHAR) AS ty,
+                     CAST(user_id AS UBIGINT) AS x
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ),
+            s1 AS (SELECT ty,
+                     CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z FROM pr),
+            s2 AS (SELECT ty, CAST((
+                     (CAST(xor(z, z >> 30) AS HUGEINT) % 4294967296)
+                       * 13787848793156543929
+                     + (((CAST(xor(z, z >> 30) AS HUGEINT) // 4294967296)
+                       * 13787848793156543929) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            s3 AS (SELECT ty, CAST((
+                     (CAST(xor(z, z >> 27) AS HUGEINT) % 4294967296)
+                       * 10723151780598845931
+                     + (((CAST(xor(z, z >> 27) AS HUGEINT) // 4294967296)
+                       * 10723151780598845931) % 4294967296) * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+            s4 AS (SELECT ty, xor(z, z >> 31) AS z FROM s3),
+            regs AS (
+              SELECT ty, CAST(z % 16384 AS BIGINT) AS idx,
+                     MAX(CASE WHEN z >> 14 = 0 THEN 51
+                         ELSE 51 - length(ltrim(bin(z >> 14), '0'))
+                         END) AS rho
+              FROM s4 GROUP BY ty, idx
+            ),
+            est1 AS (
+              SELECT ty,
+                     CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                          THEN 16384.0 * ln(16384.0 / zeros) ELSE e END AS est
+              FROM (
+                SELECT ty,
+                       (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+                         / ((16384 - nz) * 1.0 + s) AS e,
+                       16384 - nz AS zeros
+                FROM (SELECT ty, count(*) AS nz, SUM(power(2.0, -rho)) AS s
+                      FROM regs GROUP BY ty)
+              )
+            ),
+            tp AS (SELECT a.ty AS ta, b.ty AS tb
+                   FROM est1 a JOIN est1 b ON a.ty < b.ty),
+            ur AS (
+              SELECT p.ta, p.tb, r.idx, MAX(r.rho) AS rho
+              FROM tp p JOIN regs r ON r.ty = p.ta OR r.ty = p.tb
+              GROUP BY p.ta, p.tb, r.idx
+            ),
+            estu AS (
+              SELECT ta, tb,
+                     CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                          THEN 16384.0 * ln(16384.0 / zeros) ELSE e END AS eu
+              FROM (
+                SELECT ta, tb,
+                       (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+                         / ((16384 - nz) * 1.0 + s) AS e,
+                       16384 - nz AS zeros
+                FROM (SELECT ta, tb, count(*) AS nz,
+                             SUM(power(2.0, -rho)) AS s
+                      FROM ur GROUP BY ta, tb)
+              )
+            )
+            SELECT * FROM (
+              SELECT u.ta AS type_a, u.tb AS type_b,
+                     CAST(floor(0.5 + greatest(0.0, a.est + b.est - u.eu))
+                          AS BIGINT) AS n_ids_approx
+              FROM estu u JOIN est1 a ON a.ty = u.ta JOIN est1 b ON b.ty = u.tb
+              UNION ALL
+              SELECT ty, ty, CAST(floor(0.5 + est) AS BIGINT) FROM est1
+            ) ORDER BY type_a, type_b
         """,
         "pack_greedy_documents": """
             WITH RECURSIVE d AS (

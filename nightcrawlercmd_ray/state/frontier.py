@@ -244,10 +244,13 @@ class FrontierShard:
             self._forwarded.append(batch)
         return batch.num_rows
 
-    def seal_wave(self) -> dict:
+    def seal_wave(self, *_barrier) -> dict:
         """Wave barrier. host-sharded mode: robots gate (unless pre-gated) →
         dedup → lane append, all here. url-sharded mode: lane-append the
-        already-deduped survivors forwarded by flush_dedup."""
+        already-deduped survivors forwarded by flush_dedup. ``_barrier``
+        accepts the forward-ack values: passing the ack REFS as arguments
+        makes Ray hold this call until every forward has landed, replacing
+        a driver-side gather (pipelines/crawl._seal_async)."""
         if self.cfg.dedup_sharding == "url":
             batch = self._drain_sorted(self._forwarded)
             if batch is not None:
