@@ -983,23 +983,29 @@ class CrawlRun:
         sizes = ray.get(self._seal_async())
         return sum(s["frontier"] for s in sizes)
 
-    def _seal_async(self) -> list:
-        """Fire the seal WITHOUT gathering it: the flush/forward phase (url
-        mode) still needs its two acks (survivors must land on their lane
-        shards before seal), but the seal_wave results are returned as refs
-        for the NEXT wave's plan_wave to fold in — per-actor mailbox
-        ordering guarantees the next emit_wave runs after seal_wave, so the
-        driver saves one gather round per wave."""
+    def _seal_async(self, push_acks: list | None = None) -> list:
+        """Fire the seal WITHOUT gathering it. Barriers are enforced
+        scheduler-side by passing ack REFS as call arguments (Ray holds a
+        call until its args resolve), not by driver gathers:
+
+        - ``push_acks`` (the fetch tasks' candidate-push acks) ride as
+          flush/seal arguments, so "all pushes landed" costs zero driver
+          round trips;
+        - the flush-forward acks ride as seal arguments the same way
+          ("all survivors landed on their lane shards");
+        - the seal_wave result refs are returned for the NEXT wave's
+          plan_wave to fold in — per-actor mailbox ordering guarantees the
+          next emit_wave runs after seal_wave.
+
+        The only driver gather left per wave is the flush results (url
+        mode — their forward-ack refs are the next link in the chain)."""
+        push_acks = push_acks or []
         if self.dedup_sharding == "url":
-            ack_lists = ray.get([s.flush_dedup.remote() for s in self.shards])
-            # the forward acks ride as seal ARGUMENTS instead of a second
-            # driver gather: Ray holds each shard's seal until every
-            # forward has LANDED (an ack ref resolves when add_forwarded
-            # returned), so the barrier is enforced scheduler-side with
-            # zero extra driver round trips
+            ack_lists = ray.get(
+                [s.flush_dedup.remote(*push_acks) for s in self.shards])
             acks = [a for al in ack_lists for a in al]
             return [s.seal_wave.remote(*acks) for s in self.shards]
-        return [s.seal_wave.remote() for s in self.shards]
+        return [s.seal_wave.remote(*push_acks) for s in self.shards]
 
     # -- one wave -----------------------------------------------------------
     def run_wave(self) -> int:
@@ -1050,11 +1056,12 @@ class CrawlRun:
             for start, length, bks in plan["groups"]
         ]
         tm["submit"] = round(_time.perf_counter() - _tsub, 3)
-        # round 1: task completions (counters + candidate-push ack refs);
-        # round 2: the acks themselves — all candidates buffered at shards
+        # ONE gather: task completions (counters + candidate-push ack refs);
+        # the push acks themselves become flush/seal ARGUMENTS below — the
+        # "all candidates buffered at shards" barrier costs no driver round
         tails = ray.get([r[2] for r in results])
         task_counters = [t[0] for t in tails]
-        ray.get([a for t in tails for a in t[1]])
+        push_acks = [a for t in tails for a in t[1]]
         tm["fetch"] = _time.perf_counter() - _t0
         tm["t_read"] = round(sum(c.get("t_read", 0) for c in task_counters), 3)
         tm["t_parse"] = round(sum(c.get("t_parse", 0) for c in task_counters), 3)
@@ -1078,9 +1085,9 @@ class CrawlRun:
             tm["drain"] = round(_wall0 - max(ends), 3)
             tm["pack_idle"] = round(max(span * P - busy, 0.0) / P, 3)
         _t0 = _time.perf_counter()
-        # flush/forward acks gathered here; seal itself rides un-gathered
-        # into the next wave's plan (one fewer driver round per wave)
-        self._pending_seal = self._seal_async()
+        # flush results gathered here (the one remaining driver round);
+        # seal itself rides un-gathered into the next wave's plan
+        self._pending_seal = self._seal_async(push_acks)
         tm["seal"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         wave_fetch_refs = [r[0] for r in results]

@@ -519,6 +519,14 @@ def ngram_jaccard_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id
         )
         n_want = len(want_ids)
         want_ref = ray.put(want_ids)
+        # rebuild the pair set as ONE block: the materialized candidate
+        # chain ends in hundreds of tiny map_groups blocks, and dragging
+        # those through side_rows/union/groupby costs real per-block
+        # overhead (~25% on similarity_join at sf0.1, measured)
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in pair_rows], pa.int64()),
+            "dup_of": pa.array([r["dup_of"] for r in pair_rows], pa.int64()),
+        }))
         text_src = ds
     else:
         # distributed id narrowing: distinct pair endpoints → semi-join

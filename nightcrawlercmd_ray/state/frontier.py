@@ -183,12 +183,15 @@ class FrontierShard:
         )
         return urls, hosts, depths, hashes
 
-    def flush_dedup(self) -> list:
+    def flush_dedup(self, *_barrier) -> list:
         """url-sharded mode, phase 1 (between the fetch barrier and
         seal_wave): gate+dedup THIS shard's url-partition of the wave's
         candidates — uniform work across shards regardless of host skew —
         then forward survivors to their host's lane shard. Returns the
-        forward ack refs (the driver awaits them before sealing)."""
+        forward ack refs (which ride as ``seal_wave`` arguments — the
+        scheduler-side barrier). ``_barrier`` accepts the fetch tasks'
+        candidate-push ack values the same way: Ray holds this call until
+        every push has landed, with zero driver gathers."""
         batch = self._drain_sorted(self._pending)
         if batch is None:
             return []
@@ -248,9 +251,10 @@ class FrontierShard:
         """Wave barrier. host-sharded mode: robots gate (unless pre-gated) →
         dedup → lane append, all here. url-sharded mode: lane-append the
         already-deduped survivors forwarded by flush_dedup. ``_barrier``
-        accepts the forward-ack values: passing the ack REFS as arguments
-        makes Ray hold this call until every forward has landed, replacing
-        a driver-side gather (pipelines/crawl._seal_async)."""
+        accepts upstream ack values (forward acks in url mode, candidate
+        push acks in host mode): passing the ack REFS as arguments makes
+        Ray hold this call until they have all landed, replacing
+        driver-side gathers (pipelines/crawl._seal_async)."""
         if self.cfg.dedup_sharding == "url":
             batch = self._drain_sorted(self._forwarded)
             if batch is not None:
