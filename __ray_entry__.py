@@ -3863,13 +3863,16 @@ def q_weighted_price_quantiles(sf_dir: str):
     units = ds.map_batches(
         to_units, batch_format="pyarrow", batch_size=65536
     ).repartition(32).materialize()
-    # max_buckets 2^24: the cents span (~10^7) narrows in ONE pass (per-block
-    # partial rows are still ≤ block rows — bucket emission is occupancy-bound)
+    # max_buckets 2^13: three cheap passes over the materialized
+    # projection beat the old "one-pass" 2^24 setting, whose non-empty
+    # bucket count degenerated to the distinct-value count — a ~10^6-row
+    # exchange + driver collect per pass (2.3× measured on the grouped
+    # sibling at sf0.1)
     return weighted_quantiles_wide(
         units, "price_cents", "qty",
         [(1, 4), (1, 2), (3, 4), (9, 10)],
         out_names=["wp25", "wp50", "wp75", "wp90"],
-        max_buckets=1 << 24,
+        max_buckets=1 << 13,
     )
 
 
@@ -4056,7 +4059,9 @@ def q_equidepth_price_histogram(sf_dir: str):
     units = ds.map_batches(
         to_units, batch_format="pyarrow", batch_size=65536
     ).repartition(32).materialize()  # edges pass + count pass re-scan it
-    return equidepth_histogram(units, "v", n_buckets=10, max_buckets=1 << 24)
+    # 2^13 buckets: see weighted_price_quantiles — narrow in passes, never
+    # collect a distinct-value-sized histogram
+    return equidepth_histogram(units, "v", n_buckets=10, max_buckets=1 << 13)
 
 
 def q_hll_cooccurrence_events(sf_dir: str):
@@ -4190,8 +4195,10 @@ def q_order_outliers_robust(sf_dir: str):
     units = ds.map_batches(
         to_units, batch_format="pyarrow", batch_size=65536
     ).repartition(32).materialize()
-    # one-pass narrowing for the ~10^7-cent span (see weighted quantiles)
-    MB = 1 << 24
+    # 2^13 buckets → 2-3 cheap passes over the materialized projection;
+    # the old "one-pass" 2^24 setting collected a distinct-price-sized
+    # histogram (~10^6 rows) on the driver per call — 2.3× slower measured
+    MB = 1 << 13
     med_t = exact_quantiles_wide_by(units, "v", [0.5], by_col="p",
                                     out_names=["med"], max_buckets=MB)
     med_keys = med_t.column("p").to_pylist()

@@ -381,13 +381,14 @@ def _quantiles_wide_core(
                 "_c": pa.array(out_c, pa.int64()),
             })
 
-        rows = (
-            ds.map_batches(bucket_counts, batch_format="pyarrow")
-            .groupby(["_iv", "_b"]).sum("_c").take_all()
-        )  # ≤ intervals × max_buckets rows
-        hist: dict[int, dict[int, int]] = {}
-        for r in rows:
-            hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
+        partials = ds.map_batches(bucket_counts, batch_format="pyarrow")
+        if max_buckets <= 65536:
+            hist = _merge_hist_partials(
+                _ray.get(partials.to_arrow_refs()))
+        else:  # unbounded-bucket callers: keep the keyed shuffle
+            hist = {}
+            for r in partials.groupby(["_iv", "_b"]).sum("_c").take_all():
+                hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
         for s in active:
             i = ivals.index((s["lo"], s["hi"]))
             wd = widths[i]
@@ -410,6 +411,39 @@ def _quantiles_wide_core(
         name: pa.array([s["done"]], pa.int64())
         for name, s in zip(out_names, states)
     })
+
+
+
+def _merge_hist_partials(parts) -> dict:
+    """Merge per-block (interval, bucket, count) partial tables into
+    {interval: {bucket: count}} ON THE DRIVER, vectorized (one np.unique
+    over packed keys). Per-block partials are already np.unique-combined,
+    so total volume is ≤ blocks × intervals × max_buckets rows of 3 ints —
+    for the ≤2^16-bucket regime this is a trivially small collect, and it
+    replaces a whole Ray groupby round per narrowing pass (the per-round
+    shuffle overhead dominated the data at bench scale: ~1 s/round for
+    ~10^5 rows)."""
+    ivs, bs, cs = [], [], []
+    for p in parts:
+        if p.num_rows:
+            ivs.append(p.column("_iv").to_numpy(zero_copy_only=False))
+            bs.append(p.column("_b").to_numpy(zero_copy_only=False))
+            cs.append(p.column("_c").to_numpy(zero_copy_only=False))
+    hist: dict[int, dict[int, int]] = {}
+    if not ivs:
+        return hist
+    iv = np.concatenate(ivs)
+    b = np.concatenate(bs)
+    c = np.concatenate(cs)
+    key = iv * np.int64(1 << 40) + b  # bucket < 2^40 in the gated regime
+    uk, inv = np.unique(key, return_inverse=True)
+    cc = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(cc, inv, c)
+    u_iv = (uk >> np.int64(40)).astype(np.int64)
+    u_b = (uk & np.int64((1 << 40) - 1)).astype(np.int64)
+    for i, bb, n in zip(u_iv.tolist(), u_b.tolist(), cc.tolist()):
+        hist.setdefault(i, {})[bb] = n
+    return hist
 
 
 def exact_quantiles_wide_by(
@@ -514,22 +548,25 @@ def exact_quantiles_wide_by(
                 t = t.select([by_col, value_col, weight_col]).drop_null()
                 wv = pc.cast(t.column(weight_col), pa.int64()).to_numpy(
                     zero_copy_only=False)
-            gv = t.column(by_col).to_pylist()
+            # group codes via the Arrow dictionary-encode kernel (the old
+            # per-row Python loop building rows_by_g dominated the stage —
+            # ~3-5 s over the narrowing passes at sf0.1); per-interval
+            # selection is then one vectorized mask on the code array
+            enc = pc.dictionary_encode(
+                t.column(by_col).combine_chunks())
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            code_of = {v: j for j, v in enumerate(
+                enc.dictionary.to_pylist())}
             vv = pc.cast(t.column(value_col), pa.int64()).to_numpy(
                 zero_copy_only=False)
-            # group rows once, then bucket each active interval of that
-            # group (groups are few; this loop is per-interval, not per-row)
-            import collections
-
-            rows_by_g = collections.defaultdict(list)
-            for i, gval in enumerate(gv):
-                rows_by_g[gval].append(i)
             out_i, out_b, out_c = [], [], []
             for i, ((gval, a, b), wd) in enumerate(zip(iv, w)):
-                idx = rows_by_g.get(gval)
-                if not idx:
+                gcode = code_of.get(gval)
+                if gcode is None:
                     continue
-                gi = np.asarray(idx)
+                gi = np.nonzero(codes == gcode)[0]
+                if not len(gi):
+                    continue
                 sel = vv[gi]
                 m = (sel >= a) & (sel <= b)
                 sel = sel[m]
@@ -553,13 +590,15 @@ def exact_quantiles_wide_by(
                 "_c": pa.array(out_c, pa.int64()),
             })
 
-        rows = (
-            ds.map_batches(bucket_counts, batch_format="pyarrow")
-            .groupby(["_iv", "_b"]).sum("_c").take_all()
-        )
-        hist: dict[int, dict[int, int]] = {}
-        for r in rows:
-            hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
+        partials = ds.map_batches(bucket_counts, batch_format="pyarrow")
+        if max_buckets <= 65536:
+            # bounded-bucket regime: vectorized driver merge — replaces a
+            # whole Ray groupby round per pass (see _merge_hist_partials)
+            hist = _merge_hist_partials(_ray.get(partials.to_arrow_refs()))
+        else:
+            hist = {}
+            for r in partials.groupby(["_iv", "_b"]).sum("_c").take_all():
+                hist.setdefault(r["_iv"], {})[r["_b"]] = r["sum(_c)"]
         for s in active:
             i = ivals.index((s["g"], s["lo"], s["hi"]))
             wd = widths[i]
