@@ -3452,14 +3452,16 @@ def q_fuzz_payloads(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Media feature extraction in ``auto`` mode: every 16th payload is
-    replaced with a REAL synthesized PPM image (pixels seeded from the
-    media id), so the pure-stdlib uncompressed-format decode path
-    (stages/multimodal.decode_image → pixel_features) is positively
-    exercised at every tier (``decoded=True`` rows); the html payloads
-    take the deterministic hash-fallback path (``decoded=False``)."""
+    replaced with a REAL synthesized image — alternating uncompressed PPM
+    and COMPRESSED PNG (stdlib-zlib decode path, stages/multimodal.
+    _decode_png), pixels seeded from the media id — so both real decode
+    tiers (uncompressed and inflate+defilter) are positively exercised
+    (``decoded=True`` rows); the html payloads take the deterministic
+    hash-fallback path (``decoded=False``)."""
     import ray
 
     from nightcrawlercmd_ray.stages.multimodal import (
+        encode_png,
         encode_ppm,
         extract_media_features,
         media_table_from_pages,
@@ -3476,8 +3478,8 @@ def q_media_features(sf_dir: str):
         for i, p in zip(ids, payloads):
             if i % 16 == 0:
                 rng = np.random.RandomState(int(i) % (2**31))
-                out.append(encode_ppm(
-                    rng.randint(0, 256, (8, 8, 3)).astype("uint8")))
+                px = rng.randint(0, 256, (8, 8, 3)).astype("uint8")
+                out.append(encode_png(px) if i % 32 == 0 else encode_ppm(px))
             else:
                 out.append(p)
         cols = {c_: t.column(c_) for c_ in t.column_names}

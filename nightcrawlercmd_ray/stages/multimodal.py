@@ -2,12 +2,15 @@
 with typed metadata, processed by actor-pool stages.
 
 Decode support is format-tiered: UNCOMPRESSED formats (PPM/PGM, BI_RGB BMP)
-decode for real in pure stdlib+numpy — features and resize below operate on
-actual pixels for them. COMPRESSED codecs (jpeg/png/video) are STUBBED (this
-container ships none — marked explicitly below); a real deployment plugs
-Pillow/libvips/PyAV into the same stage signatures. Everything Ray-side is
-real and tested either way: schema, batch sizing for large binary payloads,
-actor signature, deterministic fallback features for undecodable payloads.
+and 8-bit non-interlaced **PNG** (stdlib zlib inflate + spec scanline
+defiltering — a genuinely compressed web codec) decode for real in pure
+stdlib+numpy — features and resize below operate on actual pixels for them.
+The remaining COMPRESSED codecs (jpeg, palette/16-bit/Adam7 png, video) are
+STUBBED (this container ships no codec libs — marked explicitly below); a
+real deployment plugs Pillow/libvips/PyAV into the same stage signatures.
+Everything Ray-side is real and tested either way: schema, batch sizing for
+large binary payloads, actor signature, deterministic fallback features for
+undecodable payloads.
 """
 
 from __future__ import annotations
@@ -54,15 +57,99 @@ def _parse_pnm_header(b: bytes):
     return int(toks[0]), int(toks[1]), int(toks[2]), i + 1
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Real PNG decode, pure stdlib zlib + numpy (RFC 2083): 8-bit depth,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Scanline defiltering per spec: None/Up/Sub are
+    vectorized (Sub is a wrap-around uint8 cumsum over stride lanes);
+    Average/Paeth rows walk bytes (left-neighbor data dependency).
+    Palette, 16-bit and Adam7 raise NotImplementedError (same honest-stub
+    contract as the other compressed codecs)."""
+    import struct as _struct
+    import zlib
+
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(b):
+        (ln,), typ = _struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        chunk = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = _struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8:
+                raise NotImplementedError("PNG: only 8-bit depth")
+            if ctype not in (0, 2, 4, 6):
+                raise NotImplementedError("PNG: palette not supported")
+            if ilace != 0:
+                raise NotImplementedError("PNG: Adam7 interlace not supported")
+            c = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG: truncated scanline data")
+    lines = np.frombuffer(raw, np.uint8,
+                          h * (stride + 1)).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        row = data[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 2:  # Up
+            rec = row + prev  # uint8 wrap == mod 256 per spec
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-c] → lane cumsum
+            rec = row.copy().reshape(-1, c)
+            np.add.accumulate(rec, axis=0, out=rec)  # uint8 wraps
+            rec = rec.reshape(-1)
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                p = a + up - ul
+                pa_, pb, pc_ = abs(p - a), abs(p - up), abs(p - ul)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (up if pb <= pc_ else ul)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an UNCOMPRESSED image payload to an (h, w, c) uint8 array.
+    """Decode an image payload to an (h, w, c) uint8 array.
 
     Real in-sandbox support (pure stdlib + numpy): binary PPM (``P6``,
-    c=3), binary PGM (``P5``, c=1), and BI_RGB BMP at 24/32 bpp
-    (bottom-up or top-down). Anything else — every COMPRESSED codec —
-    raises ``NotImplementedError``: a real deployment plugs Pillow/libvips
-    here and the surrounding Ray plumbing is unchanged."""
+    c=3), binary PGM (``P5``, c=1), BI_RGB BMP at 24/32 bpp (bottom-up or
+    top-down), and non-interlaced 8-bit gray/RGB/LA/RGBA **PNG** (stdlib
+    zlib inflate + spec defiltering — see ``_decode_png``). Anything else
+    (JPEG, palette/16-bit/Adam7 PNG, …) raises ``NotImplementedError``: a
+    real deployment plugs Pillow/libvips here and the surrounding Ray
+    plumbing is unchanged."""
     b = bytes(payload or b"")
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(b)
         if maxval > 255:
@@ -91,6 +178,26 @@ def decode_image(payload: bytes) -> np.ndarray:
         return px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
     raise NotImplementedError(
         "compressed image codecs not in sandbox (PPM/PGM/BMP decode is real)")
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, c) uint8 array as a valid non-interlaced 8-bit PNG
+    (filter type 0 on every scanline, one zlib-compressed IDAT) — pure
+    stdlib. Round-trips through ``_decode_png`` and any standard viewer."""
+    import struct as _struct
+    import zlib
+
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def encode_ppm(px: np.ndarray) -> bytes:

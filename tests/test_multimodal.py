@@ -149,10 +149,112 @@ def test_decode_bmp24_matches_ppm_pixels():
 
 
 def test_decode_compressed_still_stubbed():
+    # JPEG remains a stub; an all-zero-chunk PNG is CORRUPT, not a stub
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 64)  # JPEG SOI/APP0
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 64)
     with pytest.raises(NotImplementedError):
         decode_image(b"")
+
+
+# ---- PNG: real decode (stdlib zlib + spec defiltering) --------------------
+def _png_encode(px: np.ndarray, filters: list[int]) -> bytes:
+    """From-spec PNG encoder (test-side reference): 8-bit, non-interlaced,
+    one explicit filter type per scanline."""
+    import struct as st
+    import zlib
+
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        filt = np.empty(w * c, dtype=np.int64)
+        for x in range(w * c):
+            a = row[x - c] if x >= c else 0
+            b_ = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b_
+            elif f == 3:
+                pred = (a + b_) // 2
+            else:  # Paeth
+                p = a + b_ - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b_ if pb <= pc_ else cc)
+            filt[x] = (row[x] - pred) % 256
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_decode_png_all_filters_roundtrip(c):
+    rng = np.random.RandomState(7 + c)
+    px = rng.randint(0, 256, size=(10, 7, c), dtype=np.uint8)
+    # every filter type exercised, including runs of the sequential ones
+    out = decode_image(_png_encode(px, [0, 1, 2, 3, 4, 4, 3, 1, 2, 0]))
+    assert out.shape == px.shape and (out == px).all()
+
+
+def test_decode_png_known_vector():
+    # hand-checkable 2×2 RGB: filter 1 (Sub) on row 0, filter 2 (Up) on row 1
+    px = np.array([[[10, 20, 30], [15, 25, 35]],
+                   [[110, 120, 130], [115, 125, 135]]], dtype=np.uint8)
+    b = _png_encode(px, [1, 2])
+    assert (decode_image(b) == px).all()
+    # multiple IDAT chunks are concatenated per spec
+    import struct as st
+    import zlib
+    one = _png_encode(px, [0, 0])
+    sig, rest = one[:8], one[8:]
+    ln, = st.unpack(">I", rest[:4])
+    ihdr, idat_onwards = rest[:12 + ln], rest[12 + ln:]
+    ln2, = st.unpack(">I", idat_onwards[:4])
+    idat_data = idat_onwards[8:8 + ln2]
+    mid = len(idat_data) // 2
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    two = (sig + ihdr + chunk(b"IDAT", idat_data[:mid])
+           + chunk(b"IDAT", idat_data[mid:]) + chunk(b"IEND", b""))
+    assert (decode_image(two) == px).all()
+
+
+def test_decode_png_unsupported_variants_stubbed():
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    for depth, ctype, ilace in ((16, 0, 0), (8, 3, 0), (8, 2, 1)):
+        ihdr = st.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, ilace)
+        b = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\0" * 16))
+             + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_image(b)
 
 
 def test_pixel_features_solid_color():
