@@ -299,11 +299,42 @@ def extract_media_features(ds, *, feature_dim: int = 8, concurrency: int = 2,
     )
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 expansion tables for G.711 μ-law and A-law, built
+    from the spec (ITU-T G.711; the same tables audioop/ffmpeg ship —
+    cross-checked against stdlib audioop over all 256 codes in
+    tests/test_multimodal.py). Pure numpy: decode is then one table
+    gather per byte, fully vectorized."""
+    codes = np.arange(256, dtype=np.int64)
+    # μ-law: complement, then ((mant·8 + 0x84) << exp) − 0x84, signed
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    ulaw = np.where(sign, -mag, mag).astype(np.int16)
+    # A-law: xor 0x55; exp 0 → mant·16+8, else ((mant·16)+0x108)<<(exp−1);
+    # NOTE the sign convention is inverted vs μ-law: MSB SET = positive
+    a = codes ^ 0x55
+    sign_a = (a & 0x80) != 0
+    exp_a = (a >> 4) & 7
+    mant_a = a & 0xF
+    mag_a = np.where(exp_a == 0, (mant_a << 4) + 8,
+                     ((mant_a << 4) + 0x108) << np.maximum(exp_a - 1, 0))
+    alaw = np.where(sign_a, mag_a, -mag_a).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an UNCOMPRESSED audio payload: RIFF/WAVE PCM (8/16-bit int,
-    any channel count) → ((n_samples, channels) float32 in [-1, 1],
-    sample_rate). Compressed codecs (mp3/aac/ogg/float-WAV) raise
-    ``NotImplementedError`` — a real deployment plugs ffmpeg/soundfile."""
+    """Decode an audio payload: RIFF/WAVE linear PCM (8/16-bit int, any
+    channel count) plus the COMPRESSED G.711 WAV codecs — A-law (format 6)
+    and μ-law (format 7), expanded through spec-built numpy LUTs — →
+    ((n_samples, channels) float32 in [-1, 1], sample_rate). Anything else
+    (mp3/aac/ogg/float-WAV/ADPCM) raises ``NotImplementedError`` — a real
+    deployment plugs ffmpeg/soundfile."""
     b = bytes(payload or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
@@ -322,10 +353,19 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             if fmt is None:
                 raise ValueError("data chunk before fmt")
             audio_fmt, channels, rate, _, _, bits = fmt
-            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
-                raise NotImplementedError("only 8/16-bit PCM WAV supported")
+            if channels < 1 or (
+                (audio_fmt == 1 and bits not in (8, 16))
+                or (audio_fmt in (6, 7) and bits != 8)
+                or audio_fmt not in (1, 6, 7)
+            ):
+                raise NotImplementedError(
+                    "only 8/16-bit PCM and 8-bit G.711 WAV supported")
             raw = b[body: body + min(size, n - body)]
-            if bits == 16:
+            if audio_fmt in (6, 7):  # G.711 A-law / μ-law: LUT gather
+                lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+                x = lut[np.frombuffer(raw, np.uint8)].astype(np.float32)
+                x /= 32768.0
+            elif bits == 16:
                 x = np.frombuffer(raw[: len(raw) & ~1], "<i2").astype(np.float32)
                 x /= 32768.0
             else:  # 8-bit WAV is unsigned

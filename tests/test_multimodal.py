@@ -338,6 +338,52 @@ def test_decode_wav_roundtrip_and_features():
         decode_audio(b"ID3\x03mp3 data...")
 
 
+def test_g711_luts_match_stdlib_audioop_all_codes():
+    """The spec-built μ-law/A-law expansion tables must agree with stdlib
+    audioop (an independent G.711 implementation) on every code byte."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from nightcrawlercmd_ray.stages.multimodal import _ALAW_LUT, _ULAW_LUT
+
+    all_codes = bytes(range(256))
+    exp_u = np.frombuffer(audioop.ulaw2lin(all_codes, 2), "<i2")
+    exp_a = np.frombuffer(audioop.alaw2lin(all_codes, 2), "<i2")
+    assert (np.asarray(_ULAW_LUT) == exp_u).all()
+    assert (np.asarray(_ALAW_LUT) == exp_a).all()
+
+
+def test_decode_g711_wav():
+    import struct as st
+
+    from nightcrawlercmd_ray.stages.multimodal import _ULAW_LUT, decode_audio
+
+    def wav(fmt_code: int, payload: bytes, ch: int = 1) -> bytes:
+        return (b"RIFF" + st.pack("<I", 4 + 24 + 8 + len(payload)) + b"WAVE"
+                + b"fmt " + st.pack("<IHHIIHH", 16, fmt_code, ch, 8000,
+                                    8000 * ch, ch, 8)
+                + b"data" + st.pack("<I", len(payload)) + payload)
+
+    codes = bytes([0x00, 0x7F, 0x80, 0xFF, 0x55, 0xAA])
+    for fmt_code in (6, 7):
+        x, r = decode_audio(wav(fmt_code, codes))
+        assert r == 8000 and x.shape == (6, 1)
+        assert np.abs(x).max() <= 1.0
+    # μ-law 0xFF is the zero code; 0x7F is negative full-scale-ish
+    xu, _ = decode_audio(wav(7, codes))
+    assert xu[3, 0] == _ULAW_LUT[0xFF] / 32768.0 == 0.0
+    assert xu[1, 0] < -0.9
+    # stereo interleave preserved
+    xs, _ = decode_audio(wav(7, codes, ch=2))
+    assert xs.shape == (3, 2)
+    # ADPCM (format 17) stays a stub
+    with pytest.raises(NotImplementedError):
+        decode_audio(wav(17, codes))
+
+
 def test_audio_auto_mode_in_feature_stage():
     import ray
 
