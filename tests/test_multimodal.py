@@ -372,10 +372,11 @@ def test_decode_g711_wav():
         x, r = decode_audio(wav(fmt_code, codes))
         assert r == 8000 and x.shape == (6, 1)
         assert np.abs(x).max() <= 1.0
-    # μ-law 0xFF is the zero code; 0x7F is negative full-scale-ish
+    # μ-law 0xFF is positive zero, 0x7F negative zero, 0x00 neg full-scale
     xu, _ = decode_audio(wav(7, codes))
     assert xu[3, 0] == _ULAW_LUT[0xFF] / 32768.0 == 0.0
-    assert xu[1, 0] < -0.9
+    assert xu[1, 0] == 0.0
+    assert xu[0, 0] < -0.9
     # stereo interleave preserved
     xs, _ = decode_audio(wav(7, codes, ch=2))
     assert xs.shape == (3, 2)
