@@ -176,7 +176,25 @@ def cleanroom(
     if n_docs is None:
         n_docs = pq.ParquetFile(documents_path).metadata.num_rows
 
-    side_dir = out_dir or "/tmp/ncrawler_cleanroom"
+    if out_dir:
+        # explicit out_dir pins resume identity: rerunning with the same
+        # out_dir resumes its sidecars — the caller owns that contract
+        side_dir = out_dir
+    else:
+        # input-keyed default (bug fix): the old shared
+        # "/tmp/ncrawler_cleanroom" reused dup-set sidecars ACROSS
+        # DIFFERENT INPUTS — a cleanroom run on corpus B silently applied
+        # corpus A's duplicate ids (caught by the sf0.1 oracle audit:
+        # 373 planted dups survived). The key covers the input identity
+        # (path + mtime) and every knob that changes sidecar contents.
+        import hashlib as _hl
+
+        key = _hl.md5(
+            f"{os.path.abspath(documents_path)}:"
+            f"{os.path.getmtime(documents_path)}:"
+            f"{id_col}:{text_col}:{minhash_threshold}".encode()
+        ).hexdigest()[:12]
+        side_dir = f"/tmp/ncrawler_cleanroom/side-{key}"
     os.makedirs(side_dir, exist_ok=True)
 
     # stage 1: exact duplicate ids (winner = min id, kept; losers dropped)

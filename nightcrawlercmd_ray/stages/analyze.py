@@ -119,16 +119,24 @@ def analyze_columns(ds, columns: list[str]):
             "_h2": pa.array(out_h2, pa.int64()),
         })
 
+    def count_per_col(t: pa.Table) -> pa.Table:
+        # after the (col, h, h2) groupby each distinct pair exists exactly
+        # once globally, so ndv per col = a per-block count combiner + a
+        # |columns|-row sum — NOT a second full shuffle of the distinct
+        # pair set (which is corpus-sized for key-like columns)
+        g = (t.select(["col"]).group_by("col")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["col", "ndv"])
+
+    from ray.data.aggregate import Sum as _Sum
+
     ndv = (
         ds.map_batches(hash_partial, batch_format="pyarrow")
         .groupby(["col", "_h", "_h2"])
         .count()
+        .map_batches(count_per_col, batch_format="pyarrow")
         .groupby("col")
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["col", "ndv"]),
-            batch_format="pyarrow",
-        )
+        .aggregate(_Sum("ndv", alias_name="ndv"))
     )
 
     # |columns|-row join: both sides are column-count-sized — fold on the

@@ -144,3 +144,36 @@ def test_cleanroom_anti_join_path_matches_broadcast(tmp_path):
     ids_b = sorted(r["doc_id"] for r in ds_b.take_all())
     ids_j = sorted(r["doc_id"] for r in ds_j.take_all())
     assert ids_j == ids_b
+
+
+def test_default_sidecar_is_input_keyed_no_cross_input_reuse(tmp_path):
+    """Regression (r4 sf0.1 oracle audit): with out_dir=None the dup-set
+    sidecars used to live in one shared /tmp dir, so a cleanroom run on a
+    DIFFERENT corpus silently applied the previous corpus's duplicate ids.
+    The default side_dir is now keyed by input identity — each corpus gets
+    its own dup decisions without the caller managing directories."""
+    import ray
+
+    # corpus A: dup pair (3, 100)
+    a_path = str(tmp_path / "a.parquet")
+    _corpus(a_path)
+    ds_a, info_a = cleanroom(a_path, None, minhash_threshold=None,
+                             min_quality=None, min_tokens=1)
+    ids_a = set(ds_a.to_pandas()["doc_id"])
+    assert 100 not in ids_a and 101 not in ids_a and 3 in ids_a
+
+    # corpus B: same doc ids but DIFFERENT dup structure (200 dups doc 9)
+    rows = [(i, _doc_text(i)) for i in range(20)]
+    rows.append((200, rows[9][1]))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    b_path = str(tmp_path / "b.parquet")
+    pq.write_table(t, b_path)
+    ds_b, info_b = cleanroom(b_path, None, minhash_threshold=None,
+                             min_quality=None, min_tokens=1)
+    ids_b = set(ds_b.to_pandas()["doc_id"])
+    # B's own dup decision fires; A's decisions must NOT leak in
+    assert 200 not in ids_b
+    assert ids_b == set(range(20))
