@@ -275,3 +275,63 @@ def test_robots_gate_seal_requires_host_sharding(tiny_corpus, tmp_path):
               num_shards=2, num_buckets=4, seen_filter="exact")  # preps store
     with _pytest.raises(ValueError):
         CrawlRun(store, params, num_shards=2, robots_gate="seal")
+
+
+@pytest.mark.parametrize("case_seed", [11, 23, 47])
+def test_crawl_matches_oracle_randomized_corpora(tmp_path, case_seed):
+    """Property form of the north-rule invariant: for seeded-random corpus
+    shapes (skew, redirects, errors, robots-gated pages, link fan-out) and
+    seeded-random crawl configs (politeness window/delay, max_pages,
+    shard/bucket counts, dedup sharding mode), the distributed crawl must
+    equal the serial oracle bit-for-bit — order, seen set, text."""
+    import random
+
+    from nightcrawlercmd_ray.sources.synth import CorpusSpec, generate_corpus
+
+    rng = random.Random(case_seed)
+    spec = CorpusSpec(
+        n_pages=rng.randrange(60, 260),
+        n_hosts=rng.randrange(3, 12),
+        hot_frac=rng.choice([0.0, 0.3, 0.7]),
+        seed=rng.randrange(1, 10_000),
+        redirect_frac=rng.choice([0.0, 0.08]),
+        nonhtml_frac=rng.choice([0.0, 0.06]),
+        error_frac=rng.choice([0.0, 0.05]),
+        private_frac=rng.choice([0.0, 0.15]),
+        max_links=rng.randrange(3, 12),
+        seeds_per_host=rng.choice([1, 2]),
+    )
+    d = str(tmp_path / "corpus")
+    m = generate_corpus(d, spec)
+    n_seeds = max(1, rng.randrange(1, len(m["seeds"]) + 1))
+    params = CrawlParams(
+        seeds=m["seeds"][:n_seeds],
+        default_delay_ms=rng.choice([250, 500, 900]),
+        window_ms=rng.choice([1000, 2000, 3600]),
+        max_pages=rng.choice([-1, -1, rng.randrange(10, 120)]),
+        respect_robots=rng.choice([True, False]),
+    )
+    import pyarrow.parquet as pq
+
+    from nightcrawlercmd_ray.oracle.crawl_oracle import universe_from_tables
+
+    universe = universe_from_tables(
+        pq.read_table(f"{d}/pages.parquet"),
+        pq.read_table(f"{d}/fetch_meta.parquet"))
+    res = crawl_oracle(universe, params)
+    run = run_crawl(
+        d, params, store_dir=str(tmp_path / "store"),
+        num_shards=rng.randrange(1, 7), num_buckets=rng.randrange(2, 9),
+        seen_filter="exact", keep_seen_log=True,
+        dedup_sharding=rng.choice(["url", "host"]),
+    )
+    if not res.fetches:  # e.g. every seed robots-blocked: both must be empty
+        assert run.fetches_dataset().count() == 0
+        assert run.seen_urls() == res.seen
+        return
+    _assert_match(run, res)
+    assert run.seen_urls() == res.seen
+    ef = _engine_frame(run)
+    engine_text = dict(zip(ef["url"], ef["text"]))
+    for url, golden in res.text_by_url.items():
+        assert engine_text[url] == golden, url
