@@ -11,15 +11,21 @@ this engine's snapshot/dedup/curation/sorted-sink pieces end-to-end:
       → LSM compaction of the survivors into the sorted base corpus
         (`stages.sortedsink.compact_sorted`: base never re-sorts or moves).
 
-Semantics are append-only (LSM level-0): a changed document's new version
-is appended under a version-offset id; readers take the latest version per
-natural id. Deletion/tombstoning is a compaction-policy concern outside
-this pipeline's scope (documented, not silently wrong).
+Semantics are append-only (LSM level-0) by default: a changed document's
+new version is appended under a version-offset id; readers take the latest
+version per natural id. Deletion: ``delete_missing=True`` turns docs with
+diff status ``removed`` into tombstones applied during compaction
+(``stages.sortedsink.compact_sorted(tombstone_ds=...)`` — the touched base
+parts drop those rows and ranks recompute); the default keeps the
+append-only level-0 semantics.
 
 Scale shape: every stage is an existing audited component — the diff and
 dedup exchanges carry compact (id, hash) rows (never text), curation is a
-pure map, and compaction shuffles ONLY the survivor delta. Nothing
-materializes on the driver beyond the diff's status rows.
+pure map, and compaction shuffles ONLY the survivor delta. The work-id and
+dup-id sets broadcast only while ≤ ``broadcast_limit``; past the gate they
+route through the distributed semi/anti ``hash_join`` (compact id rows,
+object store, never folded on the driver) — the full-re-snapshot case
+where added+changed ≈ O(corpus) stays streaming.
 """
 
 from __future__ import annotations
@@ -30,8 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.dedup import _content_hashes, _num_coarse_partitions
-from ..stages.joins import content_hashes, snapshot_diff
+from ..stages.dedup import _content_hashes, _num_coarse_partitions, anti_join_ids
+from ..stages.joins import content_hashes, hash_join, snapshot_diff
 from ..stages.sortedsink import compact_sorted
 
 
@@ -90,52 +96,78 @@ def cross_exact_duplicate_ids(old_ds, delta_ds, *, text_col: str = "text",
 def refresh_corpus(old_ds, new_ds, base_dir: str, out_dir: str, *,
                    text_col: str = "text", id_col: str = "doc_id",
                    min_chars: int = 1, version_offset: int = 1_000_000_000,
+                   broadcast_limit: int = 1 << 21,
+                   delete_missing: bool = False,
                    n_rows: int | None = None) -> dict:
     """Run the refresh loop (module docstring) and compact survivors into
     ``out_dir`` on top of the sorted base at ``base_dir`` (a
     `write_sorted_partitioned` directory of the old corpus keyed on
     (n_chars, doc_id)). Survivor ids carry ``version_offset`` so versions
-    coexist under the sink's total order. Returns counter dict:
-    {work, dup_dropped, short_dropped, survivors, merged_rows, manifest}.
+    coexist under the sink's total order. ``delete_missing=True`` also
+    tombstones docs the new snapshot dropped (diff status ``removed``) out
+    of the merged corpus. Returns counter dict: {work, dup_dropped,
+    short_dropped, survivors, removed, merged_rows, manifest}.
+
+    Id sets ≤ ``broadcast_limit`` broadcast once (zero shuffle, vectorized
+    ``is_in``); larger sets — the full-re-snapshot case where added+changed
+    is corpus-sized — route through the distributed semi/anti
+    ``stages.joins.hash_join`` so no id set ever folds on the driver.
     """
-    import ray
+    import ray  # noqa: F401 — workers resolve broadcast refs via ray.get
 
     from ..stages.curation import pii_redact
 
     old_h = content_hashes(old_ds, text_col=text_col, id_col=id_col)
     new_h = content_hashes(new_ds, text_col=text_col, id_col=id_col)
-    diff = snapshot_diff(old_h, new_h, n_rows=n_rows)
+    diff = snapshot_diff(old_h, new_h, on=id_col, n_rows=n_rows)
+    if delete_missing:
+        # one diff, three consumers (work ids, removed ids) — run it once
+        diff = diff.materialize()
 
-    def only_work(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(
-            t.column("status"), value_set=pa.array(["added", "changed"])))
+    def status_ids(*wanted: str):
+        vs = pa.array(list(wanted))
 
-    # work set: added + changed ids — compact status rows, bounded by the
-    # delta size (broadcast; swap for hash_join(how="semi") past ~10^8)
-    work_rows = diff.map_batches(
-        only_work, batch_format="pyarrow").take_all()
-    work_ids = pa.array(sorted(r["doc_id"] for r in work_rows), pa.int64())
-    work_ref = ray.put(work_ids)
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("status"), value_set=vs))
+            return pa.table(
+                {id_col: pc.cast(t.column(id_col), pa.int64())})
 
-    def keep_work(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(pc.cast(t.column(id_col), pa.int64()),
-                                 value_set=ray.get(work_ref)))
+        return fn
 
-    delta = new_ds.map_batches(keep_work, batch_format="pyarrow")
+    # work set: added + changed ids — compact id rows, materialized in the
+    # object store (spillable, never driver memory) so count + reuse cost
+    # one execution
+    work = diff.map_batches(
+        status_ids("added", "changed"), batch_format="pyarrow").materialize()
+    n_work = work.count()
+    new_names = new_ds.schema().names
 
-    dup_rows = cross_exact_duplicate_ids(
+    if n_work <= broadcast_limit:
+        work_ids = pa.array(
+            sorted(r[id_col] for r in work.take_all()), pa.int64())
+        work_ref = ray.put(work_ids)
+
+        def keep_work(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(pc.cast(t.column(id_col), pa.int64()),
+                                     value_set=ray.get(work_ref)))
+
+        delta = new_ds.map_batches(keep_work, batch_format="pyarrow")
+    else:
+        # distributed fallback: semi hash_join narrows new_ds to the work
+        # set without the id set ever leaving the cluster. The join is a
+        # full keyed exchange and delta feeds TWO consumers (cross-corpus
+        # dedup + the survivor chain) — materialize so it runs once.
+        delta = hash_join(new_ds, work, on=id_col, how="semi",
+                          n_rows=n_rows).select_columns(new_names)
+        delta = delta.materialize()
+
+    dups = cross_exact_duplicate_ids(
         old_ds, delta, text_col=text_col, id_col=id_col,
-        n_rows=n_rows).take_all()
-    dup_ids = pa.array(sorted(r["doc_id"] for r in dup_rows), pa.int64())
-    dup_ref = ray.put(dup_ids)
-
-    def drop_dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(
-            pc.cast(t.column(id_col), pa.int64()),
-            value_set=ray.get(dup_ref))))
-
+        n_rows=n_rows).materialize()
+    n_dup = dups.count()
     survivors = pii_redact(
-        delta.map_batches(drop_dups, batch_format="pyarrow"),
+        anti_join_ids(delta, dups, id_col, broadcast_limit=broadcast_limit,
+                      n_rows=n_rows, n_dups=n_dup),
         text_col=text_col)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -150,15 +182,54 @@ def refresh_corpus(old_ds, new_ds, base_dir: str, out_dir: str, *,
         })
 
     survivor_keys = survivors.map_batches(finish, batch_format="pyarrow")
-    man = compact_sorted(base_dir, survivor_keys, out_dir)
+
+    tomb = None
+    n_removed = 0
+    if delete_missing:
+        removed = diff.map_batches(
+            status_ids("removed"), batch_format="pyarrow").materialize()
+        n_removed = removed.count()
+        if n_removed:
+            # tombstones carry the base's sort key — (n_chars of the OLD
+            # text, id) — so compaction can route them to their base part.
+            # Narrow old_ds to the removed ids with the same gated pattern.
+            old_names = old_ds.schema().names
+            if n_removed <= broadcast_limit:
+                rem_ids = pa.array(
+                    sorted(r[id_col] for r in removed.take_all()), pa.int64())
+                rem_ref = ray.put(rem_ids)
+
+                def keep_removed(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.is_in(
+                        pc.cast(t.column(id_col), pa.int64()),
+                        value_set=ray.get(rem_ref)))
+
+                old_removed = old_ds.map_batches(
+                    keep_removed, batch_format="pyarrow")
+            else:
+                old_removed = hash_join(
+                    old_ds, removed, on=id_col, how="semi",
+                    n_rows=n_rows).select_columns(old_names)
+
+            def tomb_keys(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    id_col: pc.cast(t.column(id_col), pa.int64()),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(t.column(text_col)), pa.int64()),
+                })
+
+            tomb = old_removed.map_batches(tomb_keys, batch_format="pyarrow")
+
+    man = compact_sorted(base_dir, survivor_keys, out_dir, tombstone_ds=tomb)
     with open(f"{base_dir}/_MANIFEST") as f:
         base_rows = json.load(f)["rows"]
-    survivors = int(man["rows"]) - int(base_rows)
+    n_survivors = int(man["rows"]) - int(base_rows) + n_removed
     return {
-        "work": len(work_ids),
-        "dup_dropped": len(dup_ids),
-        "short_dropped": len(work_ids) - len(dup_ids) - survivors,
-        "survivors": survivors,
+        "work": n_work,
+        "dup_dropped": n_dup,
+        "short_dropped": n_work - n_dup - n_survivors,
+        "survivors": n_survivors,
+        "removed": n_removed,
         "merged_rows": int(man["rows"]),
         "manifest": man,
     }

@@ -191,7 +191,7 @@ def read_sorted(out_dir: str):
 
 
 def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
-                   skip_done: bool = True) -> dict:
+                   tombstone_ds=None, skip_done: bool = True) -> dict:
     """LSM-style compaction: merge a sorted base (a
     ``write_sorted_partitioned`` directory) with a DELTA dataset into a new
     sorted directory WITHOUT re-sorting or even re-reading the whole base —
@@ -214,6 +214,15 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
     Boundaries are inherited, so a heavily skewed delta can fatten one
     range; rerun ``write_sorted_partitioned`` (fresh boundaries) when part
     sizes drift — the documented re-balance path. Returns the new manifest.
+
+    ``tombstone_ds`` (optional) is a Dataset of (key_col, tie_col) rows to
+    DELETE from the base during the same compaction — the LSM deletion
+    path. Tombstones ride the identical keyed exchange as the delta (as
+    compact key rows with an ``_op`` flag); each touched part drops its
+    tombstoned base rows before merging its delta and ranks recompute.
+    Contract: every tombstone must match exactly one base row (the caller
+    derives them from the base corpus — see ``pipelines.refresh``); a miss
+    raises rather than silently drifting the manifest counts.
     """
     with open(f"{base_dir}/_MANIFEST") as f:
         man = json.load(f)
@@ -223,23 +232,64 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
     base_offsets = np.array(man["offsets"], dtype=np.int64)
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- pass 1: per-part delta counts (bounded: P rows cross) ----------
+    if tombstone_ds is not None:
+        # align tombstones to the delta schema (key/tie real, payload null)
+        # and union into ONE stream so a part touched by both adds and
+        # deletes is written exactly once by a single merge task
+        d_schema = delta_ds.schema()
+        d_names, d_types = d_schema.names, d_schema.types
+
+        def tag_add(t: pa.Table) -> pa.Table:
+            return t.select(d_names).append_column(
+                "_op", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+        def tag_del(t: pa.Table) -> pa.Table:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for n, ty in zip(d_names, d_types):
+                if n in (key_col, tie_col):
+                    cols[n] = pc.cast(t.column(n), ty)
+                else:
+                    cols[n] = pa.nulls(t.num_rows, type=ty)
+            return pa.table(cols).append_column(
+                "_op", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+        stream = delta_ds.map_batches(tag_add, batch_format="pyarrow").union(
+            tombstone_ds.map_batches(tag_del, batch_format="pyarrow"))
+        # two consumers below (count pass + merge pass): run the tagging once
+        stream = stream.materialize()
+    else:
+        stream = delta_ds
+
+    # ---- pass 1: per-part add/delete counts (bounded: P rows cross) -----
     def part_counts(t: pa.Table) -> pa.Table:
         p = np.searchsorted(bounds, _packed(t, key_col, tie_col),
                             side="right")
-        c = np.bincount(p, minlength=len(bounds) + 1).astype(np.int64)
+        if "_op" in t.column_names:
+            op = t.column("_op").to_numpy(zero_copy_only=False)
+        else:
+            op = np.zeros(len(p), dtype=np.int8)
+        m = len(bounds) + 1
+        add_c = np.bincount(p[op == 0], minlength=m).astype(np.int64)
+        del_c = np.bincount(p[op == 1], minlength=m).astype(np.int64)
         return pa.table({
-            "_part": pa.array(np.arange(len(c), dtype=np.int64)),
-            "_n": pa.array(c),
+            "_part": pa.array(np.arange(m, dtype=np.int64)),
+            "_n": pa.array(add_c),
+            "_d": pa.array(del_c),
         })
 
     delta_counts = np.zeros(len(bounds) + 1, dtype=np.int64)
-    for r in (delta_ds.map_batches(part_counts, batch_format="pyarrow")
-              .groupby("_part").sum("_n").take_all()):
+    del_counts = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r in (stream.map_batches(part_counts, batch_format="pyarrow")
+              .groupby("_part").sum(["_n", "_d"]).take_all()):
         delta_counts[r["_part"]] = r["sum(_n)"]
-    new_counts = base_counts + delta_counts
+        del_counts[r["_part"]] = r["sum(_d)"]
+    if (del_counts > base_counts).any():
+        raise ValueError(
+            "compact_sorted: more tombstones than base rows in part(s) "
+            f"{np.flatnonzero(del_counts > base_counts).tolist()}")
+    new_counts = base_counts + delta_counts - del_counts
     new_offsets = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
-    touched = set(np.flatnonzero(delta_counts).tolist())
+    touched = set(np.flatnonzero(delta_counts + del_counts).tolist())
 
     done = {
         int(d.split("-", 1)[1])
@@ -268,11 +318,29 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
     def merge_part(g: pa.Table) -> pa.Table:
         part = int(g.column("_part")[0].as_py())
         add = g.drop_columns(["_part"])
+        del_keys = np.empty(0, dtype=np.int64)
+        if "_op" in add.column_names:
+            op = add.column("_op").to_numpy(zero_copy_only=False)
+            dels = add.filter(pa.array(op == 1))
+            del_keys = _packed(dels, key_col, tie_col)
+            add = add.filter(pa.array(op == 0)).drop_columns(["_op"])
         base_path = f"{base_dir}/part-{part:05d}/data.parquet"
         if os.path.exists(base_path):
             base_t = pq.read_table(base_path).drop_columns(["pos"])
+            if del_keys.size:
+                keep = ~np.isin(_packed(base_t, key_col, tie_col), del_keys)
+                hits = base_t.num_rows - int(keep.sum())
+                if hits != del_keys.size:
+                    raise ValueError(
+                        f"compact_sorted: part {part}: {del_keys.size} "
+                        f"tombstone(s) removed {hits} base row(s) — each "
+                        "must match exactly one")
+                base_t = base_t.filter(pa.array(keep))
             body = pa.concat_tables(
                 [base_t, add.select(base_t.column_names).cast(base_t.schema)])
+        elif del_keys.size:
+            raise ValueError(
+                f"compact_sorted: tombstones routed to empty base part {part}")
         else:
             body = add
         k = _packed(body, key_col, tie_col)
@@ -287,7 +355,7 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
                          "rows": pa.array([body.num_rows], pa.int64())})
 
     written = (
-        delta_ds.map_batches(add_part, batch_format="pyarrow")
+        stream.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge_part, batch_format="pyarrow")
         .take_all()
@@ -351,6 +419,7 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
         "boundaries": bounds.tolist(),
         "counts": new_counts.tolist(), "offsets": new_offsets.tolist(),
         "rows": int(new_counts.sum()),
+        "removed": int(del_counts.sum()),
         "written": sorted(int(r["part"]) for r in written),
         "carried": sorted(int(r["part"]) for r in carried),
         "skipped": sorted(done),

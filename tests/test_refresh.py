@@ -128,3 +128,93 @@ def test_refresh_counters_partition_work_set(tmp_path):
     assert stats["short_dropped"] == 1
     assert stats["survivors"] == 2
     assert stats["merged_rows"] == 3 + 2
+
+
+def test_refresh_forced_distributed_path(tmp_path):
+    """broadcast_limit=0 forces the semi/anti hash_join fallback for BOTH
+    id sets (work + dup) — the 100-TB full-re-snapshot path. Stats and the
+    merged corpus must be identical to the broadcast path."""
+    rng = np.random.default_rng(11)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    base_texts = [f"body of document {i} " + "y" * int(rng.integers(4, 30))
+                  for i in ids]
+    old_ids = ids[ids % 5 != 0]
+    old = _docs(old_ids.tolist(), [base_texts[i] for i in old_ids])
+    new_texts = []
+    for i in ids:
+        if i % 10 == 0 and i % 5 == 0:
+            new_texts.append(base_texts[(i + 2) % n])  # dup of an old text
+        elif i % 7 == 0:
+            new_texts.append("tiny")
+        elif i % 3 == 0:
+            new_texts.append(base_texts[i] + " v2")
+        else:
+            new_texts.append(base_texts[i])
+    new = _docs(ids.tolist(), new_texts)
+
+    def keyed(t):
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    outs = {}
+    for label, limit in (("broadcast", 1 << 21), ("join", 0)):
+        base_dir = str(tmp_path / f"base_{label}")
+        out_dir = str(tmp_path / f"out_{label}")
+        write_sorted_partitioned(
+            old.map_batches(keyed, batch_format="pyarrow"), base_dir,
+            key_col="n_chars", tie_col="doc_id", num_partitions=4,
+        )
+        stats = refresh_corpus(old, new, base_dir, out_dir, min_chars=8,
+                               broadcast_limit=limit)
+        back = (read_sorted(out_dir).to_pandas()
+                .sort_values("pos").reset_index(drop=True))
+        outs[label] = (stats, back)
+    sb, bb = outs["broadcast"]
+    sj, bj = outs["join"]
+    assert {k: v for k, v in sb.items() if k != "manifest"} == \
+        {k: v for k, v in sj.items() if k != "manifest"}
+    assert sb["work"] > 0 and sb["dup_dropped"] > 0
+    assert bb[["doc_id", "n_chars", "pos"]].equals(bj[["doc_id", "n_chars",
+                                                      "pos"]])
+
+
+def test_refresh_delete_missing_tombstones(tmp_path):
+    """delete_missing=True drops docs the new snapshot removed: they vanish
+    from the merged corpus, ranks recompute densely, and the counters carry
+    the removed count."""
+    old = _docs([1, 2, 3, 4], ["alpha document body", "beta document body",
+                               "gamma document body", "delta document body"])
+    # doc 2 and 4 are gone from the new snapshot; 1 unchanged; 3 changed
+    new = _docs([1, 3, 5],
+                ["alpha document body",
+                 "gamma document body CHANGED",
+                 "epsilon document body"])
+    base_dir = str(tmp_path / "b")
+    out_dir = str(tmp_path / "o")
+
+    def keyed(t):
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base_dir,
+        key_col="n_chars", tie_col="doc_id", num_partitions=2,
+    )
+    stats = refresh_corpus(old, new, base_dir, out_dir, min_chars=8,
+                           delete_missing=True)
+    assert stats["removed"] == 2
+    assert stats["work"] == 2          # changed 3 + added 5
+    assert stats["survivors"] == 2
+    assert stats["merged_rows"] == 4 - 2 + 2
+    back = (read_sorted(out_dir).to_pandas()
+            .sort_values("pos").reset_index(drop=True))
+    assert back["pos"].tolist() == list(range(len(back)))
+    natural = set(back.loc[back["doc_id"] < 1_000_000_000, "doc_id"])
+    assert natural == {1, 3}           # 2 and 4 tombstoned away
+    key = back["n_chars"].values * (1 << 32) + back["doc_id"].values
+    assert (np.diff(key) > 0).all()

@@ -233,6 +233,61 @@ def test_compact_resume_rewrites_only_missing_parts():
     pd.testing.assert_frame_equal(before, after)
 
 
+def test_compact_sorted_tombstones_delete_and_rerank():
+    """``tombstone_ds`` deletes its matched base rows in the SAME
+    compaction pass as the delta merge: read-back == a full rewrite of
+    (base − tombstoned) ∪ delta with exact dense ranks."""
+    t = _data(1200, seed=9)
+    base_t, delta_t = _split(t, lambda i: i % 3 != 0)
+    bids = base_t.column("doc_id").to_numpy(zero_copy_only=False)
+    dead_mask = bids % 5 == 0
+    dead = base_t.filter(pa.array(dead_mask))
+    assert dead.num_rows > 0
+    shutil.rmtree(CBASE, ignore_errors=True)
+    shutil.rmtree(COUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t).repartition(5), CBASE,
+        key_col="n_chars", tie_col="doc_id", num_partitions=6,
+        n_rows=base_t.num_rows,
+    )
+    tomb = ray.data.from_arrow(
+        dead.select(["n_chars", "doc_id"])).repartition(3)
+    man = compact_sorted(
+        CBASE, ray.data.from_arrow(delta_t).repartition(7), COUT,
+        tombstone_ds=tomb)
+    surv = pa.concat_tables(
+        [base_t.filter(pa.array(~dead_mask)), delta_t])
+    assert man["rows"] == surv.num_rows
+    assert man["removed"] == dead.num_rows
+    got = (read_sorted(COUT).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars", "lang", "pos"]],
+        _expected(surv)[["doc_id", "n_chars", "lang", "pos"]],
+    )
+
+
+def test_compact_sorted_tombstone_miss_raises():
+    """A tombstone matching no base row must raise, not drift the counts."""
+    t = _data(400, seed=10)
+    base_t, delta_t = _split(t, lambda i: i % 2 == 0)
+    shutil.rmtree(CBASE, ignore_errors=True)
+    shutil.rmtree(COUT, ignore_errors=True)
+    write_sorted_partitioned(
+        ray.data.from_arrow(base_t).repartition(3), CBASE,
+        key_col="n_chars", tie_col="doc_id", num_partitions=4,
+        n_rows=base_t.num_rows,
+    )
+    ghost = pa.table({
+        "n_chars": pa.array([5], pa.int64()),
+        # an ODD id is never in the base split — no base row matches
+        "doc_id": pa.array([1], pa.int64()),
+    })
+    with pytest.raises(Exception, match="tombstone"):
+        compact_sorted(CBASE, ray.data.from_arrow(delta_t), COUT,
+                       tombstone_ds=ray.data.from_arrow(ghost))
+
+
 def test_compact_base_before_delta_on_ties():
     """Exact (key, tie) collisions across sides keep base rows first —
     deterministic multiset-merge semantics."""
