@@ -207,7 +207,9 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id", *,
+                    broadcast_limit: int = 2_000_000,
+                    num_partitions: int | None = None):
     """Per-document top-k informative keywords: rank terms by TF descending
     with corpus document frequency as the informativeness tie-breaker
     (df ASC — rarer wins) then word — a deterministic integer-only TF-IDF
@@ -216,11 +218,15 @@ def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
     family (``RE_WORD`` lowercased).
 
     Scale shape: ONE word shuffle total (inside ``document_frequency``);
-    the DF side is pruned to ``min_df`` survivors and broadcast once
-    (``ray.put``), then TF, the DF probe and the top-k cut are all local to
-    each batch. At 100 TB the broadcast is the min_df-pruned vocabulary —
-    if that outgrows a broadcast, swap the probe for the keyed
-    ``stages/joins.hash_join`` path (same output, one more shuffle).
+    the DF side is pruned to ``min_df`` survivors and then EITHER broadcast
+    once (``ray.put``) while ≤ ``broadcast_limit`` distinct words survive —
+    TF, the DF probe and the top-k cut all stay local to each batch — OR,
+    past the limit (web-scale vocab at min_df=2 is ~10^9), resolved by a
+    coarse word-keyed shuffle of the per-doc distinct (word, tf) rows
+    against the DF stream, followed by a doc-keyed shuffle for the top-k
+    cut: exchange volume O(distinct doc-word pairs), the DF table never
+    folds on the driver. Both paths are bit-identical (pinned in
+    tests/test_textops_bm25.py with the join path forced).
     → Dataset(doc_id, word, tf, df).
     """
     from collections import Counter
@@ -229,34 +235,148 @@ def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
 
     from nightcrawlercmd_ray.functions.extractors import RE_WORD
 
-    df_pd = document_frequency(ds, text_col, id_col).to_pandas()
-    df_pd = df_pd[df_pd["df"] >= min_df]
-    df_ref = ray.put(dict(zip(df_pd["word"], df_pd["df"].astype(int))))
+    df_ds = document_frequency(ds, text_col, id_col)
+    if min_df > 1:
+        df_ds = df_ds.filter(expr=f"df >= {int(min_df)}")
+    df_ds = df_ds.materialize()
+    n_vocab = df_ds.count()
 
-    def topk(t: pa.Table) -> pa.Table:
-        df_map = ray.get(df_ref)  # broadcast once; local-store read
-        ids, words, tfs, dfs = [], [], [], []
+    if n_vocab <= broadcast_limit:
+        df_ref = ray.put({r["word"]: int(r["df"])
+                          for r in df_ds.take_all()})
+
+        def topk(t: pa.Table) -> pa.Table:
+            df_map = ray.get(df_ref)  # broadcast once; local-store read
+            ids, words, tfs, dfs = [], [], [], []
+            for did, text in zip(
+                t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+            ):
+                c = Counter(w.lower() for w in RE_WORD.findall(text or ""))
+                scored = [
+                    (w, n, df_map[w]) for w, n in c.items() if w in df_map
+                ]
+                scored.sort(key=lambda x: (-x[1], x[2], x[0]))
+                for w, n, d in scored[:k]:
+                    ids.append(did)
+                    words.append(w)
+                    tfs.append(n)
+                    dfs.append(d)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+            })
+
+        return ds.map_batches(topk, batch_format="pyarrow")
+
+    # keyed-join fallback: the pruned DF table outgrew a broadcast. Tag the
+    # per-doc distinct (word, tf) rows and the DF rows into one stream,
+    # coarse-shuffle on hash(word) % P to resolve each word's df inside its
+    # partition (words without a surviving DF row drop there), then ONE
+    # doc-keyed shuffle ranks and cuts top-k per document.
+    from .fuzzyjoin import _string_hash
+
+    P = max(num_partitions or 0, 64)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
         for did, text in zip(
-            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+            pc.cast(t.column(id_col), pa.int64()).to_pylist(),
+            t.column(text_col).to_pylist(),
         ):
             c = Counter(w.lower() for w in RE_WORD.findall(text or ""))
-            scored = [
-                (w, n, df_map[w]) for w, n in c.items() if w in df_map
-            ]
-            scored.sort(key=lambda x: (-x[1], x[2], x[0]))
-            for w, n, d in scored[:k]:
+            for w, n in c.items():
                 ids.append(did)
                 words.append(w)
                 tfs.append(n)
-                dfs.append(d)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
             "word": pa.array(words, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
             "tf": pa.array(tfs, pa.int64()),
-            "df": pa.array(dfs, pa.int64()),
+            "df": pa.nulls(len(ids), pa.int64()),
         })
 
-    return ds.map_batches(topk, batch_format="pyarrow")
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "word": t.column("word"),
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "tf": pa.nulls(t.num_rows, pa.int64()),
+            "df": pc.cast(t.column("df"), pa.int64()),
+        })
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        h = _string_hash(t.column("word"))
+        return t.append_column(
+            "_coarse", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def resolve_df(g: pa.Table) -> pa.Table:
+        is_df = pc.is_valid(g.column("df"))
+        dfs = g.filter(is_df)
+        df_map = dict(zip(dfs.column("word").to_pylist(),
+                          dfs.column("df").to_pylist()))
+        rows = g.filter(pc.invert(is_df))
+        words = rows.column("word").to_pylist()
+        hit = [w in df_map for w in words]
+        rows = rows.filter(pa.array(hit, pa.bool_()))
+        return pa.table({
+            "doc_id": pc.cast(rows.column("doc_id"), pa.int64()),
+            "word": rows.column("word"),
+            "tf": pc.cast(rows.column("tf"), pa.int64()),
+            "df": pa.array([df_map[w] for w, h in zip(words, hit) if h],
+                           pa.int64()),
+        })
+
+    resolved = (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .union(df_ds.map_batches(tag_df, batch_format="pyarrow"))
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(resolve_df, batch_format="pyarrow")
+    )
+
+    def doc_coarse(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = (d.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            % np.uint64(P)
+        return t.append_column("_dc", pa.array(c.astype(np.int64)))
+
+    def doc_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        dfv = g.column("df").to_numpy(zero_copy_only=False)
+        # RE_WORD tokens are pure ASCII letters: numpy '<U' code-point
+        # order == the broadcast path's Python str sort
+        w = np.asarray(g.column("word").to_pylist(), dtype=str)
+        order = np.lexsort((w, dfv, -tf, d))
+        ds_, tfs_, dfs_, ws_ = d[order], tf[order], dfv[order], w[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        idx = np.arange(len(order), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (idx - run_start) < k
+        return pa.table({
+            "doc_id": pa.array(ds_[keep], pa.int64()),
+            "word": pa.array(ws_[keep], pa.string()),
+            "tf": pa.array(tfs_[keep], pa.int64()),
+            "df": pa.array(dfs_[keep], pa.int64()),
+        })
+
+    return (
+        resolved.map_batches(doc_coarse, batch_format="pyarrow")
+        .groupby("_dc")
+        .map_groups(
+            lambda g: doc_topk(g.drop_columns(["_dc"])),
+            batch_format="pyarrow")
+    )
 
 
 def doc_top_terms(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):

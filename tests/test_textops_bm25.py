@@ -85,3 +85,29 @@ def test_bm25_rejects_empty_query_vocab():
     rows = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["xyz abc"]})
     with pytest.raises(ValueError):
         bm25_topk(ray.data.from_arrow(rows), [(1, "a of")], k=3)
+
+
+def test_tfidf_top_terms_forced_join_path_bit_identical():
+    """tfidf_top_terms with broadcast_limit=0 (the DF-table-outgrew-a-
+    broadcast fallback: word-keyed resolve + doc-keyed top-k) must emit the
+    exact rows of the broadcast path, at any partitioning."""
+    from nightcrawlercmd_ray.stages.textops import tfidf_top_terms
+
+    rng = np.random.default_rng(21)
+    vocab = ["table", "scan", "merge", "batch", "hash", "index", "query",
+             "joining", "filter", "sort"]
+    ids = list(range(60))
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 25))))
+             for _ in ids]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+
+    def run(limit):
+        got = tfidf_top_terms(ds, k=3, min_df=2,
+                              broadcast_limit=limit).to_pandas()
+        return (got.sort_values(["doc_id", "word"])
+                .reset_index(drop=True)[["doc_id", "word", "tf", "df"]])
+
+    pd.testing.assert_frame_equal(run(1 << 21), run(0))
