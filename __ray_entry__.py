@@ -3684,12 +3684,38 @@ def q_pack_sequences_documents(sf_dir: str):
 def q_packed_chunks_documents(sf_dir: str):
     """Materialized training sequences (stages/curation.packed_chunks): one
     row per fixed-length 512-token chunk, hashed-word token ids, padding
-    confined to each part's final chunk. Rows-only (list<int32> payload);
-    byte-level plan↔chunks agreement is pinned in tests/test_curation.py."""
-    from nightcrawlercmd_ray.stages.curation import packed_chunks
+    confined to each part's final chunk. Value-oracled (r4 verdict #4): the
+    list<int32> payload is projected to order-sensitive integer aggregates
+    — ``tok_sum`` = Σ token_id and ``tok_wsum`` = Σ (offset+1)·token_id
+    over the chunk's non-pad tokens — which the DuckDB oracle replays
+    exactly by recomputing the FNV-1a/0x7FFFFFFF token ids in a recursive
+    CTE over each distinct word's bytes (the corpus is ASCII, so
+    ``ascii(substr(...))`` IS the utf-8 byte). Any token placed in the
+    wrong chunk/offset, or any wrong id, flips the hash. The raw sequence
+    rows stay tested byte-level in tests/test_curation.py."""
+    from nightcrawlercmd_ray.stages.curation import PAD_ID, packed_chunks
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return packed_chunks(ds, budget=512, part_span=100)
+
+    def project(t: pa.Table) -> pa.Table:
+        toks = t.column("token_ids").combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64).reshape(-1, 512)
+        mask = flat != PAD_ID
+        w = np.arange(1, 513, dtype=np.int64)
+        return pa.table({
+            "part": pc.cast(t.column("part"), pa.int64()),
+            "chunk": pc.cast(t.column("chunk"), pa.int64()),
+            "n_pad": pc.cast(t.column("n_pad"), pa.int64()),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "tok_sum": pa.array((flat * mask).sum(axis=1), pa.int64()),
+            "tok_wsum": pa.array((flat * mask * w).sum(axis=1), pa.int64()),
+        })
+
+    return (
+        packed_chunks(ds, budget=512, part_span=100)
+        .map_batches(project, batch_format="pyarrow")
+        .sort(["part", "chunk"])
+    )
 
 
 def q_pack_greedy_documents(sf_dir: str):
@@ -5362,6 +5388,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, w.part, w.bin, w.n_tokens, bt.bin_tokens
             FROM walk w JOIN bt USING (part, bin)
             ORDER BY w.doc_id
+        """,
+        "packed_chunks_documents": """
+            -- replay the packer EXACTLY: layout CTEs as in
+            -- packed_chunk_stats, plus per-chunk order-sensitive token
+            -- aggregates with FNV-1a token ids recomputed per distinct
+            -- word by a recursive byte walk (ASCII corpus: ascii() = byte)
+            WITH RECURSIVE d AS (
+              SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS part,
+                     string_split(text, ' ') AS words
+              FROM documents
+            ), doclen AS (
+              SELECT doc_id, part, CAST(len(words) AS BIGINT) AS n FROM d
+            ), c AS (
+              SELECT part, doc_id, n,
+                     sum(n) OVER (PARTITION BY part ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS cum_excl
+              FROM doclen
+            ), p AS (
+              SELECT part, CAST(sum(n) AS BIGINT) AS total FROM doclen
+              GROUP BY part
+            ), chunks AS (
+              SELECT part, total,
+                     unnest(range(0, greatest(1, (total + 511) // 512)))
+                       AS chunk
+              FROM p
+            ), spans AS (
+              SELECT part, cum_excl // 512 AS sc,
+                     (cum_excl + n - 1) // 512 AS ec
+              FROM c
+            ), layout AS (
+              SELECT ch.part, CAST(ch.chunk AS BIGINT) AS chunk,
+                     CAST(CASE WHEN ch.chunk = (ch.total + 511) // 512 - 1
+                          THEN greatest(1, (ch.total + 511) // 512) * 512
+                               - ch.total
+                          ELSE 0 END AS BIGINT) AS n_pad,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM chunks ch JOIN spans s
+                ON s.part = ch.part AND s.sc <= ch.chunk
+               AND s.ec >= ch.chunk
+              GROUP BY ch.part, ch.chunk, ch.total
+            ), tok AS (
+              SELECT doc_id, unnest(words) AS word,
+                     generate_subscripts(words, 1) AS word_ix
+              FROM d
+            ), vocab AS (
+              SELECT DISTINCT word FROM tok
+            ), fnv(word, j, h) AS (
+              SELECT word, 0, CAST(2166136261 AS BIGINT) FROM vocab
+              UNION ALL
+              SELECT word, j + 1,
+                     CAST((CAST(xor(h, CAST(ascii(substr(word, j + 1, 1))
+                                            AS BIGINT)) AS HUGEINT)
+                           * 16777619) % 4294967296 AS BIGINT)
+              FROM fnv WHERE j < length(word)
+            ), tokid AS (
+              SELECT word, CAST(h % 2147483648 AS BIGINT) AS tid
+              FROM fnv WHERE j = length(word)
+            ), placed AS (
+              SELECT c.part, (c.cum_excl + t.word_ix - 1) AS gpos, k.tid
+              FROM tok t
+              JOIN c ON c.doc_id = t.doc_id
+              JOIN tokid k USING (word)
+            ), sums AS (
+              SELECT part, CAST(gpos // 512 AS BIGINT) AS chunk,
+                     CAST(sum(tid) AS BIGINT) AS tok_sum,
+                     CAST(sum((gpos % 512 + 1) * tid) AS BIGINT) AS tok_wsum
+              FROM placed GROUP BY part, gpos // 512
+            )
+            SELECT l.part, l.chunk, l.n_pad, l.n_docs, s.tok_sum, s.tok_wsum
+            FROM layout l JOIN sums s
+              ON s.part = l.part AND s.chunk = l.chunk
+            ORDER BY l.part, l.chunk
         """,
         "packed_chunk_stats_documents": """
             WITH d AS (
