@@ -3452,14 +3452,16 @@ def q_fuzz_payloads(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Media feature extraction in ``auto`` mode: every 16th payload is
-    replaced with a REAL synthesized image — alternating uncompressed PPM
-    and COMPRESSED PNG (stdlib-zlib decode path, stages/multimodal.
-    _decode_png), pixels seeded from the media id — so both real decode
-    tiers (uncompressed and inflate+defilter) are positively exercised
-    (``decoded=True`` rows); the html payloads take the deterministic
-    hash-fallback path (``decoded=False``)."""
+    replaced with a REAL synthesized image — rotating through baseline
+    JPEG (full Huffman entropy decode, stages/jpeg.py), COMPRESSED PNG
+    (stdlib-zlib decode path, stages/multimodal._decode_png) and
+    uncompressed PPM, pixels seeded from the media id — so all three real
+    decode tiers are positively exercised (``decoded=True`` rows); the
+    html payloads take the deterministic hash-fallback path
+    (``decoded=False``)."""
     import ray
 
+    from nightcrawlercmd_ray.stages.jpeg import encode_jpeg
     from nightcrawlercmd_ray.stages.multimodal import (
         encode_png,
         encode_ppm,
@@ -3479,7 +3481,12 @@ def q_media_features(sf_dir: str):
             if i % 16 == 0:
                 rng = np.random.RandomState(int(i) % (2**31))
                 px = rng.randint(0, 256, (8, 8, 3)).astype("uint8")
-                out.append(encode_png(px) if i % 32 == 0 else encode_ppm(px))
+                if i % 48 == 0:
+                    out.append(encode_jpeg(px, quality=90))
+                elif i % 32 == 0:
+                    out.append(encode_png(px))
+                else:
+                    out.append(encode_ppm(px))
             else:
                 out.append(p)
         cols = {c_: t.column(c_) for c_ in t.column_names}

@@ -142,12 +142,18 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Real in-sandbox support (pure stdlib + numpy): binary PPM (``P6``,
     c=3), binary PGM (``P5``, c=1), BI_RGB BMP at 24/32 bpp (bottom-up or
-    top-down), and non-interlaced 8-bit gray/RGB/LA/RGBA **PNG** (stdlib
-    zlib inflate + spec defiltering — see ``_decode_png``). Anything else
-    (JPEG, palette/16-bit/Adam7 PNG, …) raises ``NotImplementedError``: a
-    real deployment plugs Pillow/libvips here and the surrounding Ray
-    plumbing is unchanged."""
+    top-down), non-interlaced 8-bit gray/RGB/LA/RGBA **PNG** (stdlib zlib
+    inflate + spec defiltering — see ``_decode_png``), and baseline
+    sequential **JPEG** (full Huffman entropy decode, restart markers, any
+    integer chroma sampling — see ``stages/jpeg.py``). Anything else
+    (progressive JPEG, palette/16-bit/Adam7 PNG, …) raises
+    ``NotImplementedError``: a real deployment plugs Pillow/libvips here
+    and the surrounding Ray plumbing is unchanged."""
     b = bytes(payload or b"")
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):
@@ -177,7 +183,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             px = px[::-1]  # bottom-up storage
         return px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
     raise NotImplementedError(
-        "compressed image codecs not in sandbox (PPM/PGM/BMP decode is real)")
+        "image codec not in sandbox (PPM/PGM/BMP/PNG/baseline-JPEG decode "
+        "is real)")
 
 
 def encode_png(px: np.ndarray) -> bytes:
