@@ -3455,16 +3455,18 @@ def q_media_features(sf_dir: str):
     replaced with a REAL synthesized image — rotating through baseline
     JPEG (full Huffman entropy decode, stages/jpeg.py), COMPRESSED PNG
     (stdlib-zlib decode path, stages/multimodal._decode_png) and
-    uncompressed PPM, pixels seeded from the media id — so all three real
-    decode tiers are positively exercised (``decoded=True`` rows); the
-    html payloads take the deterministic hash-fallback path
-    (``decoded=False``)."""
+    uncompressed PPM, pixels seeded from the media id — and every 16th+8
+    payload becomes a REAL IMA-ADPCM WAV (kind flips to ``audio``), so the
+    image AND compressed-audio decode tiers are positively exercised
+    (``decoded=True`` rows); the html payloads take the deterministic
+    hash-fallback path (``decoded=False``)."""
     import ray
 
     from nightcrawlercmd_ray.stages.jpeg import encode_jpeg
     from nightcrawlercmd_ray.stages.multimodal import (
         encode_png,
         encode_ppm,
+        encode_wav_adpcm,
         extract_media_features,
         media_table_from_pages,
     )
@@ -3476,21 +3478,29 @@ def q_media_features(sf_dir: str):
     def plant_images(t: pa.Table) -> pa.Table:
         ids = t.column("media_id").to_numpy(zero_copy_only=False)
         payloads = t.column("payload").to_pylist()
+        kinds = t.column("kind").to_pylist()
         out = []
-        for i, p in zip(ids, payloads):
+        for i, p, k in zip(ids, payloads, kinds):
             if i % 16 == 0:
                 rng = np.random.RandomState(int(i) % (2**31))
                 px = rng.randint(0, 256, (8, 8, 3)).astype("uint8")
                 if i % 48 == 0:
-                    out.append(encode_jpeg(px, quality=90))
+                    out.append((encode_jpeg(px, quality=90), k))
                 elif i % 32 == 0:
-                    out.append(encode_png(px))
+                    out.append((encode_png(px), k))
                 else:
-                    out.append(encode_ppm(px))
+                    out.append((encode_ppm(px), k))
+            elif i % 16 == 8:
+                rng = np.random.RandomState(int(i) % (2**31))
+                sig = 0.4 * np.sin(
+                    2 * np.pi * (200 + int(i) % 400)
+                    * np.arange(1009) / 8000.0)
+                out.append((encode_wav_adpcm(sig, 8000), "audio"))
             else:
-                out.append(p)
+                out.append((p, k))
         cols = {c_: t.column(c_) for c_ in t.column_names}
-        cols["payload"] = pa.array(out, pa.binary())
+        cols["payload"] = pa.array([x[0] for x in out], pa.binary())
+        cols["kind"] = pa.array([x[1] for x in out], pa.string())
         return pa.table(cols)
 
     media = media.map_batches(plant_images, batch_format="pyarrow")

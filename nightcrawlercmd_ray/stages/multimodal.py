@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool stages.
 
-Decode support is format-tiered: UNCOMPRESSED formats (PPM/PGM, BI_RGB BMP)
-and 8-bit non-interlaced **PNG** (stdlib zlib inflate + spec scanline
-defiltering — a genuinely compressed web codec) decode for real in pure
-stdlib+numpy — features and resize below operate on actual pixels for them.
-The remaining COMPRESSED codecs (jpeg, palette/16-bit/Adam7 png, video) are
+Decode support is format-tiered: UNCOMPRESSED formats (PPM/PGM, BI_RGB BMP),
+full-spec **PNG** (stdlib zlib inflate + scanline defiltering — every legal
+depth/color-type incl. palette+tRNS and Adam7), baseline **JPEG**
+(``stages/jpeg.py`` — full Huffman entropy decode), PCM + G.711 + IMA-ADPCM
+**WAV** and uncompressed **Y4M** video decode for real in pure stdlib+numpy
+— features and resize below operate on actual pixels/samples for them. The
+remaining COMPRESSED codecs (progressive JPEG, mp3/aac, mp4/h264/vp9) are
 STUBBED (this container ships no codec libs — marked explicitly below); a
 real deployment plugs Pillow/libvips/PyAV into the same stage signatures.
 Everything Ray-side is real and tested either way: schema, batch sizing for
@@ -60,45 +62,16 @@ def _parse_pnm_header(b: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """Real PNG decode, pure stdlib zlib + numpy (RFC 2083): 8-bit depth,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. Scanline defiltering per spec: None/Up/Sub are
-    vectorized (Sub is a wrap-around uint8 cumsum over stride lanes);
-    Average/Paeth rows walk bytes (left-neighbor data dependency).
-    Palette, 16-bit and Adam7 raise NotImplementedError (same honest-stub
-    contract as the other compressed codecs)."""
-    import struct as _struct
-    import zlib
-
-    pos, w = 8, None
-    idat = []
-    while pos + 8 <= len(b):
-        (ln,), typ = _struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
-        chunk = b[pos + 8:pos + 8 + ln]
-        pos += 12 + ln  # len + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, ilace = _struct.unpack(
-                ">IIBBBBB", chunk)
-            if depth != 8:
-                raise NotImplementedError("PNG: only 8-bit depth")
-            if ctype not in (0, 2, 4, 6):
-                raise NotImplementedError("PNG: palette not supported")
-            if ilace != 0:
-                raise NotImplementedError("PNG: Adam7 interlace not supported")
-            c = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG: missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * c
-    if len(raw) < h * (stride + 1):
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int,
+                  offset: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes from filtered data
+    starting at ``offset`` (RFC 2083 §6): None/Up/Sub are vectorized (Sub
+    is a wrap-around uint8 cumsum over ``bpp`` lanes); Average/Paeth rows
+    walk bytes (left-neighbor data dependency). → (h, stride) uint8."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("PNG: truncated scanline data")
-    lines = np.frombuffer(raw, np.uint8,
-                          h * (stride + 1)).reshape(h, stride + 1)
+    lines = np.frombuffer(raw, np.uint8, h * (stride + 1),
+                          offset).reshape(h, stride + 1)
     filters = lines[:, 0]
     data = lines[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -110,21 +83,21 @@ def _decode_png(b: bytes) -> np.ndarray:
             rec = row.copy()
         elif f == 2:  # Up
             rec = row + prev  # uint8 wrap == mod 256 per spec
-        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-c] → lane cumsum
-            rec = row.copy().reshape(-1, c)
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-bpp] → lane cumsum
+            rec = row.copy().reshape(-1, bpp)
             np.add.accumulate(rec, axis=0, out=rec)  # uint8 wraps
             rec = rec.reshape(-1)
         elif f == 3:  # Average
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                left = int(rec[x - c]) if x >= c else 0
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(rec[x - c]) if x >= c else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
-                ul = int(prev[x - c]) if x >= c else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + up - ul
                 pa_, pb, pc_ = abs(p - a), abs(p - up), abs(p - ul)
                 pred = a if (pa_ <= pb and pa_ <= pc_) else \
@@ -134,7 +107,101 @@ def _decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"PNG: bad filter type {f}")
         out[y] = rec
         prev = rec
-    return out.reshape(h, w, c)
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_samples(rows: np.ndarray, w: int, depth: int,
+                 nchan: int) -> np.ndarray:
+    """(h, stride) defiltered bytes → (h, w, nchan) raw sample values
+    (uint8; 16-bit samples are reduced to their high byte, the standard
+    8-bit presentation)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nchan].reshape(h, w, nchan)
+    if depth == 16:
+        return rows[:, : w * nchan * 2].reshape(h, w, nchan, 2)[..., 0]
+    # sub-byte depths: single-channel only (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(h, w, depth) * weights).sum(
+        axis=2).astype(np.uint8)
+    return vals[:, :, None]
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Real PNG decode, pure stdlib zlib + numpy (RFC 2083): every legal
+    bit depth (1/2/4/8/16 — 16-bit reduced to the high byte) and color
+    type — 0 (gray), 2 (RGB), 3 (palette, with optional tRNS alpha),
+    4 (gray+alpha), 6 (RGBA) — both non-interlaced and Adam7 interlaced
+    (each pass defiltered independently and scattered onto the output
+    grid). Defiltering: see :func:`_png_defilter`."""
+    import struct as _struct
+    import zlib
+
+    pos, w = 8, None
+    idat = []
+    plte = None
+    trns = None
+    while pos + 8 <= len(b):
+        (ln,), typ = _struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        chunk = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = _struct.unpack(
+                ">IIBBBBB", chunk)
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if ctype not in allowed or depth not in allowed[ctype]:
+                raise ValueError("PNG: illegal depth/color-type combo")
+            if ilace not in (0, 1):
+                raise ValueError("PNG: bad interlace method")
+            c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, np.uint8)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    passes = _ADAM7 if ilace else ((0, 0, 1, 1),)
+    offset = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * c * depth + 7) // 8
+        bpp = max(1, c * depth // 8)
+        rows = _png_defilter(raw, hp, stride, bpp, offset)
+        offset += hp * (stride + 1)
+        out[y0::dy, x0::dx] = _png_samples(rows, wp, depth, c)
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if ctype == 0 and depth < 8:
+        out = out * np.uint8(255 // ((1 << depth) - 1))  # exact for 1/2/4
+    return out
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -142,13 +209,13 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Real in-sandbox support (pure stdlib + numpy): binary PPM (``P6``,
     c=3), binary PGM (``P5``, c=1), BI_RGB BMP at 24/32 bpp (bottom-up or
-    top-down), non-interlaced 8-bit gray/RGB/LA/RGBA **PNG** (stdlib zlib
-    inflate + spec defiltering — see ``_decode_png``), and baseline
+    top-down), full-spec **PNG** (any legal depth/color-type incl. palette
+    with tRNS and Adam7 interlace — see ``_decode_png``), and baseline
     sequential **JPEG** (full Huffman entropy decode, restart markers, any
     integer chroma sampling — see ``stages/jpeg.py``). Anything else
-    (progressive JPEG, palette/16-bit/Adam7 PNG, …) raises
-    ``NotImplementedError``: a real deployment plugs Pillow/libvips here
-    and the surrounding Ray plumbing is unchanged."""
+    (progressive JPEG, GIF/WebP, …) raises ``NotImplementedError``: a real
+    deployment plugs Pillow/libvips here and the surrounding Ray plumbing
+    is unchanged."""
     b = bytes(payload or b"")
     if b[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
@@ -334,18 +401,148 @@ def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_LUT, _ALAW_LUT = _g711_luts()
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Compatibility Project, 1992 —
+# the same constants every implementation ships)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_adpcm_decode(raw: bytes, channels: int,
+                      block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAV format 0x0011) → (n, channels) int16. Blocks are
+    independent, so the per-sample recurrence runs as ONE Python loop over
+    the ~2·block_align samples of a block with numpy ops vectorized across
+    ALL blocks × channels; a trailing partial block is dropped (encoders
+    emit whole blocks)."""
+    ba = block_align
+    if ba < 4 * channels + 4 * channels or (ba - 4 * channels) % (
+            4 * channels):
+        raise ValueError("ADPCM: bad block align")
+    nblocks = len(raw) // ba
+    if nblocks == 0:
+        raise ValueError("ADPCM: no complete block")
+    buf = np.frombuffer(raw, np.uint8, nblocks * ba).reshape(nblocks, ba)
+    header = buf[:, : 4 * channels].reshape(nblocks, channels, 4)
+    pred = (header[:, :, 0].astype(np.uint16)
+            | (header[:, :, 1].astype(np.uint16) << 8)).astype(
+        np.int16).astype(np.int32)
+    idx = header[:, :, 2].astype(np.int32)
+    if int(idx.max(initial=0)) > 88:
+        raise ValueError("ADPCM: step index out of range")
+    data = buf[:, 4 * channels:]
+    ngroups = data.shape[1] // (4 * channels)
+    # nibble layout: 4-byte groups per channel, channels interleaved by
+    # group; low nibble first within each byte
+    d = data.reshape(nblocks, ngroups, channels, 4)
+    nibs = np.empty((nblocks, ngroups, channels, 8), np.uint8)
+    nibs[..., 0::2] = d & 0xF
+    nibs[..., 1::2] = d >> 4
+    nibs = nibs.transpose(0, 2, 1, 3).reshape(nblocks, channels,
+                                              ngroups * 8)
+    spb = ngroups * 8
+    out = np.empty((nblocks, spb + 1, channels), np.int16)
+    out[:, 0, :] = pred
+    for t in range(spb):
+        n = nibs[:, :, t].astype(np.int32)
+        step = _IMA_STEP[idx]
+        diff = (step >> 3) + np.where(n & 4, step, 0) \
+            + np.where(n & 2, step >> 1, 0) + np.where(n & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[n & 7], 0, 88)
+        out[:, t + 1, :] = pred
+    return out.reshape(-1, channels)
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int, *,
+                     samples_per_block: int = 505) -> bytes:
+    """(n, channels) float in [-1, 1] → IMA ADPCM WAV (format 0x0011) —
+    the spec encoder (quantize the prediction residual with the same
+    step/index walk the decoder runs), so tests and planted corpora can
+    synthesize real compressed audio. Input is padded to whole blocks."""
+    s = np.asarray(samples, np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32768.0), -32768, 32767).astype(np.int32)
+    n, ch = pcm.shape
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 8k+1")
+    spb = samples_per_block
+    nblocks = -(-n // spb)
+    pad = nblocks * spb - n
+    if pad:
+        pcm = np.vstack([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    ba = 4 * ch + (spb - 1) // 2 * ch
+    out = bytearray()
+    for blk in range(nblocks):
+        chunk = pcm[blk * spb:(blk + 1) * spb]
+        pred = chunk[0].copy()
+        # per-block initial step index from the block's mean slope (the
+        # header carries it so the quantizer starts adapted, not at 0)
+        slope = np.abs(np.diff(chunk, axis=0)).mean(axis=0)
+        idx = np.clip(np.searchsorted(_IMA_STEP, slope), 0, 88).astype(
+            np.int32)
+        header = bytearray()
+        for c in range(ch):
+            header += int(np.int16(pred[c])).to_bytes(2, "little",
+                                                      signed=True)
+            header += bytes([int(idx[c]), 0])
+        nibs = np.empty((spb - 1, ch), np.uint8)
+        for t in range(spb - 1):
+            target = chunk[t + 1]
+            step = _IMA_STEP[idx]
+            delta = target - pred
+            code = np.where(delta < 0, 8, 0)
+            mag = np.abs(delta)
+            b4 = (mag >= step).astype(np.int32)
+            mag = mag - b4 * step
+            b2 = (mag >= (step >> 1)).astype(np.int32)
+            mag = mag - b2 * (step >> 1)
+            b1 = (mag >= (step >> 2)).astype(np.int32)
+            code = code | (b4 << 2) | (b2 << 1) | b1
+            diff = (step >> 3) + b4 * step + b2 * (step >> 1) \
+                + b1 * (step >> 2)
+            pred = np.clip(pred + np.where(code & 8, -diff, diff),
+                           -32768, 32767)
+            idx = np.clip(idx + _IMA_INDEX[code & 7], 0, 88)
+            nibs[t] = code.astype(np.uint8)
+        body = bytearray()
+        # pack: per channel 4-byte (8-nibble) groups, channel-interleaved
+        per_ch = nibs.T  # (ch, spb-1)
+        for g in range((spb - 1) // 8):
+            for c in range(ch):
+                eight = per_ch[c, g * 8:(g + 1) * 8]
+                for k in range(4):
+                    body.append(int(eight[2 * k] | (eight[2 * k + 1] << 4)))
+        out += bytes(header) + bytes(body)
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, rate,
+                      rate * ba // spb, ba, 4, 2, spb)
+    body_all = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"fact" + struct.pack("<II", 4, nblocks * spb) \
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(body_all)) + body_all
+
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an audio payload: RIFF/WAVE linear PCM (8/16-bit int, any
-    channel count) plus the COMPRESSED G.711 WAV codecs — A-law (format 6)
-    and μ-law (format 7), expanded through spec-built numpy LUTs — →
+    channel count) plus the COMPRESSED WAV codecs — G.711 A-law (format
+    6) / μ-law (format 7) expanded through spec-built numpy LUTs, and IMA
+    ADPCM (format 0x11, block-wise vectorized across blocks) — →
     ((n_samples, channels) float32 in [-1, 1], sample_rate). Anything else
-    (mp3/aac/ogg/float-WAV/ADPCM) raises ``NotImplementedError`` — a real
+    (mp3/aac/ogg/float-WAV) raises ``NotImplementedError`` — a real
     deployment plugs ffmpeg/soundfile."""
     b = bytes(payload or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
-            "compressed audio codecs not in sandbox (PCM WAV decode is real)")
+            "audio codec not in sandbox (PCM/G.711/IMA-ADPCM WAV decode "
+            "is real)")
     pos, n = 12, len(b)
     fmt = None
     while pos + 8 <= n:
@@ -359,15 +556,20 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt")
-            audio_fmt, channels, rate, _, _, bits = fmt
+            audio_fmt, channels, rate, _, block_align, bits = fmt
             if channels < 1 or (
                 (audio_fmt == 1 and bits not in (8, 16))
                 or (audio_fmt in (6, 7) and bits != 8)
-                or audio_fmt not in (1, 6, 7)
+                or (audio_fmt == 0x11 and bits != 4)
+                or audio_fmt not in (1, 6, 7, 0x11)
             ):
                 raise NotImplementedError(
-                    "only 8/16-bit PCM and 8-bit G.711 WAV supported")
+                    "only 8/16-bit PCM, 8-bit G.711 and 4-bit IMA-ADPCM "
+                    "WAV supported")
             raw = b[body: body + min(size, n - body)]
+            if audio_fmt == 0x11:  # IMA ADPCM: block-parallel expand
+                pcm = _ima_adpcm_decode(raw, channels, block_align)
+                return pcm.astype(np.float32) / 32768.0, rate
             if audio_fmt in (6, 7):  # G.711 A-law / μ-law: LUT gather
                 lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
                 x = lut[np.frombuffer(raw, np.uint8)].astype(np.float32)

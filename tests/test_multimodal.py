@@ -247,7 +247,10 @@ def test_decode_png_known_vector():
     assert (decode_image(two) == px).all()
 
 
-def test_decode_png_unsupported_variants_stubbed():
+def test_decode_png_formerly_stubbed_variants_now_real():
+    """16-bit and Adam7 streams DECODE now; a palette image without its
+    PLTE is corrupt (ValueError), not a stub; an illegal depth/color-type
+    combo is rejected."""
     import struct as st
     import zlib
 
@@ -255,13 +258,18 @@ def test_decode_png_unsupported_variants_stubbed():
         return (st.pack(">I", len(data)) + typ + data
                 + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    for depth, ctype, ilace in ((16, 0, 0), (8, 3, 0), (8, 2, 1)):
+    def png(depth, ctype, ilace, raw):
         ihdr = st.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, ilace)
-        b = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-             + chunk(b"IDAT", zlib.compress(b"\0" * 16))
-             + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            decode_image(b)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    assert decode_image(png(16, 0, 0, b"\0" * 16)).shape == (2, 2, 1)
+    assert decode_image(png(8, 2, 1, b"\0" * 32)).shape == (2, 2, 3)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(png(8, 3, 0, b"\0" * 8))
+    with pytest.raises(ValueError, match="illegal"):
+        decode_image(png(4, 2, 0, b"\0" * 8))
 
 
 def test_pixel_features_solid_color():
@@ -524,3 +532,194 @@ def test_feature_stage_routes_video_to_y4m_decoder():
     auto = MediaFeatureStage(fake="auto")(t)
     assert auto.column("decoded").to_pylist() == [True]
     assert auto.column("features").to_pylist()[0] == f
+
+
+# ---- PNG: palette / sub-byte / 16-bit / Adam7 tiers -----------------------
+def _png_chunks(ihdr_body: bytes, extra: list[tuple[bytes, bytes]],
+                raw: bytes) -> bytes:
+    import struct as st
+    import zlib as zl
+
+    def chunk(typ, data):
+        body = typ + data
+        return st.pack(">I", len(data)) + body + st.pack(
+            ">I", zl.crc32(body))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for typ, data in extra:
+        out += chunk(typ, data)
+    out += chunk(b"IDAT", zl.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def _ihdr(w, h, depth, ctype, ilace=0):
+    import struct as st
+
+    return st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, ilace)
+
+
+def test_png_palette_with_and_without_trns():
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 9)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    png = _png_chunks(_ihdr(9, 6, 8, 3), [(b"PLTE", plte.tobytes())], raw)
+    got = decode_image(png)
+    assert got.shape == (6, 9, 3)
+    assert (got == plte[idx]).all()
+    trns = np.array([10, 255, 128], np.uint8)
+    png_a = _png_chunks(_ihdr(9, 6, 8, 3),
+                        [(b"PLTE", plte.tobytes()), (b"tRNS", trns.tobytes())],
+                        raw)
+    got_a = decode_image(png_a)
+    assert got_a.shape == (6, 9, 4)
+    alpha = np.full(256, 255, np.uint8)
+    alpha[:3] = trns
+    assert (got_a[:, :, 3] == alpha[idx]).all()
+    assert (got_a[:, :, :3] == plte[idx]).all()
+
+
+def test_png_4bit_palette_packing():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    # 5 px/row at 4 bits → 3 bytes: indices 0,1,2,1,0 → 0x01 0x21 0x00
+    row = bytes([0x01, 0x21, 0x00])
+    raw = (b"\x00" + row) * 2
+    png = _png_chunks(_ihdr(5, 2, 4, 3), [(b"PLTE", plte.tobytes())], raw)
+    got = decode_image(png)
+    expected = plte[np.array([0, 1, 2, 1, 0])]
+    assert (got == expected[None, :, :]).all()
+
+
+def test_png_1bit_and_2bit_gray_scaling():
+    # 1-bit: 10110000 → 255,0,255,255 then zeros; exact ×255 scaling
+    raw = b"\x00" + bytes([0b10110000])
+    png = _png_chunks(_ihdr(8, 1, 1, 0), [], raw)
+    got = decode_image(png)[0, :, 0]
+    assert got.tolist() == [255, 0, 255, 255, 0, 0, 0, 0]
+    # 2-bit: values 0..3 scale by 85
+    raw2 = b"\x00" + bytes([0b00011011])
+    png2 = _png_chunks(_ihdr(4, 1, 2, 0), [], raw2)
+    assert decode_image(png2)[0, :, 0].tolist() == [0, 85, 170, 255]
+
+
+def test_png_16bit_reduces_to_high_byte():
+    px16 = np.array([[0x1234, 0xFF01], [0x0080, 0xABCD]], np.uint16)
+    raw = b"".join(b"\x00" + px16[y].astype(">u2").tobytes()
+                   for y in range(2))
+    png = _png_chunks(_ihdr(2, 2, 16, 0), [], raw)
+    got = decode_image(png)
+    assert (got[:, :, 0] == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_adam7_matches_non_interlaced():
+    """Serialize the same RGB image both ways (test-side pass slicing —
+    independent of the decoder's pass table) and require identical
+    pixels."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 11, 3)).astype(np.uint8)
+    plain_raw = b"".join(b"\x00" + px[y].tobytes() for y in range(13))
+    plain = _png_chunks(_ihdr(11, 13, 8, 2), [], plain_raw)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    # the 7 passes must tile the grid exactly once — guards the pass table
+    cover = np.zeros((13, 11), np.int32)
+    for x0, y0, dx, dy in passes:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+    parts = []
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + sub[y].tobytes())
+    inter = _png_chunks(_ihdr(11, 13, 8, 2, ilace=1), [], b"".join(parts))
+    a, b_ = decode_image(plain), decode_image(inter)
+    assert (a == px).all() and (b_ == px).all()
+
+
+# ---- IMA ADPCM WAV tier ---------------------------------------------------
+def _ima_reference_decode(raw, channels, block_align):
+    """Plain-Python spec IMA ADPCM decoder — independent reference."""
+    step_tbl = [int(v) for v in
+                __import__("nightcrawlercmd_ray.stages.multimodal",
+                           fromlist=["_IMA_STEP"])._IMA_STEP]
+    idx_tbl = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    ba = block_align
+    for b0 in range(0, len(raw) - ba + 1, ba):
+        block = raw[b0:b0 + ba]
+        preds, idxs = [], []
+        for c in range(channels):
+            p = int.from_bytes(block[4 * c:4 * c + 2], "little",
+                               signed=True)
+            preds.append(p)
+            idxs.append(block[4 * c + 2])
+        samples = [[p] for p in preds]
+        data = block[4 * channels:]
+        nibbles = [[] for _ in range(channels)]
+        for g in range(len(data) // (4 * channels)):
+            for c in range(channels):
+                for k in range(4):
+                    byte = data[(g * channels + c) * 4 + k]
+                    nibbles[c] += [byte & 0xF, byte >> 4]
+        for t in range(len(nibbles[0])):
+            for c in range(channels):
+                n = nibbles[c][t]
+                step = step_tbl[idxs[c]]
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                p = preds[c] + (-diff if n & 8 else diff)
+                p = max(-32768, min(32767, p))
+                preds[c] = p
+                idxs[c] = max(0, min(88, idxs[c] + idx_tbl[n & 7]))
+                samples[c].append(p)
+        for t in range(len(samples[0])):
+            out.append([samples[c][t] for c in range(channels)])
+    return np.array(out, np.int16)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ima_adpcm_matches_reference_decoder(channels):
+    from nightcrawlercmd_ray.stages.multimodal import (
+        _ima_adpcm_decode,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(1400) / 8000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t)
+    s = np.stack([sig] * channels, 1) if channels > 1 else sig[:, None]
+    if channels == 2:
+        s[:, 1] = 0.3 * np.cos(2 * np.pi * 220 * t)
+    wav = encode_wav_adpcm(s, 8000, samples_per_block=505)
+    # locate the data chunk and compare the vectorized decoder against the
+    # plain-Python reference bit-for-bit
+    di = wav.index(b"data")
+    size = int.from_bytes(wav[di + 4:di + 8], "little")
+    raw = wav[di + 8:di + 8 + size]
+    ba = 4 * channels + 252 * channels
+    fast = _ima_adpcm_decode(raw, channels, ba)
+    ref = _ima_reference_decode(raw, channels, ba)
+    assert fast.shape == ref.shape
+    assert (fast == ref).all()
+
+
+def test_ima_adpcm_roundtrip_through_decode_audio():
+    from nightcrawlercmd_ray.stages.multimodal import (
+        decode_audio,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(2525) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 300 * t)
+    wav = encode_wav_adpcm(sig, 16000)
+    samples, rate = decode_audio(wav)
+    assert rate == 16000 and samples.shape[1] == 1
+    got = samples[: len(sig), 0].astype(np.float64)
+    err = np.abs(got - sig)
+    assert err.mean() < 0.01 and err.max() < 0.1
