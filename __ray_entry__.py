@@ -3452,10 +3452,11 @@ def q_fuzz_payloads(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Media feature extraction in ``auto`` mode: every 16th payload is
-    replaced with a REAL synthesized image — rotating through baseline
-    JPEG (full Huffman entropy decode, stages/jpeg.py), COMPRESSED PNG
-    (stdlib-zlib decode path, stages/multimodal._decode_png) and
-    uncompressed PPM, pixels seeded from the media id — and every 16th+8
+    replaced with a REAL synthesized image — rotating through GIF (LZW),
+    baseline JPEG (full Huffman entropy decode, stages/jpeg.py),
+    COMPRESSED PNG (stdlib-zlib decode path, stages/multimodal.
+    _decode_png) and uncompressed PPM, pixels seeded from the media id —
+    and every 16th+8
     payload becomes a REAL IMA-ADPCM WAV (kind flips to ``audio``), so the
     image AND compressed-audio decode tiers are positively exercised
     (``decoded=True`` rows); the html payloads take the deterministic
@@ -3464,6 +3465,7 @@ def q_media_features(sf_dir: str):
 
     from nightcrawlercmd_ray.stages.jpeg import encode_jpeg
     from nightcrawlercmd_ray.stages.multimodal import (
+        encode_gif,
         encode_png,
         encode_ppm,
         encode_wav_adpcm,
@@ -3484,7 +3486,9 @@ def q_media_features(sf_dir: str):
             if i % 16 == 0:
                 rng = np.random.RandomState(int(i) % (2**31))
                 px = rng.randint(0, 256, (8, 8, 3)).astype("uint8")
-                if i % 48 == 0:
+                if i % 80 == 0:
+                    out.append((encode_gif(px), k))
+                elif i % 48 == 0:
                     out.append((encode_jpeg(px, quality=90), k))
                 elif i % 32 == 0:
                     out.append((encode_png(px), k))

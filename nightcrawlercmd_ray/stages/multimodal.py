@@ -204,23 +204,237 @@ def _decode_png(b: bytes) -> np.ndarray:
     return out
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> list[int]:
+    """GIF variable-width LZW (LSB-first bit packing, 12-bit cap, clear /
+    end codes, deferred-clear tolerant). → color-index list."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table: list[tuple[int, ...] | None] = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code] if code < len(table) else None
+                if entry is None:
+                    raise ValueError("GIF: bad initial LZW code")
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)  # KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Real LZW compression (dict growth to 12 bits, clear on overflow),
+    inverse of :func:`_gif_lzw_decode`; used by ``encode_gif``."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    put(clear, width)
+    prev: tuple[int, ...] = ()
+    for px in indices:
+        cand = prev + (int(px),)
+        if cand in table:
+            prev = cand
+            continue
+        put(table[prev], width)
+        table[cand] = next_code
+        next_code += 1
+        # width must grow exactly when the DECODER's table reaches 2^width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == (1 << 12) + 1:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = (int(px),)
+    if prev:
+        put(table[prev], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a first frame (GIF 89a spec / CompuServe 87a): LZW decode,
+    global/local palette, interlace, GCE transparency → RGB / RGBA."""
+    if len(b) < 13:
+        raise ValueError("GIF: truncated header")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(b):
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(b):
+        bt = b[pos]
+        pos += 1
+        if bt == 0x21:  # extension: label + sub-blocks
+            label = b[pos]
+            pos += 1
+            first = True
+            while pos < len(b):
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if first and label == 0xF9 and sz >= 4 and (b[pos] & 1):
+                    transparent = b[pos + 3]
+                first = False
+                pos += sz
+        elif bt == 0x2C:  # image descriptor
+            _, _, w, h, ip = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                ct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = b[pos]
+            pos += 1
+            if not (2 <= min_code <= 11):
+                raise ValueError("GIF: bad LZW min code size")
+            data = bytearray()
+            while pos < len(b):
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += b[pos:pos + sz]
+                pos += sz
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF: truncated image data")
+            arr = np.array(idx[: w * h], np.uint16).reshape(h, w)
+            if int(arr.max(initial=0)) >= len(ct):
+                raise ValueError("GIF: color index out of range")
+            arr = arr.astype(np.uint8)
+            if ip & 0x40:  # interlace: stored rows are in pass order
+                rows = [r for s, st in _GIF_PASSES for r in range(s, h, st)]
+                out = np.empty_like(arr)
+                out[np.array(rows, np.int64)] = arr
+                arr = out
+            rgb = ct[arr]
+            if transparent is not None:
+                alpha = np.where(arr == transparent, 0, 255).astype(np.uint8)
+                return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+            return rgb
+        elif bt == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{bt:02x}")
+    raise ValueError("GIF: no image block")
+
+
+def encode_gif(px: np.ndarray, *, interlace: bool = False,
+               transparent: int | None = None) -> bytes:
+    """(h, w, 3) uint8 → GIF89a with an exact palette built from the
+    image's distinct colors (≤256 required — synthesized test/corpus
+    images, not a quantizer). Real LZW compression; optional interlace
+    and GCE transparency index."""
+    px = np.asarray(px, np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: >256 distinct colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << bits
+    palette = np.zeros((n, 3), np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.reshape(h, w).astype(np.uint8)
+    if interlace:
+        rows = [r for s, st in _GIF_PASSES for r in range(s, h, st)]
+        stored = idx[np.array(rows, np.int64)]
+    else:
+        stored = idx
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(stored.reshape(-1), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += palette.tobytes()
+    if transparent is not None:
+        out += b"\x21\xf9\x04" + bytes([1, 0, 0, transparent]) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, c) uint8 array.
 
     Real in-sandbox support (pure stdlib + numpy): binary PPM (``P6``,
     c=3), binary PGM (``P5``, c=1), BI_RGB BMP at 24/32 bpp (bottom-up or
     top-down), full-spec **PNG** (any legal depth/color-type incl. palette
-    with tRNS and Adam7 interlace — see ``_decode_png``), and baseline
+    with tRNS and Adam7 interlace — see ``_decode_png``), baseline
     sequential **JPEG** (full Huffman entropy decode, restart markers, any
-    integer chroma sampling — see ``stages/jpeg.py``). Anything else
-    (progressive JPEG, GIF/WebP, …) raises ``NotImplementedError``: a real
-    deployment plugs Pillow/libvips here and the surrounding Ray plumbing
-    is unchanged."""
+    integer chroma sampling — see ``stages/jpeg.py``), and **GIF** (LZW,
+    interlace, transparency — first frame). Anything else (progressive
+    JPEG, WebP, …) raises ``NotImplementedError``: a real deployment plugs
+    Pillow/libvips here and the surrounding Ray plumbing is unchanged."""
     b = bytes(payload or b"")
     if b[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):

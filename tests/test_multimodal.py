@@ -723,3 +723,46 @@ def test_ima_adpcm_roundtrip_through_decode_audio():
     got = samples[: len(sig), 0].astype(np.float64)
     err = np.abs(got - sig)
     assert err.mean() < 0.01 and err.max() < 0.1
+
+
+# ---- GIF tier (LZW, interlace, transparency) ------------------------------
+def test_gif_lzw_hand_vector():
+    """Hand-derived stream, independent of the encoder: pixels [1,1,1,1]
+    at min_code=2 → codes CLEAR(4), 1, (1,1)=6, 1, END(5), 3 bits each,
+    LSB-first → 4 + 1·2³ + 6·2⁶ + 1·2⁹ + 5·2¹² = 0x538C."""
+    from nightcrawlercmd_ray.stages.multimodal import _gif_lzw_decode
+
+    assert _gif_lzw_decode(bytes([0x8C, 0x53]), 2, 4) == [1, 1, 1, 1]
+
+
+def test_gif_roundtrip_plain_interlaced_and_growth():
+    from nightcrawlercmd_ray.stages.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    # 256 distinct colors over 60k pixels: LZW table crosses every width
+    # boundary and the 12-bit clear/reset path
+    base = np.unique(rng.integers(0, 256, (256, 3)).astype(np.uint8), axis=0)
+    idx = rng.integers(0, len(base), (150, 200))
+    px = base[idx]
+    assert (_decode_gif(encode_gif(px)) == px).all()
+    assert (_decode_gif(encode_gif(px, interlace=True)) == px).all()
+
+
+def test_gif_transparency_and_dispatch():
+    from nightcrawlercmd_ray.stages.multimodal import encode_gif
+
+    px = np.zeros((5, 4, 3), np.uint8)
+    px[2, 1] = [9, 8, 7]
+    out = decode_image(encode_gif(px, transparent=0))
+    assert out.shape == (5, 4, 4)
+    assert out[0, 0, 3] == 0 and out[2, 1, 3] == 255
+    assert (out[2, 1, :3] == [9, 8, 7]).all()
+
+
+def test_gif_garbage_rejected():
+    from nightcrawlercmd_ray.stages.multimodal import _decode_gif
+
+    with pytest.raises(ValueError):
+        _decode_gif(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 64)
