@@ -3489,7 +3489,10 @@ def q_media_features(sf_dir: str):
                 if i % 80 == 0:
                     out.append((encode_gif(px), k))
                 elif i % 48 == 0:
-                    out.append((encode_jpeg(px, quality=90), k))
+                    # alternate baseline / progressive SOF2 scan scripts so
+                    # both real JPEG decode paths run inside the actor pool
+                    out.append((encode_jpeg(px, quality=90,
+                                            progressive=i % 96 == 0), k))
                 elif i % 32 == 0:
                     out.append((encode_png(px), k))
                 else:

@@ -1,26 +1,34 @@
-"""Baseline JPEG codec — pure stdlib + numpy (ITU-T T.81 / JFIF).
+"""JPEG codec — pure stdlib + numpy (ITU-T T.81 / JFIF).
 
 The dominant real-web image format (Common Crawl media is overwhelmingly
 JPEG), so the image-decode tier of ``stages.multimodal`` gets a REAL
-baseline decoder rather than an honest stub: marker parse → Huffman
-entropy decode (byte unstuffing, restart markers, DC prediction) →
-dequantize → batched 8×8 IDCT (one numpy einsum over all blocks of a
-component, no per-block Python IDCT) → chroma upsample → JFIF YCbCr→RGB.
+decoder rather than an honest stub: marker parse → Huffman entropy
+decode (byte unstuffing, restart markers, DC prediction) → dequantize →
+batched 8×8 IDCT (one numpy einsum over all blocks of a component, no
+per-block Python IDCT) → chroma upsample → JFIF YCbCr→RGB.
 
-Supported: baseline (SOF0) and extended-sequential (SOF1) Huffman frames,
-grayscale and 3-component YCbCr, any integer chroma sampling (4:4:4,
-4:2:2, 4:2:0, …), restart intervals, multi-segment DQT/DHT. Progressive
-(SOF2), arithmetic coding, hierarchical, 12-bit precision and CMYK raise
-``NotImplementedError`` — the same honest-stub contract as the other
-codecs in ``stages/multimodal.py``.
+Supported: baseline (SOF0), extended-sequential (SOF1) and
+**progressive (SOF2)** Huffman frames — the progressive path implements
+all four T.81 Annex G scan types (DC/AC × first/refinement) with
+spectral selection bands, successive-approximation bit planes, EOB runs
+and non-interleaved single-component scan geometry; multi-scan
+sequential (non-interleaved SOF0/1 scans) falls out of the same scan
+loop. Grayscale and 3-component YCbCr, any integer chroma sampling
+(4:4:4, 4:2:2, 4:2:0, …), restart intervals, multi-segment DQT/DHT.
+Arithmetic coding, hierarchical, lossless, 12-bit precision and CMYK
+raise ``NotImplementedError`` — the same honest-stub contract as the
+other codecs in ``stages/multimodal.py``.
 
-``encode_jpeg`` writes a valid baseline JFIF stream (Annex K quant tables
-scaled by the libjpeg quality formula, Annex K Huffman tables, optional
-4:2:0 subsampling, optional restart interval) so tests and planted
-corpora can synthesize real compressed inputs without any external
-library. The decoder is exercised against HAND-BUILT byte streams with
-analytically computed pixels (tests/test_jpeg.py), not just its own
-encoder, so a shared codec bug cannot self-certify.
+``encode_jpeg`` writes a valid JFIF stream — baseline or, with
+``progressive=True``, an SOF2 scan script (interleaved DC first +
+refinement, per-component AC spectral bands at two successive-
+approximation levels) built from the same Annex K tables — so tests and
+planted corpora can synthesize real compressed inputs without any
+external library. The decoder is exercised against HAND-BUILT byte
+streams with analytically computed pixels (tests/test_jpeg.py), not just
+its own encoder, so a shared codec bug cannot self-certify; the
+progressive decode path is additionally pinned to produce BIT-IDENTICAL
+pixels to the baseline path from the same quantized coefficients.
 """
 
 from __future__ import annotations
@@ -180,7 +188,8 @@ def _extend(v: int, t: int) -> int:
 # decoder
 # --------------------------------------------------------------------------- #
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, c) uint8 — c = 1 (gray) or 3 (RGB).
+    """Decode a sequential or progressive JPEG to (h, w, c) uint8 —
+    c = 1 (gray) or 3 (RGB).
 
     See module docstring for the supported/stubbed matrix.
     """
@@ -191,6 +200,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     hac: dict[int, _HuffTable] = {}
     frame = None
     restart = 0
+    scanned = False
     i = 2
     n = len(b)
     while i < n:
@@ -236,7 +246,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(seg[j + 17:j + 17 + cnt])
                 j += 17 + cnt
                 (hdc if tc == 0 else hac)[th] = _HuffTable(bits, vals)
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("JPEG: multiple SOF markers")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -247,30 +259,59 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * k)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1:
+                raise ValueError("JPEG: bad sampling factors")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # persistent raw (unquantized) coefficient store, zigzag
+                # order, rows = blocks of the MCU-padded component grid
+                c["bw"] = mcux * c["h"]
+                c["coef"] = np.zeros((mcuy * c["v"] * c["bw"], 64),
+                                     dtype=np.int64)
+                # non-interleaved scan geometry: the component's OWN block
+                # grid (T.81 A.2.2), which may be smaller than the padded one
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["cbw"] = -(-cw // 8)
+                c["cbh"] = -(-ch // 8)
+            frame = {"w": w, "h": h, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+                     "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG: progressive/arithmetic/hierarchical not in sandbox "
-                "(baseline SOF0/SOF1 decode is real)")
+                "JPEG: arithmetic/hierarchical/lossless not in sandbox "
+                "(sequential + progressive Huffman decode is real)")
         elif m == 0xDD:  # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "JPEG: only single interleaved scan")
-            scan = {}
+            if not 1 <= ns <= len(frame["comps"]):
+                raise ValueError("JPEG: bad scan component count")
+            scan = []  # (comp, dc_table_id, ac_table_id) in SOS order
+            by_id = {c["id"]: c for c in frame["comps"]}
             for k in range(ns):
                 cs, tables = seg[1 + 2 * k], seg[2 + 2 * k]
-                scan[cs] = (tables >> 4, tables & 15)
-            data_start = i + ln
-            return _decode_scan(b, data_start, frame, scan, qt, hdc, hac,
-                                restart)
+                if cs not in by_id:
+                    raise ValueError("JPEG: scan references unknown comp")
+                scan.append((by_id[cs], tables >> 4, tables & 15))
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0  # fields are vestigial here
+            i = _decode_sos(b, i + ln, frame, scan, ss, se, ah, al,
+                            hdc, hac, restart)
+            scanned = True
+            continue
         i += ln
-    raise ValueError("JPEG: no SOS scan found")
+    if not scanned:
+        raise ValueError("JPEG: no SOS scan found")
+    return _finish_frame(frame, qt)
 
 
 def _scan_end(b: bytes, start: int) -> int:
@@ -286,16 +327,91 @@ def _scan_end(b: bytes, start: int) -> int:
     return n
 
 
-def _decode_scan(b, start, frame, scan, qt, hdc, hac, restart):
-    comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("JPEG: bad sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
+def _ac_refine_block(reader, blk, ss, se, al, ac, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.2.2;
+    the libjpeg-documented control flow). Returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(ac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break  # rest of block handled by the EOB tail below
+                newval = 0  # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad AC refinement symbol")
+                newval = p1 if reader.receive(1) else -p1
+            # advance over r zero-history coefficients, appending a
+            # correction bit to every nonzero-history one passed
+            while k <= se:
+                c0 = int(blk[k])
+                if c0 != 0:
+                    if reader.receive(1) and (c0 & p1) == 0:
+                        blk[k] = c0 + (p1 if c0 >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun:
+        # inside an EOB run: only correction bits for already-nonzero
+        # coefficients of the remaining band positions
+        while k <= se:
+            c0 = int(blk[k])
+            if c0 != 0 and reader.receive(1) and (c0 & p1) == 0:
+                blk[k] = c0 + (p1 if c0 >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_sos(b, start, frame, scan, ss, se, ah, al, hdc, hac, restart):
+    """Decode one scan's entropy data into the frame's persistent raw
+    coefficient stores. Returns the index just past the entropy data.
+
+    Handles interleaved (multi-component, MCU order) and non-interleaved
+    (single component, own block grid) geometry, sequential full-band
+    decoding, and the four progressive scan types.
+    """
+    progressive = frame["progressive"]
+    mcux = frame["mcux"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("JPEG: progressive AC scan must be 1-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG: bad spectral band")
+    dc_first = ss == 0 and ah == 0
+    ac_scan = ss > 0
+
+    # resolve the tables each scan component needs (DC refinement needs none)
+    comps = []
+    for c, dc_id, ac_id in scan:
+        c = dict(c, coef=c["coef"])  # local view; share the store
+        if not progressive or dc_first:
+            if dc_id not in hdc:
+                raise ValueError("JPEG: missing Huffman table")
+            c["dct"] = hdc[dc_id]
+        if not progressive or ac_scan:
+            if ac_id not in hac:
+                raise ValueError("JPEG: missing Huffman table")
+            c["act"] = hac[ac_id]
+        comps.append(c)
+
+    if len(comps) > 1:
+        n_units = mcux * frame["mcuy"]
+    else:
+        n_units = comps[0]["cbw"] * comps[0]["cbh"]
 
     end = _scan_end(b, start)
     # split on restart markers, then unstuff each piece: any 0xFF00 inside
@@ -313,65 +429,102 @@ def _decode_scan(b, start, frame, scan, qt, hdc, hac, restart):
     readers = [_BitReader(bytes(s).replace(b"\xff\x00", b"\xff"))
                for s in segs]
     if restart:
-        expect = -(-n_mcu // restart)
+        expect = -(-n_units // restart)
         if len(readers) != expect:
             raise ValueError("JPEG: restart segment count mismatch")
     elif len(readers) != 1:
         raise ValueError("JPEG: unexpected restart markers (no DRI)")
 
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError("JPEG: missing quant table")
-        dc_id, ac_id = scan[c["id"]]
-        if dc_id not in hdc or ac_id not in hac:
-            raise ValueError("JPEG: missing Huffman table")
-        c["q"] = qt[c["tq"]]
-        c["dc"] = hdc[dc_id]
-        c["ac"] = hac[ac_id]
-        c["bw"] = mcux * c["h"]  # blocks per row in this component's plane
-        c["coef"] = np.zeros((mcuy * c["v"] * c["bw"], 64), dtype=np.int64)
-
-    zz = ZIGZAG
     pred = {c["id"]: 0 for c in comps}
-    for mcu in range(n_mcu):
+    eobrun = 0
+    reader = readers[0]
+    for unit in range(n_units):
         if restart:
-            r_ix, r_off = divmod(mcu, restart)
+            r_ix, r_off = divmod(unit, restart)
             if r_off == 0:
                 reader = readers[r_ix]
                 pred = {c["id"]: 0 for c in comps}
+                eobrun = 0
+        if len(comps) > 1:
+            my, mx = divmod(unit, mcux)
+            blocks = [(c, (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx)
+                      for c in comps
+                      for by in range(c["v"]) for bx in range(c["h"])]
         else:
-            reader = readers[0]
-        my, mx = divmod(mcu, mcux)
-        for c in comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    t = reader.decode(c["dc"])
-                    diff = _extend(reader.receive(t), t)
-                    pred[c["id"]] += diff
-                    blk[0] = pred[c["id"]] * c["q"][0]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(c["ac"])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG: AC index overflow")
-                        blk[k] = _extend(reader.receive(s), s) * c["q"][k]
-                        k += 1
-                    row = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
-                    c["coef"][row] = blk
+            c = comps[0]
+            by, bx = divmod(unit, c["cbw"])
+            blocks = [(c, by * c["bw"] + bx)]
+        for c, row in blocks:
+            blk = c["coef"][row]
+            if not progressive:
+                t = reader.decode(c["dct"])
+                diff = _extend(reader.receive(t), t)
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(c["act"])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            break  # EOB
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    blk[k] = _extend(reader.receive(s), s)
+                    k += 1
+            elif dc_first:  # DC first scan (G.2.1), point transform Al
+                t = reader.decode(c["dct"])
+                diff = _extend(reader.receive(t), t)
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]] << al
+            elif ss == 0:  # DC refinement: one appended bit per block
+                if reader.receive(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:  # AC first scan with EOB runs (G.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(c["act"])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # AC refinement
+                eobrun = _ac_refine_block(reader, blk, ss, se, al,
+                                          c["act"], eobrun)
+    return end
 
-    # batched dezigzag + IDCT per component, then upsample to full size
+
+def _finish_frame(frame, qt):
+    """Dequantize the accumulated raw coefficients, run the batched IDCT
+    per component, upsample chroma and convert to the output array."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcuy = frame["mcuy"]
+    zz = ZIGZAG
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG: missing quant table")
+        q = qt[c["tq"]]  # zigzag order, matching the coefficient store
         coef = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
-        coef[:, zz] = c["coef"]
+        coef[:, zz] = c["coef"] * q[None, :]
         blocks = coef.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", DCT_M, blocks, DCT_M,
                             optimize=True) + 128.0
@@ -455,13 +608,93 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
+def _emit_ac_first(writer, blk, ss, se, al, act):
+    """Emit one block's band for an AC first scan (G.1.2.3): values are
+    sign(v)·(|v| >> Al); runs >15 become ZRLs; trailing zeros become EOB0
+    (the only EOBn symbol present in the Annex K tables)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = act[0xF0]
+            writer.put(code, ln)
+            r -= 16
+        t, bits_v = _magnitude(a if v > 0 else -a)
+        code, ln = act[(r << 4) | t]
+        writer.put(code, ln)
+        writer.put(bits_v, t)
+        r = 0
+    if r > 0:
+        code, ln = act[0x00]
+        writer.put(code, ln)
+
+
+def _emit_ac_refine(writer, blk, ss, se, al, act):
+    """Emit one block's band for an AC refinement scan (G.1.2.3 /
+    the libjpeg-documented control flow): newly-nonzero coefficients at
+    this bit level get an (r,1) symbol + sign bit; already-nonzero ones
+    get buffered correction bits emitted after the next symbol."""
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        while r > 15:
+            # flush ZRLs for the zero-history run BEFORE buffering this
+            # position's bit: the decoder consumes buffered correction bits
+            # while advancing through the ZRL span, which ends before here
+            code, ln = act[0xF0]
+            writer.put(code, ln)
+            for bit in pending:
+                writer.put(bit, 1)
+            pending = []
+            r -= 16
+        if a > 1:  # nonzero history: correction bit, buffered
+            pending.append((abs(v) >> al) & 1)
+            continue
+        code, ln = act[(r << 4) | 1]
+        writer.put(code, ln)
+        writer.put(1 if v > 0 else 0, 1)
+        for bit in pending:
+            writer.put(bit, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = act[0x00]  # trailing run folds into EOB0
+        writer.put(code, ln)
+        for bit in pending:
+            writer.put(bit, 1)
+
+
+def _sos_header(comp_sel: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+    ns = len(comp_sel)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tt in comp_sel:
+        out += struct.pack(">BB", cid, tt)
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
 def encode_jpeg(px: np.ndarray, quality: int = 85, *,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Encode (h, w, c) uint8 (c = 1 or 3) as a baseline JFIF JPEG.
+                subsample: bool = False, restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (h, w, c) uint8 (c = 1 or 3) as a JFIF JPEG.
 
     ``subsample=True`` writes 4:2:0 chroma; ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs.
+    DRI + RSTn markers every that many MCUs (baseline only).
+    ``progressive=True`` writes an SOF2 frame with a scan script covering
+    all four progressive scan types: interleaved DC first (Al=1) +
+    refinement, and per-component AC spectral bands 1–5 / 6–63 first at
+    Al=2 followed by two successive-approximation refinement passes.
     """
+    if progressive and restart_interval:
+        raise ValueError("encode_jpeg: restart markers are baseline-only")
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -529,7 +762,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, *,
     for tq, tbl in ((0, qlum), (1, qchr))[:1 if nc == 1 else 2]:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
             + bytes(int(v) for v in tbl[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for k in range(nc):
         out += struct.pack(">BBB", k + 1,
                            (samps[k][0] << 4) | samps[k][1], qsel[k])
@@ -539,6 +773,14 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, *,
     for tid, (bits, vals) in huffs:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tid) \
             + bytes(bits) + bytes(vals)
+    bw_per_comp = [mcux * s[0] for s in samps]
+    if progressive:
+        out += _encode_progressive_scans(
+            comp_blocks, samps, tsel, w, h, hmax, vmax, mcux, mcuy,
+            bw_per_comp, dc_tabs, ac_tabs)
+        out += b"\xff\xd9"
+        return bytes(out)
+
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
@@ -546,7 +788,6 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, *,
         out += struct.pack(">BB", k + 1, (tsel[k] << 4) | tsel[k])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
-    bw_per_comp = [mcux * s[0] for s in samps]
     writer = _BitWriter()
     pred = [0] * nc
     n_mcu = mcux * mcuy
@@ -596,4 +837,78 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, *,
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scans(comp_blocks, samps, tsel, w, h, hmax, vmax,
+                              mcux, mcuy, bpl, dc_tabs, ac_tabs) -> bytes:
+    """Emit the SOF2 scan script: DC first (interleaved, Al=1) → per-comp
+    AC firsts for bands 1–5 / 6–63 at Al=2 → DC refinement → two AC
+    refinement passes (Ah=2→Al=1, Ah=1→Al=0) per comp per band."""
+    nc = len(comp_blocks)
+    out = bytearray()
+
+    def mcu_blocks():
+        # interleaved order over the MCU-padded grids of every component
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for k in range(nc):
+                sh, sv = samps[k]
+                for by in range(sv):
+                    for bx in range(sh):
+                        yield k, (my * sv + by) * bpl[k] + mx * sh + bx
+
+    def grid_rows(k):
+        # non-interleaved order over the component's OWN block grid
+        sh, sv = samps[k]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        for by in range(cbh):
+            for bx in range(cbw):
+                yield by * bpl[k] + bx
+
+    bands = ((1, 5), (6, 63))
+
+    writer = _BitWriter()  # DC first, Al=1
+    pred = [0] * nc
+    for k, row in mcu_blocks():
+        val = int(comp_blocks[k][row][0]) >> 1
+        diff = val - pred[k]
+        pred[k] = val
+        t, bits_v = _magnitude(diff)
+        code, ln = dc_tabs[tsel[k]][t]
+        writer.put(code, ln)
+        writer.put(bits_v, t)
+    writer.flush()
+    out += _sos_header([(k + 1, tsel[k] << 4) for k in range(nc)], 0, 0, 0, 1)
+    out += writer.buf
+
+    for k in range(nc):  # AC firsts, Al=2
+        for ss, se in bands:
+            writer = _BitWriter()
+            for row in grid_rows(k):
+                _emit_ac_first(writer, comp_blocks[k][row], ss, se, 2,
+                               ac_tabs[tsel[k]])
+            writer.flush()
+            out += _sos_header([(k + 1, tsel[k])], ss, se, 0, 2)
+            out += writer.buf
+
+    writer = _BitWriter()  # DC refinement, Ah=1 → Al=0: raw bits only
+    for k, row in mcu_blocks():
+        writer.put(int(comp_blocks[k][row][0]) & 1, 1)
+    writer.flush()
+    out += _sos_header([(k + 1, 0) for k in range(nc)], 0, 0, 1, 0)
+    out += writer.buf
+
+    for ah, al in ((2, 1), (1, 0)):  # AC refinements
+        for k in range(nc):
+            for ss, se in bands:
+                writer = _BitWriter()
+                for row in grid_rows(k):
+                    _emit_ac_refine(writer, comp_blocks[k][row], ss, se, al,
+                                    ac_tabs[tsel[k]])
+                writer.flush()
+                out += _sos_header([(k + 1, tsel[k])], ss, se, ah, al)
+                out += writer.buf
     return bytes(out)

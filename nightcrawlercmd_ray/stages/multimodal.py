@@ -3,11 +3,12 @@ with typed metadata, processed by actor-pool stages.
 
 Decode support is format-tiered: UNCOMPRESSED formats (PPM/PGM, BI_RGB BMP),
 full-spec **PNG** (stdlib zlib inflate + scanline defiltering — every legal
-depth/color-type incl. palette+tRNS and Adam7), baseline **JPEG**
-(``stages/jpeg.py`` — full Huffman entropy decode), PCM + G.711 + IMA-ADPCM
-**WAV** and uncompressed **Y4M** video decode for real in pure stdlib+numpy
-— features and resize below operate on actual pixels/samples for them. The
-remaining COMPRESSED codecs (progressive JPEG, mp3/aac, mp4/h264/vp9) are
+depth/color-type incl. palette+tRNS and Adam7), baseline + progressive
+**JPEG** (``stages/jpeg.py`` — full Huffman entropy decode, all four SOF2
+scan types), **GIF**, PCM + G.711 + IMA-ADPCM **WAV** and uncompressed
+**Y4M** video decode for real in pure stdlib+numpy — features and resize
+below operate on actual pixels/samples for them. The
+remaining COMPRESSED codecs (mp3/aac, mp4/h264/vp9, webp) are
 STUBBED (this container ships no codec libs — marked explicitly below); a
 real deployment plugs Pillow/libvips/PyAV into the same stage signatures.
 Everything Ray-side is real and tested either way: schema, batch sizing for
@@ -423,10 +424,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     c=3), binary PGM (``P5``, c=1), BI_RGB BMP at 24/32 bpp (bottom-up or
     top-down), full-spec **PNG** (any legal depth/color-type incl. palette
     with tRNS and Adam7 interlace — see ``_decode_png``), baseline
-    sequential **JPEG** (full Huffman entropy decode, restart markers, any
-    integer chroma sampling — see ``stages/jpeg.py``), and **GIF** (LZW,
-    interlace, transparency — first frame). Anything else (progressive
-    JPEG, WebP, …) raises ``NotImplementedError``: a real deployment plugs
+    sequential AND progressive **JPEG** (full Huffman entropy decode,
+    restart markers, any integer chroma sampling, all four SOF2
+    progressive scan types — see ``stages/jpeg.py``), and **GIF** (LZW,
+    interlace, transparency — first frame). Anything else (WebP, 16-bit
+    PNM, …) raises ``NotImplementedError``: a real deployment plugs
     Pillow/libvips here and the surrounding Ray plumbing is unchanged."""
     b = bytes(payload or b"")
     if b[:2] == b"\xff\xd8":
@@ -464,7 +466,7 @@ def decode_image(payload: bytes) -> np.ndarray:
             px = px[::-1]  # bottom-up storage
         return px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
     raise NotImplementedError(
-        "image codec not in sandbox (PPM/PGM/BMP/PNG/baseline-JPEG decode "
+        "image codec not in sandbox (PPM/PGM/BMP/PNG/JPEG/GIF decode "
         "is real)")
 
 

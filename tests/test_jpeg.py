@@ -132,11 +132,11 @@ def test_420_subsampling_is_declared_and_smaller():
     assert full[full.index(b"\xff\xc0") + 11] == 0x11
 
 
-def test_progressive_and_garbage_rejected():
-    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
-            + b"\x01\x11\x00")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+def test_arithmetic_and_garbage_rejected():
+    arith = (b"\xff\xd8\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+             + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xda\x00\x04\x00\x00")
     with pytest.raises(ValueError):
@@ -156,3 +156,151 @@ def test_decode_image_dispatches_jpeg():
     px = decode_image(encode_jpeg(img, quality=95))
     assert px.shape == (16, 16, 3)
     assert np.abs(px.astype(int) - img.astype(int)).mean() < 2.0
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+class _TestBits:
+    """Independent MSB-first bit packer (byte stuffing included)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _sos(comp_sel, ss, se, ah, al):
+    body = bytes([len(comp_sel)])
+    for cid, tt in comp_sel:
+        body += bytes([cid, tt])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def test_hand_built_progressive_four_scan_types():
+    """8×8 gray, q=1, DC=49 and AC(zigzag 1)=25 delivered over four scans
+    (DC first Al=1 → AC first Al=1 → DC refinement → AC refinement with an
+    EOB-run correction bit): decoded pixels must equal the independent
+    spec IDCT of those exact coefficients. The DC-refinement scan's
+    entropy byte is 0xFF, pinning byte stuffing on the progressive path."""
+    b = bytearray(b"\xff\xd8")
+    b += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    b += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    dc_counts = [0] * 16
+    dc_counts[1] = 1  # one 2-bit code → category 5
+    b += _huff_segment(0x00, dc_counts, [5])
+    ac_counts = [0] * 16
+    ac_counts[1] = 2  # two 2-bit codes: '00'→0x04 (run 0 size 4), '01'→EOB0
+    b += _huff_segment(0x10, ac_counts, [0x04, 0x00])
+
+    w = _TestBits()          # scan 1: DC first, Al=1 → value 49>>1 = 24
+    w.put(0b00, 2)           # DC category-5 code
+    w.put(24, 5)
+    b += _sos([(1, 0x00)], 0, 0, 0, 1) + w.bytes()
+
+    w = _TestBits()          # scan 2: AC first, Al=1 → value 25>>1 = 12
+    w.put(0b00, 2)           # symbol 0x04
+    w.put(12, 4)
+    w.put(0b01, 2)           # EOB0
+    b += _sos([(1, 0x00)], 1, 63, 0, 1) + w.bytes()
+
+    w = _TestBits()          # scan 3: DC refinement → appended bit 49&1 = 1
+    w.put(1, 1)
+    b += _sos([(1, 0x00)], 0, 0, 1, 0)
+    scan3 = w.bytes()
+    assert scan3 == b"\xff\x00"  # 1-bit + pad-1s = 0xFF → must be stuffed
+    b += scan3
+
+    w = _TestBits()          # scan 4: AC refinement → EOB0 + correction 25&1
+    w.put(0b01, 2)
+    w.put(1, 1)
+    b += _sos([(1, 0x00)], 1, 63, 1, 0) + w.bytes()
+    b += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(b))[:, :, 0]
+    coef = [[0.0] * 8 for _ in range(8)]
+    coef[0][0] = 49.0
+    coef[0][1] = 25.0
+    assert (px == _spec_idct(coef)).all()
+
+
+def test_hand_built_progressive_eob_run_spans_blocks():
+    """16×8 gray, two blocks, both DC=48: the AC-first scan is a single
+    EOB1 symbol with one appended bit (run = 2 blocks) — pins the EOBn
+    decode path the Annex K tables can't express. No refinement scans, so
+    the Al=1 approximation must still reconstruct 24<<1 = 48 exactly:
+    every pixel round(48/8 + 128) = 134."""
+    b = bytearray(b"\xff\xd8")
+    b += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    b += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + b"\x01\x11\x00"
+    dc_counts = [0] * 16
+    dc_counts[1] = 2  # canonical 2-bit codes: '00'→cat 0, '01'→cat 5
+    b += _huff_segment(0x00, dc_counts, [0, 5])
+    ac_counts = [0] * 16
+    ac_counts[0] = 1  # one 1-bit code: '0'→EOB1 (symbol 0x10)
+    b += _huff_segment(0x10, ac_counts, [0x10])
+
+    w = _TestBits()          # DC first, Al=1: diffs 24, 0
+    w.put(0b01, 2)
+    w.put(24, 5)
+    w.put(0b00, 2)
+    b += _sos([(1, 0x00)], 0, 0, 0, 1) + w.bytes()
+
+    w = _TestBits()          # AC first: EOB1, appended bit 0 → run of 2
+    w.put(0, 1)
+    w.put(0, 1)
+    b += _sos([(1, 0x00)], 1, 63, 0, 1) + w.bytes()
+    b += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(b))
+    assert px.shape == (8, 16, 1)
+    assert (px == 134).all()
+
+
+@pytest.mark.parametrize("quality,subsample", [
+    (95, False), (80, True), (70, False), (85, True),
+])
+def test_progressive_matches_baseline_bit_identical(quality, subsample):
+    """Same quantized coefficients, two completely different scan
+    encodings and decode paths → bit-identical pixels. Random noise
+    exercises ZRL runs, all magnitude categories, newly-nonzero vs
+    correction-bit refinement and both spectral bands."""
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8, 1), (19, 27, 1), (40, 56, 3), (33, 17, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsample=subsample))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsample=subsample,
+                        progressive=True))
+        assert (base == prog).all(), shape
+
+
+def test_progressive_smooth_image_close_to_source():
+    yy, xx = np.mgrid[0:48, 0:32]
+    img = np.stack([(yy * 4) % 256, (xx * 5) % 256,
+                    ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=92, progressive=True))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="baseline-only"):
+        encode_jpeg(np.zeros((8, 8, 1), np.uint8), progressive=True,
+                    restart_interval=2)

@@ -149,13 +149,13 @@ def test_decode_bmp24_matches_ppm_pixels():
 
 
 def test_decode_compressed_still_stubbed():
-    # baseline JPEG is REAL now (stages/jpeg.py); progressive stays a
-    # stub, a truncated JPEG is CORRUPT, and an all-zero-chunk PNG is
-    # CORRUPT, not a stub
+    # sequential AND progressive JPEG are REAL now (stages/jpeg.py);
+    # arithmetic coding stays a stub, a truncated JPEG is CORRUPT, and an
+    # all-zero-chunk PNG is CORRUPT, not a stub
     import struct as st
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xc2"
+        decode_image(b"\xff\xd8\xff\xc9"
                      + st.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 64)  # truncated JPEG
