@@ -3517,10 +3517,11 @@ def q_media_features(sf_dir: str):
 def q_media_decoded_frames(sf_dir: str):
     """Real video-frame decode in a pipeline (stages/multimodal.
     decode_sampled_frames): every 32nd media payload becomes a synthesized
-    uncompressed Y4M stream (frame count/pixels seeded from the id) and the
-    actor-pool stage samples + decodes its frames — luma summaries out;
-    non-Y4M payloads contribute no rows. Rows-only; frame math and luma
-    values pinned in tests/test_multimodal.py."""
+    video stream — alternating uncompressed Y4M and COMPRESSED MJPEG-AVI
+    (per-frame JPEG entropy decode; frame count/pixels seeded from the id)
+    — and the actor-pool stage samples + decodes its frames — luma
+    summaries out; undecodable payloads contribute no rows. Rows-only;
+    frame math and luma values pinned in tests/test_multimodal.py."""
     import ray
 
     from nightcrawlercmd_ray.stages.multimodal import (
@@ -3537,7 +3538,19 @@ def q_media_decoded_frames(sf_dir: str):
         payloads = t.column("payload").to_pylist()
         out = []
         for i, p in zip(ids, payloads):
-            if i % 32 == 0:
+            if i % 64 == 0:
+                # every other planted stream is COMPRESSED video: MJPEG in
+                # an AVI container (per-frame JPEG decode in the actor pool)
+                from nightcrawlercmd_ray.stages.multimodal import (
+                    encode_avi_mjpeg,
+                )
+
+                rng = np.random.RandomState(int(i) % (2**31))
+                nf = 2 + int(i) % 7
+                frames = [rng.randint(0, 256, (4, 8, 3)).astype("uint8")
+                          for _ in range(nf)]
+                out.append(encode_avi_mjpeg(frames, fps=4.0))
+            elif i % 32 == 0:
                 rng = np.random.RandomState(int(i) % (2**31))
                 nf = 2 + int(i) % 7
                 parts = [b"YUV4MPEG2 W8 H4 F4:1 C420\n"]

@@ -441,9 +441,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(b)
-        if maxval > 255:
-            raise NotImplementedError("16-bit PNM not supported")
         c = 3 if b[:2] == b"P6" else 1
+        if maxval > 255:  # 16-bit samples, big-endian per the PNM spec
+            need = w * h * c * 2
+            if len(b) - off < need:
+                raise ValueError("truncated PNM data")
+            x = np.frombuffer(b, ">u2", w * h * c, off).astype(np.uint32)
+            x = (x * 255 + maxval // 2) // maxval
+            return np.clip(x, 0, 255).astype(np.uint8).reshape(h, w, c)
         need = w * h * c
         if len(b) - off < need:
             raise ValueError("truncated PNM data")
@@ -752,13 +757,13 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     6) / μ-law (format 7) expanded through spec-built numpy LUTs, and IMA
     ADPCM (format 0x11, block-wise vectorized across blocks) — →
     ((n_samples, channels) float32 in [-1, 1], sample_rate). Anything else
-    (mp3/aac/ogg/float-WAV) raises ``NotImplementedError`` — a real
-    deployment plugs ffmpeg/soundfile."""
+    (mp3/aac/ogg) raises ``NotImplementedError`` — a real deployment
+    plugs ffmpeg/soundfile."""
     b = bytes(payload or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
-            "audio codec not in sandbox (PCM/G.711/IMA-ADPCM WAV decode "
-            "is real)")
+            "audio codec not in sandbox (PCM/float/G.711/IMA-ADPCM WAV "
+            "decode is real)")
     pos, n = 12, len(b)
     fmt = None
     while pos + 8 <= n:
@@ -775,18 +780,24 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, channels, rate, _, block_align, bits = fmt
             if channels < 1 or (
                 (audio_fmt == 1 and bits not in (8, 16))
+                or (audio_fmt == 3 and bits not in (32, 64))
                 or (audio_fmt in (6, 7) and bits != 8)
                 or (audio_fmt == 0x11 and bits != 4)
-                or audio_fmt not in (1, 6, 7, 0x11)
+                or audio_fmt not in (1, 3, 6, 7, 0x11)
             ):
                 raise NotImplementedError(
-                    "only 8/16-bit PCM, 8-bit G.711 and 4-bit IMA-ADPCM "
-                    "WAV supported")
+                    "only 8/16-bit PCM, 32/64-bit float, 8-bit G.711 and "
+                    "4-bit IMA-ADPCM WAV supported")
             raw = b[body: body + min(size, n - body)]
             if audio_fmt == 0x11:  # IMA ADPCM: block-parallel expand
                 pcm = _ima_adpcm_decode(raw, channels, block_align)
                 return pcm.astype(np.float32) / 32768.0, rate
-            if audio_fmt in (6, 7):  # G.711 A-law / μ-law: LUT gather
+            if audio_fmt == 3:  # IEEE float (format 3): already [-1, 1]
+                w = bits // 8
+                x = np.frombuffer(raw[: len(raw) - len(raw) % w],
+                                  "<f4" if bits == 32 else "<f8")
+                x = np.clip(x.astype(np.float32), -1.0, 1.0)
+            elif audio_fmt in (6, 7):  # G.711 A-law / μ-law: LUT gather
                 lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
                 x = lut[np.frombuffer(raw, np.uint8)].astype(np.float32)
                 x /= 32768.0
@@ -855,17 +866,74 @@ def _parse_y4m_header(b: bytes):
     return w, h, num / den, eol + 1
 
 
+def _parse_avi(b: bytes):
+    """Walk a RIFF AVI container: returns (micro_sec_per_frame,
+    [(offset, size), …] of the stream-0 video frame chunks in 'movi'
+    order). Raises ValueError on malformed structure."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    micro = 0
+    frames: list[tuple[int, int]] = []
+    stack = [(12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0]))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            size, = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            nxt = body + size + (size & 1)
+            if body + size > len(b):
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST" and size >= 4:
+                stack.append((nxt, end))  # resume after the list
+                pos, end = body + 4, body + size
+                continue
+            if cid == b"avih" and size >= 4:
+                micro, = struct.unpack_from("<I", b, body)
+            elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+                frames.append((body, size))
+            pos = nxt
+    return micro, frames
+
+
+def _luma_plane(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → BT.601 luma as (h, w, 1) uint8."""
+    if px.shape[2] == 1:
+        return px
+    f = px[:, :, :3].astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)[:, :, None]
+
+
 def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
-    """Decode the frame at ``ts_ms`` from an UNCOMPRESSED video payload:
-    YUV4MPEG2 (Y4M) 4:2:0 → the frame's luma plane as an (h, w, 1) uint8
-    array (the plane the sampling/feature stages consume). Every COMPRESSED
+    """Decode the frame at ``ts_ms`` from a decodable video payload —
+    uncompressed YUV4MPEG2 (Y4M) 4:2:0, or **MJPEG in an AVI container**
+    (each '00dc' chunk is a JPEG picture, decoded by ``stages/jpeg.py``)
+    — to the frame's luma plane as an (h, w, 1) uint8 array (the plane
+    the sampling/feature stages consume). Every other COMPRESSED
     container/codec (mp4/h264/vp9/…) raises ``NotImplementedError`` — a
     real deployment plugs PyAV/ffmpeg here; the frame-sampling plumbing
     below is unchanged either way."""
     b = bytes(payload or b"")
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        micro, frames = _parse_avi(b)
+        fps = 1e6 / micro if micro else 30.0
+        want = max(0, int(ts_ms / 1000.0 * fps))
+        if want >= len(frames):
+            raise ValueError(
+                f"ts {ts_ms}ms past end of stream ({len(frames)} frames)")
+        off, size = frames[want]
+        pic = b[off:off + size]
+        if pic[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "AVI: only MJPEG video streams are decodable in sandbox")
+        from .jpeg import decode_jpeg
+
+        return _luma_plane(decode_jpeg(pic))
     if b[:9] != b"YUV4MPEG2":
         raise NotImplementedError(
-            "compressed video codecs not in sandbox (Y4M decode is real)")
+            "compressed video codecs not in sandbox (Y4M + MJPEG-AVI "
+            "decode is real)")
     w, h, fps, pos = _parse_y4m_header(b)
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))  # 4:2:0 planes
     want = max(0, int(ts_ms / 1000.0 * fps))
@@ -887,11 +955,12 @@ def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
 
 class FrameDecodeStage:
     """Actor-pool stage: sample AND decode frames from decodable
-    (uncompressed Y4M) video payloads in one pass — up to ``max_frames``
-    per item, evenly spread over the stream's actual frames. Emits one row
-    per decoded frame with the luma-plane summary a dedup/quality pipeline
-    consumes. Undecodable (compressed) payloads yield no rows here — their
-    decode plan still comes from :func:`sample_frames` + a real codec."""
+    (uncompressed Y4M or MJPEG-AVI) video payloads in one pass — up to
+    ``max_frames`` per item, evenly spread over the stream's actual
+    frames. Emits one row per decoded frame with the luma-plane summary a
+    dedup/quality pipeline consumes. Undecodable (compressed) payloads
+    yield no rows here — their decode plan still comes from
+    :func:`sample_frames` + a real codec."""
 
     def __init__(self, max_frames: int = 16):
         self.max_frames = max_frames
@@ -901,6 +970,34 @@ class FrameDecodeStage:
         for mid, p in zip(t.column("media_id").to_pylist(),
                           t.column("payload").to_pylist()):
             b = bytes(p or b"")
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                from .jpeg import decode_jpeg
+
+                try:
+                    micro, frames = _parse_avi(b)
+                except ValueError:
+                    continue
+                if not frames:
+                    continue
+                fps = 1e6 / micro if micro else 30.0
+                want = min(len(frames), self.max_frames)
+                for k in range(want):
+                    fi = k * len(frames) // want
+                    off, size = frames[fi]
+                    pic = b[off:off + size]
+                    if pic[:2] != b"\xff\xd8":
+                        continue
+                    try:
+                        y = _luma_plane(decode_jpeg(pic))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    ids_out.append(mid)
+                    idx_out.append(fi)
+                    ts_out.append(int(fi * 1000.0 / fps))
+                    mean_out.append(float(y.mean()))
+                    w_out.append(y.shape[1])
+                    h_out.append(y.shape[0])
+                continue
             if b[:9] != b"YUV4MPEG2":
                 continue
             try:
@@ -937,6 +1034,42 @@ class FrameDecodeStage:
             "width": pa.array(w_out, pa.int32()),
             "height": pa.array(h_out, pa.int32()),
         })
+
+
+def encode_avi_mjpeg(frames_px: list, fps: float = 10.0,
+                     quality: int = 90) -> bytes:
+    """Encode a list of (h, w, c) uint8 arrays as an MJPEG AVI (RIFF
+    container, 'MJPG' vids stream, one '00dc' JPEG chunk per frame) —
+    pure stdlib, round-trips through :func:`decode_video_frame` /
+    :class:`FrameDecodeStage`; used by tests and planted corpora."""
+    from .jpeg import encode_jpeg
+
+    if not frames_px:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    h, w = frames_px[0].shape[:2]
+    pics = [encode_jpeg(f, quality=quality) for f in frames_px]
+    micro = int(round(1e6 / fps))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<14I", micro, 0, 0, 0, len(pics), 0, 1,
+                       max(len(p_) for p_ in pics), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, int(round(fps)), 0,
+                                            len(pics), 0, 0, -1)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4I2i", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf)))         + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(chunk(b"00dc", p_) for p_ in pics)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_sampled_frames(ds, *, max_frames: int = 16, concurrency: int = 2,

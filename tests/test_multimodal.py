@@ -766,3 +766,100 @@ def test_gif_garbage_rejected():
         _decode_gif(b"GIF89a" + b"\x00" * 4)
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# round-5 tiers: IEEE-float WAV, 16-bit PNM, MJPEG-in-AVI video
+# ---------------------------------------------------------------------------
+def test_decode_float_wav():
+    import struct as st
+
+    from nightcrawlercmd_ray.stages.multimodal import decode_audio
+
+    sig = (0.25 * np.sin(np.arange(200) / 9.0)).astype("<f4")
+    for bits, arr in ((32, sig), (64, sig.astype("<f8"))):
+        fmt = st.pack("<HHIIHH", 3, 1, 16000, 16000 * bits // 8,
+                      bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", arr.nbytes) + arr.tobytes())
+        x, rate = decode_audio(b"RIFF" + st.pack("<I", len(body)) + body)
+        assert rate == 16000 and x.shape == (200, 1)
+        assert np.allclose(x[:, 0], sig, atol=1e-6)
+    # out-of-range float samples are clipped, stereo keeps channel order
+    raw = np.array([2.5, -2.5, 0.5, -0.5], "<f4")
+    fmt = st.pack("<HHIIHH", 3, 2, 8000, 8000 * 8, 8, 32)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", raw.nbytes) + raw.tobytes())
+    x, _ = decode_audio(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert x.shape == (2, 2)
+    assert x.tolist() == [[1.0, -1.0], [0.5, -0.5]]
+
+
+def test_decode_16bit_pnm():
+    # big-endian 16-bit samples scale to uint8 by round(v*255/maxval)
+    g = (np.arange(12) * 5000).astype(">u2").reshape(3, 4)
+    out = decode_image(b"P5\n4 3\n65535\n" + g.tobytes())
+    exp = ((g.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert out.shape == (3, 4, 1) and (out[:, :, 0] == exp).all()
+    rgb = (np.arange(24) * 2500).astype(">u2").reshape(2, 4, 3)
+    out = decode_image(b"P6\n4 2\n65535\n" + rgb.tobytes())
+    exp = ((rgb.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert out.shape == (2, 4, 3) and (out == exp).all()
+    # non-power maxval (1000): full-scale maps to 255
+    v = np.array([[0, 500, 1000]], ">u2")
+    out = decode_image(b"P5\n3 1\n1000\n" + v.tobytes())
+    assert out[:, :, 0].tolist() == [[0, 128, 255]]
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n4 3\n65535\n" + b"\x00" * 10)  # truncated
+
+
+def test_decode_avi_mjpeg_frames():
+    from nightcrawlercmd_ray.stages.multimodal import (
+        _parse_avi,
+        decode_video_frame,
+        encode_avi_mjpeg,
+    )
+
+    frames = [np.full((16, 24, 3), 40 * i + 10, np.uint8) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, fps=10.0, quality=95)
+    micro, offs = _parse_avi(avi)
+    assert micro == 100000 and len(offs) == 5
+    for i in range(5):
+        y = decode_video_frame(avi, ts_ms=i * 100)
+        assert y.shape == (16, 24, 1)
+        # flat gray RGB → luma ≈ the gray level at high quality
+        assert abs(float(y.mean()) - (40 * i + 10)) < 3.0
+    with pytest.raises(ValueError):
+        decode_video_frame(avi, ts_ms=600)  # past last frame
+    # a non-MJPEG stream in an AVI stays an honest stub
+    bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_video_frame(bad, ts_ms=0)
+
+
+def test_frame_decode_stage_handles_avi(ray_session):
+    from nightcrawlercmd_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_sampled_frames,
+        encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg(
+        [np.full((8, 8, 1), 20 * i, np.uint8) for i in range(8)], fps=4.0)
+    t = pa.table({
+        "media_id": pa.array([7, 8], pa.int64()),
+        "kind": pa.array(["video"] * 2),
+        "mime": pa.array(["video/avi", "video/mp4"]),
+        "payload": pa.array([avi, b"mp4 junk"], pa.binary()),
+        "width": pa.array([None] * 2, pa.int32()),
+        "height": pa.array([None] * 2, pa.int32()),
+        "duration_ms": pa.array([None] * 2, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    df = (decode_sampled_frames(ray.data.from_arrow(t), max_frames=4)
+          .to_pandas().sort_values("frame_idx"))
+    assert df["media_id"].unique().tolist() == [7]
+    assert df["frame_idx"].tolist() == [0, 2, 4, 6]
+    assert df["ts_ms"].tolist() == [0, 500, 1000, 1500]  # 4 fps
+    assert df["width"].tolist() == [8] * 4
+    lum = df["luma_mean"].tolist()
+    assert all(abs(lum[k] - 40 * k) < 3.0 for k in range(4))
