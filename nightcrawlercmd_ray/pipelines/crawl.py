@@ -824,6 +824,31 @@ def _write_wave_ckpt_task(d: str, n_fetch: int, *tables: pa.Table) -> int:
     return ft.num_rows
 
 
+@ray.remote(num_cpus=0)
+def _ack_barrier(*_acks) -> bool:
+    """Resolve all candidate-push acks ONCE; the single result ref rides as
+    the flush/seal call argument ("all pushes landed") so neither the
+    driver nor each of the 16 flush calls pays the ~tasks×shards ref
+    resolution."""
+    return True
+
+
+@ray.remote(num_cpus=0)
+def _route_and_seal(shards, *ack_lists) -> list:
+    """url-mode end-of-wave commit, entirely off-driver: receives the flush
+    results (each a list of (target_shard, forward_ack_ref)), routes every
+    forward ack to only its TARGET shard's seal, fires the seals and
+    returns the gathered seal result dicts. Blocking ray.get in a
+    num_cpus=0 task holds no execution slot; returning VALUES (not refs)
+    keeps object ownership out of transient workers."""
+    by_shard: dict[int, list] = {}
+    for al in ack_lists:
+        for p, a in al:
+            by_shard.setdefault(p, []).append(a)
+    return ray.get([s.seal_wave.remote(*by_shard.get(i, []))
+                    for i, s in enumerate(shards)])
+
+
 # --------------------------------------------------------------------------- #
 # the BSP driver
 # --------------------------------------------------------------------------- #
@@ -984,30 +1009,10 @@ class CrawlRun:
         return sum(s["frontier"] for s in sizes)
 
     def _seal_async(self, push_acks: list | None = None) -> list:
-        """Fire the seal WITHOUT gathering it. Barriers are enforced
-        scheduler-side by passing ack REFS as call arguments (Ray holds a
-        call until its args resolve), not by driver gathers:
-
-        - ``push_acks`` (the fetch tasks' candidate-push acks) ride as
-          flush/seal arguments, so "all pushes landed" costs zero driver
-          round trips;
-        - the flush-forward acks ride as seal arguments the same way
-          ("all survivors landed on their lane shards");
-        - the seal_wave result refs are returned for the NEXT wave's
-          plan_wave to fold in — per-actor mailbox ordering guarantees the
-          next emit_wave runs after seal_wave.
-
-        The only driver gather left per wave is the flush results (url
-        mode — their forward-ack refs are the next link in the chain).
-
-        Barrier cost note: by the time this runs the driver has already
-        gathered the fetch tails, so every push ack is RESOLVED; passing
-        ~tasks×shards ack refs as ARGS to each of the 16 flush/seal calls
-        makes every call re-resolve the whole set (thousands of tiny
-        object fetches per wave — measured ~0.1-0.2 s/wave at 16 CPUs).
-        One batched driver ``ray.get`` over the same refs is the identical
-        barrier (strictly: the driver confirms the pushes landed BEFORE
-        firing flush) at a fraction of the cost."""
+        """Driver-gathered seal chain — the SYNCHRONOUS form kept for
+        seed/resume time (one-shot, not per wave). ``run_wave`` uses
+        :meth:`_seal_wave_end`, which runs the identical chain entirely
+        scheduler-side with zero driver round trips."""
         push_acks = push_acks or []
         if push_acks:
             ray.get(push_acks)  # one batched barrier: all pushes landed
@@ -1027,6 +1032,66 @@ class CrawlRun:
                     for i, s in enumerate(self.shards)]
         return [s.seal_wave.remote() for s in self.shards]
 
+    def _seal_wave_end(self, push_acks: list) -> None:
+        """Fire the end-of-wave commit chain with ZERO driver gathers.
+        Every barrier rides scheduler-side as call arguments (Ray holds a
+        call until its args resolve):
+
+        - a single ``num_cpus=0`` barrier task resolves all candidate-push
+          acks ONCE; its one result ref rides as the flush/seal argument
+          ("all pushes landed" — the r4 form re-resolved ~tasks×shards
+          refs in each of the 16 calls, the r5a form spent a driver
+          ``ray.get`` round on it);
+        - url mode: flush fires immediately behind the barrier; a second
+          ``num_cpus=0`` routing task gathers the flush results, routes
+          each forward ack to only its TARGET shard's seal, fires the
+          seals and returns the gathered seal result dicts. The driver
+          reads them with one tiny ``ray.get`` at the START of the next
+          wave (where the old plan chain waited on the same seal results
+          anyway) — so the whole flush→route→seal chain runs while the
+          driver is already planning, not as mid-wave driver rounds.
+
+        Ordering safety: wave k+1's plan consumes the seal results before
+        anything of wave k+1 is fired, so every k+1 actor call
+        (emit/add/flush) strictly follows seal k — no reliance on
+        cross-caller mailbox order."""
+        barrier = _ack_barrier.remote(*push_acks) if push_acks else None
+        bargs = (barrier,) if barrier is not None else ()
+        if self.dedup_sharding == "url":
+            flush_refs = [s.flush_dedup.remote(*bargs) for s in self.shards]
+            self._pending_route = _route_and_seal.remote(
+                self.shards, *flush_refs)
+        else:
+            # host mode: one seal per shard; driver-fired, so the next
+            # wave's emit follows it by per-actor mailbox ordering
+            self._pending_seal = [s.seal_wave.remote(*bargs)
+                                  for s in self.shards]
+
+    def _take_pending_seal(self) -> list:
+        """The previous wave's seal results for the next plan to fold —
+        a list of result dicts (url mode; seal completed) or of seal refs
+        (host mode; the plan task resolves them)."""
+        route = getattr(self, "_pending_route", None)
+        if route is not None:
+            self._pending_route = None
+            return ray.get(route)
+        out = getattr(self, "_pending_seal", [])
+        self._pending_seal = []
+        return out
+
+    def _settle_seal(self) -> None:
+        """Resolve any in-flight seal chain so driver-fired state reads
+        (checkpoint_bytes / stats / seen log) cannot overtake the seal in
+        an actor mailbox. Keeps the results for the next plan's folding."""
+        route = getattr(self, "_pending_route", None)
+        if route is not None:
+            self._pending_route = None
+            self._pending_seal = ray.get(route)
+        else:
+            pend = getattr(self, "_pending_seal", [])
+            if pend and isinstance(pend[0], ray.ObjectRef):
+                self._pending_seal = ray.get(pend)
+
     # -- one wave -----------------------------------------------------------
     def run_wave(self) -> int:
         """Emit + fetch + extract + enqueue one wave. Returns #fetched."""
@@ -1043,13 +1108,12 @@ class CrawlRun:
         # actor→plan-task through the object store; the driver sees only the
         # small plan dict and ships the wave table by REFERENCE to the fetch
         # tasks (zero driver materialization at any wave size).
+        seal_prev = self._take_pending_seal()  # url mode: seal COMPLETED
         emit_refs = [s.emit_wave.remote() for s in self.shards]
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        seal_refs = getattr(self, "_pending_seal", [])
-        self._pending_seal = []
         plan_ref, wave_ref = _PLAN2.remote(
             self.fetched_total, self.wave, self.params.max_pages,
-            self.num_buckets, cpus, len(seal_refs), *seal_refs, *emit_refs,
+            self.num_buckets, cpus, len(seal_prev), *seal_prev, *emit_refs,
         )
         plan = ray.get(plan_ref)
         if plan["frontier"] is not None:
@@ -1105,9 +1169,9 @@ class CrawlRun:
             tm["drain"] = round(_wall0 - max(ends), 3)
             tm["pack_idle"] = round(max(span * P - busy, 0.0) / P, 3)
         _t0 = _time.perf_counter()
-        # flush results gathered here (the one remaining driver round);
-        # seal itself rides un-gathered into the next wave's plan
-        self._pending_seal = self._seal_async(push_acks)
+        # the whole barrier→flush→route→seal chain fires scheduler-side;
+        # no driver round here (the next wave's plan reads the results)
+        self._seal_wave_end(push_acks)
         tm["seal"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         wave_fetch_refs = [r[0] for r in results]
@@ -1179,6 +1243,7 @@ class CrawlRun:
                                   LINKS_SCHEMA)
 
     def stats(self) -> dict:
+        self._settle_seal()
         per_shard = ray.get([s.stats.remote() for s in self.shards])
         agg = {
             k: sum(s[k] for s in per_shard)
@@ -1193,6 +1258,7 @@ class CrawlRun:
         return agg
 
     def seen_urls(self) -> set[str]:
+        self._settle_seal()
         """Exact engine seen-set (requires keep_seen_log=True)."""
         logs = ray.get([s.get_seen_log.remote() for s in self.shards])
         return set().union(*[set(x) for x in logs]) if logs else set()
@@ -1211,6 +1277,7 @@ class CrawlRun:
 
     def checkpoint(self) -> None:
         """Durable cut at a wave boundary: per-shard state + lineage manifest."""
+        self._settle_seal()  # shard state must include the last wave's seal
         if self._ckpt_write_refs:  # all wave parquet durable before MANIFEST
             ray.get(self._ckpt_write_refs)
             self._ckpt_write_refs.clear()
