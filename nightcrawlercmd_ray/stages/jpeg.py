@@ -191,8 +191,19 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode a sequential or progressive JPEG to (h, w, c) uint8 —
     c = 1 (gray) or 3 (RGB).
 
-    See module docstring for the supported/stubbed matrix.
+    See module docstring for the supported/stubbed matrix. Malformed
+    streams raise ValueError ONLY (parser-level exception families are
+    converted) — callers in actor-pool stages rely on that contract.
     """
+    try:
+        return _decode_jpeg(b)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"JPEG: malformed stream: {e}") from e
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -263,6 +274,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             vmax = max(c["v"] for c in comps)
             if hmax < 1 or vmax < 1:
                 raise ValueError("JPEG: bad sampling factors")
+            if w <= 0 or h <= 0 or w * h > (1 << 26):
+                raise ValueError(
+                    f"JPEG: implausible dimensions {w}x{h}")
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             for c in comps:

@@ -62,6 +62,39 @@ def _parse_pnm_header(b: bytes):
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decoders run inside actor-pool stages that catch exactly ValueError /
+# NotImplementedError; any other exception type escaping on a malformed
+# payload would kill the stage actor. The guard converts the parser-level
+# exception families to ValueError, and MAX_DECODE_PIXELS bounds what an
+# adversarial header can make us allocate (a 100 TB crawl WILL contain
+# pathological media): 2^26 px = 8K x 8K, ~0.5 GB peak through the float
+# intermediates — above that a real deployment routes to an out-of-band
+# decode service, same as the codec stubs.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"{what}: implausible dimensions {w}x{h}")
+
+
+def _malformed_guard(fn):
+    import functools
+    import struct as _st
+    import zlib as _zl
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except (_st.error, _zl.error, IndexError, KeyError,
+                OverflowError) as e:
+            raise ValueError(f"malformed media payload: {e}") from e
+    return wrapped
+
+
 
 def _png_defilter(raw: bytes, h: int, stride: int, bpp: int,
                   offset: int) -> np.ndarray:
@@ -162,6 +195,7 @@ def _decode_png(b: bytes) -> np.ndarray:
             if ilace not in (0, 1):
                 raise ValueError("PNG: bad interlace method")
             c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+            _check_dims(w, h, "PNG")
         elif typ == b"PLTE":
             plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
         elif typ == b"tRNS":
@@ -334,6 +368,7 @@ def _decode_gif(b: bytes) -> np.ndarray:
                 pos += sz
         elif bt == 0x2C:  # image descriptor
             _, _, w, h, ip = struct.unpack_from("<HHHHB", b, pos)
+            _check_dims(w, h, "GIF")
             pos += 9
             ct = gct
             if ip & 0x80:
@@ -417,6 +452,7 @@ def encode_gif(px: np.ndarray, *, interlace: bool = False,
     return bytes(out)
 
 
+@_malformed_guard
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, c) uint8 array.
 
@@ -441,6 +477,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(b)
+        _check_dims(w, h, "PNM")
+        if not 0 < maxval < 65536:
+            raise ValueError("PNM: bad maxval")
         c = 3 if b[:2] == b"P6" else 1
         if maxval > 255:  # 16-bit samples, big-endian per the PNM spec
             need = w * h * c * 2
@@ -461,6 +500,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         if comp != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
             raise NotImplementedError("only BI_RGB 24/32-bpp BMP supported")
         h = abs(h_signed)
+        _check_dims(w, h, "BMP")
         c = bpp // 8
         stride = (w * c + 3) & ~3
         if len(b) - data_off < stride * h:
@@ -751,6 +791,7 @@ def encode_wav_adpcm(samples: np.ndarray, rate: int, *,
     return b"RIFF" + struct.pack("<I", len(body_all)) + body_all
 
 
+@_malformed_guard
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an audio payload: RIFF/WAVE linear PCM (8/16-bit int, any
     channel count) plus the COMPRESSED WAV codecs — G.711 A-law (format
@@ -863,6 +904,7 @@ def _parse_y4m_header(b: bytes):
             raise NotImplementedError("only 4:2:0 Y4M supported")
     if not w or not h or den == 0:
         raise ValueError("bad Y4M header")
+    _check_dims(w, h, "Y4M")
     return w, h, num / den, eol + 1
 
 
@@ -905,6 +947,7 @@ def _luma_plane(px: np.ndarray) -> np.ndarray:
     return np.clip(np.round(y), 0, 255).astype(np.uint8)[:, :, None]
 
 
+@_malformed_guard
 def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
     """Decode the frame at ``ts_ms`` from a decodable video payload —
     uncompressed YUV4MPEG2 (Y4M) 4:2:0, or **MJPEG in an AVI container**

@@ -863,3 +863,84 @@ def test_frame_decode_stage_handles_avi(ray_session):
     assert df["width"].tolist() == [8] * 4
     lum = df["luma_mean"].tolist()
     assert all(abs(lum[k] - 40 * k) < 3.0 for k in range(4))
+
+
+def test_decoders_raise_only_valueerror_on_malformed_payloads():
+    """Actor-pool stages catch exactly (ValueError, NotImplementedError);
+    any other exception type escaping a malformed payload would kill the
+    stage actor mid-pipeline. Fuzz all three decoders with noise,
+    magic-prefixed noise, truncations and byte-flips of valid streams —
+    a trimmed in-suite version of the 12k-call sweep that found (and now
+    pins) struct.error / zlib.error / IndexError / OverflowError leaks
+    and unbounded header-dimension allocations."""
+    from nightcrawlercmd_ray.stages.jpeg import encode_jpeg
+    from nightcrawlercmd_ray.stages.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video_frame,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    sig = 0.2 * np.sin(np.arange(300) / 5.0)
+    valid = [
+        encode_jpeg(px, quality=80),
+        encode_jpeg(px, quality=80, progressive=True),
+        encode_png(px),
+        encode_gif(px),
+        encode_wav(sig, 8000),
+        encode_wav_adpcm(sig, 8000),
+        encode_avi_mjpeg([px, px], fps=5.0),
+    ]
+    magics = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"P6\n",
+              b"P5\n", b"BM", b"RIFFxxxxWAVE", b"RIFFxxxxAVI ",
+              b"YUV4MPEG2"]
+
+    def rand_bytes(n):
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+
+    for trial in range(600):
+        kind = trial % 4
+        if kind == 0:
+            b = rand_bytes(int(rng.integers(0, 200)))
+        elif kind == 1:
+            b = magics[int(rng.integers(0, len(magics)))] \
+                + rand_bytes(int(rng.integers(0, 200)))
+        elif kind == 2:
+            v = valid[int(rng.integers(0, len(valid)))]
+            b = v[: int(rng.integers(0, len(v)))]
+        else:
+            v = bytearray(valid[int(rng.integers(0, len(valid)))])
+            for _ in range(int(rng.integers(1, 6))):
+                v[int(rng.integers(0, len(v)))] = int(rng.integers(0, 256))
+            b = bytes(v)
+        for dec in (lambda: decode_image(b), lambda: decode_audio(b),
+                    lambda: decode_video_frame(b, 100)):
+            try:
+                dec()
+            except (ValueError, NotImplementedError):
+                pass  # the only allowed failure modes
+
+
+def test_implausible_header_dimensions_rejected():
+    import struct as st
+
+    from nightcrawlercmd_ray.stages.jpeg import decode_jpeg
+
+    # PNM header demanding a 10^12-pixel allocation
+    with pytest.raises(ValueError, match="implausible"):
+        decode_image(b"P5\n1000000 1000000\n255\n" + b"\x00" * 64)
+    # PNG with u32 dimensions near the max
+    ihdr = st.pack(">IIBBBBB", 2**31, 2**31, 8, 0, 0, 0, 0)
+    chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+    with pytest.raises(ValueError, match="implausible"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 32)
+    # JPEG SOF claiming 65535x65535 (4.3G pixels of block storage)
+    sof = st.pack(">HBHHB", 11, 8, 65535, 65535, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(b"\xff\xd8\xff\xc0" + sof)
