@@ -40,6 +40,7 @@ Framing notes (spec-conformant, round-trip-tested):
 from __future__ import annotations
 
 import gzip
+import zlib
 import hashlib
 import os
 from datetime import datetime, timezone
@@ -107,7 +108,12 @@ def parse_warc_full(data: bytes) -> list[dict]:
     file order (``http`` = the lowercased HTTP header dict, for carrier
     headers like ``x-fetch-ms``)."""
     if data[:2] == _GZ_MAGIC:
-        data = gzip.decompress(data)  # handles concatenated members
+        try:
+            data = gzip.decompress(data)  # handles concatenated members
+        except (OSError, EOFError, zlib.error) as e:
+            # BadGzipFile is an OSError; callers (ingest tasks over
+            # untrusted archives) catch ValueError per file
+            raise ValueError(f"malformed WARC gzip: {e}") from e
     out: list[dict] = []
     pos, n = 0, len(data)
     while pos < n:
@@ -123,7 +129,10 @@ def parse_warc_full(data: bytes) -> list[dict]:
         for line in data[pos:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers[b"content-length"])
+        clen_raw = headers.get(b"content-length", b"")
+        if not clen_raw.isdigit():
+            raise ValueError("malformed WARC: bad Content-Length")
+        clen = int(clen_raw)
         payload = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen + 4  # payload + CRLF CRLF
         if headers.get(b"warc-type") != b"response":

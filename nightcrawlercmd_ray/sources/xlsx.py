@@ -12,6 +12,7 @@ is a zip of five XML parts; inline strings avoid the sharedStrings table).
 from __future__ import annotations
 
 import zipfile
+import zlib
 from xml.etree import ElementTree
 from xml.sax.saxutils import escape
 
@@ -76,9 +77,18 @@ _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
 def read_xlsx_rows(path: str) -> list[list[str]]:
-    """Parse back the inline-string subset written by ``write_xlsx``."""
-    with zipfile.ZipFile(path) as z:
-        root = ElementTree.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    """Parse back the inline-string subset written by ``write_xlsx``.
+
+    Malformed files raise ValueError only (zip/XML error classes are
+    converted) — report-ingest callers catch ValueError per file."""
+    try:
+        with zipfile.ZipFile(path) as z:
+            root = ElementTree.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    except (zipfile.BadZipFile, KeyError, EOFError, OSError,
+            ElementTree.ParseError, zlib.error, NotImplementedError) as e:
+        # NotImplementedError here is zipfile's corrupt-version/method
+        # report, not this repo's honest-stub contract
+        raise ValueError(f"malformed xlsx: {e}") from e
     out = []
     for row in root.iter(f"{_NS}row"):
         vals = []

@@ -249,3 +249,36 @@ def test_crawl_job_entrypoint_fresh_and_resume(tiny_corpus, tmp_path):
                                "--checkpoint-dir", ckpt]) == 0
     again = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert again == first
+
+
+def test_read_xlsx_rows_raises_only_valueerror_on_malformed_files(tmp_path):
+    """Same exception contract as the WARC/media parsers: corrupt xlsx
+    bytes (zip CRC, truncation, byte-flips — zipfile reports some as
+    NotImplementedError 'zip version X') surface as ValueError only."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    rng = np.random.default_rng(9)
+    p = tmp_path / "t.xlsx"
+    write_xlsx([["a", "b"], ["c", "d"]], str(p))
+    valid = p.read_bytes()
+    f = tmp_path / "f.xlsx"
+    for trial in range(200):
+        kind = trial % 3
+        if kind == 0:
+            b = rng.integers(0, 256, int(rng.integers(0, 300)),
+                             dtype=np.uint8).tobytes()
+        elif kind == 1:
+            b = valid[: int(rng.integers(0, len(valid)))]
+        else:
+            v = bytearray(valid)
+            for _ in range(int(rng.integers(1, 6))):
+                v[int(rng.integers(0, len(v)))] = int(rng.integers(0, 256))
+            b = bytes(v)
+        f.write_bytes(b)
+        try:
+            read_xlsx_rows(str(f))
+        except ValueError:
+            pass  # the only allowed failure mode
+    assert read_xlsx_rows(str(p)) == [["a", "b"], ["c", "d"]]

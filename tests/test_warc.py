@@ -188,3 +188,44 @@ def test_export_ingest_crawl_equivalence(tiny_corpus, tmp_path):
     fa = ra.fetches_dataset().to_pandas().sort_values("url").reset_index(drop=True)
     fb = rb.fetches_dataset().to_pandas().sort_values("url").reset_index(drop=True)
     assert fa.equals(fb)
+
+
+def test_parse_warc_raises_only_valueerror_on_malformed_bytes():
+    """Ingest tasks over untrusted archives catch ValueError per file; any
+    other exception type escaping (BadGzipFile/EOFError/zlib.error/
+    KeyError were all observed pre-guard) kills the task. Fuzz with
+    noise, version-line prefixes, truncations and byte-flips."""
+    import numpy as np
+
+    from nightcrawlercmd_ray.sources.warc import (
+        build_record,
+        parse_warc,
+        parse_warc_full,
+        records_to_gz,
+    )
+
+    rng = np.random.default_rng(3)
+    valid = records_to_gz(
+        [build_record("http://a.example/x", 1_700_000_000_000_000,
+                      b"<html>hi</html>")] * 3)
+    for trial in range(400):
+        kind = trial % 4
+        if kind == 0:
+            b = rng.integers(0, 256, int(rng.integers(0, 300)),
+                             dtype=np.uint8).tobytes()
+        elif kind == 1:
+            b = b"WARC/1.0\r\n" + rng.integers(
+                0, 256, int(rng.integers(0, 200)), dtype=np.uint8).tobytes()
+        elif kind == 2:
+            b = valid[: int(rng.integers(0, len(valid)))]
+        else:
+            v = bytearray(valid)
+            for _ in range(int(rng.integers(1, 8))):
+                v[int(rng.integers(0, len(v)))] = int(rng.integers(0, 256))
+            b = bytes(v)
+        for fn in (parse_warc, parse_warc_full):
+            try:
+                fn(b)
+            except ValueError:
+                pass  # the only allowed failure mode
+    assert len(parse_warc(valid)) == 3
