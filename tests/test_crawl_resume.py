@@ -112,3 +112,64 @@ def test_drop_refs_after_checkpoint_bit_equal(tiny_corpus, tmp_path):
     lb = run.links_dataset().to_pandas().sort_values(
         ["src_seq", "href"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(lb, la)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("case_seed", [19, 29])
+def test_resume_equals_uninterrupted_randomized(tmp_path, case_seed):
+    """Property form of the resumability clause: over seeded-random corpus
+    shapes, crawl configs and a RANDOM interrupt wave, checkpoint → fresh
+    actors → resume must reproduce the uninterrupted run bit-for-bit
+    (order columns + seen set)."""
+    import random
+
+    from nightcrawlercmd_ray.sources.synth import CorpusSpec, generate_corpus
+
+    rng = random.Random(case_seed)
+    spec = CorpusSpec(
+        n_pages=rng.randrange(80, 240),
+        n_hosts=rng.randrange(3, 10),
+        hot_frac=rng.choice([0.0, 0.4]),
+        seed=rng.randrange(1, 10_000),
+        redirect_frac=rng.choice([0.0, 0.08]),
+        error_frac=rng.choice([0.0, 0.05]),
+        private_frac=rng.choice([0.0, 0.15]),
+        max_links=rng.randrange(3, 10),
+    )
+    d = str(tmp_path / "corpus")
+    m = generate_corpus(d, spec)
+    params = CrawlParams(
+        seeds=m["seeds"][: max(1, rng.randrange(1, len(m["seeds"]) + 1))],
+        default_delay_ms=rng.choice([250, 600]),
+        window_ms=rng.choice([1000, 2500]),
+        respect_robots=rng.choice([True, False]),
+    )
+    shards = rng.randrange(1, 6)
+    store = str(tmp_path / "store")
+    full = run_crawl(
+        d, params, store_dir=store, num_shards=shards,
+        num_buckets=rng.randrange(2, 8), seen_filter="exact",
+        keep_seen_log=True,
+    )
+    full_df = _frame(full)
+    if full.wave < 2:
+        pytest.skip("degenerate config: nothing to interrupt")
+
+    cut = rng.randrange(1, full.wave)
+    ckpt = str(tmp_path / "ckpt")
+    part = CrawlRun(
+        store, params, num_shards=shards, seen_filter="exact",
+        checkpoint_dir=ckpt, keep_seen_log=True,
+    )
+    part.install_robots(collect_robots(f"{d}/pages.parquet", shards))
+    part.seed()
+    part.run(max_waves=cut)
+    resumed = CrawlRun.resume(store, ckpt, seen_filter="exact",
+                              keep_seen_log=True)
+    assert resumed.wave == part.wave
+    assert resumed.fetched_total == part.fetched_total
+    resumed.run()
+    pd.testing.assert_frame_equal(_frame(resumed), full_df)
+    assert resumed.seen_urls() == full.seen_urls()
