@@ -542,13 +542,18 @@ def plan_wave(
 
     ``refs``: the first ``n_seal`` entries are the previous wave's
     ``seal_wave`` result dicts, the rest are this wave's per-shard emit
-    tables. Folding the seal results in here lets the driver fire
-    seal→emit→plan as ONE chained round (per-actor mailbox ordering makes
-    emit run after seal) with a single ``ray.get`` instead of a separate
-    seal gather — the post-seal frontier total rides back in the plan.
+    tables; ``n_seal == -1`` means refs[0] is the ROUTED seal-result LIST
+    (one ref covering every shard — the url-mode scheduler-side chain).
+    Folding the seal results in here lets the driver fire seal→emit→plan
+    as one chained round with a single ``ray.get`` — the post-seal
+    frontier total rides back in the plan.
     """
-    seal_sizes, emitted = refs[:n_seal], refs[n_seal:]
-    frontier = sum(s["frontier"] for s in seal_sizes) if n_seal else None
+    if n_seal == -1:
+        seal_sizes, emitted = refs[0], refs[1:]
+        frontier = sum(s["frontier"] for s in seal_sizes)
+    else:
+        seal_sizes, emitted = refs[:n_seal], refs[n_seal:]
+        frontier = sum(s["frontier"] for s in seal_sizes) if n_seal else None
     nonempty = [t for t in emitted if t.num_rows]
     if not nonempty:
         return {"n": 0, "truncated": False, "groups": [],
@@ -1108,13 +1113,27 @@ class CrawlRun:
         # actor→plan-task through the object store; the driver sees only the
         # small plan dict and ships the wave table by REFERENCE to the fetch
         # tasks (zero driver materialization at any wave size).
-        seal_prev = self._take_pending_seal()  # url mode: seal COMPLETED
-        emit_refs = [s.emit_wave.remote() for s in self.shards]
+        route = getattr(self, "_pending_route", None)
+        self._pending_route = None
+        seal_prev = [] if route is not None else self._take_pending_seal()
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        plan_ref, wave_ref = _PLAN2.remote(
-            self.fetched_total, self.wave, self.params.max_pages,
-            self.num_buckets, cpus, len(seal_prev), *seal_prev, *emit_refs,
-        )
+        if route is not None:
+            # url mode: the seal-chain result rides as the emit BARRIER and
+            # as ONE plan argument — the driver never touches it, so emits
+            # fire the moment the seals commit (no driver round trip
+            # between seal and emit)
+            emit_refs = [s.emit_wave.remote(route) for s in self.shards]
+            plan_ref, wave_ref = _PLAN2.remote(
+                self.fetched_total, self.wave, self.params.max_pages,
+                self.num_buckets, cpus, -1, route, *emit_refs,
+            )
+        else:
+            emit_refs = [s.emit_wave.remote() for s in self.shards]
+            plan_ref, wave_ref = _PLAN2.remote(
+                self.fetched_total, self.wave, self.params.max_pages,
+                self.num_buckets, cpus, len(seal_prev), *seal_prev,
+                *emit_refs,
+            )
         plan = ray.get(plan_ref)
         if plan["frontier"] is not None:
             self._frontier_size = plan["frontier"]

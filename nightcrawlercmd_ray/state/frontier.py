@@ -296,8 +296,12 @@ class FrontierShard:
         return n
 
     # ------------------------------------------------------------------- waves
-    def emit_wave(self) -> pa.Table:
-        """Pop this wave's fetch quota from every lane, in the pinned order."""
+    def emit_wave(self, *_barrier) -> pa.Table:
+        """Pop this wave's fetch quota from every lane, in the pinned order.
+
+        ``_barrier``: optional unread ref args — the driver passes the
+        previous wave's seal-chain result so the scheduler holds this call
+        until the seal has committed (no cross-caller mailbox reliance)."""
         hosts = sorted(self.lanes, key=lambda h: (_host_hash(h), h))
         out_url: list[str] = []
         out_host: list[str] = []
