@@ -1005,37 +1005,17 @@ class CrawlRun:
         self._frontier_size = self._seal_barrier()
 
     def _seal_barrier(self) -> int:
-        """End-of-wave state commit. url mode: dedup phase (uniform across
-        shards) → survivor forwards land → lane append. host mode: one seal.
-        Returns the post-seal frontier total (seal already reports it — no
-        separate poll round trip needed). Synchronous form — used at seed /
-        resume time; ``run_wave`` uses the async form below."""
-        sizes = ray.get(self._seal_async())
-        return sum(s["frontier"] for s in sizes)
-
-    def _seal_async(self, push_acks: list | None = None) -> list:
-        """Driver-gathered seal chain — the SYNCHRONOUS form kept for
-        seed/resume time (one-shot, not per wave). ``run_wave`` uses
-        :meth:`_seal_wave_end`, which runs the identical chain entirely
-        scheduler-side with zero driver round trips."""
-        push_acks = push_acks or []
-        if push_acks:
-            ray.get(push_acks)  # one batched barrier: all pushes landed
+        """End-of-wave state commit, synchronous — used at seed/resume time
+        (one-shot, no in-flight push acks; ``run_wave`` uses
+        :meth:`_seal_wave_end`, the zero-driver-round form). The url-mode
+        forward-ack routing lives once, in :func:`_route_and_seal`.
+        Returns the post-seal frontier total."""
         if self.dedup_sharding == "url":
-            ack_lists = ray.get(
-                [s.flush_dedup.remote() for s in self.shards])
-            # forward acks are UNRESOLVED refs: route each to only its
-            # TARGET shard's seal (scheduler-side barrier on ≤num_shards
-            # refs per call — "shard p's forwards landed" is all seal p
-            # needs; the full-fan-in variant re-resolved every ack in
-            # every call)
-            by_shard: dict[int, list] = {}
-            for al in ack_lists:
-                for p, a in al:
-                    by_shard.setdefault(p, []).append(a)
-            return [s.seal_wave.remote(*by_shard.get(i, []))
-                    for i, s in enumerate(self.shards)]
-        return [s.seal_wave.remote() for s in self.shards]
+            flush_refs = [s.flush_dedup.remote() for s in self.shards]
+            sizes = ray.get(_route_and_seal.remote(self.shards, *flush_refs))
+        else:
+            sizes = ray.get([s.seal_wave.remote() for s in self.shards])
+        return sum(s["frontier"] for s in sizes)
 
     def _seal_wave_end(self, push_acks: list) -> None:
         """Fire the end-of-wave commit chain with ZERO driver gathers.
@@ -1277,8 +1257,8 @@ class CrawlRun:
         return agg
 
     def seen_urls(self) -> set[str]:
-        self._settle_seal()
         """Exact engine seen-set (requires keep_seen_log=True)."""
+        self._settle_seal()
         logs = ray.get([s.get_seen_log.remote() for s in self.shards])
         return set().union(*[set(x) for x in logs]) if logs else set()
 

@@ -85,9 +85,11 @@ def read_xlsx_rows(path: str) -> list[list[str]]:
         with zipfile.ZipFile(path) as z:
             root = ElementTree.fromstring(z.read("xl/worksheets/sheet1.xml"))
     except (zipfile.BadZipFile, KeyError, EOFError, OSError,
-            ElementTree.ParseError, zlib.error, NotImplementedError) as e:
+            ElementTree.ParseError, zlib.error, NotImplementedError,
+            RuntimeError) as e:
         # NotImplementedError here is zipfile's corrupt-version/method
-        # report, not this repo's honest-stub contract
+        # report, not this repo's honest-stub contract; RuntimeError is its
+        # encrypted-entry report
         raise ValueError(f"malformed xlsx: {e}") from e
     out = []
     for row in root.iter(f"{_NS}row"):

@@ -206,10 +206,20 @@ def _decode_png(b: bytes) -> np.ndarray:
             break
     if w is None or not idat:
         raise ValueError("PNG: missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    passes = _ADAM7 if ilace else ((0, 0, 1, 1),)
+    # exact filtered-scanline byte count from the header — inflate AT MOST
+    # that much, so an IDAT decompression bomb cannot bypass the
+    # MAX_DECODE_PIXELS allocation bound (a 2 MB payload could otherwise
+    # demand multi-GB)
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp > 0 and hp > 0:
+            need += hp * ((wp * c * depth + 7) // 8 + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), need)
 
     out = np.zeros((h, w, c), dtype=np.uint8)
-    passes = _ADAM7 if ilace else ((0, 0, 1, 1),)
     offset = 0
     for x0, y0, dx, dy in passes:
         wp = -(-(w - x0) // dx) if w > x0 else 0
@@ -837,7 +847,11 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
                 w = bits // 8
                 x = np.frombuffer(raw[: len(raw) - len(raw) % w],
                                   "<f4" if bits == 32 else "<f8")
-                x = np.clip(x.astype(np.float32), -1.0, 1.0)
+                # NaN survives np.clip and would poison downstream feature
+                # aggregates as decoded=True rows — zero non-finite samples
+                x = np.nan_to_num(x.astype(np.float32), nan=0.0,
+                                  posinf=1.0, neginf=-1.0)
+                x = np.clip(x, -1.0, 1.0)
             elif audio_fmt in (6, 7):  # G.711 A-law / μ-law: LUT gather
                 lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
                 x = lut[np.frombuffer(raw, np.uint8)].astype(np.float32)

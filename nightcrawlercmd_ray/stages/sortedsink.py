@@ -237,7 +237,20 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
         # and union into ONE stream so a part touched by both adds and
         # deletes is written exactly once by a single merge task
         d_schema = delta_ds.schema()
-        d_names, d_types = d_schema.names, d_schema.types
+        if d_schema is None or not d_schema.names:
+            # pure-deletion compaction: the delta is EMPTY (e.g. a refresh
+            # whose new snapshot only removes docs) and carries no schema —
+            # derive the row shape from the base parts instead of crashing
+            import glob as _glob
+
+            parts = sorted(_glob.glob(f"{base_dir}/part-*/data.parquet"))
+            if not parts:
+                raise ValueError("compact_sorted: empty base and delta")
+            sch = pq.read_schema(parts[0])
+            d_names = [n for n in sch.names if n != "pos"]
+            d_types = [sch.field(n).type for n in d_names]
+        else:
+            d_names, d_types = d_schema.names, d_schema.types
 
         def tag_add(t: pa.Table) -> pa.Table:
             return t.select(d_names).append_column(
@@ -287,6 +300,45 @@ def compact_sorted(base_dir: str, delta_ds, out_dir: str, *,
         raise ValueError(
             "compact_sorted: more tombstones than base rows in part(s) "
             f"{np.flatnonzero(del_counts > base_counts).tolist()}")
+    if 0 < del_counts.sum() <= 1_000_000:
+        import ray
+
+        # fail-fast pre-write validation (bounded): every tombstone must
+        # match exactly one base row BEFORE any part is rewritten, so a
+        # mis-keyed tombstone set (e.g. a later-generation refresh keying
+        # against the wrong text — see refresh_corpus docstring) surfaces
+        # as a clean error with out_dir untouched. Past the bound the
+        # merge-time per-part check still enforces the same contract
+        # (parts write atomically + _DONE markers, so even that failure
+        # mode is resumable, not corrupt).
+        def del_keys_rows(t: pa.Table) -> pa.Table:
+            op = (t.column("_op").to_numpy(zero_copy_only=False)
+                  if "_op" in t.column_names
+                  else np.zeros(t.num_rows, dtype=np.int8))
+            d = t.filter(pa.array(op == 1))
+            return pa.table({"_k": pa.array(_packed(d, key_col, tie_col))})
+
+        tomb_keys = np.sort(np.fromiter(
+            (r["_k"] for r in stream.map_batches(
+                del_keys_rows, batch_format="pyarrow").take_all()),
+            np.int64))
+        parts_to_check = np.flatnonzero(del_counts).tolist()
+
+        @ray.remote
+        def _match_count(part: int) -> int:
+            bt = pq.read_table(f"{base_dir}/part-{part:05d}/data.parquet",
+                               columns=[key_col, tie_col])
+            keys = _packed(bt, key_col, tie_col)
+            return int(np.isin(keys, tomb_keys).sum())
+
+        matched = sum(ray.get([_match_count.remote(p_)
+                               for p_ in parts_to_check]))
+        if matched != tomb_keys.size:
+            raise ValueError(
+                f"compact_sorted: {tomb_keys.size} tombstone(s) match "
+                f"{matched} base row(s) — each must match exactly one "
+                "(is the tombstone key derived from the same text the "
+                "base was sorted on?)")
     new_counts = base_counts + delta_counts - del_counts
     new_offsets = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
     touched = set(np.flatnonzero(delta_counts + del_counts).tolist())

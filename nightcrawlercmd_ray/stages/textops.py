@@ -275,9 +275,15 @@ def tfidf_top_terms(ds, k: int = 5, min_df: int = 2,
     # coarse-shuffle on hash(word) % P to resolve each word's df inside its
     # partition (words without a surviving DF row drop there), then ONE
     # doc-keyed shuffle ranks and cuts top-k per document.
+    from .dedup import _num_coarse_partitions
     from .fuzzyjoin import _string_hash
 
-    P = max(num_partitions or 0, 64)
+    # partition count scales with the corpus (bounded rows per resolve /
+    # top-k group at any size) and an explicit num_partitions is honored
+    # verbatim — a fixed floor would put ~1/64 of ALL distinct doc-word
+    # pairs in one group at exactly the web scale that triggers this path
+    P = _num_coarse_partitions(ds, num_partitions, None,
+                               rows_per_partition=2000)
 
     def tf_rows(t: pa.Table) -> pa.Table:
         ids, words, tfs = [], [], []
@@ -1084,9 +1090,15 @@ def bigram_fluency(
     # bigrams); per-pair scores need only c_xy from the shuffled side.
     from ray.data.aggregate import Sum
 
+    from .dedup import _num_coarse_partitions
     from .fuzzyjoin import _string_hash
 
-    P = max(num_partitions or 0, 64)
+    # partition count scales with the corpus (bounded rows per resolve /
+    # top-k group at any size) and an explicit num_partitions is honored
+    # verbatim — a fixed floor would put ~1/64 of ALL distinct doc-word
+    # pairs in one group at exactly the web scale that triggers this path
+    P = _num_coarse_partitions(ds, num_partitions, None,
+                               rows_per_partition=2000)
 
     def pair_rows(t: pa.Table) -> pa.Table:
         ids, w1s, w2s = [], [], []

@@ -218,3 +218,79 @@ def test_refresh_delete_missing_tombstones(tmp_path):
     assert natural == {1, 3}           # 2 and 4 tombstoned away
     key = back["n_chars"].values * (1 << 32) + back["doc_id"].values
     assert (np.diff(key) > 0).all()
+
+
+def test_refresh_pure_deletion(ray_session, tmp_path):
+    """A refresh whose new snapshot ONLY removes docs (zero added/changed)
+    must compact cleanly — the empty survivor delta carries no schema, so
+    compact_sorted derives the row shape from the base parts (pre-fix this
+    crashed with AttributeError on schema().names)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from nightcrawlercmd_ray.pipelines.refresh import refresh_corpus
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        read_sorted,
+        write_sorted_partitioned,
+    )
+
+    old_rows = [{"doc_id": i, "text": f"document number {i} with body"}
+                for i in range(1, 6)]
+    old = ray.data.from_items(old_rows)
+
+    def keyed(t):
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t.column("text")), "int64"))
+
+    base = str(tmp_path / "base")
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base,
+        key_col="n_chars", tie_col="doc_id", num_partitions=3)
+    new = ray.data.from_items(
+        [r for r in old_rows if r["doc_id"] not in (2, 4)])
+    res = refresh_corpus(old, new, base, str(tmp_path / "out"),
+                         delete_missing=True)
+    assert res["work"] == 0 and res["removed"] == 2
+    assert res["survivors"] == 0 and res["merged_rows"] == 3
+    out = read_sorted(str(tmp_path / "out")).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 5]
+
+
+def test_compact_misskeyed_tombstones_fail_before_any_write(
+        ray_session, tmp_path):
+    """A tombstone whose key matches no base row (e.g. keyed against text
+    the base was NOT sorted on — the multi-generation pitfall) must raise
+    BEFORE any part is written, leaving out_dir with zero completed parts."""
+    import os
+
+    import pyarrow.compute as pc
+    import pytest
+    import ray
+
+    from nightcrawlercmd_ray.stages.sortedsink import (
+        compact_sorted,
+        write_sorted_partitioned,
+    )
+
+    old = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i} text body here"} for i in range(8)])
+
+    def keyed(t):
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t.column("text")), "int64"))
+
+    base = str(tmp_path / "base")
+    write_sorted_partitioned(
+        old.map_batches(keyed, batch_format="pyarrow"), base,
+        key_col="n_chars", tie_col="doc_id", num_partitions=2)
+    delta = ray.data.from_items(
+        [{"doc_id": 100, "text": "added doc", "n_chars": 9}])
+    # tombstone with a WRONG n_chars for doc 3 (its real key differs)
+    tomb = ray.data.from_items([{"doc_id": 3, "n_chars": 999}])
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="tombstone"):
+        compact_sorted(base, delta, out, tombstone_ds=tomb)
+    done = [d for d in os.listdir(out)
+            if d.startswith("part-")
+            and os.path.exists(f"{out}/{d}/_DONE")]
+    assert done == []  # fail-fast: nothing was written
