@@ -1093,11 +1093,11 @@ def bigram_fluency(
     from .dedup import _num_coarse_partitions
     from .fuzzyjoin import _string_hash
 
-    # partition count scales with the corpus (bounded rows per resolve /
-    # top-k group at any size) and an explicit num_partitions is honored
-    # verbatim — a fixed floor would put ~1/64 of ALL distinct doc-word
-    # pairs in one group at exactly the web scale that triggers this path
-    P = _num_coarse_partitions(ds, num_partitions, None,
+    # partition count scales with the scored corpus (bounded rows per
+    # resolve group at any size) and an explicit num_partitions is honored
+    # verbatim — a fixed floor would concentrate ~1/64 of ALL pair rows in
+    # one group at exactly the web scale that triggers this path
+    P = _num_coarse_partitions(score_ds, num_partitions, None,
                                rows_per_partition=2000)
 
     def pair_rows(t: pa.Table) -> pa.Table:
