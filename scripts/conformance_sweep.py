@@ -10,7 +10,8 @@ serial oracle bit-for-bit — order columns, seen set, extracted text.
 
 Usage: PYTHONPATH=/root/repo python scripts/conformance_sweep.py [N]
 Exit 0 iff every case matches. Round-5 final-HEAD record:
-190/190 cumulative across seed ranges 1000-1059, 1000-1029, 2000-2099.
+290/290 cumulative across seed ranges 1000-1059, 1000-1029, 2000-2099,
+3000-3099.
 """
 import random, shutil, sys, tempfile
 
